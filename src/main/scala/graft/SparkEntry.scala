@@ -1,13 +1,94 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every declared operator (SURVEY.md §2) to a DataFrame
+  * program over the fixture tables at `sfDir`; `oracleSql` carries the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * files. Column names AND types are aligned on both sides (aggregates
+  * aliased identically; DuckDB's wider integer results cast down to
+  * Spark's types) because the compare hashes values under sorted column
+  * names.
+  */
 object SparkEntry {
+  type Query = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q08RevenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Query] = Map(
+    // E1 aggregations
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_orders_agg" -> (Relational.q02OrdersAgg _),
+    // E2 distinct
+    "q03_count_distinct" -> (Relational.q03CountDistinct _),
+    "q04_distinct_rows" -> (Relational.q04DistinctRows _),
+    "q05_approx_distinct" -> (Relational.q05ApproxDistinct _),
+    // E3 rollup / cube
+    "q06_rollup" -> (Relational.q06Rollup _),
+    "q07_cube" -> (Relational.q07Cube _),
+    // E4 joins
+    "q08_revenue_by_nation" -> (Relational.q08RevenueByNation _),
+    "q09_left_join_orders" -> (Relational.q09LeftJoinOrders _),
+    "q10_semi_join" -> (Relational.q10SemiJoin _),
+    "q11_anti_join" -> (Relational.q11AntiJoin _),
+    "q12_full_outer" -> (Relational.q12FullOuter _),
+    // E5 range join
+    "q13_range_join" -> (Relational.q13RangeJoin _),
+    // E6 windows
+    "q14_top3_per_customer" -> (Relational.q14Top3PerCustomer _),
+    "q15_window_running" -> (Relational.q15WindowRunning _),
+    "q16_ranks" -> (Relational.q16Ranks _),
+    // E7 top-k
+    "q17_topk" -> (Relational.q17TopK _),
+    // E8 set ops
+    "q18_set_ops" -> (Relational.q18SetOps _),
+    // E9 scalar functions
+    "q19_string_funcs" -> (Relational.q19StringFuncs _),
+    "q20_date_funcs" -> (Relational.q20DateFuncs _),
+    "q21_math_conditional" -> (Relational.q21MathConditional _),
+    // E10 JSON
+    "q22_json_extract" -> (Relational.q22JsonExtract _),
+    // E11 arrays
+    "q23_array_ops" -> (Relational.q23ArrayOps _),
+    // §2.A reference ops on fixtures
+    "q24_filter_in" -> (Relational.q24FilterIn _),
+    "q25_union_withcolumn" -> (Relational.q25UnionWithColumn _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Sql,
+    "q02_orders_agg" -> Relational.q02Sql,
+    "q03_count_distinct" -> Relational.q03Sql,
+    "q04_distinct_rows" -> Relational.q04Sql,
+    "q06_rollup" -> Relational.q06Sql,
+    "q07_cube" -> Relational.q07Sql,
+    "q08_revenue_by_nation" -> Relational.q08Sql,
+    "q09_left_join_orders" -> Relational.q09Sql,
+    "q10_semi_join" -> Relational.q10Sql,
+    "q11_anti_join" -> Relational.q11Sql,
+    "q12_full_outer" -> Relational.q12Sql,
+    "q13_range_join" -> Relational.q13Sql,
+    "q14_top3_per_customer" -> Relational.q14Sql,
+    "q15_window_running" -> Relational.q15Sql,
+    "q16_ranks" -> Relational.q16Sql,
+    "q17_topk" -> Relational.q17Sql,
+    "q18_set_ops" -> Relational.q18Sql,
+    "q19_string_funcs" -> Relational.q19Sql,
+    "q20_date_funcs" -> Relational.q20Sql,
+    "q21_math_conditional" -> Relational.q21Sql,
+    "q22_json_extract" -> Relational.q22Sql,
+    "q23_array_ops" -> Relational.q23Sql,
+    "q24_filter_in" -> Relational.q24Sql,
+    "q25_union_withcolumn" -> Relational.q25Sql,
+  )
 }

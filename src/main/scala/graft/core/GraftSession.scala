@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory mirroring the reference's session surface
+  * (`/root/reference/sparkcode/titanic_example_delta.py:4-12`: builder +
+  * config injection + log level), tuned for this container: `local[N]`,
+  * shuffle partitions sized to cores (not the 200 default), AQE on so
+  * runtime stats can re-plan skewed shuffles/joins — the same settings
+  * that matter on a real multi-executor cluster.
+  */
+object GraftSession {
+  def local(
+      appName: String = "graft",
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

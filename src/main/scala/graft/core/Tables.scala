@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Typed accessors for the driver-generated fixture tables
+  * (`TESTDATA.md`, `FIXTURES.md` §1). One parquet file per table under
+  * `sfDir` (e.g. `/root/testdata/sf0.01`).
+  *
+  * At 100 TB each of these would be a partitioned parquet dataset (or a
+  * [[graft.tables.DeltaLikeTable]]); `spark.read.parquet` on a directory
+  * scales identically, so callers never assume single-file layout.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale
+    * (TPC-H region/nation are fixed-cardinality; supplier/part/customer
+    * grow with sf but stay orders of magnitude under fact tables).
+    * Used by query code to decide broadcast hints.
+    */
+  val broadcastableDims: Set[String] = Set("region", "nation", "supplier")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame = table(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame = table(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp. Read nanos as LONG (legacy conf) and truncate to
+    * microseconds with integer division (a double division would lose
+    * precision at 1.7e18 ns) — DuckDB's ns→µs read truncates identically.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
+}

@@ -1,0 +1,536 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Relational query surface (SURVEY.md §2.E rows E1–E11) over the fixture
+  * star schema. Every query here is declared in [[graft.SparkEntry]] with a
+  * DuckDB oracle, so semantics must match ANSI SQL exactly.
+  *
+  * Scale notes (the design target is ~100 TB fact tables on a 1000-executor
+  * cluster; sf fixtures only verify correctness):
+  *   - Money aggregates go through exact DECIMAL arithmetic and are cast to
+  *     DOUBLE at the end: double summation order differs run-to-run across
+  *     partitions, and at 1e9-scale sums the wobble exceeds the oracle's
+  *     1e-6 rounding. Decimal sums are associative, hence partition-order
+  *     independent — this also makes results stable across cluster sizes.
+  *   - `nation`/`region` (fixed cardinality) are always broadcast;
+  *     fact⋈fact joins shuffle on their join key and rely on AQE for skew.
+  *   - Self range-joins are bucketized (equi-join on a time bucket plus
+  *     filter) instead of a quadratic theta-join — see [[rangeJoinPairs]].
+  */
+object Relational {
+
+  /** Exact money/quantity representation: values < 1e8 with 4 decimals. */
+  private def decM(c: Column): Column = c.cast(DecimalType(12, 4))
+  /** Exact fraction representation (discount/tax ∈ [0,1]). */
+  private def decF(c: Column): Column = c.cast(DecimalType(8, 6))
+  private val oneF: Column = lit(1).cast(DecimalType(8, 6))
+
+  // ---------------------------------------------------------------- E1: agg
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (scan→partial agg→final
+    * agg; one shuffle on the 6-value group key).
+    */
+  def q01PricingSummary(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(decM(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(decM(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(decM(col("l_extendedprice")) * (oneF - decF(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(decM(col("l_extendedprice")) * (oneF - decF(col("l_discount")))
+          * (oneF + decF(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        avg(decM(col("l_quantity"))).cast(DoubleType).as("avg_qty"),
+        avg(decM(col("l_extendedprice"))).cast(DoubleType).as("avg_price"),
+        avg(decF(col("l_discount"))).cast(DoubleType).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(22,10)) * (CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE) AS sum_charge,
+      | CAST(avg(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS avg_qty,
+      | CAST(avg(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS avg_price,
+      | CAST(avg(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** min/max/avg/count over orders, grouped by priority. */
+  def q02OrdersAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(decM(col("o_totalprice"))).cast(DoubleType).as("sum_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+
+  val q02Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price,
+      | min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------- E2: distinct / count(distinct)
+
+  def q03CountDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("n_status_prio"),
+        count(lit(1)).as("n_orders"))
+
+  val q03Sql: String =
+    """SELECT count(DISTINCT o_custkey) AS n_cust,
+      | count(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio,
+      | count(*) AS n_orders
+      |FROM orders""".stripMargin
+
+  def q04DistinctRows(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+
+  val q04Sql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** approx_count_distinct (HLL++) — no exact oracle; rows-only check. */
+  def q05ApproxDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+
+  // ------------------------------------------------- E3: rollup / cube / sets
+
+  def q06Rollup(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(decM(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+
+  val q06Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  def q07Cube(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val q07Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ------------------------------------------------------------- E4: joins
+
+  /** TPC-H Q5 shape: fact⋈fact shuffle joins + broadcast dimension joins.
+    * lineitem⋈orders and orders⋈customer shuffle on their keys (at 100 TB
+    * both sides are large); nation/region are broadcast (fixed cardinality).
+    */
+  def q08RevenueByNation(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(decM(col("l_extendedprice")) * (oneF - decF(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q08Sql: String =
+    """SELECT r_name, n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** LEFT OUTER join preserving customers with zero orders. */
+  def q09LeftJoinOrders(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(decM(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+  }
+
+  val q09Sql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  /** LEFT SEMI join (EXISTS): customers holding at least one open order. */
+  def q10SemiJoin(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d).where(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin
+
+  /** LEFT ANTI join (NOT EXISTS): customers with no orders at all. */
+  def q11AntiJoin(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** FULL OUTER join of two pre-aggregated sides (per-nation customer and
+    * supplier counts); aggregating before the join keeps the shuffle small.
+    */
+  def q12FullOuter(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"), col("n_cust"), col("n_supp"))
+  }
+
+  val q12Sql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      |      FROM supplier GROUP BY 1) s
+      |ON c.nationkey = s.nationkey""".stripMargin
+
+  // -------------------------------------------------- E5: range / theta join
+
+  /** Time-proximity self-join on events: pairs of events by the same user
+    * within 10 minutes of each other, counted per event-type pair.
+    *
+    * Scale path: a raw theta-join on `abs(ts_a - ts_b) <= δ` is quadratic
+    * (BNLJ). We equi-join on (user_id, time_bucket) with the probe side
+    * exploded into its 3 adjacent δ-width buckets — each qualifying pair
+    * lands in exactly one bucket equality, so no dedup is needed, and the
+    * join is a plain shuffle-hash join that scales linearly.
+    */
+  def q13RangeJoin(spark: SparkSession, d: String): DataFrame = {
+    val deltaUs = 600L * 1000000L // 10 minutes in microseconds
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val bucketOf = floor(col("ts_us") / deltaUs).cast(LongType)
+    val a = ev.select(
+      col("user_id"),
+      col("event_id").as("id_a"), col("event_type").as("type_a"),
+      col("ts_us").as("us_a"),
+      explode(array(bucketOf - 1, bucketOf, bucketOf + 1)).as("bucket"))
+    val b = ev.select(
+      col("user_id"),
+      col("event_id").as("id_b"), col("event_type").as("type_b"),
+      col("ts_us").as("us_b"),
+      bucketOf.as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .where(col("id_a") < col("id_b")
+        && abs(col("us_b") - col("us_a")) <= deltaUs)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q13Sql: String =
+    """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      | count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------- E6: window functions
+
+  /** Top-3 orders per customer by totalprice (row_number window). */
+  def q14Top3PerCustomer(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      | FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** Running sum + lag/lead per user over the event stream (explicit ROWS
+    * frame; (ts, event_id) is a deterministic total order).
+    */
+  def q15WindowRunning(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        sum(decM(col("value"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+  }
+
+  val q15Sql: String =
+    """SELECT event_id, user_id, ts, value,
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      | lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      |FROM events""".stripMargin
+
+  /** rank / dense_rank / percent_rank by totalprice within priority (rank
+    * values depend only on the sort key, so ties are deterministic).
+    */
+  def q16Ranks(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).as("price_rank"),
+        dense_rank().over(w).as("price_dense_rank"),
+        percent_rank().over(w).as("price_pct_rank"))
+      .where(col("price_rank") <= 5)
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, price_rank,
+      | price_dense_rank, price_pct_rank FROM (
+      | SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(rank() OVER w AS INT) AS price_rank,
+      |  CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+      |  percent_rank() OVER w AS price_pct_rank
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+      |) t WHERE price_rank <= 5""".stripMargin
+
+  // --------------------------------------------------- E7: sort / limit / topk
+
+  /** Global top-10 — TakeOrderedAndProject, no full sort at scale. */
+  def q17TopK(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q17Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ E8: set ops
+
+  /** INTERSECT / EXCEPT / UNION ALL branches tagged into one relation. */
+  def q18SetOps(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val rich = c.where(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val building = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    rich.intersect(building).select(lit("both").as("op"), col("c_custkey"))
+      .union(rich.except(building).select(lit("rich_only").as("op"), col("c_custkey")))
+      .union(rich.union(building).distinct()
+        .select(lit("either").as("op"), col("c_custkey")))
+  }
+
+  val q18Sql: String =
+    """SELECT 'both' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |  INTERSECT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'rich_only' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'either' AS op, c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  // ----------------------------------------------------- E9: scalar functions
+
+  /** String function battery over part (all codegen'd builtins). */
+  def q19StringFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      substring(col("p_name"), 1, 4).as("name_pre"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"),
+      col("p_name").like("%red%").as("is_red"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+      replace(col("p_type"), lit("ECONOMY"), lit("ECON")).as("type_short"))
+
+  val q19Sql: String =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+      | substring(p_name, 1, 4) AS name_pre,
+      | concat_ws('/', p_brand, p_type) AS brand_type,
+      | CAST(length(p_name) AS INT) AS name_len,
+      | p_name LIKE '%red%' AS is_red,
+      | regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      | replace(p_type, 'ECONOMY', 'ECON') AS type_short
+      |FROM part""".stripMargin
+
+  /** Date/time function battery over orders. */
+  def q20DateFuncs(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      dayofmonth(col("o_orderdate")).as("order_day"),
+      quarter(col("o_orderdate")).as("order_quarter"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(to_date(lit("2002-01-01")), col("o_orderdate")).as("days_to_2002"))
+
+  val q20Sql: String =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS INT) AS order_year,
+      | CAST(month(o_orderdate) AS INT) AS order_month,
+      | CAST(day(o_orderdate) AS INT) AS order_day,
+      | CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+      | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+      |FROM orders""".stripMargin
+
+  /** Math + conditional battery over lineitem. */
+  def q21MathConditional(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("price_round"),
+      ceil(col("l_quantity")).as("qty_ceil"),
+      floor(col("l_quantity")).as("qty_floor"),
+      abs(col("l_discount") - 0.05).as("disc_dev"),
+      when(col("l_returnflag") === "R", lit("returned"))
+        .when(col("l_linestatus") === "O", lit("open"))
+        .otherwise(lit("closed")).as("status_label"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+
+  val q21Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | round(l_extendedprice, 1) AS price_round,
+      | CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+      | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+      | abs(l_discount - 0.05) AS disc_dev,
+      | CASE WHEN l_returnflag = 'R' THEN 'returned'
+      |      WHEN l_linestatus = 'O' THEN 'open'
+      |      ELSE 'closed' END AS status_label,
+      | coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+      | greatest(l_tax, l_discount) AS max_rate
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------- E10: JSON in string
+
+  /** JSON extraction from `events.props` + aggregate over the parsed value. */
+  def q22JsonExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val q22Sql: String =
+    """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
+      | min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------- E11: array ops
+
+  /** Higher-order array functions over embeddings (dot products and norms
+    * in deterministic sequential fold order → bit-identical to the oracle).
+    */
+  def q23ArrayOps(spark: SparkSession, d: String): DataFrame =
+    Tables.embeddings(spark, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+      expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+        .as("sq_norm"),
+      expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(embedding)")
+        .as("mean_val"))
+
+  val q23Sql: String =
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+      | CAST(embedding[1] AS DOUBLE) AS first_val,
+      | list_aggr(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq_norm,
+      | list_aggr(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) AS mean_val
+      |FROM embeddings""".stripMargin
+
+  // ---------------------------------- reference ops replayed on fixtures (§2.A)
+
+  /** A3: SQL-string IN-list filter (reference `titanic_example_delta.py:28`). */
+  def q24FilterIn(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .where("l_orderkey IN (1, 5, 7, 11, 13)")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+
+  val q24Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem WHERE l_orderkey IN (1, 5, 7, 11, 13)""".stripMargin
+
+  /** A4+A5+A6+A7: compound OR filter, withColumn-replace with a literal,
+    * local rows, positional UNION ALL (reference `:28-35,59`).
+    */
+  def q25UnionWithColumn(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.customer(spark, d)
+      .where(col("c_custkey") < 3 || col("c_custkey") > 9996)
+      .withColumn("c_acctbal", lit(0.0))
+    val extra = Seq(
+      (900001L, "Customer#900001", 1, 10.5, "BUILDING"),
+      (900002L, "Customer#900002", 2, 20.5, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    base.union(extra)
+  }
+
+  val q25Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey, CAST(0.0 AS DOUBLE) AS c_acctbal,
+      | c_mktsegment
+      |FROM customer WHERE c_custkey < 3 OR c_custkey > 9996
+      |UNION ALL SELECT * FROM (VALUES
+      | (CAST(900001 AS BIGINT), 'Customer#900001', 1, 10.5, 'BUILDING'),
+      | (CAST(900002 AS BIGINT), 'Customer#900002', 2, 20.5, 'MACHINERY'))
+      | t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""".stripMargin
+}
