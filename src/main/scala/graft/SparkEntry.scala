@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, Versioned}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,9 @@ object SparkEntry {
     // §2.A reference ops on fixtures
     "q24_filter_in" -> (Relational.q24FilterIn _),
     "q25_union_withcolumn" -> (Relational.q25UnionWithColumn _),
+    // §2.B deltalike versioned tables (overwrite + merge + time travel)
+    "q26_merge_upsert" -> (Versioned.q26MergeUpsert _),
+    "q27_time_travel" -> (Versioned.q27TimeTravel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +93,7 @@ object SparkEntry {
     "q23_array_ops" -> Relational.q23Sql,
     "q24_filter_in" -> Relational.q24Sql,
     "q25_union_withcolumn" -> Relational.q25Sql,
+    "q26_merge_upsert" -> Versioned.q26Sql,
+    "q27_time_travel" -> Versioned.q27Sql,
   )
 }

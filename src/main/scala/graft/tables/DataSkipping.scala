@@ -1,0 +1,100 @@
+package graft.tables
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** File-level pruning from the per-file min/max/null-count stats recorded
+  * in the log at write time (the optional Delta-style data-skipping layer,
+  * SURVEY.md §4). Given the scan's pushed filters, drop files that
+  * provably contain no qualifying row — at 100 TB a selective predicate
+  * then opens a small subset of files instead of the whole table.
+  *
+  * Strictly conservative: any file with missing stats, an unsupported
+  * filter shape, or a type we don't order is KEPT. Correctness never
+  * depends on skipping; it only removes provably-empty scans.
+  */
+object DataSkipping {
+
+  def prune(snap: Snapshot, filters: Seq[Filter]): Seq[AddFile] =
+    filters.foldLeft(snap.files)((fs, f) => fs.filter(mayMatch(snap.schema, _, f)))
+
+  /** false only when `file` provably has no row satisfying `filter`. */
+  private[tables] def mayMatch(schema: StructType, file: AddFile, filter: Filter): Boolean =
+    filter match {
+      case EqualTo(a, v) =>
+        cmpStat(schema, file, a, v) match {
+          case Some((lo, hi)) => lo <= 0 && hi >= 0 // min<=v && max>=v
+          case None           => true
+        }
+      case GreaterThan(a, v) =>
+        cmpStat(schema, file, a, v).forall { case (_, hi) => hi > 0 }
+      case GreaterThanOrEqual(a, v) =>
+        cmpStat(schema, file, a, v).forall { case (_, hi) => hi >= 0 }
+      case LessThan(a, v) =>
+        cmpStat(schema, file, a, v).forall { case (lo, _) => lo < 0 }
+      case LessThanOrEqual(a, v) =>
+        cmpStat(schema, file, a, v).forall { case (lo, _) => lo <= 0 }
+      case In(a, vs) =>
+        vs.isEmpty || vs.exists(v => mayMatch(schema, file, EqualTo(a, v)))
+      case IsNull(a) =>
+        file.nullCounts.get(a).forall(_ > 0)
+      case IsNotNull(a) =>
+        file.nullCounts.get(a).forall(_ < file.numRecords)
+      case And(l, r) => mayMatch(schema, file, l) && mayMatch(schema, file, r)
+      case Or(l, r)  => mayMatch(schema, file, l) || mayMatch(schema, file, r)
+      case _         => true // Not / string matches / unknown: keep
+    }
+
+  /** (sign of min-v, sign of max-v) for attribute `a` vs literal `v`,
+    * None when stats or ordering are unavailable (→ keep the file).
+    */
+  private def cmpStat(
+      schema: StructType,
+      file: AddFile,
+      a: String,
+      v: Any): Option[(Int, Int)] =
+    for {
+      field <- schema.fields.find(_.name == a)
+      if v != null
+      mi <- file.minValues.get(a)
+      ma <- file.maxValues.get(a)
+      lo <- compare(field.dataType, mi, v)
+      hi <- compare(field.dataType, ma, v)
+    } yield (lo, hi)
+
+  /** Compare an encoded stat (see [[DeltaLikeTable.encodeStat]]) with a
+    * pushed-filter literal under the column's type ordering.
+    */
+  private def compare(dt: DataType, stat: String, v: Any): Option[Int] = dt match {
+    case _: NumericType =>
+      numeric(v).map(b => new java.math.BigDecimal(stat).compareTo(b))
+    case StringType =>
+      v match { case s: String => Some(stat.compareTo(s)); case _ => None }
+    case TimestampType =>
+      (v match {
+        case t: java.sql.Timestamp =>
+          Some(t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+        case i: java.time.Instant =>
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+        case _ => None
+      }).map(us => java.lang.Long.compare(stat.toLong, us))
+    case DateType =>
+      (v match {
+        case d: java.sql.Date      => Some(d.toLocalDate.toEpochDay)
+        case d: java.time.LocalDate => Some(d.toEpochDay)
+        case _                     => None
+      }).map(ed => java.lang.Long.compare(stat.toLong, ed))
+    case BooleanType =>
+      v match {
+        case b: java.lang.Boolean =>
+          Some(java.lang.Boolean.compare(stat.toBoolean, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def numeric(v: Any): Option[java.math.BigDecimal] = v match {
+    case n: java.lang.Number => Some(new java.math.BigDecimal(n.toString))
+    case _                   => None
+  }
+}

@@ -1,0 +1,99 @@
+package graft.tables
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("deltalike")` / `df.write.format("deltalike")` —
+  * the format-string sugar over [[DeltaLikeTable]] mirroring how the
+  * reference addresses its versioned tables
+  * (`/root/reference/sparkcode/titanic_example_delta.py:25,56-58,64-70`:
+  * `format("delta")` with `versionAsOf` as a read option).
+  *
+  * Read path: resolve version → prune files against pushed filters via
+  * [[DataSkipping]] → delegate to the stock vectorized parquet reader
+  * (which does its own row-group pushdown), so the custom layer is
+  * metadata-only. Registered by short name through the standard
+  * `DataSourceRegister` service file.
+  */
+final class DeltaLikeSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "deltalike"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("deltalike: 'path' is required"))
+    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
+    new DeltaLikeRelation(sqlContext, DeltaLog.forPath(path).snapshot(version))
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("deltalike: 'path' is required"))
+    val m = mode match {
+      case SaveMode.Overwrite => "overwrite"
+      case SaveMode.Append    => "append"
+      case other =>
+        throw new IllegalArgumentException(s"deltalike: unsupported save mode $other")
+    }
+    DeltaLikeTable.write(data, path, m)
+    createRelation(sqlContext, parameters)
+  }
+}
+
+private[tables] final class DeltaLikeRelation(
+    ctx: SQLContext,
+    snap: Snapshot)
+    extends BaseRelation
+    with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = snap.schema
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val kept = DataSkipping.prune(snap, filters.toSeq)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      else
+        spark.read.schema(snap.schema)
+          .parquet(kept.map(f => s"${snap.tableRoot}/${f.path}"): _*)
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col).toSeq: _*)
+    projected.rdd
+  }
+
+  /** sources.Filter → Column; None for shapes we let Spark re-apply. */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r)                => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r)                 => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c)                   => toColumn(c).map(!_)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case _                        => None
+  }
+}

@@ -1,0 +1,159 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import org.apache.spark.sql.types.StructType
+
+/** Actions recorded in the deltalike transaction log.
+  *
+  * The log models the versioned-table semantics the reference relies on
+  * (`/root/reference/sparkcode/titanic_example_delta.py:25,43-51,64-70`:
+  * overwrite → v0, merge → v1, `versionAsOf` reads) as a directory of
+  * immutable parquet data files plus a JSON action log: one
+  * `_graft_log/%08d.json` per version, newline-delimited actions. Readers
+  * resolve a version to a file list from the log alone — they never list
+  * the data directory, so concurrent writers/readers see only committed
+  * state and cloud object-store listing inconsistency can't corrupt reads.
+  */
+sealed trait Action
+
+/** Table-level metadata; written at version 0 and on schema change (we
+  * require schema equality on later writes, so in practice only v0).
+  */
+final case class MetaData(schemaDdl: String, partitionColumns: Seq[String])
+    extends Action
+
+/** A data file added to the table at this version. `path` is relative to
+  * the table root. `minValues`/`maxValues`/`nullCounts` are per-column
+  * stats (JSON-encoded literals) used for data skipping at scan time —
+  * the same trick Delta/Iceberg use so selective queries touch a subset
+  * of a 100 TB table's files.
+  */
+final case class AddFile(
+    path: String,
+    sizeBytes: Long,
+    numRecords: Long,
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
+    extends Action
+
+/** A data file logically deleted at this version (still on disk so older
+  * versions remain readable — time travel).
+  */
+final case class RemoveFile(path: String) extends Action
+
+/** Operation provenance for `history()`. */
+final case class CommitInfo(operation: String, timestampMs: Long)
+    extends Action
+
+/** A resolved view of the table at one version: schema + active files. */
+final case class Snapshot(
+    version: Long,
+    schema: StructType,
+    files: Seq[AddFile],
+    tableRoot: String) {
+  def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
+}
+
+/** Reader/writer for the JSON transaction log of one table.
+  *
+  * Commit protocol (single log directory, optimistic concurrency): the
+  * actions are first written to a temp file, then published under the
+  * version's final name with a hard link — `Files.createLink` is atomic
+  * and fails if the target exists, so two concurrent committers of the
+  * same version cannot both win and readers never observe a partially
+  * written log file. (On HDFS/S3 the same contract is rename-without-
+  * overwrite / put-if-absent; the protocol is identical.)
+  */
+final class DeltaLog(val tableRoot: String) {
+  import DeltaLog._
+
+  private val logDir: Path = Paths.get(tableRoot, LogDirName)
+
+  def exists: Boolean =
+    Files.isDirectory(logDir) && latestVersion >= 0
+
+  /** Highest committed version, or -1 for a nonexistent table. */
+  def latestVersion: Long =
+    if (!Files.isDirectory(logDir)) -1L
+    else
+      Files.list(logDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case VersionFile(v) => v.toLong }
+        .foldLeft(-1L)(math.max)
+
+  def actions(version: Long): Seq[Action] = {
+    val f = logDir.resolve(f"$version%08d.json")
+    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map(parseAction)
+  }
+
+  /** Replay the log up to `version` (latest if negative). */
+  def snapshot(version: Long = -1L): Snapshot = {
+    val latest = latestVersion
+    require(latest >= 0, s"not a deltalike table (no log): $tableRoot")
+    val v = if (version < 0) latest else version
+    require(v <= latest, s"version $v does not exist (latest: $latest)")
+    var schemaDdl: String = null
+    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    (0L to v).foreach { i =>
+      actions(i).foreach {
+        case m: MetaData   => schemaDdl = m.schemaDdl
+        case a: AddFile    => active(a.path) = a
+        case r: RemoveFile => active.remove(r.path)
+        case _: CommitInfo => ()
+      }
+    }
+    require(schemaDdl != null, s"log for $tableRoot has no metadata action")
+    Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot)
+  }
+
+  /** Atomically publish `version`; throws if it was already committed. */
+  def commit(version: Long, acts: Seq[Action]): Unit = {
+    Files.createDirectories(logDir)
+    val tmp = Files.createTempFile(logDir, s".tmp-$version-", ".json")
+    try {
+      val body = acts.map(renderAction).mkString("", "\n", "\n")
+      Files.writeString(tmp, body)
+      val target = logDir.resolve(f"$version%08d.json")
+      Files.createLink(target, tmp) // atomic create-exclusive
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def history(): Seq[(Long, Option[CommitInfo])] =
+    (0L to latestVersion).map { v =>
+      v -> actions(v).collectFirst { case c: CommitInfo => c }
+    }
+}
+
+object DeltaLog {
+  val LogDirName = "_graft_log"
+  private val VersionFile = "([0-9]{8})\\.json".r
+
+  private implicit val formats: Formats = DefaultFormats
+
+  def forPath(tableRoot: String): DeltaLog = new DeltaLog(tableRoot)
+
+  private[tables] def renderAction(a: Action): String = a match {
+    case m: MetaData   => Serialization.write(Map("metaData" -> Extraction.decompose(m)))
+    case f: AddFile    => Serialization.write(Map("add" -> Extraction.decompose(f)))
+    case r: RemoveFile => Serialization.write(Map("remove" -> Extraction.decompose(r)))
+    case c: CommitInfo => Serialization.write(Map("commitInfo" -> Extraction.decompose(c)))
+  }
+
+  private[tables] def parseAction(line: String): Action = {
+    val j = JsonMethods.parse(line)
+    (j \ "metaData", j \ "add", j \ "remove", j \ "commitInfo") match {
+      case (m, _, _, _) if m != JNothing => m.extract[MetaData]
+      case (_, a, _, _) if a != JNothing => a.extract[AddFile]
+      case (_, _, r, _) if r != JNothing => r.extract[RemoveFile]
+      case (_, _, _, c) if c != JNothing => c.extract[CommitInfo]
+      case _ => throw new IllegalArgumentException(s"unknown action: $line")
+    }
+  }
+}

@@ -1,0 +1,159 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Builder for MERGE on a [[DeltaLikeTable]], mirroring the surface the
+  * reference uses (`/root/reference/sparkcode/titanic_example_delta.py:43-51`:
+  * `merge(...).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()`)
+  * plus the adjacent Delta clauses (conditional update/delete/insert maps).
+  *
+  * Execution (SURVEY.md §3.E2) is three phases of plain DataFrame ops —
+  * no Catalyst extension needed, and every phase is distributed:
+  *
+  *  1. *Touched-file pruning*: a LEFT SEMI join of target against source
+  *     on the merge condition finds the files containing any matched row;
+  *     only those are rewritten — at 100 TB the rewrite cost is bound by
+  *     the match footprint, not table size. Source is typically small →
+  *     Spark broadcasts it; otherwise it's a shuffle join that scales out.
+  *  2. *Rewrite*: rows of touched files FULL OUTER joined with source on
+  *     the condition; per-column `when` chains apply the clauses in
+  *     declaration order (first-match-wins, like Delta). A cardinality
+  *     guard rejects >1 source match per target row (output would be
+  *     nondeterministic otherwise).
+  *  3. *Commit*: remove(touched) + add(new files) as one log version.
+  */
+final class MergeBuilder private[tables] (
+    table: DeltaLikeTable,
+    targetAlias: Option[String],
+    source: DataFrame,
+    condition: Column) {
+
+  private sealed trait Clause { def cond: Option[Column] }
+  private case class UpdateAll(cond: Option[Column]) extends Clause
+  private case class UpdateSet(cond: Option[Column], set: Map[String, Column]) extends Clause
+  private case class Delete(cond: Option[Column]) extends Clause
+  private case class InsertAll(cond: Option[Column]) extends Clause
+  private case class InsertSet(cond: Option[Column], set: Map[String, Column]) extends Clause
+
+  private var matchedClauses: Vector[Clause] = Vector.empty
+  private var notMatchedClauses: Vector[Clause] = Vector.empty
+
+  def whenMatchedUpdateAll(): MergeBuilder = { matchedClauses :+= UpdateAll(None); this }
+  def whenMatchedUpdateAll(condition: Column): MergeBuilder = {
+    matchedClauses :+= UpdateAll(Some(condition)); this
+  }
+  def whenMatchedUpdate(set: Map[String, Column]): MergeBuilder = {
+    matchedClauses :+= UpdateSet(None, set); this
+  }
+  def whenMatchedUpdate(condition: Column, set: Map[String, Column]): MergeBuilder = {
+    matchedClauses :+= UpdateSet(Some(condition), set); this
+  }
+  def whenMatchedDelete(): MergeBuilder = { matchedClauses :+= Delete(None); this }
+  def whenMatchedDelete(condition: Column): MergeBuilder = {
+    matchedClauses :+= Delete(Some(condition)); this
+  }
+  def whenNotMatchedInsertAll(): MergeBuilder = { notMatchedClauses :+= InsertAll(None); this }
+  def whenNotMatchedInsertAll(condition: Column): MergeBuilder = {
+    notMatchedClauses :+= InsertAll(Some(condition)); this
+  }
+  def whenNotMatchedInsert(set: Map[String, Column]): MergeBuilder = {
+    notMatchedClauses :+= InsertSet(None, set); this
+  }
+  def whenNotMatchedInsert(condition: Column, set: Map[String, Column]): MergeBuilder = {
+    notMatchedClauses :+= InsertSet(Some(condition), set); this
+  }
+
+  def execute(): Unit = {
+    val spark = table.spark
+    val snap = table.log.snapshot()
+    val cols = snap.schema.fieldNames.toSeq
+
+    val tPresent = "__graft_t_present"
+    val sPresent = "__graft_s_present"
+
+    val targetScan = DeltaLikeTable.readSnapshot(spark, snap)
+    val rowIdxCol = "__graft_row_idx"
+    val targetBase = targetScan
+      .withColumn(DeltaLikeTable.FileCol,
+        if (snap.files.isEmpty) lit(null: String) else col("_metadata.file_path"))
+      .withColumn(rowIdxCol,
+        if (snap.files.isEmpty) lit(null: String)
+        else col("_metadata.row_index").cast("string"))
+      .withColumn(tPresent, lit(true))
+    // Bound-attribute handles (df("c")) survive the join regardless of
+    // aliasing, so UPDATE ALL / INSERT ALL never hit ambiguous names.
+    val target = targetAlias.fold(targetBase)(targetBase.as(_))
+    val src = source.withColumn(sPresent, lit(true))
+
+    // phase 1: touched files
+    val touchedAbs = target.join(src, condition, "left_semi")
+      .select(col(DeltaLikeTable.FileCol)).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSet
+    val touchedRel = snap.files.map(_.path)
+      .filter(p => touchedAbs.exists(_.endsWith(s"/$p")))
+
+    // rows that can possibly match live only in touched files
+    val touchedRows = target.where(
+      if (touchedAbs.isEmpty) lit(false)
+      else col(DeltaLikeTable.FileCol).isin(touchedAbs.toSeq: _*))
+
+    // phase 2a: cardinality guard. (file, row_index) identifies a physical
+    // target row uniquely without caching or driver-side ids.
+    if (matchedClauses.nonEmpty && touchedAbs.nonEmpty) {
+      val rowId = concat_ws("#",
+        col(DeltaLikeTable.FileCol), col(rowIdxCol))
+      val dup = touchedRows.withColumn("__graft_rid", rowId)
+        .join(src, condition, "inner")
+        .groupBy(col("__graft_rid")).count()
+        .where(col("count") > 1).limit(1).count()
+      if (dup > 0)
+        throw new IllegalStateException(
+          "MERGE cardinality violation: a target row matches multiple source rows")
+    }
+
+    // phase 2b: rewrite via FULL OUTER + first-match-wins when-chains
+    val joined = touchedRows.join(src, condition, "full_outer")
+    val isMatched = col(tPresent).isNotNull && col(sPresent).isNotNull
+    val isSourceOnly = col(tPresent).isNull && col(sPresent).isNotNull
+
+    def cc(c: Clause): Column = c.cond.getOrElse(lit(true))
+    def chain(seed: Column)(f: (Column, Clause, Column) => Column): Column = {
+      var e = seed
+      matchedClauses.foreach(cl => e = f(e, cl, isMatched && cc(cl)))
+      notMatchedClauses.foreach(cl => e = f(e, cl, isSourceOnly && cc(cl)))
+      e
+    }
+
+    val keepExpr = chain(when(lit(false), lit(true))) { (e, cl, hit) =>
+      e.when(hit, lit(cl match { case Delete(_) => false; case _ => true }))
+    // no clause fired: keep target rows (matched-no-clause and target-only),
+    // drop source-only rows
+    }.otherwise(col(tPresent).isNotNull)
+
+    def clauseValue(cl: Clause, c: String): Column = cl match {
+      case UpdateAll(_) | InsertAll(_) =>
+        require(source.columns.contains(c), s"MERGE *ALL requires source column '$c'")
+        src(c)
+      case UpdateSet(_, set) => set.getOrElse(c, target(c))
+      case InsertSet(_, set) => set.getOrElse(c, lit(null).cast(snap.schema(c).dataType))
+      case Delete(_)         => target(c) // row dropped; value irrelevant
+    }
+
+    val outCols = cols.map { c =>
+      chain(when(lit(false), lit(null))) { (e, cl, hit) =>
+        e.when(hit, clauseValue(cl, c))
+      }.otherwise(target(c)).cast(snap.schema(c).dataType).as(c)
+    }
+
+    val rewritten = joined
+      .where(keepExpr)
+      .select(outCols: _*)
+
+    // phase 3: stage new files + atomic log commit
+    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot)
+    table.log.commit(snap.version + 1,
+      touchedRel.map(RemoveFile(_)) ++ adds :+
+        CommitInfo("MERGE", System.currentTimeMillis()))
+  }
+}

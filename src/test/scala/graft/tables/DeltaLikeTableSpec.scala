@@ -1,0 +1,221 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Versioned-table semantics: the observable contract of the reference's
+  * Delta usage (SURVEY.md §2.B, §3.E2) — overwrite→v0, merge→v1 with
+  * update/insert/carry-over, time travel, manifest — plus the edge cases
+  * the reference never hits (multi-match error, null keys, empty source,
+  * append, schema rejection, delete clause).
+  */
+class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("deltalike-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("deltalike").toString
+
+  /** Titanic-shaped frame per the reference's DDL
+    * (`/root/reference/sparkcode/titanic_example_delta.py:18`).
+    */
+  private def titanic(n: Int): DataFrame = {
+    val schema = StructType.fromDDL(
+      "PassengerId INT, Survived INT, Pclass INT, Name STRING, Sex STRING, " +
+        "Age DOUBLE, SibSp INT, Parch INT, Ticket STRING, Fare DOUBLE, " +
+        "Cabin STRING, Embarked STRING")
+    val rows = (1 to n).map { i =>
+      Row(i, i % 2, 1 + i % 3, s"Passenger $i", if (i % 2 == 0) "male" else "female",
+        if (i % 7 == 0) null else 20.0 + i % 40, i % 3, i % 2,
+        s"T$i", 10.0 + i, if (i % 5 == 0) null else s"C$i",
+        if (i % 11 == 0) null else "S")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+
+  test("reference replay: overwrite v0, merge v1, time travel, manifest") {
+    val path = tmpTable()
+    val base = titanic(891)
+    DeltaLikeTable.write(base, path, "overwrite") // :25 → v0
+
+    // :28-35 — build the upsert source
+    val updated = base.where("PassengerId IN (1, 5)")
+      .withColumn("Survived", lit(1))
+    val schema = base.schema
+    val newRows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(892, 1, 1, "Teste A", "male", 35.0, 0, 0, null, null, null, null),
+        Row(893, 1, 1, "Teste B", "female", 25.0, 1, 1, null, null, null, null)),
+      schema)
+    val source = updated.union(newRows)
+
+    // :38-51 — MERGE
+    val table = DeltaLikeTable.forPath(spark, path)
+    table.as("old")
+      .merge(source.as("new"), "old.PassengerId = new.PassengerId")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+
+    assert(table.version === 1)
+
+    // :56-61 — latest: updates applied, inserts present, rest carried over
+    val latest = table.toDF
+    assert(latest.count() === 893)
+    val survived15 = latest.where("PassengerId IN (1, 5)")
+      .select("Survived").collect().map(_.getInt(0)).toSeq
+    assert(survived15 === Seq(1, 1))
+    assert(latest.where("PassengerId > 891").count() === 2)
+    // untouched row keeps original value
+    val r10 = latest.where("PassengerId = 10").select("Survived").head().getInt(0)
+    assert(r10 === 0)
+
+    // :64-70 — time travel to v0
+    val v0 = table.toDF(0)
+    assert(v0.count() === 891)
+    assert(v0.where("PassengerId = 1").select("Survived").head().getInt(0) === 1)
+    assert(v0.where("PassengerId = 5").select("Survived").head().getInt(0) === 1)
+    assert(v0.where("PassengerId > 891").count() === 0)
+    // v0's Survived follows the generator (i % 2), not the merge
+    assert(v0.where("PassengerId = 2").select("Survived").head().getInt(0) === 0)
+
+    // :72 — manifest
+    table.generate("symlink_format_manifest")
+    val manifest = java.nio.file.Paths.get(path, "_symlink_format_manifest", "manifest")
+    assert(Files.exists(manifest))
+    val listed = Files.readAllLines(manifest)
+    assert(listed.size > 0)
+    listed.forEach(l => assert(Files.exists(java.nio.file.Paths.get(l))))
+
+    // history records both operations
+    val hist = table.history()
+    assert(hist.map(_._1) === Seq(0L, 1L))
+    assert(hist.map(_._2) === Seq("WRITE", "MERGE"))
+  }
+
+  test("merge multi-match raises cardinality error") {
+    val path = tmpTable()
+    DeltaLikeTable.write(titanic(20), path)
+    val dupSource = titanic(20).where("PassengerId = 3")
+      .union(titanic(20).where("PassengerId = 3"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    val e = intercept[IllegalStateException] {
+      t.as("t").merge(dupSource.as("s"), "t.PassengerId = s.PassengerId")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    assert(e.getMessage.contains("cardinality"))
+    assert(t.version === 0) // failed merge committed nothing
+  }
+
+  test("merge with null keys: null never matches, inserts instead") {
+    val path = tmpTable()
+    val schema = StructType.fromDDL("k INT, v STRING")
+    def df(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    DeltaLikeTable.write(df(Row(1, "a"), Row(null, "t-null")), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.as("t").merge(df(Row(1, "A"), Row(null, "s-null")).as("s"), "t.k = s.k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val out = t.toDF.orderBy("v").collect().map(r => (r.get(0), r.getString(1))).toSeq
+    // t-null kept (never matched), s-null inserted, k=1 updated
+    assert(out === Seq((1, "A"), (null, "s-null"), (null, "t-null")))
+  }
+
+  test("merge empty source is a no-op version with all rows kept") {
+    val path = tmpTable()
+    DeltaLikeTable.write(titanic(50), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.as("t").merge(titanic(50).where("PassengerId < 0").as("s"),
+        "t.PassengerId = s.PassengerId")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.toDF.count() === 50)
+  }
+
+  test("merge delete clause removes matched rows") {
+    val path = tmpTable()
+    DeltaLikeTable.write(titanic(30), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.as("t").merge(titanic(30).where("PassengerId <= 10").as("s"),
+        "t.PassengerId = s.PassengerId")
+      .whenMatchedDelete()
+      .execute()
+    assert(t.toDF.count() === 20)
+    assert(t.toDF.where("PassengerId <= 10").count() === 0)
+  }
+
+  test("conditional update + insert maps") {
+    val path = tmpTable()
+    val schema = StructType.fromDDL("k INT, v STRING, n INT")
+    def df(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    DeltaLikeTable.write(df(Row(1, "a", 10), Row(2, "b", 20), Row(3, "c", 30)), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    val src = df(Row(1, "A", 100), Row(2, "B", 200), Row(9, "Z", 900)).as("s")
+    t.as("t").merge(src, "t.k = s.k")
+      .whenMatchedUpdate(expr("s.n > 150"), Map("v" -> expr("s.v")))
+      .whenNotMatchedInsert(Map("k" -> expr("s.k"), "v" -> lit("ins")))
+      .execute()
+    val out = t.toDF.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(out === Seq(
+      (1, "a", Some(10)),   // matched but condition false → untouched
+      (2, "B", Some(20)),   // matched, condition true → v updated, n kept
+      (3, "c", Some(30)),   // never matched → carried over
+      (9, "ins", None)))    // insert map: n defaulted to null
+  }
+
+  test("append mode adds rows; overwrite replaces; schema change rejected") {
+    val path = tmpTable()
+    DeltaLikeTable.write(titanic(10), path, "overwrite")
+    DeltaLikeTable.write(titanic(5), path, "append")
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.toDF.count() === 15)
+    assert(t.toDF(0).count() === 10)
+    DeltaLikeTable.write(titanic(7), path, "overwrite")
+    assert(t.toDF.count() === 7)
+    assert(t.toDF(1).count() === 15) // old versions still readable
+    val bad = titanic(3).withColumn("Extra", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(bad, path, "append")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("commit is create-exclusive: double commit of same version fails") {
+    val path = tmpTable()
+    DeltaLikeTable.write(titanic(5), path)
+    val log = DeltaLog.forPath(path)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      log.commit(0, Seq(CommitInfo("DUP", 0L)))
+    }
+  }
+
+  test("touched-file pruning rewrites only matching files") {
+    val path = tmpTable()
+    // 4 files by explicit repartition on range → merge touching one key
+    // range should leave most files untouched
+    val df = titanic(400).repartitionByRange(4, col("PassengerId"))
+    DeltaLikeTable.write(df, path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    val v0Files = t.log.snapshot(0).files.map(_.path).toSet
+    val src = titanic(400).where("PassengerId = 1").withColumn("Survived", lit(1))
+    t.as("t").merge(src.as("s"), "t.PassengerId = s.PassengerId")
+      .whenMatchedUpdateAll().execute()
+    val v1Files = t.log.snapshot(1).files.map(_.path).toSet
+    val carried = v0Files.intersect(v1Files)
+    assert(carried.size >= 2, s"expected untouched files carried over, got $carried")
+    assert(t.toDF.count() === 400)
+  }
+}
