@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-import graft.operators.{Relational, Versioned}
+import graft.operators.{Dedup, NearDup, Relational, Similarity, TextAnalysis, Versioned}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +64,32 @@ object SparkEntry {
     // §2.B deltalike versioned tables (overwrite + merge + time travel)
     "q26_merge_upsert" -> (Versioned.q26MergeUpsert _),
     "q27_time_travel" -> (Versioned.q27TimeTravel _),
+    // E15 text analysis
+    "q28_text_stats" -> (TextAnalysis.q28TextStats _),
+    "q29_lang_quality" -> (TextAnalysis.q29LangQuality _),
+    "q31_token_freq" -> (TextAnalysis.q31TokenFreq _),
+    // E12–E13 dedup
+    "q30_exact_dedup" -> (Dedup.q30ExactDedup _),
+    "q34_jaccard_pairs" -> (Dedup.q34JaccardPairs _),
+    "q35_minhash_pairs" -> ((s: SparkSession, d: String) =>
+      NearDup.minHashPairs(graft.core.Tables.documents(s, d), "doc_id", "text")),
+    "q36_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      NearDup.simHashPairs(graft.core.Tables.documents(s, d), "doc_id", "text")),
+    // E14 similarity search
+    "q32_cosine_topk" -> (Similarity.q32CosineTopK _),
+    "q37_ann_topk" -> ((s: SparkSession, d: String) => {
+      val e = graft.core.Tables.embeddings(s, d)
+      Similarity.annCosineTopK(
+        e.where(col("vec_id") >= 5), e.where(col("vec_id") < 5),
+        "vec_id", "embedding", 64)
+    }),
+    // E16 event-time windows (batch form)
+    "q33_event_windows" -> (Relational.q33EventWindows _),
+    // multimodal plumbing (stubbed decode; deterministic — rows-only check)
+    "q38_media_features" -> ((s: SparkSession, d: String) =>
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.syntheticMedia(s, d))
+        .select(col("media_id"), col("kind"), col("features"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +122,14 @@ object SparkEntry {
     "q25_union_withcolumn" -> Relational.q25Sql,
     "q26_merge_upsert" -> Versioned.q26Sql,
     "q27_time_travel" -> Versioned.q27Sql,
+    "q28_text_stats" -> TextAnalysis.q28Sql,
+    "q29_lang_quality" -> TextAnalysis.q29Sql,
+    "q30_exact_dedup" -> Dedup.q30Sql,
+    "q31_token_freq" -> TextAnalysis.q31Sql,
+    "q32_cosine_topk" -> Similarity.q32Sql,
+    "q33_event_windows" -> Relational.q33Sql,
+    "q34_jaccard_pairs" -> Dedup.q34Sql,
+    // q35/q36/q37 are approximate (LSH) — no SQL oracle; rows-only check,
+    // with recall measured against the exact baselines in ScalaTest specs.
   )
 }

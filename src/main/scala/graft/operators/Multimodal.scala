@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/
+  * video payloads ride as opaque `BINARY` columns next to a typed
+  * metadata struct, and per-batch "decode" operators run as
+  * `mapPartitions` over the binary column — the Scala-native analog of
+  * `mapInPandas` (same batch shape: the partition iterator is consumed
+  * in fixed-size batches so a real decoder could amortize codec setup
+  * and vectorize).
+  *
+  * The decode step itself is STUBBED: no codec libraries exist in this
+  * environment, so [[extractFeatures]] derives a deterministic fake
+  * feature vector from the payload bytes (documented, test-pinned).
+  * Everything around it — schema, partitioning, batch shape, null
+  * passthrough — is real and is what a production decoder would drop
+  * into.
+  */
+object Multimodal {
+
+  /** media table schema: payload + typed metadata, one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType))), nullable = false)))
+
+  /** Deterministic synthetic media table derived from the documents
+    * fixture: text bytes stand in for encoded payloads; metadata is a
+    * pure function of doc_id. Used by specs and the rows-only query.
+    */
+  def syntheticMedia(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        concat(lit("application/x-fake-"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))).as("mime"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast(IntegerType).as("width"),
+        (pmod(col("doc_id"), lit(4)) * 120 + 240).cast(IntegerType).as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("doc_id"), lit(10)) * 1000 + 2000).as("duration_ms")).as("meta"))
+  }
+
+  /** Batched feature extraction over the binary column.
+    *
+    * Runs as `mapPartitions`: each partition's rows are consumed in
+    * `batchSize` groups; a real implementation would hand each batch to
+    * a native decoder. The stub emits `dim` floats seeded from a
+    * 64-bit FNV-1a hash of the payload — deterministic across runs,
+    * partitionings, and cluster sizes. Null payloads pass through as
+    * null features (common for quarantined assets).
+    */
+  def extractFeatures(
+      media: DataFrame,
+      dim: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = media.schema
+      .add(StructField("features", ArrayType(FloatType), nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real decoder would run vectorized
+        batch.map { row =>
+          val content = row.getAs[Array[Byte]]("content")
+          val feats: Seq[Float] =
+            if (content == null) null
+            else {
+              val h = fnv1a64(content)
+              val rnd = new scala.util.Random(h)
+              Seq.fill(dim)(rnd.nextFloat())
+            }
+          Row.fromSeq(row.toSeq :+ feats)
+        }
+      }
+    }(enc)
+  }
+
+  /** STUB resize: rewrites the metadata to the target box; a real
+    * implementation would also transcode `content`. Pure projection —
+    * no shuffle, trivially scales.
+    */
+  def resizeStub(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    media.withColumn("meta",
+      struct(
+        col("meta.mime"),
+        least(col("meta.width"), lit(maxW)).as("width"),
+        least(col("meta.height"), lit(maxH)).as("height"),
+        col("meta.sample_rate"),
+        col("meta.duration_ms")))
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * timestamp, `everyMs` apart, within `meta.duration_ms`. Pure
+    * generator (posexplode of a sequence) — the 100 TB-honest way to
+    * fan one asset row out to frame rows without driver involvement.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("meta"),
+        posexplode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))))
+      .select(col("media_id"),
+        col("pos").as("frame_idx"),
+        col("col").as("frame_ts_ms"))
+
+  private def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}

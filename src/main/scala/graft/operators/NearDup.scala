@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate near-duplicate detection at corpus scale (E13): MinHash
+  * LSH, SimHash, and random-hyperplane LSH over embeddings. All three
+  * follow the same shape — per-row signature (narrow), explode to
+  * (bucket, id) (narrow), self-join on bucket (one shuffle), verify
+  * candidates (one join) — so cost is O(n·bands + candidates), never
+  * O(n²). Signatures are seeded deterministically: same input + params →
+  * same output, which is what makes the rows-only correctness checks and
+  * recall specs reproducible.
+  */
+object NearDup {
+
+  /** Mersenne prime 2^31−1: universal-hash modulus. Multiplying two
+    * residues stays under 2^62, so the arithmetic fits a BIGINT column
+    * without overflow.
+    */
+  private val P = 2147483647L
+
+  private def hashParams(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((1 + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  /** Word 3-gram shingle set — shared with the exact Jaccard join so the
+    * approximate and exact paths measure the same similarity.
+    */
+  def shingleSet(textCol: Column): Column =
+    Dedup.shingles(split(textCol, " "))
+
+  /** MinHash-LSH candidate pairs with signature-estimated Jaccard.
+    *
+    * Pipeline: shingle → xxhash64 → k min-hash aggregates (one shuffle
+    * on id; map-side partial min keeps it cheap) → band hashes → explode
+    * → self-join on (band, bandHash) → distinct pairs → estimate
+    * similarity as the fraction of equal signature components.
+    *
+    * With `numHashes` = bands·rowsPerBand, the S-curve threshold is
+    * ≈ (1/bands)^(1/rowsPerBand); defaults target ~0.4 Jaccard.
+    *
+    * @return (idA, idB, est_jaccard) with idA < idB, est ≥ `threshold`
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.6,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val params = hashParams(numHashes, seed)
+
+    val exploded = docs
+      .select(col(idCol).as("__id"), explode(shingleSet(col(textCol))).as("__s"))
+      .select(col("__id"), pmod(xxhash64(col("__s")), lit(P)).as("__x"))
+
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__x") * a + b, lit(P))).as(s"__sig_$i")
+    }
+    val sigs = exploded.groupBy(col("__id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__sig_$i")): _*).as("__sig"))
+
+    val withBands = sigs.select(
+      col("__id"), col("__sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bh")
+
+    val left = withBands.select(col("__id").as("id_a"), col("__band"), col("__bh"))
+    val right = withBands.select(col("__id").as("id_b"), col("__band"), col("__bh"))
+    val candidates = left.join(right, Seq("__band", "__bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val est = candidates
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
+    est.where(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs with exact Hamming verification.
+    *
+    * 64-bit SimHash over the shingle set (per-bit ±1 votes, sign →
+    * bit). Candidates come from banding the fingerprint into
+    * `chunks` equal pieces: by pigeonhole, any pair within
+    * `maxHamming` ≤ chunks−1 shares at least one identical chunk, so
+    * recall is 100% — this is an exact algorithm with an LSH-shaped
+    * cost profile.
+    *
+    * @return (idA, idB, hamming) with hamming ≤ `maxHamming`
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    val bits = 64
+    val chunkBits = bits / chunks
+
+    val exploded = docs
+      .select(col(idCol).as("__id"), explode(shingleSet(col(textCol))).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+
+    val voteCols = (0 until bits).map { i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"__v_$i")
+    }
+    val fingerprints = exploded.groupBy(col("__id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("__id"),
+        (0 until bits).map { i =>
+          when(col(s"__v_$i") > 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ + _).as("__fp"))
+
+    val withChunks = fingerprints.select(
+      col("__id"), col("__fp"),
+      posexplode(array((0 until chunks).map { j =>
+        shiftright(col("__fp"), j * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "__chunk")
+      .withColumnRenamed("col", "__ch")
+
+    val left = withChunks.select(
+      col("__id").as("id_a"), col("__fp").as("__fp_a"), col("__chunk"), col("__ch"))
+    val right = withChunks.select(
+      col("__id").as("id_b"), col("__fp").as("__fp_b"), col("__chunk"), col("__ch"))
+    left.join(right, Seq("__chunk", "__ch"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Cosine of two double-array columns, computed as one sequential fold
+    * (deterministic, cross-engine reproducible).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Random-hyperplane LSH near-duplicate pairs over an embedding
+    * column, with exact cosine verification of candidates.
+    *
+    * `tables` independent hash tables of `bitsPerTable` sign-bits each:
+    * a pair at cosine c collides in one table with prob
+    * (1 − acos(c)/π)^bits; multiple tables drive recall → 1 while the
+    * bucket join stays linear. Candidates are verified with exact
+    * cosine, so precision is 1 — only recall is approximate.
+    *
+    * @return (idA, idB, cos_sim) with cos_sim ≥ `threshold`
+    */
+  def embeddingPairs(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      threshold: Double = 0.9,
+      tables: Int = 8,
+      bitsPerTable: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // deterministic gaussian hyperplanes, materialized as literal arrays
+    def plane(): Column = array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*)
+
+    val base = vectors.select(
+      col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
+
+    // per-table bucket key: bitsPerTable sign bits packed into an int
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bitsPerTable).map { j =>
+        val proj = aggregate(
+          zip_with(col("__e"), plane(), (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"__b_$t")
+    }
+    val bucketed = base.select(col("__id") +: col("__e") +: bucketCols: _*)
+      .select(col("__id"), col("__e"),
+        posexplode(array((0 until tables).map(t => col(s"__b_$t")): _*)))
+      .withColumnRenamed("pos", "__t")
+      .withColumnRenamed("col", "__bucket")
+
+    val left = bucketed.select(
+      col("__id").as("id_a"), col("__e").as("__e_a"), col("__t"), col("__bucket"))
+    val right = bucketed.select(
+      col("__id").as("id_b"), col("__e").as("__e_b"), col("__t"), col("__bucket"))
+    left.join(right, Seq("__t", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__e_a"), col("__e_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__e_a"), col("__e_b")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

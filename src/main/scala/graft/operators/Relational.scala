@@ -497,6 +497,30 @@ object Relational {
       | list_aggr(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) AS mean_val
       |FROM embeddings""".stripMargin
 
+  // ------------------------------------------ E16 (batch form): event-time windows
+
+  /** Tumbling 1-hour event-time windows per event type — the batch analog
+    * of the streaming aggregation (the stream side reuses this exact
+    * expression; see graft.streaming). `window()` is a plain projection +
+    * hash aggregate: one shuffle on (window, event_type).
+    */
+  def q33EventWindows(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(decM(col("value"))).cast(DoubleType).as("sum_value"),
+        avg(decM(col("value"))).cast(DoubleType).as("avg_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+
+  val q33Sql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+      | CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------- reference ops replayed on fixtures (§2.A)
 
   /** A3: SQL-string IN-list filter (reference `titanic_example_delta.py:28`). */

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline (E15): token
+  * counting, quality scoring, language distribution, fingerprinting,
+  * term frequencies. Everything is per-row expressions + hash aggregates
+  * — embarrassingly parallel, no driver-side loops, so a 100 TB corpus
+  * maps to a plain scan→project→partial-agg pipeline.
+  *
+  * All declared variants are DuckDB-oracle-checked, so only functions
+  * with identical cross-engine semantics are used (split on a literal,
+  * md5, simple double arithmetic).
+  */
+object TextAnalysis {
+
+  /** Stopword list used for quality ratios (tiny, engine-side constant;
+    * in production this would be a broadcast set per language).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Per-document token statistics + exact md5 fingerprint. */
+  def q28TextStats(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      col("lang"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq_tokens"),
+      (length(col("text")).cast(DoubleType) / size(toks)).as("chars_per_token"),
+      array_contains(toks, "spark").as("mentions_spark"),
+      md5(col("text")).as("fingerprint"))
+  }
+
+  val q28Sql: String =
+    """SELECT doc_id, lang,
+      | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+      | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+      | list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
+      | md5(text) AS fingerprint
+      |FROM documents""".stripMargin
+
+  /** Per-language corpus quality profile: doc counts, length stats,
+    * stopword ratio, vocabulary richness. One shuffle on `lang`.
+    */
+  def q29LangQuality(spark: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.documents(spark, d)
+      .select(
+        col("lang"),
+        col("n_chars"),
+        size(toks).as("n_toks"),
+        size(array_intersect(array_distinct(toks), stopArr)).as("n_stop_kinds"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("ttr"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("n_chars").cast(DoubleType)).as("avg_chars"),
+        avg(col("n_toks").cast(DoubleType)).as("avg_tokens"),
+        avg(col("n_stop_kinds").cast(DoubleType)).as("avg_stop_kinds"),
+        avg(col("ttr")).as("avg_ttr"))
+  }
+
+  val q29Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+      | avg(CAST(n_chars AS DOUBLE)) AS avg_chars,
+      | avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avg_tokens,
+      | avg(CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |   [${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")}])) AS DOUBLE)) AS avg_stop_kinds,
+      | avg(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |   / len(string_split(text, ' '))) AS avg_ttr
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** Global term frequencies via explode (generator surface, E11/E15):
+    * one wide shuffle on token — the classic word count, which at 100 TB
+    * is partial-agg'd map-side before the exchange.
+    */
+  def q31TokenFreq(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= 10)
+
+  val q31Sql: String =
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token HAVING count(*) >= 10""".stripMargin
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Approximate near-dup operators measured against exact baselines:
+  * LSH is allowed to miss (bounded recall) but never to hallucinate
+  * (verification steps make precision exact).
+  */
+class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("neardup-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("minhash recall vs exact jaccard on the documents fixture") {
+    val exact = Dedup.q34JaccardPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty, "fixture has no near-dup pairs at this threshold")
+    // generous estimate cut: the signature estimate of a 0.6-jaccard pair
+    // concentrates around 0.6 with sd ≈ sqrt(.6*.4/128) ≈ 0.043
+    val approx = NearDup.minHashPairs(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+        threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("minhash estimate tracks exact jaccard") {
+    val exact = Dedup.q34JaccardPairs(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)) -> r.getDouble(2))).toMap
+    val est = NearDup.minHashPairs(
+        graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+        threshold = 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)) -> r.getDouble(2))).toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assume(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) < 0.2,
+        s"pair $k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+
+  test("simhash finds planted token-overlap duplicates, skips disjoint docs") {
+    val sp = spark; import sp.implicits._
+    val base = (0 until 60).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word59", "changed") // 3 of 58 shingles differ
+    val unrelated = (0 until 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.simHashPairs(docs, "doc_id", "text",
+        maxHamming = 7, chunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must pair at hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "small perturbation should stay within hamming bound")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "disjoint-vocabulary doc must not pair")
+  }
+
+  test("embedding LSH pairs: planted near-identical vectors recovered exactly") {
+    val dim = 32
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val originals = (0 until 40).map(i => (i.toLong, vec()))
+    // plant 10 near-duplicates of the first 10 vectors (ids 100+i)
+    val dups = (0 until 10).map { i =>
+      val (id, v) = originals(i)
+      (100L + id, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    val rows = (originals ++ dups).map { case (id, v) => Row(id, v.toSeq) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+
+    val pairs = NearDup.embeddingPairs(df, "vec_id", "embedding", dim,
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missed planted pairs: ${expected.diff(pairs)}")
+    // precision is exact: any extra pair must genuinely exceed threshold —
+    // with random gaussians at dim 32 this is (nearly) impossible
+    assert(pairs.size <= expected.size + 1, s"unexpected extra pairs: $pairs")
+  }
+
+  test("ANN top-k recovers planted nearest neighbor") {
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 200).map(i => (i.toLong, vec()))
+    val queries = (0 until 20).map { i =>
+      val (id, v) = corpus(i)
+      (1000L + id, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    def toDF(s: Seq[(Long, Array[Float])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(s.map { case (id, v) => Row(id, v.toSeq) }, 2),
+        schema)
+
+    val got = Similarity.annCosineTopK(
+        toDF(corpus), toDF(queries), "vec_id", "embedding", dim, k = 5)
+      .where(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hit = queries.count { case (qid, _) => got.get(qid).contains(qid - 1000L) }
+    assert(hit >= 18, s"ANN top-1 recall $hit/20")
+  }
+}
