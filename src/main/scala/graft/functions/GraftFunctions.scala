@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.call_function
+
+/** Column-API entry points for the engine's native functions. These
+  * resolve through the session function registry, so the session must
+  * carry [[GraftExtensions]] — true for [[graft.core.GraftSession]] and
+  * the Verify/Bench mains; external sessions opt in with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  /** Codegen'd cosine similarity over two `array<float|double>` columns
+    * (see [[CosineSimilarity]]). Floats are widened to double inside the
+    * fused loop — numerically identical to casting the array first.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+}

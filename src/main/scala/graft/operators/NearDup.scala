@@ -209,7 +209,8 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("__e_a"), col("__e_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        cosine(col("__e_a"), col("__e_b")).as("cos_sim"))
+        graft.functions.GraftFunctions
+          .cosineSimilarity(col("__e_a"), col("__e_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

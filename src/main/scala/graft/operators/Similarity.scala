@@ -27,14 +27,15 @@ object Similarity {
   def q32CosineTopK(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(spark, d)
     val queries = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val candidates = e.where(col("vec_id") >= 5)
-      .select(col("vec_id"), toDouble(col("embedding")).as("ce"))
+      .select(col("vec_id"), col("embedding").as("ce"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     candidates.crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        NearDup.cosine(col("ce"), col("qe")).as("cos_sim"))
+        graft.functions.GraftFunctions
+          .cosineSimilarity(col("ce"), col("qe")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 10)
   }
@@ -102,7 +103,8 @@ object Similarity {
       .where(col("__id") =!= col("query_id"))
       .dropDuplicates("query_id", "__id")
       .select(col("query_id"), col("__id").as("vec_id"),
-        NearDup.cosine(col("__e"), col("__qe")).as("cos_sim"))
+        graft.functions.GraftFunctions
+          .cosineSimilarity(col("__e"), col("__qe")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftSession, Tables}
+import graft.operators.NearDup
+
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("functions-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("cosine_similarity matches the higher-order-function baseline on the fixture") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe")).crossJoin(e.limit(200))
+    val toD = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast(DoubleType))
+    val both = q.select(
+      col("vec_id"),
+      expr("cosine_similarity(embedding, qe)").as("native"),
+      NearDup.cosine(toD(col("embedding")), toD(col("qe"))).as("hof"))
+    val rows = both.collect()
+    assert(rows.length === 200)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"vec ${r.getLong(0)}: native=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+  }
+
+  test("cosine_similarity participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = e.select(expr("cosine_similarity(embedding, embedding)").as("s"))
+      .queryExecution.executedPlan
+    // the projection containing the expression must sit inside a
+    // WholeStageCodegen stage (i.e. doGenCode was used, not eval fallback)
+    val codegenStages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty, s"no codegen stage in:\n$plan")
+    assert(codegenStages.exists(_.toString.contains("cosine_similarity")),
+      s"cosine_similarity not inside codegen stage:\n$plan")
+  }
+
+  test("cosine_similarity null/zero/mismatch semantics") {
+    val sp = spark; import sp.implicits._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))
+    def run(a: Seq[java.lang.Double], b: Seq[java.lang.Double]): Option[Double] = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(a, b)), schema)
+      val r = df.select(expr("cosine_similarity(a, b)")).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(run(Seq(1.0, 0.0), Seq(1.0, 0.0)).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(run(Seq(1.0, 0.0), Seq(0.0, 1.0)).exists(v => math.abs(v) < 1e-12))
+    assert(run(Seq(1.0, 0.0), Seq(-1.0, 0.0)).exists(v => math.abs(v + 1.0) < 1e-12))
+    assert(run(null, Seq(1.0, 2.0)) === None) // null array → null
+    assert(run(Seq(0.0, 0.0), Seq(1.0, 2.0)) === None) // zero norm → null
+    assert(run(Seq(1.0, null), Seq(1.0, 2.0)) === None) // null element → null
+    intercept[Exception] { run(Seq(1.0), Seq(1.0, 2.0)) } // length mismatch
+  }
+
+  test("VectorAvg aggregator computes per-label centroids") {
+    val e = Tables.embeddings(spark, sfDir)
+    val got = e.groupBy(col("label"))
+      .agg(VectorAvg.of(64)(col("embedding")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // manual baseline via explode + avg per dimension
+    val want = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast(DoubleType)).as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (l, c) =>
+      c.zip(want(l)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-5, s"label $l centroid mismatch")
+      }
+    }
+  }
+}
