@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-query timer with config toggles, for plan/config experiments:
+  * runMain graft.QueryTimer <queryName> <aqe:true|false> [sfDir] [conf=k:v,...]
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val aqe = args(1).toBoolean
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val extra = if (args.length > 3)
+      args(3).split(",").map { kv => val Array(k, v) = kv.split(":"); (k, v) }.toSeq
+    else Seq.empty
+    val b = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"RUN$i $name aqe=$aqe rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

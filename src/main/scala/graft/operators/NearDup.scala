@@ -68,6 +68,11 @@ object NearDup {
       .select(col("__id"),
         array((0 until numHashes).map(i => col(s"__sig_$i")): _*).as("__sig"))
 
+    // Signatures ride through the band explode, so the expensive min-hash
+    // aggregation has exactly two consumers (the two sides of the bucket
+    // self-join) and Spark reuses one shuffle for both — no join-backs.
+    // Cost: each band row carries the k-long signature (~1 KB at k=128);
+    // the bucket join's shuffle grows by that factor but stays linear.
     val withBands = sigs.select(
       col("__id"), col("__sig"),
       posexplode(transform(
@@ -76,20 +81,18 @@ object NearDup {
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bh")
 
-    val left = withBands.select(col("__id").as("id_a"), col("__band"), col("__bh"))
-    val right = withBands.select(col("__id").as("id_b"), col("__band"), col("__bh"))
-    val candidates = left.join(right, Seq("__band", "__bh"))
+    val left = withBands.select(
+      col("__id").as("id_a"), col("__sig").as("__sig_a"), col("__band"), col("__bh"))
+    val right = withBands.select(
+      col("__id").as("id_b"), col("__sig").as("__sig_b"), col("__band"), col("__bh"))
+    left.join(right, Seq("__band", "__bh"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-
-    val est = candidates
-      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__sig_a")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sig_b")), Seq("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         (aggregate(
           zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
-    est.where(col("est_jaccard") >= threshold)
+      .where(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-duplicate pairs with exact Hamming verification.
