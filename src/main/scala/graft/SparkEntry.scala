@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Dedup, NearDup, Relational, Similarity, TextAnalysis, Versioned}
+import graft.operators.{Dedup, NearDup, Relational, Similarity, SqlSurface, TextAnalysis, Versioned}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,6 +90,13 @@ object SparkEntry {
       graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.syntheticMedia(s, d))
         .select(col("media_id"), col("kind"), col("features"))),
+    // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
+    // correlated subqueries, pivot
+    "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
+    "q40_ntile_first_last" -> (SqlSurface.q40NtileFirstLast _),
+    "q41_bag_set_ops" -> (SqlSurface.q41BagSetOps _),
+    "q42_correlated_subquery" -> (SqlSurface.q42CorrelatedSubquery _),
+    "q43_pivot" -> (SqlSurface.q43Pivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +138,10 @@ object SparkEntry {
     "q34_jaccard_pairs" -> Dedup.q34Sql,
     // q35/q36/q37 are approximate (LSH) — no SQL oracle; rows-only check,
     // with recall measured against the exact baselines in ScalaTest specs.
+    "q39_grouping_sets" -> SqlSurface.q39Sql,
+    "q40_ntile_first_last" -> SqlSurface.q40Sql,
+    "q41_bag_set_ops" -> SqlSurface.q41Sql,
+    "q42_correlated_subquery" -> SqlSurface.q42Sql,
+    "q43_pivot" -> SqlSurface.q43Sql,
   )
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text query surface (`spark.sql`) over the fixture tables,
+  * covering constructs the Column API queries don't: GROUPING SETS,
+  * ntile/first/last/nth window functions, INTERSECT/EXCEPT ALL,
+  * correlated scalar subqueries (Catalyst decorrelation), and pivot
+  * expressed as conditional aggregation. Tables are addressed inline as
+  * ``parquet.`path` `` so no temp-view state leaks between queries.
+  *
+  * Oracle note: every query is written in the dialect intersection of
+  * Spark SQL and DuckDB (casts pinned on both sides).
+  */
+object SqlSurface {
+
+  private def p(d: String, t: String) = s"parquet.`$d/$t.parquet`"
+
+  /** GROUPING SETS with grouping_id — finer than rollup/cube (E3). */
+  def q39GroupingSets(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         | count(*) AS n_orders
+         |FROM ${p(d, "orders")}
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+
+  val q39Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      | CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      | count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** ntile / first_value / last_value / nth_value with explicit frames
+    * (E6 beyond rank/lag/lead). Deterministic: full-partition frame and
+    * a unique orderBy key.
+    */
+  def q40NtileFirstLast(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderpriority,
+         | CAST(ntile(4) OVER w AS INT) AS price_quartile,
+         | first_value(o_orderkey) OVER w AS cheapest_key,
+         | last_value(o_orderkey) OVER
+         |   (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+         | nth_value(o_orderkey, 2) OVER
+         |   (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+         |FROM ${p(d, "orders")}
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin)
+
+  val q40Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(ntile(4) OVER w AS INT) AS price_quartile,
+      | first_value(o_orderkey) OVER w AS cheapest_key,
+      | last_value(o_orderkey) OVER
+      |   (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key,
+      | nth_value(o_orderkey, 2) OVER
+      |   (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  /** INTERSECT ALL / EXCEPT ALL — bag semantics set ops (E8's
+    * multiplicity-preserving variants).
+    */
+  def q41BagSetOps(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT 'inter' AS op, o_orderstatus, o_orderpriority FROM (
+         |  SELECT o_orderstatus, o_orderpriority FROM ${p(d, "orders")}
+         |  WHERE o_totalprice > 100000
+         |  INTERSECT ALL
+         |  SELECT o_orderstatus, o_orderpriority FROM ${p(d, "orders")}
+         |  WHERE o_orderstatus = 'O')
+         |UNION ALL
+         |SELECT 'except' AS op, o_orderstatus, o_orderpriority FROM (
+         |  SELECT o_orderstatus, o_orderpriority FROM ${p(d, "orders")}
+         |  WHERE o_totalprice > 100000
+         |  EXCEPT ALL
+         |  SELECT o_orderstatus, o_orderpriority FROM ${p(d, "orders")}
+         |  WHERE o_orderstatus = 'O')""".stripMargin)
+
+  val q41Sql: String =
+    """SELECT 'inter' AS op, o_orderstatus, o_orderpriority FROM (
+      |  SELECT o_orderstatus, o_orderpriority FROM orders
+      |  WHERE o_totalprice > 100000
+      |  INTERSECT ALL
+      |  SELECT o_orderstatus, o_orderpriority FROM orders
+      |  WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'except' AS op, o_orderstatus, o_orderpriority FROM (
+      |  SELECT o_orderstatus, o_orderpriority FROM orders
+      |  WHERE o_totalprice > 100000
+      |  EXCEPT ALL
+      |  SELECT o_orderstatus, o_orderpriority FROM orders
+      |  WHERE o_orderstatus = 'O')""".stripMargin
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join; customers whose best order is ≥ 1.9× their own
+    * average order.
+    */
+  def q42CorrelatedSubquery(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM ${p(d, "orders")} o
+         |WHERE o_totalprice >= 1.9 * (
+         |  SELECT avg(o2.o_totalprice) FROM ${p(d, "orders")} o2
+         |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+
+  val q42Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice >= 1.9 * (
+      |  SELECT avg(o2.o_totalprice) FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** Pivot as conditional aggregation (dialect-portable form of
+    * `groupBy().pivot()`): order counts per priority × status.
+    */
+  def q43Pivot(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderpriority,
+         | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+         | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+         | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+         | CAST(sum(CASE WHEN o_orderstatus = 'O'
+         |   THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS open_value
+         |FROM ${p(d, "orders")}
+         |GROUP BY o_orderpriority""".stripMargin)
+
+  val q43Sql: String =
+    """SELECT o_orderpriority,
+      | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+      | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+      | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |   THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS open_value
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+}

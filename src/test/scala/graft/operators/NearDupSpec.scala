@@ -36,6 +36,20 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} exact pairs")
   }
 
+  test("prefix-filtered jaccard join equals the full inverted-index join") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    def run(prefix: Boolean): Set[(Long, Long, Double)] =
+      Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
+          threshold = 0.6, prefixFilter = prefix)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val naive = run(prefix = false)
+    val filtered = run(prefix = true)
+    assert(naive.nonEmpty)
+    assert(filtered === naive, "prefix filtering must be lossless")
+  }
+
   test("minhash estimate tracks exact jaccard") {
     val exact = Dedup.q34JaccardPairs(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)) -> r.getDouble(2))).toMap
