@@ -90,6 +90,14 @@ object SparkEntry {
       graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.syntheticMedia(s, d))
         .select(col("media_id"), col("kind"), col("features"))),
+    // E14 IVF-index ANN (deterministic build — rows-only check)
+    "q44_ivf_topk" -> ((s: SparkSession, d: String) => {
+      val e = graft.core.Tables.embeddings(s, d)
+      val ivf = graft.operators.IvfIndex.build(
+        e.where(col("vec_id") >= 5), "vec_id", "embedding", 64, nLists = 8)
+      graft.operators.IvfIndex.search(
+        ivf, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = 3)
+    }),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),

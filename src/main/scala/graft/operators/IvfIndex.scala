@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{GraftFunctions, VectorAvg}
+
+/** IVF (inverted-file) index for approximate nearest-neighbor search —
+  * the second scale path next to hyperplane LSH
+  * ([[Similarity.annCosineTopK]]).
+  *
+  * Build: k-means-lite over cosine distance. Initial centroids are a
+  * deterministic hash-ordered sample; each refinement step is one
+  * broadcast join (vectors × centroids, centroid count is small by
+  * design) + one [[VectorAvg]] aggregation — both distributed, no
+  * driver-side math over the corpus. Vectors land in exactly one list.
+  *
+  * Search: score query × centroids (broadcast), keep `nProbe` nearest
+  * lists, join those lists' vectors only, exact-rank with the codegen'd
+  * [[graft.functions.CosineSimilarity]]. Cost per query is
+  * O(nProbe/nLists · n) instead of O(n); recall is tunable via nProbe
+  * (spec-measured against brute force).
+  */
+object IvfIndex {
+
+  /** (centroids: list_id|centroid, assignments: id|list_id|emb). */
+  final case class Ivf(centroids: DataFrame, assignments: DataFrame)
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Assign every vector to its max-cosine centroid (one broadcast join
+    * + one window).
+    */
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("list_id"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("__sim",
+        GraftFunctions.cosineSimilarity(col("__e"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__id"), col("list_id"), col("__e"))
+  }
+
+  def build(
+      vectors: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      nLists: Int,
+      iterations: Int = 2,
+      seed: Long = 42L): Ivf = {
+    val base = vectors.select(
+      col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
+
+    // deterministic hash-ordered sample as initial centroids
+    var centroids = base
+      .orderBy(xxhash64(col("__id"), lit(seed)))
+      .limit(nLists)
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(xxhash64(col("__id"), lit(seed)))))
+      .select(col("list_id"), col("__e").as("centroid"))
+
+    (1 to iterations).foreach { _ =>
+      val assigned = assign(base, centroids)
+      centroids = assigned
+        .groupBy(col("list_id"))
+        .agg(VectorAvg.of(dim)(
+          transform(col("__e"), x => x.cast(FloatType))).as("cf"))
+        .select(col("list_id"), toDouble(col("cf")).as("centroid"))
+    }
+    Ivf(centroids, assign(base, centroids))
+  }
+
+  /** Approximate top-k: probe the `nProbe` nearest lists per query. */
+  def search(
+      ivf: Ivf,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10,
+      nProbe: Int = 2): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), toDouble(col(embCol)).as("__qe"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(ivf.centroids))
+      .withColumn("__csim",
+        GraftFunctions.cosineSimilarity(col("__qe"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qe"), col("list_id"))
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(ivf.assignments, Seq("list_id"))
+      .where(col("__id") =!= col("query_id"))
+      .select(col("query_id"), col("__id").as("vec_id"),
+        GraftFunctions.cosineSimilarity(col("__e"), col("__qe")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+  }
+}

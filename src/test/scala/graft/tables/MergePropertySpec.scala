@@ -1,0 +1,106 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Property-style checks (SURVEY.md §5.4) of the merge algebra against
+  * its set-theoretic definition, time-travel immutability under later
+  * writes, and union cardinality — over seeded random target/source
+  * pairs (deterministic reruns; the scalatest/scalacheck bridge is not
+  * in the offline dependency set, so cases are generated directly).
+  */
+class MergePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val Cases = 8
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("merge-props", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema = StructType.fromDDL("k INT, v STRING")
+
+  private def df(rows: Seq[(Int, String)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+
+  private def collect(d: DataFrame): Set[(Int, String)] =
+    d.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  /** Random rows with unique keys (merge requires source-key uniqueness). */
+  private def genRows(rnd: scala.util.Random, tag: String): Seq[(Int, String)] = {
+    val n = 1 + rnd.nextInt(30)
+    rnd.shuffle((0 to 50).toList).take(n).map(k => (k, s"$tag$k"))
+  }
+
+  test("merge(updateAll, insertAll) = (target − matched) ∪ source") {
+    val rnd = new scala.util.Random(1001)
+    (1 to Cases).foreach { i =>
+      val target = genRows(rnd, "t")
+      val source = genRows(rnd, "s")
+      val path = Files.createTempDirectory("prop_merge").toString
+      DeltaLikeTable.write(df(target), path)
+      val t = DeltaLikeTable.forPath(spark, path)
+      t.as("t").merge(df(source).as("s"), "t.k = s.k")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      val got = collect(t.toDF)
+      val srcKeys = source.map(_._1).toSet
+      val want = target.filterNot(r => srcKeys.contains(r._1)).toSet ++ source.toSet
+      assert(got === want, s"case $i: target=$target source=$source")
+      DeltaLikeTable.deleteRecursively(java.nio.file.Paths.get(path))
+    }
+  }
+
+  test("merge(delete) = target − matched; one version per merge") {
+    val rnd = new scala.util.Random(2002)
+    (1 to Cases).foreach { i =>
+      val target = genRows(rnd, "t")
+      val source = genRows(rnd, "s")
+      val path = Files.createTempDirectory("prop_del").toString
+      DeltaLikeTable.write(df(target), path)
+      val t = DeltaLikeTable.forPath(spark, path)
+      t.as("t").merge(df(source).as("s"), "t.k = s.k")
+        .whenMatchedDelete().execute()
+      val srcKeys = source.map(_._1).toSet
+      assert(collect(t.toDF) === target.filterNot(r => srcKeys.contains(r._1)).toSet,
+        s"case $i")
+      assert(t.version === 1)
+      DeltaLikeTable.deleteRecursively(java.nio.file.Paths.get(path))
+    }
+  }
+
+  test("time travel: read(v0) immutable under later append + merge") {
+    val rnd = new scala.util.Random(3003)
+    (1 to Cases).foreach { i =>
+      val v0 = genRows(rnd, "a")
+      val v1 = genRows(rnd, "b")
+      val src = genRows(rnd, "c")
+      val path = Files.createTempDirectory("prop_tt").toString
+      DeltaLikeTable.write(df(v0), path)
+      val t = DeltaLikeTable.forPath(spark, path)
+      val before = collect(t.toDF(0))
+      DeltaLikeTable.write(df(v1), path, "append")
+      t.as("t").merge(df(src).as("s"), "t.k = s.k")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      assert(collect(t.toDF(0)) === before, s"case $i")
+      assert(before === v0.toSet)
+      DeltaLikeTable.deleteRecursively(java.nio.file.Paths.get(path))
+    }
+  }
+
+  test("union: row counts add (bag semantics)") {
+    val rnd = new scala.util.Random(4004)
+    (1 to Cases).foreach { _ =>
+      val a = genRows(rnd, "x")
+      val b = genRows(rnd, "y")
+      assert(df(a).union(df(b)).count() === a.size + b.size)
+    }
+  }
+}
