@@ -98,6 +98,16 @@ object SparkEntry {
       graft.operators.IvfIndex.search(
         ivf, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = 3)
     }),
+    // E15 lang-ID + winnowing fingerprints (deterministic — rows-only)
+    "q45_lang_id" -> ((s: SparkSession, d: String) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.operators.LangId.classify(docs, "doc_id", "text",
+        graft.operators.LangId.trainProfiles(docs, "text", "lang"))
+    }),
+    "q46_winnow_fingerprints" -> ((s: SparkSession, d: String) =>
+      graft.operators.TextAnalysis.winnowFingerprints(
+        graft.core.Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_fingerprints"))),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),

@@ -25,7 +25,14 @@ object TextAnalysis {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Per-document token statistics + exact md5 fingerprint. */
+  /** BPE-ish tokenizer regex: letter runs, digit runs, or single
+    * non-space symbols — identical semantics in Java and RE2 dialects.
+    */
+  val TokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Per-document token statistics + exact md5 fingerprint. Counts both
+    * whitespace tokens and regex (BPE-ish) tokens.
+    */
   def q28TextStats(spark: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     Tables.documents(spark, d).select(
@@ -33,19 +40,50 @@ object TextAnalysis {
       col("lang"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_uniq_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0)))
+        .as("n_regex_tokens"),
       (length(col("text")).cast(DoubleType) / size(toks)).as("chars_per_token"),
       array_contains(toks, "spark").as("mentions_spark"),
       md5(col("text")).as("fingerprint"))
   }
 
   val q28Sql: String =
-    """SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
       | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
       | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+      | CAST(len(regexp_extract_all(text, '$TokenRegex')) AS INT) AS n_regex_tokens,
       | CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
       | list_contains(string_split(text, ' '), 'spark') AS mentions_spark,
       | md5(text) AS fingerprint
       |FROM documents""".stripMargin
+
+  /** Winnowing document fingerprints (Schleimer et al.'s local
+    * algorithm): roll a hash over character k-grams, take the minimum
+    * hash of every `window`-length window (rightmost minimum), and keep
+    * the distinct minima — a position-robust fingerprint set used for
+    * plagiarism/copy detection. Guarantee: any shared substring of
+    * length ≥ window+k−1 contributes at least one common fingerprint.
+    *
+    * Pure per-row expressions: k-gram hashes via xxhash64 substrings,
+    * window minima via a transform over positions — no shuffle at all.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      window: Int = 6): DataFrame = {
+    docs
+      .withColumn("__t", lower(col(textCol)))
+      .withColumn("__hashes", expr(
+        s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), " +
+          s"i -> xxhash64(substring(__t, i, $k)))"))
+      .withColumn("__mins", expr(
+        s"array_distinct(transform(sequence(1, greatest(size(__hashes) - ${window - 1}, 1)), " +
+          s"i -> array_min(slice(__hashes, i, $window))))"))
+      .select(col(idCol), col("__mins").as("fingerprints"),
+        size(col("__mins")).as("n_fingerprints"))
+  }
 
   /** Per-language corpus quality profile: doc counts, length stats,
     * stopword ratio, vocabulary richness. One shuffle on `lang`.

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Language-ID and winnowing fingerprints on planted data (the fixture's
+  * lang labels are random, so detector accuracy must be proven on
+  * synthetic languages with genuinely distinct character statistics).
+  */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("textops-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Three synthetic "languages" with disjoint character vocabularies. */
+  private def corpus(docsPerLang: Int, seed: Int) = {
+    val sp = spark; import sp.implicits._
+    val vocab = Map(
+      "aa" -> Seq("karak", "tolpa", "minko", "zarbu", "pelto", "krato"),
+      "bb" -> Seq("whistle", "grumble", "fiddle", "thistle", "rumble", "middle"),
+      "cc" -> Seq("oxyphen", "zygote", "xylem", "physio", "glyph", "nymph"))
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until docsPerLang
+    } yield (s"$lang-$i", lang,
+      Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" "))
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  test("n-gram language ID: train on one sample, classify a held-out sample") {
+    val train = corpus(20, seed = 1)
+    val test = corpus(10, seed = 2) // same languages, different docs
+    val profiles = LangId.trainProfiles(train, "text", "lang")
+    val predicted = LangId.classify(test, "doc_id", "text", profiles)
+    val joined = predicted.join(test, Seq("doc_id"))
+    val correct = joined.where(col("predicted_lang") === col("lang")).count()
+    val total = joined.count()
+    assert(total === 30)
+    assert(correct.toDouble / total >= 0.95,
+      s"lang-id accuracy $correct/$total")
+  }
+
+  test("winnowing: shared substrings produce shared fingerprints, disjoint text doesn't") {
+    val sp = spark; import sp.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different start $shared tail omega"),
+      (3L, "unrelated content entirely made of other words and letters"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty,
+      "docs sharing a long substring must share fingerprints")
+    assert(fp(1L).intersect(fp(3L)).isEmpty,
+      "disjoint docs should share no fingerprints")
+    // deterministic across partitionings
+    val fp2 = TextAnalysis.winnowFingerprints(docs.repartition(3), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp === fp2)
+  }
+}
