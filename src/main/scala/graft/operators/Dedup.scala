@@ -20,12 +20,24 @@ import graft.core.Tables
   */
 object Dedup {
 
-  /** Word 3-gram shingle set (distinct), the unit of textual overlap. */
-  private[operators] def shingles(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  /** Word 3-gram shingle set (distinct), the unit of textual overlap.
+    *
+    * Built with slice + zip_with rather than
+    * `transform(sequence(...), i -> element_at(toks, i) ...)`: higher-
+    * order lambdas are interpreted without common-subexpression
+    * elimination, so an `element_at(toks, i)` body re-evaluates the
+    * `toks` expression (often a `split`) on every element — O(len²)
+    * per document. Here each array argument is evaluated exactly once.
+    */
+  def shingles(toks: Column): Column = {
+    val m = greatest(size(toks) - 2, lit(0))
+    val tri = zip_with(
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (x, y) => concat(x, lit(" "), y)),
+      slice(toks, lit(3), m),
+      (xy, z) => concat(xy, lit(" "), z))
+    array_distinct(tri)
+  }
 
   /** Exact dedup on the bag-of-words fingerprint: md5 of the sorted
     * distinct token set. Near-duplicates that are reorderings/repetitions
@@ -86,7 +98,11 @@ object Dedup {
       textCol: String,
       threshold: Double,
       prefixFilter: Boolean = true): DataFrame = {
+    // spread the shingle generation across cores: a small fixture table
+    // arrives as one file = one partition, and everything up to the
+    // first exchange would otherwise run single-threaded
     val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), shingles(split(col(textCol), " ")).as("sh"))
       .where(size(col("sh")) > 0)
     val counts = base.select(col("__id"), size(col("sh")).as("n_sh"))

@@ -22,7 +22,8 @@ object LangId {
     * with two boundary spaces so short tokens still contribute).
     */
   private def trigramRows(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__padded", concat(lit("  "), lower(col(textCol)), lit("  ")))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__padded", concat(lit("  "), lower(col(textCol)), lit("  ")))
       .select(col("*"),
         explode(sequence(lit(1), length(col("__padded")) - 2)).as("__pos"))
       .withColumn("__tri", expr("substring(__padded, __pos, 3)"))

@@ -15,16 +15,8 @@ import org.apache.spark.sql.types._
   */
 object NearDup {
 
-  /** Mersenne prime 2^31−1: universal-hash modulus. Multiplying two
-    * residues stays under 2^62, so the arithmetic fits a BIGINT column
-    * without overflow.
-    */
-  private val P = 2147483647L
-
-  private def hashParams(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(n)((1 + rnd.nextLong(P - 1), rnd.nextLong(P)))
-  }
+  /** Universal-hash modulus, shared with [[graft.functions.MinHashAgg]]. */
+  private val P = graft.functions.MinHashAgg.P
 
   /** Word 3-gram shingle set — shared with the exact Jaccard join so the
     * approximate and exact paths measure the same similarity.
@@ -54,19 +46,16 @@ object NearDup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val params = hashParams(numHashes, seed)
 
     val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), explode(shingleSet(col(textCol))).as("__s"))
       .select(col("__id"), pmod(xxhash64(col("__s")), lit(P)).as("__x"))
 
-    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__x") * a + b, lit(P))).as(s"__sig_$i")
-    }
+    // one typed aggregate computing the whole k-signature per doc
+    // (primitive-array buffer via ObjectHashAggregate — see MinHashAgg)
     val sigs = exploded.groupBy(col("__id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(i => col(s"__sig_$i")): _*).as("__sig"))
+      .agg(graft.functions.MinHashAgg.of(numHashes, seed)(col("__x")).as("__sig"))
 
     // Signatures ride through the band explode, so the expensive min-hash
     // aggregation has exactly two consumers (the two sides of the bucket
@@ -117,6 +106,7 @@ object NearDup {
     val chunkBits = bits / chunks
 
     val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), explode(shingleSet(col(textCol))).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
 
