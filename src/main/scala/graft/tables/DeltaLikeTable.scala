@@ -56,6 +56,46 @@ final class DeltaLikeTable private (
         ci.map(_.timestampMs).getOrElse(0L))
     }
 
+  /** Compact the current snapshot's files into `targetFiles` larger
+    * ones — a logical no-op committed as a new version
+    * (remove(all active) + add(compacted)), like Delta's OPTIMIZE.
+    * Older versions still read their original files. Small-file
+    * accumulation is the natural by-product of frequent merges/appends;
+    * at scale compaction is what keeps scan task counts and parquet
+    * footer overhead bounded.
+    */
+  def optimize(targetFiles: Int = 1): DeltaLikeTable = {
+    val snap = log.snapshot()
+    val compacted = DeltaLikeTable.readSnapshot(spark, snap)
+      .repartition(math.max(1, targetFiles))
+    val adds = DeltaLikeTable.stageFiles(compacted, path)
+    log.commit(snap.version + 1,
+      snap.files.map(f => RemoveFile(f.path)) ++ adds :+
+        CommitInfo("OPTIMIZE", System.currentTimeMillis()))
+    this
+  }
+
+  /** Delete data files that no version ≥ `retainVersions`-back
+    * references — Delta's VACUUM. Time travel to vacuumed versions
+    * stops working (their log entries remain for history/audit).
+    * Returns the deleted file names.
+    */
+  def vacuum(retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val latest = log.latestVersion
+    val cutoff = math.max(0L, latest - (retainVersions - 1))
+    val referenced = (cutoff to latest)
+      .flatMap(v => log.snapshot(v).files.map(_.path)).toSet
+    val all = (0L to latest).flatMap(v => log.actions(v)).collect {
+      case a: AddFile => a.path
+    }.distinct
+    val doomed = all.filterNot(referenced.contains)
+    doomed.foreach { p =>
+      Files.deleteIfExists(Paths.get(path, p))
+    }
+    doomed
+  }
+
   /** `generate("symlink_format_manifest")` — writes the latest snapshot's
     * absolute file list for external engines (reference `:72`). Driver-side
     * only: the file list already lives in the log.

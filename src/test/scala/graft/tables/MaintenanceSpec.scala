@@ -1,0 +1,74 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** OPTIMIZE (compaction) and VACUUM semantics: logical no-op, version
+  * history preserved, physical cleanup bounded by retention.
+  */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("maintenance-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def freshTable(): (String, DeltaLikeTable) = {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("maint").toString
+    // several appends → many small files
+    (0 until 4).foreach { i =>
+      DeltaLikeTable.write(
+        (i * 100 until (i + 1) * 100).map(k => (k.toLong, s"v$k")).toDF("id", "v")
+          .repartition(4),
+        path, if (i == 0) "overwrite" else "append")
+    }
+    (path, DeltaLikeTable.forPath(spark, path))
+  }
+
+  test("optimize compacts files without changing data; old versions intact") {
+    val (_, t) = freshTable()
+    val before = t.toDF.collect().map(_.toSeq).toSet
+    val nFilesBefore = t.log.snapshot().files.size
+    assert(nFilesBefore >= 8)
+
+    t.optimize(targetFiles = 2)
+    assert(t.version === 4)
+    assert(t.log.snapshot().files.size <= 2)
+    assert(t.toDF.collect().map(_.toSeq).toSet === before)
+    // pre-compaction version still readable from original files
+    assert(t.toDF(3).count() === 400)
+    assert(t.toDF(0).count() === 100)
+    assert(t.history().last._2 === "OPTIMIZE")
+  }
+
+  test("vacuum deletes only unreferenced files; retained versions still read") {
+    val (path, t) = freshTable()
+    t.optimize(targetFiles = 1)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted.nonEmpty)
+    deleted.foreach(f => assert(!Files.exists(Paths.get(path, f))))
+    // latest still fully readable
+    assert(t.toDF.count() === 400)
+    // vacuumed old version now fails to read (files physically gone)
+    intercept[Exception] { t.toDF(0).count() }
+    // nothing else was deleted: active files all present
+    t.log.snapshot().files.foreach(f =>
+      assert(Files.exists(Paths.get(path, f.path))))
+  }
+
+  test("vacuum with larger retention keeps recent versions readable") {
+    val (_, t) = freshTable()
+    t.optimize(targetFiles = 1) // v4
+    t.vacuum(retainVersions = 2) // keep v3 + v4 files
+    assert(t.toDF(3).count() === 400)
+    assert(t.toDF.count() === 400)
+  }
+}
