@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -98,4 +99,92 @@ object EventStream {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(20, 10))).cast(DoubleType).as("sum_value"),
         max(col("ts")).as("last_ts"))
+
+  // ---- sessionization: flatMapGroupsWithState + event-time timeout ---
+
+  case class Session(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Internal per-key state of [[sessionize]] (public: the codegen'd
+    * state serializer needs reflective access).
+    */
+  case class OpenSession(startMs: Long, endMs: Long, count: Long)
+
+  /** Per-user sessionization on an unbounded stream: a session is a run
+    * of events with gaps < `gapMs`; a session closes (and is emitted
+    * exactly once) when the event-time watermark passes its end + gap —
+    * implemented with `flatMapGroupsWithState` and
+    * `EventTimeTimeout`, the full custom-state surface: arbitrary
+    * per-key state, timeout-driven emission, bounded memory on an
+    * unbounded stream. Input must carry a watermark on `ts`.
+    */
+  def sessionize(
+      events: Dataset[EventRow],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's end + gap → final
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.count))
+          } else {
+            // fold this batch's events (sorted: micro-batch order is not
+            // event-time order) into the open session, emitting any
+            // sessions closed by an in-batch gap
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.endMs < gapMs =>
+                  open = Some(s.copy(endMs = math.max(s.endMs, t), count = s.count + 1))
+                case Some(s) =>
+                  closed += Session(user,
+                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.count)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[sessionize]]: gap-based sessions via the classic
+    * lag + cumulative-sum window trick (new session when the gap from
+    * the previous event ≥ gapMs). Emits ALL sessions (batch input is
+    * finite, so every session is closed).
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull, 1)
+          .when(unix_micros(col("ts")) - unix_micros(col("__prev")) >= gapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("__session_id",
+        sum(col("__new_session")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__session_id")
+  }
 }
