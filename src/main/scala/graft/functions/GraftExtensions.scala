@@ -14,9 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Registers:
   *   - `cosine_similarity(array, array)` → [[CosineSimilarity]] (native
   *     codegen expression), callable from SQL and `expr(...)`.
+  *   - [[graft.tables.DeltalikeMergeRule]] — resolution rule turning
+  *     SQL `MERGE INTO deltalike.`path`` into the native merge command.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // hint-resolution batch: runs BEFORE ResolveSQLOnFile, which would
+    // otherwise reject the deltalike.`path` target as a direct file query
+    ext.injectHintResolutionRule(_ => new graft.tables.DeltalikeMergeRule)
+    ext.injectResolutionRule(s => new graft.tables.DeltalikeReadResolution(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(

@@ -1,0 +1,119 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** SQL `MERGE INTO deltalike.`path`` through the injected resolution
+  * rule — same semantics as the builder API, driven from SQL text.
+  */
+class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("merge-sql-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fresh(): String = {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("mergesql").toString
+    DeltaLikeTable.write(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"),
+      path)
+    path
+  }
+
+  test("MERGE INTO ... UPDATE SET * / INSERT * via SQL") {
+    val sp = spark; import sp.implicits._
+    val path = fresh()
+    Seq((2L, "B", 200), (9L, "Z", 900)).toDF("k", "v", "n")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO deltalike.`$path` AS t
+         |USING merge_src AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = DeltaLikeTable.forPath(spark, path).toDF
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out === Seq((1L, "a", 10), (2L, "B", 200), (3L, "c", 30), (9L, "Z", 900)))
+  }
+
+  test("MERGE INTO with conditional update, explicit assignments, and delete") {
+    val sp = spark; import sp.implicits._
+    val path = fresh()
+    Seq((1L, "A", 100), (2L, "B", 200), (3L, "C", 300)).toDF("k", "v", "n")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO deltalike.`$path` AS t
+         |USING merge_src2 AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.n >= 300 THEN DELETE
+         |WHEN MATCHED AND s.n >= 200 THEN UPDATE SET v = s.v
+         |WHEN MATCHED THEN UPDATE SET n = t.n + s.n""".stripMargin)
+    val out = DeltaLikeTable.forPath(spark, path).toDF
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out === Seq(
+      (1L, "a", 110),  // third clause: n = 10 + 100, v untouched
+      (2L, "B", 20)))  // second clause: v updated, n untouched; k=3 deleted
+  }
+
+  test("MERGE INTO with INSERT column list and source subquery") {
+    val sp = spark; import sp.implicits._
+    val path = fresh()
+    spark.sql(
+      s"""MERGE INTO deltalike.`$path` AS t
+         |USING (SELECT 7 AS k, 'seven' AS v, 70 AS n) AS s
+         |ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val out = DeltaLikeTable.forPath(spark, path).toDF
+      .where("k = 7").collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(out.toSeq === Seq((7L, "seven", None))) // n not assigned → null
+  }
+
+  test("SQL reads: SELECT from deltalike path, with @vN time travel") {
+    val sp = spark; import sp.implicits._
+    val path = fresh()
+    Seq((9L, "z", 90)).toDF("k", "v", "n")
+      .write.format("deltalike").mode("append").save(path)
+    assert(spark.sql(s"SELECT count(*) AS n FROM deltalike.`$path`")
+      .head().getLong(0) === 4)
+    assert(spark.sql(s"SELECT count(*) AS n FROM deltalike.`$path@v0`")
+      .head().getLong(0) === 3)
+    val agg = spark.sql(
+      s"SELECT sum(n) AS s FROM deltalike.`$path` WHERE k <= 2").head().getLong(0)
+    assert(agg === 30)
+  }
+
+  test("SQL INSERT INTO appends; INSERT OVERWRITE replaces") {
+    val path = fresh()
+    spark.sql(s"INSERT INTO deltalike.`$path` VALUES (10, 'j', 100)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM deltalike.`$path`")
+      .head().getLong(0) === 4)
+    spark.sql(s"INSERT OVERWRITE deltalike.`$path` SELECT k, v, n " +
+      s"FROM deltalike.`$path@v0` WHERE k = 1")
+    assert(spark.sql(s"SELECT count(*) AS n FROM deltalike.`$path`")
+      .head().getLong(0) === 1)
+    // all versions preserved
+    assert(DeltaLikeTable.forPath(spark, path).version === 2)
+  }
+
+  test("unsupported clauses are rejected") {
+    val sp = spark; import sp.implicits._
+    val path = fresh()
+    Seq((1L, "x", 0)).toDF("k", "v", "n").createOrReplaceTempView("merge_src3")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO deltalike.`$path` AS t
+           |USING merge_src3 AS s ON t.k = s.k
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+  }
+}
