@@ -1,0 +1,54 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Structured-Streaming sink into a deltalike table via `foreachBatch`,
+  * with exactly-once appends: each micro-batch commit records its
+  * (queryId, batchId) in the log's CommitInfo, and a restarted query
+  * that replays an already-committed batch is skipped — the same
+  * transactional-idempotence contract Delta's streaming sink keeps via
+  * `txn` actions. Failure between data-file staging and log commit
+  * leaves only unreferenced files (cleaned by VACUUM), never a torn
+  * table.
+  */
+object DeltaLikeSink {
+
+  private val OpPrefix = "STREAM"
+
+  /** Operation tag carrying the idempotence key. */
+  private def op(queryId: String, batchId: Long): String =
+    s"$OpPrefix:$queryId:$batchId"
+
+  /** Highest batchId already committed by `queryId`, or -1. */
+  private[tables] def lastCommittedBatch(log: DeltaLog, queryId: String): Long =
+    if (!log.exists) -1L
+    else log.history().flatMap(_._2).map(_.operation).collect {
+      case o if o.startsWith(s"$OpPrefix:$queryId:") =>
+        o.substring(OpPrefix.length + queryId.length + 2).toLong
+    }.foldLeft(-1L)(math.max)
+
+  /** The foreachBatch function: append `batch` to `path` unless this
+    * (query, batch) was already committed.
+    */
+  def appendBatch(path: String, queryId: String)(batch: DataFrame, batchId: Long): Unit = {
+    val log = DeltaLog.forPath(path)
+    if (batchId <= lastCommittedBatch(log, queryId)) return // replayed batch
+    DeltaLikeTable.write(batch, path, "append", operation = op(queryId, batchId))
+  }
+
+  /** Wire a streaming writer to a deltalike table:
+    * {{{
+    * DeltaLikeSink.writeStream(df.writeStream, "/table/path", "my-query")
+    *   .option("checkpointLocation", ...)
+    *   .start()
+    * }}}
+    */
+  def writeStream[T](
+      writer: DataStreamWriter[T],
+      path: String,
+      queryId: String): DataStreamWriter[T] =
+    writer.foreachBatch { (batch: org.apache.spark.sql.Dataset[T], batchId: Long) =>
+      appendBatch(path, queryId)(batch.toDF(), batchId)
+    }
+}

@@ -64,12 +64,9 @@ private[tables] final class DeltaLikeRelation(
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val spark = ctx.sparkSession
     val kept = DataSkipping.prune(snap, filters.toSeq)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-      else
-        spark.read.schema(snap.schema)
-          .parquet(kept.map(f => s"${snap.tableRoot}/${f.path}"): _*)
+    // shared snapshot reader: handles empty file lists and partitioned
+    // layouts (basePath reconstruction) identically to the object API
+    val base = DeltaLikeTable.readSnapshot(spark, snap.copy(files = kept))
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_.filter(_))
     val projected =
       if (requiredColumns.isEmpty) filtered.select()

@@ -68,7 +68,7 @@ final class DeltaLikeTable private (
     val snap = log.snapshot()
     val compacted = DeltaLikeTable.readSnapshot(spark, snap)
       .repartition(math.max(1, targetFiles))
-    val adds = DeltaLikeTable.stageFiles(compacted, path)
+    val adds = DeltaLikeTable.stageFiles(compacted, path, snap.partitionColumns)
     log.commit(snap.version + 1,
       snap.files.map(f => RemoveFile(f.path)) ++ adds :+
         CommitInfo("OPTIMIZE", System.currentTimeMillis()))
@@ -130,15 +130,27 @@ object DeltaLikeTable {
       df: DataFrame,
       path: String,
       mode: String = "overwrite",
-      operation: String = "WRITE"): DeltaLikeTable = {
+      operation: String = "WRITE",
+      partitionBy: Seq[String] = Seq.empty): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' not in schema"))
     val log = DeltaLog.forPath(path)
     val prev = if (log.exists) Some(log.snapshot()) else None
     prev.foreach { s =>
       require(sameSchema(s.schema, df.schema),
         s"schema mismatch: table has ${s.schema.toDDL}, write has ${df.schema.toDDL}")
     }
-    val adds = stageFiles(df, path)
+    // partitioning is a table property: appends inherit it, overwrite may
+    // re-declare it
+    val effectiveParts =
+      if (mode == "append" && prev.nonEmpty) {
+        require(partitionBy.isEmpty || partitionBy == prev.get.partitionColumns,
+          s"append with different partitioning: table has " +
+            s"${prev.get.partitionColumns}, write asked $partitionBy")
+        prev.get.partitionColumns
+      } else partitionBy
+    val adds = stageFiles(df, path, effectiveParts)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
@@ -146,18 +158,25 @@ object DeltaLikeTable {
     val version = log.latestVersion + 1
     val meta =
       if (version == 0 || mode == "overwrite")
-        Seq(MetaData(df.schema.toDDL, Seq.empty))
+        Seq(MetaData(df.schema.toDDL, effectiveParts))
       else Seq.empty
     log.commit(version,
-      meta ++ removes ++ adds :+ CommitInfo(operation.toUpperCase, System.currentTimeMillis()))
+      meta ++ removes ++ adds :+ CommitInfo(operation, System.currentTimeMillis()))
     new DeltaLikeTable(df.sparkSession, path, None)
   }
 
   private[tables] def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame =
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-    else
+    else if (snap.partitionColumns.isEmpty)
       spark.read.schema(snap.schema).parquet(snap.filePaths: _*)
+    else
+      // basePath lets partition-directory discovery work over an explicit
+      // file list, reconstructing the partition columns the data files
+      // don't store
+      spark.read.schema(snap.schema)
+        .option("basePath", snap.tableRoot)
+        .parquet(snap.filePaths: _*)
 
   /** Name+type equality ignoring nullability (parquet round-trips relax it). */
   private def sameSchema(a: StructType, b: StructType): Boolean =
@@ -174,29 +193,45 @@ object DeltaLikeTable {
     * On a cluster writer the same stats would be accumulated in the write
     * tasks themselves; the log format is agnostic to how they were made.
     */
-  private[tables] def stageFiles(df: DataFrame, tableRoot: String): Seq[AddFile] = {
+  private[tables] def stageFiles(
+      df: DataFrame,
+      tableRoot: String,
+      partitionBy: Seq[String] = Seq.empty): Seq[AddFile] = {
     val stageName = s"_stage-${UUID.randomUUID().toString.take(8)}"
     val stageDir = Paths.get(tableRoot, stageName)
-    df.write.mode("overwrite").parquet(stageDir.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(stageDir.toString)
     val spark = df.sparkSession
-    val parts = Files.list(stageDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+    // relative paths, partition subdirs included (e.g. "k=1/part-….parquet")
+    val parts = Files.walk(stageDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => stageDir.relativize(p).toString)
+      .filter(n => Paths.get(n).getFileName.toString.startsWith("part-") &&
+        n.endsWith(".parquet"))
       .toSeq.sorted
     if (parts.isEmpty) { deleteRecursively(stageDir); return Seq.empty }
 
+    // one stats pass; on partitioned stages the whole-directory read
+    // reconstructs the partition columns, so they get min=max=value
+    // stats — file pruning on partition predicates falls out of the
+    // ordinary data-skipping path with no special casing
     val statted = statsForFiles(
       spark.read.schema(df.schema).parquet(stageDir.toString), df.schema)
-    // move staged parts into the table root (Spark part names embed the
-    // job UUID, so they cannot collide with files from other versions)
-    parts.foreach { n =>
-      Files.move(stageDir.resolve(n), Paths.get(tableRoot, n),
-        StandardCopyOption.ATOMIC_MOVE)
+    parts.foreach { rel =>
+      val target = Paths.get(tableRoot, rel)
+      Files.createDirectories(target.getParent)
+      Files.move(stageDir.resolve(rel), target, StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(stageDir)
     statted.map { a =>
-      val name = Paths.get(a.path).getFileName.toString
-      a.copy(path = name, sizeBytes = Files.size(Paths.get(tableRoot, name)))
+      // _metadata.file_path is an absolute URI; keep the path relative to
+      // the staging root (which mirrors the table root after the moves)
+      val marker = s"$stageName/"
+      val idx = a.path.indexOf(marker)
+      require(idx >= 0, s"unexpected staged path ${a.path}")
+      val rel = a.path.substring(idx + marker.length)
+      a.copy(path = rel, sizeBytes = Files.size(Paths.get(tableRoot, rel)))
     }
   }
 

@@ -57,7 +57,8 @@ final case class Snapshot(
     version: Long,
     schema: StructType,
     files: Seq[AddFile],
-    tableRoot: String) {
+    tableRoot: String,
+    partitionColumns: Seq[String] = Seq.empty) {
   def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
 }
 
@@ -100,17 +101,18 @@ final class DeltaLog(val tableRoot: String) {
     val v = if (version < 0) latest else version
     require(v <= latest, s"version $v does not exist (latest: $latest)")
     var schemaDdl: String = null
+    var partCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     (0L to v).foreach { i =>
       actions(i).foreach {
-        case m: MetaData   => schemaDdl = m.schemaDdl
+        case m: MetaData   => schemaDdl = m.schemaDdl; partCols = m.partitionColumns
         case a: AddFile    => active(a.path) = a
         case r: RemoveFile => active.remove(r.path)
         case _: CommitInfo => ()
       }
     }
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
-    Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot)
+    Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot, partCols)
   }
 
   /** Atomically publish `version`; throws if it was already committed. */

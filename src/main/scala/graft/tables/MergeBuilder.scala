@@ -150,8 +150,9 @@ final class MergeBuilder private[tables] (
       .where(keepExpr)
       .select(outCols: _*)
 
-    // phase 3: stage new files + atomic log commit
-    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot)
+    // phase 3: stage new files + atomic log commit (partition layout of
+    // the table is preserved through the rewrite)
+    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot, snap.partitionColumns)
     table.log.commit(snap.version + 1,
       touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo("MERGE", System.currentTimeMillis()))
