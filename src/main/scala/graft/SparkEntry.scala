@@ -85,6 +85,8 @@ object SparkEntry {
     }),
     // E16 event-time windows (batch form)
     "q33_event_windows" -> (Relational.q33EventWindows _),
+    // E1 statistical aggregates
+    "q47_stats_aggs" -> (Relational.q47StatsAggs _),
     // multimodal plumbing (stubbed decode; deterministic — rows-only check)
     "q38_media_features" -> ((s: SparkSession, d: String) =>
       graft.operators.Multimodal.extractFeatures(
@@ -153,6 +155,7 @@ object SparkEntry {
     "q31_token_freq" -> TextAnalysis.q31Sql,
     "q32_cosine_topk" -> Similarity.q32Sql,
     "q33_event_windows" -> Relational.q33Sql,
+    "q47_stats_aggs" -> Relational.q47Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,
     // q35/q36/q37 are approximate (LSH) — no SQL oracle; rows-only check,
     // with recall measured against the exact baselines in ScalaTest specs.

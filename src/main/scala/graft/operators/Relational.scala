@@ -521,6 +521,35 @@ object Relational {
       | CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS avg_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- E1 (extended): statistical aggs
+
+  /** Statistical aggregate battery: sample stddev/variance, correlation,
+    * covariance, exact median/quantiles — all single-pass distributed
+    * aggregates (percentile keeps a per-group buffer; at 100 TB scale
+    * the approx_percentile sketch is the right variant, exercised in
+    * q05's rows-only sibling).
+    */
+  def q47StatsAggs(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_extendedprice")).as("sd_price"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        corr(col("l_extendedprice"), col("l_quantity")).as("corr_price_qty"),
+        covar_samp(col("l_extendedprice"), col("l_quantity")).as("cov_price_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(100000)).as("median_ish"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_exact"))
+      .drop("median_ish") // sketch value is engine-specific; keep exact for oracle
+
+  val q47Sql: String =
+    """SELECT l_returnflag,
+      | stddev_samp(l_extendedprice) AS sd_price,
+      | var_samp(l_quantity) AS var_qty,
+      | corr(l_extendedprice, l_quantity) AS corr_price_qty,
+      | covar_samp(l_extendedprice, l_quantity) AS cov_price_qty,
+      | quantile_cont(l_extendedprice, 0.5) AS median_exact
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------- reference ops replayed on fixtures (§2.A)
 
   /** A3: SQL-string IN-list filter (reference `titanic_example_delta.py:28`). */
