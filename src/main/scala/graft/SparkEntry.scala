@@ -68,6 +68,7 @@ object SparkEntry {
     "q28_text_stats" -> (TextAnalysis.q28TextStats _),
     "q29_lang_quality" -> (TextAnalysis.q29LangQuality _),
     "q31_token_freq" -> (TextAnalysis.q31TokenFreq _),
+    "q48_tfidf" -> (TextAnalysis.q48Tfidf _),
     // E12–E13 dedup
     "q30_exact_dedup" -> (Dedup.q30ExactDedup _),
     "q34_jaccard_pairs" -> (Dedup.q34JaccardPairs _),
@@ -156,6 +157,7 @@ object SparkEntry {
     "q32_cosine_topk" -> Similarity.q32Sql,
     "q33_event_windows" -> Relational.q33Sql,
     "q47_stats_aggs" -> Relational.q47Sql,
+    "q48_tfidf" -> TextAnalysis.q48Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,
     // q35/q36/q37 are approximate (LSH) — no SQL oracle; rows-only check,
     // with recall measured against the exact baselines in ScalaTest specs.

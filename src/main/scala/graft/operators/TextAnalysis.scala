@@ -57,6 +57,41 @@ object TextAnalysis {
       | md5(text) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** TF-IDF scores: for each (document, token), tf · ln(N / df) with
+    * raw term counts — two hash aggregates (per-doc term counts, global
+    * document frequencies) and one broadcastable join on token. Output
+    * limited to scores ≥ 0.5 to keep the relation small. At 100 TB the
+    * shape is identical; df is a tiny side table (vocabulary-sized)
+    * that broadcasts.
+    */
+  def q48Tfidf(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val n = docs.count() // corpus size: one cheap count, constant-folded in
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = terms.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("token"))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast(DoubleType) * log(lit(n.toDouble) / col("df")))
+          .as("tfidf"))
+      .where(col("tfidf") >= 0.5)
+  }
+
+  val q48Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM
+      |  (SELECT DISTINCT doc_id, token FROM terms) GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      |SELECT doc_id, tf.token AS token,
+      |  CAST(tf AS DOUBLE) * ln(n.n / df.df) AS tfidf
+      |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+      |WHERE CAST(tf AS DOUBLE) * ln(n.n / df.df) >= 0.5""".stripMargin
+
   /** Winnowing document fingerprints (Schleimer et al.'s local
     * algorithm): roll a hash over character k-grams, take the minimum
     * hash of every `window`-length window (rightmost minimum), and keep
