@@ -88,6 +88,8 @@ object SparkEntry {
     "q33_event_windows" -> (Relational.q33EventWindows _),
     // E1 statistical aggregates
     "q47_stats_aggs" -> (Relational.q47StatsAggs _),
+    // E5 extension: point-in-time (as-of) join
+    "q49_asof_join" -> (graft.operators.AsOfJoin.q49AsOfJoin _),
     // multimodal plumbing (stubbed decode; deterministic — rows-only check)
     "q38_media_features" -> ((s: SparkSession, d: String) =>
       graft.operators.Multimodal.extractFeatures(
@@ -158,6 +160,7 @@ object SparkEntry {
     "q33_event_windows" -> Relational.q33Sql,
     "q47_stats_aggs" -> Relational.q47Sql,
     "q48_tfidf" -> TextAnalysis.q48Sql,
+    "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,
     // q35/q36/q37 are approximate (LSH) — no SQL oracle; rows-only check,
     // with recall measured against the exact baselines in ScalaTest specs.
