@@ -155,13 +155,33 @@ object DeltaLikeTable {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
     }
-    val version = log.latestVersion + 1
-    val meta =
-      if (version == 0 || mode == "overwrite")
-        Seq(MetaData(df.schema.toDDL, effectiveParts))
-      else Seq.empty
-    log.commit(version,
-      meta ++ removes ++ adds :+ CommitInfo(operation, System.currentTimeMillis()))
+    // Optimistic concurrency: the create-exclusive commit detects a
+    // concurrent writer. An APPEND commutes with any other commit (no
+    // removes; data files are already uniquely named), so it rebases to
+    // the new head and retries — after re-checking the schema, which a
+    // concurrent overwrite could have changed. Overwrites (and merges,
+    // via their own commit path) are genuine conflicts and fail fast.
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val version = log.latestVersion + 1
+      val meta =
+        if (version == 0 || mode == "overwrite")
+          Seq(MetaData(df.schema.toDDL, effectiveParts))
+        else Seq.empty
+      try {
+        log.commit(version,
+          meta ++ removes ++ adds :+ CommitInfo(operation, System.currentTimeMillis()))
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if mode == "append" && attempt < 20 =>
+          attempt += 1
+          val head = log.snapshot()
+          require(sameSchema(head.schema, df.schema),
+            s"append conflict: concurrent writer changed schema to ${head.schema.toDDL}")
+      }
+    }
     new DeltaLikeTable(df.sparkSession, path, None)
   }
 

@@ -64,6 +64,30 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Files.exists(Paths.get(path, f.path))))
   }
 
+  test("concurrent appends all land via optimistic retry") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("concur").toString
+    DeltaLikeTable.write((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { w =>
+      Future {
+        DeltaLikeTable.write(
+          (1 to 25).map(i => ((w * 1000 + i).toLong, s"w$w-$i")).toDF("id", "v"),
+          path, "append")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.version === 4) // every append committed its own version
+    assert(t.toDF.count() === 110)
+    // overwrite conflict is NOT retried: colliding version numbers fail
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      t.log.commit(2, Seq(CommitInfo("DUP", 0L)))
+    }
+  }
+
   test("vacuum with larger retention keeps recent versions readable") {
     val (_, t) = freshTable()
     t.optimize(targetFiles = 1) // v4
