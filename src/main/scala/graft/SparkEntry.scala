@@ -90,11 +90,8 @@ object SparkEntry {
     "q47_stats_aggs" -> (Relational.q47StatsAggs _),
     // E5 extension: point-in-time (as-of) join
     "q49_asof_join" -> (graft.operators.AsOfJoin.q49AsOfJoin _),
-    // multimodal plumbing (stubbed decode; deterministic — rows-only check)
-    "q38_media_features" -> ((s: SparkSession, d: String) =>
-      graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.syntheticMedia(s, d))
-        .select(col("media_id"), col("kind"), col("features"))),
+    // multimodal plumbing (stubbed decode; scalar projection → full oracle)
+    "q38_media_features" -> (graft.operators.Multimodal.q38MediaFeatures _),
     // E14 IVF-index ANN (deterministic build — rows-only check)
     "q44_ivf_topk" -> ((s: SparkSession, d: String) => {
       val e = graft.core.Tables.embeddings(s, d)
@@ -130,6 +127,7 @@ object SparkEntry {
     "q02_orders_agg" -> Relational.q02Sql,
     "q03_count_distinct" -> Relational.q03Sql,
     "q04_distinct_rows" -> Relational.q04Sql,
+    "q05_approx_distinct" -> Relational.q05Sql,
     "q06_rollup" -> Relational.q06Sql,
     "q07_cube" -> Relational.q07Sql,
     "q08_revenue_by_nation" -> Relational.q08Sql,
@@ -162,6 +160,7 @@ object SparkEntry {
     "q48_tfidf" -> TextAnalysis.q48Sql,
     "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,
+    "q38_media_features" -> graft.operators.Multimodal.q38Sql,
     // q35/q36/q37 are approximate (LSH) — no SQL oracle; rows-only check,
     // with recall measured against the exact baselines in ScalaTest specs.
     "q39_grouping_sets" -> SqlSurface.q39Sql,

@@ -81,15 +81,17 @@ object Dedup {
     * DuckDB oracle recomputes the naive O(n²) form.
     *
     * `prefixFilter` picks the candidate strategy: the full inverted
-    * index wins when shingle document frequency is flat (as in this
-    * fixture — q34 uses it); the prefix filter wins when df is skewed
-    * (natural-language corpora with stop-shingles). Both are exact —
-    * the equivalence is spec-pinned.
+    * index wins slightly when shingle document frequency is flat, but
+    * hot shingles give it a df² candidate blowup on natural-language
+    * corpora — so the DECLARED query takes the prefix-filtered path,
+    * the one that survives skew at 100 TB. Both are exact — the
+    * equivalence is spec-pinned, and DedupSpec bounds the candidate
+    * count on a hot-shingle corpus.
     */
   def q34JaccardPairs(spark: SparkSession, d: String): DataFrame =
     jaccardSimilarityJoin(
       Tables.documents(spark, d), "doc_id", "text",
-      threshold = 0.6, prefixFilter = false)
+      threshold = 0.6, prefixFilter = true)
 
   /** See [[q34JaccardPairs]]; reusable form over any (id, text) frame. */
   def jaccardSimilarityJoin(

@@ -91,6 +91,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** Declared q38: feature extraction over the synthetic media table,
+    * projected to scalar columns so the result is hashable end-to-end.
+    * Everything except `n_features` is a pure function of `doc_id`, and
+    * `n_features` is the stub decoder's fixed dimension for any non-null
+    * payload — so the whole row is DuckDB-reproducible and the oracle
+    * verifies the mapPartitions plumbing actually ran over every asset.
+    * The feature *values* (not SQL-expressible: seeded PRNG) stay pinned
+    * in MultimodalSpec.
+    */
+  def q38MediaFeatures(spark: SparkSession, d: String): DataFrame =
+    extractFeatures(syntheticMedia(spark, d))
+      .select(
+        col("media_id"),
+        col("kind"),
+        col("meta.mime").as("mime"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        size(col("features")).as("n_features"))
+
+  val q38Sql: String =
+    """SELECT doc_id AS media_id,
+      | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      | 'application/x-fake-' ||
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mime,
+      | CAST(doc_id % 4 * 160 + 320 AS INT) AS width,
+      | CAST(doc_id % 4 * 120 + 240 AS INT) AS height,
+      | doc_id % 10 * 1000 + 2000 AS duration_ms,
+      | CASE WHEN text IS NULL THEN NULL ELSE CAST(8 AS INT) END AS n_features
+      |FROM documents""".stripMargin
+
   /** STUB resize: rewrites the metadata to the target box; a real
     * implementation would also transcode `content`. Pure projection —
     * no shuffle, trivially scales.

@@ -107,10 +107,23 @@ object Relational {
   val q04Sql: String =
     "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
 
-  /** approx_count_distinct (HLL++) — no exact oracle; rows-only check. */
+  /** approx_count_distinct (HLL++) gated against the exact count: the
+    * declared result carries the exact cardinality (oracle-checkable)
+    * plus a boolean asserting the sketch landed within its documented
+    * error envelope (HLL++ default rsd = 5%; the gate allows 3σ). A
+    * drifting/broken sketch flips the boolean → driver-visible red.
+    */
   def q05ApproxDistinct(spark: SparkSession, d: String): DataFrame =
     Tables.orders(spark, d)
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey")).as("__approx"))
+      .select(col("n_exact"),
+        (abs(col("__approx") - col("n_exact")).cast(DoubleType) /
+          col("n_exact") <= 0.15).as("approx_within_band"))
+
+  val q05Sql: String =
+    "SELECT count(DISTINCT o_custkey) AS n_exact, true AS approx_within_band FROM orders"
 
   // ------------------------------------------------- E3: rollup / cube / sets
 

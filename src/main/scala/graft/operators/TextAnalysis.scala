@@ -66,7 +66,9 @@ object TextAnalysis {
     */
   def q48Tfidf(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
-    val n = docs.count() // corpus size: one cheap count, constant-folded in
+    // corpus size as a broadcast 1-row aggregate, not a driver action:
+    // at 100 TB a separate .count() would be one extra full pass
+    val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("__n"))
     val terms = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = terms.groupBy(col("doc_id"), col("token"))
@@ -74,8 +76,9 @@ object TextAnalysis {
     val df_ = terms.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("token"),
-        (col("tf").cast(DoubleType) * log(lit(n.toDouble) / col("df")))
+        (col("tf").cast(DoubleType) * log(col("__n") / col("df")))
           .as("tfidf"))
       .where(col("tfidf") >= 0.5)
   }

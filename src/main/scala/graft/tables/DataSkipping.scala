@@ -69,7 +69,17 @@ object DataSkipping {
     case _: NumericType =>
       numeric(v).map(b => new java.math.BigDecimal(stat).compareTo(b))
     case StringType =>
-      v match { case s: String => Some(stat.compareTo(s)); case _ => None }
+      // UTF8String order (unsigned UTF-8 bytes) — the order Spark used to
+      // compute the min/max and will use to evaluate the filter. Java
+      // String.compareTo (UTF-16 code units) disagrees for strings mixing
+      // supplementary-plane chars with U+E000..U+FFFF, which could prune
+      // a file that actually holds matching rows.
+      v match {
+        case s: String =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(stat)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        case _ => None
+      }
     case TimestampType =>
       (v match {
         case t: java.sql.Timestamp =>

@@ -30,11 +30,21 @@ object DeltaLikeSink {
 
   /** The foreachBatch function: append `batch` to `path` unless this
     * (query, batch) was already committed.
+    *
+    * The idempotence key is validated *inside* the commit retry loop
+    * (via `skipCommitIf`), not just before the write: two concurrent
+    * instances of the same query can both pass an up-front check, but
+    * the loser of the version race re-reads the log on rebase and finds
+    * the winner's (queryId, batchId) tag — so the batch commits exactly
+    * once. `:` is the key separator and is rejected in queryId (a
+    * colon-bearing id would make another query's tag parse as ours).
     */
   def appendBatch(path: String, queryId: String)(batch: DataFrame, batchId: Long): Unit = {
+    require(!queryId.contains(":"), s"queryId must not contain ':': $queryId")
     val log = DeltaLog.forPath(path)
     if (batchId <= lastCommittedBatch(log, queryId)) return // replayed batch
-    DeltaLikeTable.write(batch, path, "append", operation = op(queryId, batchId))
+    DeltaLikeTable.write(batch, path, "append", operation = op(queryId, batchId),
+      skipCommitIf = l => batchId <= lastCommittedBatch(l, queryId))
   }
 
   /** Wire a streaming writer to a deltalike table:

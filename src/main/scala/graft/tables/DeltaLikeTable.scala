@@ -126,12 +126,19 @@ object DeltaLikeTable {
     * write to an existing table must match its recorded schema
     * (name/type-wise), per the reference's usage (SURVEY.md §1.3).
     */
+  /** `skipCommitIf` is re-evaluated against the log before every commit
+    * attempt (including rebased retries after a concurrent-writer
+    * conflict); returning true abandons the commit and leaves any staged
+    * files unreferenced (VACUUM-cleanable) — the hook the streaming sink
+    * uses to make its (queryId, batchId) idempotence check race-free.
+    */
   def write(
       df: DataFrame,
       path: String,
       mode: String = "overwrite",
       operation: String = "WRITE",
-      partitionBy: Seq[String] = Seq.empty): DeltaLikeTable = {
+      partitionBy: Seq[String] = Seq.empty,
+      skipCommitIf: DeltaLog => Boolean = _ => false): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' not in schema"))
@@ -164,6 +171,7 @@ object DeltaLikeTable {
     var attempt = 0
     var done = false
     while (!done) {
+      if (skipCommitIf(log)) return new DeltaLikeTable(df.sparkSession, path, None)
       val version = log.latestVersion + 1
       val meta =
         if (version == 0 || mode == "overwrite")
@@ -180,6 +188,12 @@ object DeltaLikeTable {
           val head = log.snapshot()
           require(sameSchema(head.schema, df.schema),
             s"append conflict: concurrent writer changed schema to ${head.schema.toDDL}")
+          // files were staged under the pre-conflict partition layout; a
+          // concurrent overwrite that re-partitioned the table would make
+          // their paths lie about partition values — fail, don't rebase
+          require(head.partitionColumns == effectiveParts,
+            s"append conflict: concurrent writer changed partitioning to " +
+              s"${head.partitionColumns} (append staged ${effectiveParts})")
       }
     }
     new DeltaLikeTable(df.sparkSession, path, None)

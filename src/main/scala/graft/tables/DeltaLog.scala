@@ -83,11 +83,15 @@ final class DeltaLog(val tableRoot: String) {
   /** Highest committed version, or -1 for a nonexistent table. */
   def latestVersion: Long =
     if (!Files.isDirectory(logDir)) -1L
-    else
-      Files.list(logDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case VersionFile(v) => v.toLong }
-        .foldLeft(-1L)(math.max)
+    else {
+      val s = Files.list(logDir)
+      try
+        s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case VersionFile(v) => v.toLong }
+          .foldLeft(-1L)(math.max)
+      finally s.close()
+    }
 
   def actions(version: Long): Seq[Action] = {
     val f = logDir.resolve(f"$version%08d.json")
