@@ -34,5 +34,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_similarity expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(
+        classOf[HyperplaneBuckets].getName, null, "hyperplane_buckets",
+        "hyperplane_buckets(e, dim, tables, bits, seed) - LSH bucket keys, " +
+          "one packed sign-bit int per hash table",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 5,
+          s"hyperplane_buckets expects 5 arguments, got ${children.length}")
+        // shape args must be literals: the plane matrix is baked into the
+        // expression at plan time
+        def intArg(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_buckets arg ${i + 1} must be an int literal, got $other")
+        }
+        def longArg(i: Int): Long = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_buckets arg ${i + 1} must be a long literal, got $other")
+        }
+        HyperplaneBuckets(children.head, intArg(1), intArg(2), intArg(3), longArg(4))
+      }))
   }
 }

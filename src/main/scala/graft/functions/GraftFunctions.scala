@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Column-API entry points for the engine's native functions. These
   * resolve through the session function registry, so the session must
@@ -17,4 +17,11 @@ object GraftFunctions {
     */
   def cosineSimilarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+
+  /** Fused LSH sign-bit projection (see [[HyperplaneBuckets]]): all
+    * `tables` bucket keys for one embedding in a single codegen'd
+    * matrix–vector pass.
+    */
+  def hyperplaneBuckets(e: Column, dim: Int, tables: Int, bits: Int, seed: Long): Column =
+    call_function("hyperplane_buckets", e, lit(dim), lit(tables), lit(bits), lit(seed))
 }

@@ -172,24 +172,13 @@ object NearDup {
       tables: Int = 8,
       bitsPerTable: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    // deterministic gaussian hyperplanes, materialized as literal arrays
-    def plane(): Column = array(Seq.fill(dim)(lit(rnd.nextGaussian())): _*)
-
-    val base = vectors.select(
-      col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
-
-    // per-table bucket key: bitsPerTable sign bits packed into an int
-    val bucketCols = (0 until tables).map { t =>
-      (0 until bitsPerTable).map { j =>
-        val proj = aggregate(
-          zip_with(col("__e"), plane(), (x, y) => x * y), lit(0.0), (a, v) => a + v)
-        when(proj > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"__b_$t")
-    }
-    val bucketed = base.select(col("__id") +: col("__e") +: bucketCols: _*)
-      .select(col("__id"), col("__e"),
-        posexplode(array((0 until tables).map(t => col(s"__b_$t")): _*)))
+    // per-table packed sign-bit bucket keys in one fused codegen pass
+    // (seed-identical to the historical per-plane HOF folds — see
+    // HyperplaneBuckets)
+    val bucketed = vectors.select(
+      col(idCol).as("__id"), toDouble(col(embCol)).as("__e"),
+      posexplode(graft.functions.GraftFunctions
+        .hyperplaneBuckets(col(embCol), dim, tables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "__t")
       .withColumnRenamed("col", "__bucket")
 

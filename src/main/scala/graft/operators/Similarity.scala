@@ -71,27 +71,16 @@ object Similarity {
       tables: Int = 8,
       bitsPerTable: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    def plane(): Seq[Column] = Seq.fill(dim)(lit(rnd.nextGaussian()))
-    // one shared set of hyperplanes: both sides must bucket identically
-    val planes: Seq[Seq[Seq[Column]]] =
-      Seq.fill(tables)(Seq.fill(bitsPerTable)(plane()))
-
-    def bucketize(df: DataFrame, id: String, emb: String): DataFrame = {
-      val e = toDouble(col(emb))
-      val buckets = planes.zipWithIndex.map { case (tbl, t) =>
-        tbl.zipWithIndex.map { case (p, j) =>
-          val proj = aggregate(
-            zip_with(e, array(p: _*), (x, y) => x * y), lit(0.0), (a, v) => a + v)
-          when(proj > 0, lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _).as(s"__b_$t")
-      }
-      df.select(col(id).as("__id") +: e.as("__e") +: buckets: _*)
-        .select(col("__id"), col("__e"),
-          posexplode(array((0 until tables).map(t => col(s"__b_$t")): _*)))
+    // one fused codegen pass per row computes every table's packed
+    // sign-bit key (seed-identical to the historical per-plane HOF folds
+    // — see HyperplaneBuckets); both sides share the planes so they
+    // bucket identically
+    def bucketize(df: DataFrame, id: String, emb: String): DataFrame =
+      df.select(col(id).as("__id"), toDouble(col(emb)).as("__e"),
+        posexplode(graft.functions.GraftFunctions
+          .hyperplaneBuckets(col(emb), dim, tables, bitsPerTable, seed)))
         .withColumnRenamed("pos", "__t")
         .withColumnRenamed("col", "__bucket")
-    }
 
     val corpus = bucketize(vectors, idCol, embCol)
     val probes = bucketize(queries, idCol, embCol)

@@ -70,6 +70,45 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { run(Seq(1.0), Seq(1.0, 2.0)) } // length mismatch
   }
 
+  test("hyperplane_buckets matches the interpreted HOF fold bit-for-bit") {
+    val dim = 64; val tables = 8; val bits = 8; val seed = 42L
+    val e = Tables.embeddings(spark, sfDir).limit(300)
+    // the historical formulation: one aggregate(zip_with(e, plane)) fold
+    // per (table, bit), planes drawn in the same t-major order
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(lit(rnd.nextGaussian()))))
+    val eD = transform(col("embedding"), x => x.cast(DoubleType))
+    val hofKeys = planes.map { tbl =>
+      tbl.zipWithIndex.map { case (p, j) =>
+        val proj = aggregate(
+          zip_with(eD, array(p: _*), (x, y) => x * y), lit(0.0), (a, v) => a + v)
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val both = e.select(
+      col("vec_id"),
+      GraftFunctions.hyperplaneBuckets(col("embedding"), dim, tables, bits, seed)
+        .as("fused"),
+      array(hofKeys: _*).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: fused=${r.getSeq[Int](1)} hof=${r.getSeq[Int](2)}")
+    }
+  }
+
+  test("hyperplane_buckets participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = e.select(
+      GraftFunctions.hyperplaneBuckets(col("embedding"), 64, 8, 8, 42L).as("b"))
+      .queryExecution.executedPlan
+    val codegenStages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty, s"no codegen stage in:\n$plan")
+    assert(codegenStages.exists(_.toString.contains("hyperplane_buckets")),
+      s"hyperplane_buckets not inside codegen stage:\n$plan")
+  }
+
   test("VectorAvg aggregator computes per-label centroids") {
     val e = Tables.embeddings(spark, sfDir)
     val got = e.groupBy(col("label"))
