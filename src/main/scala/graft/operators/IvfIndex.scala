@@ -102,4 +102,38 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
   }
+
+  /** Declared q44: IVF search over twin queries (see
+    * [[Similarity.twinQueries]]), gated two ways: each twin must come
+    * back at rank 1 (deterministic — an identical vector's list is the
+    * query's top probe), and the per-query overlap with the brute-force
+    * exact top-10 must clear a calibrated floor. Probe/build regressions
+    * go driver-visible red.
+    */
+  def q44IvfRecallGate(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = graft.core.Tables.embeddings(spark, d)
+    val corpus = e.where(col("vec_id") >= 5)
+    val twins = Similarity.twinQueries(e)
+    val ivf = build(corpus, "vec_id", "embedding", 64, nLists = 8)
+    val approx = search(ivf, twins, "vec_id", "embedding", k = 10, nProbe = 3)
+    val twinHit = approx.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        max(when(col("rank") === 1 &&
+          col("vec_id") === col("query_id") - 10000L, 1)).as("__t"))
+    val exact = Similarity.bruteCosineTopK(corpus, twins, "vec_id", "embedding")
+      .select(col("query_id"), col("vec_id"))
+    exact
+      .join(approx.select(col("query_id"), col("vec_id"), lit(1).as("__f")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n"), count(col("__f")).as("__hits"))
+      .join(twinHit, Seq("query_id"))
+      .select(col("query_id"), col("k"), (col("__t") === 1).as("twin_at_rank_1"),
+        (col("__hits").cast(DoubleType) / col("__n") >= 0.2).as("overlap_ge_020"))
+  }
+
+  val q44Sql: String =
+    """SELECT vec_id + 10000 AS query_id, CAST(10 AS BIGINT) AS k,
+      | true AS twin_at_rank_1, true AS overlap_ge_020
+      |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
 }

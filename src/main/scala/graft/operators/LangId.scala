@@ -30,9 +30,17 @@ object LangId {
       .drop("__padded", "__pos")
 
   /** Train per-language trigram profiles: the `topN` most frequent
-    * trigrams per label with their in-language relative frequency.
+    * trigrams per label with raw in-language counts.
     *
-    * @return (lang, trigram, weight) — small; intended for broadcast
+    * The profile carries the integer count `n` and the language's total
+    * trigram count `total` rather than a precomputed float weight:
+    * scoring then sums exact integers and divides ONCE, so the score is
+    * bit-identical regardless of aggregation order (and across engines
+    * — IEEE division of the same integers is deterministic), which is
+    * what lets the declared q45 be hash-checked against a SQL oracle.
+    * `weight` (= n/total) is still provided for inspection.
+    *
+    * @return (lang, trigram, n, total, weight) — small; broadcast side
     */
   def trainProfiles(
       labeled: DataFrame,
@@ -49,11 +57,12 @@ object LangId {
       .withColumn("__total", sum(col("__n")).over(total))
       .where(col("__rank") <= topN)
       .select(col("__lang").as("lang"), col("__tri").as("trigram"),
+        col("__n").as("n"), col("__total").as("total"),
         (col("__n").cast(DoubleType) / col("__total")).as("weight"))
   }
 
-  /** Classify each document: score = Σ weight of profile trigrams it
-    * contains (per occurrence), normalized by document trigram count;
+  /** Classify each document: score = (Σ occurrences·n) / total over the
+    * language's profile trigrams — one exact integer sum, one division;
     * predicted language = argmax score (ties → lexicographic lang).
     */
   def classify(
@@ -67,7 +76,9 @@ object LangId {
     val scored = tri
       .join(broadcast(profiles), tri("__tri") === profiles("trigram"))
       .groupBy(col("__id"), col("lang"))
-      .agg(sum(col("__occ") * col("weight")).as("__score"))
+      .agg(sum(col("__occ") * col("n")).as("__num"), max(col("total")).as("__total"))
+      .select(col("__id"), col("lang"),
+        (col("__num").cast(DoubleType) / col("__total")).as("__score"))
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__score").desc, col("lang"))
     scored
@@ -76,4 +87,36 @@ object LangId {
       .select(col("__id").as(idCol), col("lang").as("predicted_lang"),
         col("__score").as("lang_score"))
   }
+
+  /** Oracle for the declared q45 (train on the labeled corpus, classify
+    * the same corpus): full SQL replication of [[trainProfiles]] +
+    * [[classify]] — trigram explode, top-300 profile per language
+    * (count desc, trigram asc), exact integer scoring, one division,
+    * argmax with lexicographic tie-break.
+    */
+  val q45Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, '  ' || lower(text) || '  ' AS p FROM documents),
+      |tri AS (
+      |  SELECT doc_id, lang,
+      |   unnest(list_transform(range(1, length(p) - 1),
+      |     i -> substring(p, CAST(i AS INT), 3))) AS tg
+      |  FROM docs),
+      |counts AS (SELECT lang, tg, count(*) AS n FROM tri GROUP BY 1, 2),
+      |totals AS (SELECT lang, sum(n) AS total FROM counts GROUP BY 1),
+      |prof AS (
+      |  SELECT r.lang, tg, n, total FROM (
+      |    SELECT lang, tg, n,
+      |     row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS rk
+      |    FROM counts) r JOIN totals USING (lang) WHERE rk <= 300),
+      |occ AS (SELECT doc_id, tg, count(*) AS occ FROM tri GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, prof.lang, CAST(sum(occ * n) AS DOUBLE) / max(total) AS score
+      |  FROM occ JOIN prof USING (tg) GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, lang, score,
+      |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      |  FROM sc)
+      |SELECT doc_id, lang AS predicted_lang, score AS lang_score
+      |FROM ranked WHERE rn = 1""".stripMargin
 }

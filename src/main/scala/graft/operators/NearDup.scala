@@ -84,6 +84,78 @@ object NearDup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash-LSH candidates verified with EXACT shingle-set Jaccard —
+    * the production dedup pipeline shape (candidates → verify), and the
+    * form whose output is exactly comparable to an all-pairs oracle:
+    * precision is 1 by construction, and recall is 1 whenever every
+    * true pair ≥ `threshold` collides in ≥1 band (deterministic given
+    * the seed; the driver's DuckDB compare is the gate, and the spec
+    * measures recall explicitly). Candidate volume is O(n·bands), the
+    * exact join only touches candidate pairs.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, exact jaccard ≥
+    *         `threshold`
+    */
+  def minHashVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.6,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val sets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), shingleSet(col(textCol)).as("__sh"))
+      .where(size(col("__sh")) > 0)
+    // candidates: every banded collision, no estimate filter — the exact
+    // verification below decides
+    val candidates = minHashPairs(docs, idCol, textCol,
+      numHashes = numHashes, bands = bands, threshold = 0.0, seed = seed)
+      .select(col("id_a"), col("id_b"))
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType) /
+          (size(col("__sh_a")) + size(col("__sh_b")) -
+            size(array_intersect(col("__sh_a"), col("__sh_b"))))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Oracle for [[minHashVerifiedPairs]]: the naive exact all-pairs
+    * Jaccard join (safe at oracle scale), column-aligned with the
+    * declared query.
+    */
+  val q35Sql: String =
+    """SELECT id_a, id_b, jaccard FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      | FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |       WHERE len(t) >= 3) a
+      | JOIN (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |       WHERE len(t) >= 3) b
+      | ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.6""".stripMargin
+
+  /** Portable 60-bit hash: 15 hex digits of md5 packed 4 bits each —
+    * reproducible in any engine with md5/substring/ascii (the declared
+    * q36 is hash-checked against a DuckDB oracle recomputing it).
+    * 60 not 64 bits so the packed value stays inside a signed long.
+    */
+  private[operators] def portable60(s: Column): Column = {
+    val m = md5(s)
+    (0 until 15).map { c =>
+      val a = ascii(substring(m, c + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast(LongType) * (1L << (4 * c))
+    }.reduce(_ + _)
+  }
+
   /** SimHash near-duplicate pairs with exact Hamming verification.
     *
     * 64-bit SimHash over the shingle set (per-bit ±1 votes, sign →
@@ -93,6 +165,11 @@ object NearDup {
     * recall is 100% — this is an exact algorithm with an LSH-shaped
     * cost profile.
     *
+    * `portableHash` swaps xxhash64 (fast production default) for the
+    * md5-derived [[portable60]] (60-bit), making the whole result
+    * engine-reproducible — the declared q36 runs that variant so the
+    * DuckDB oracle can recompute the exact Hamming pairs.
+    *
     * @return (idA, idB, hamming) with hamming ≤ `maxHamming`
     */
   def simHashPairs(
@@ -100,15 +177,18 @@ object NearDup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4,
+      portableHash: Boolean = false): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
-    val bits = 64
+    val bits = if (portableHash) 60 else 64
+    require(bits % chunks == 0, s"chunks must divide $bits")
     val chunkBits = bits / chunks
 
     val exploded = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), explode(shingleSet(col(textCol))).as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+      .select(col("__id"),
+        (if (portableHash) portable60(col("__s")) else xxhash64(col("__s"))).as("__h"))
 
     val voteCols = (0 until bits).map { i =>
       sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"__v_$i")
@@ -139,6 +219,38 @@ object NearDup {
         bit_count(col("__fp_a").bitwiseXOR(col("__fp_b"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle for the declared q36 (portable-hash SimHash): full SQL
+    * recomputation — shingles, md5-packed 60-bit hashes, per-bit ±1
+    * votes, fingerprint pack, exact all-pairs Hamming ≤ 3. Because the
+    * pigeonhole banding is exact, the banded Spark result must equal
+    * this brute-force recompute bit-for-bit.
+    */
+  val q36Sql: String = {
+    val h60 = (0 until 15).map { c =>
+      s"(CASE WHEN ascii(substring(m, ${c + 1}, 1)) >= 97 " +
+        s"THEN ascii(substring(m, ${c + 1}, 1)) - 87 " +
+        s"ELSE ascii(substring(m, ${c + 1}, 1)) - 48 END) * CAST(${1L << (4 * c)} AS BIGINT)"
+    }.mkString(" + ")
+    val votes = (0 until 60).map { i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val pack = (0 until 60).map { i =>
+      s"(CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sh AS (
+       | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+       |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       | WHERE len(t) >= 3),
+       |h AS (SELECT doc_id, $h60 AS h FROM (SELECT doc_id, md5(s) AS m FROM sh)),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $pack AS fp FROM v)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
   /** Cosine of two double-array columns, computed as one sequential fold

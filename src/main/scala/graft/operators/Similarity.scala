@@ -20,24 +20,36 @@ object Similarity {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  /** Brute-force top-k cosine neighbors for a fixed query set (vec_id <
-    * 5) against the rest of the corpus. The query side is broadcast —
-    * the join is shuffle-free; the window ranks per query.
+  /** Brute-force top-k cosine neighbors — the exact baseline. The query
+    * side is broadcast so the join is shuffle-free; the rank window's
+    * sort runs per shuffle partition with WindowGroupLimit pushdown.
     */
-  def q32CosineTopK(spark: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(spark, d)
-    val queries = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val candidates = e.where(col("vec_id") >= 5)
-      .select(col("vec_id"), col("embedding").as("ce"))
+  def bruteCosineTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    candidates.crossJoin(broadcast(queries))
+    c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.GraftFunctions
           .cosineSimilarity(col("ce"), col("qe")).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
+      .where(col("rank") <= k)
+  }
+
+  /** Declared q32: brute-force top-10 for the fixed query set (vec_id <
+    * 5) against the rest of the corpus.
+    */
+  def q32CosineTopK(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    bruteCosineTopK(e.where(col("vec_id") >= 5), e.where(col("vec_id") < 5),
+      "vec_id", "embedding")
   }
 
   val q32Sql: String =
@@ -97,4 +109,36 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Twin query set: five corpus vectors re-labeled (+10000). Each twin
+    * query has a deterministic exact nearest neighbor — its identical
+    * original at cosine 1.0 — which sign-LSH and IVF MUST retrieve at
+    * rank 1 (an identical vector lands in identical buckets / the same
+    * probed list regardless of seed or config). This makes a hard
+    * driver-visible gate possible on a fixture with no planted
+    * high-similarity pairs (max non-twin pair cosine ≈ 0.5, a regime
+    * outside the LSH retrieval contract; graded-recall behavior on
+    * planted neighborhoods is measured in NearDupSpec/IvfIndexSpec).
+    */
+  private[operators] def twinQueries(e: DataFrame): DataFrame =
+    e.where(col("vec_id").between(5, 9))
+      .select((col("vec_id") + lit(10000L)).as("vec_id"), col("embedding"))
+
+  /** Declared q37: ANN search over twin queries; the oracle pins the
+    * query set and asserts each twin is retrieved at rank 1 — a
+    * bucketing, join, or ranking regression goes driver-visible red.
+    */
+  def q37AnnRecallGate(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    val ann = annCosineTopK(
+      e.where(col("vec_id") >= 5), twinQueries(e), "vec_id", "embedding", 64)
+    ann.groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1 &&
+        col("vec_id") === col("query_id") - 10000L, 1)).as("__t"))
+      .select(col("query_id"), (col("__t") === 1).as("twin_at_rank_1"))
+  }
+
+  val q37Sql: String =
+    """SELECT vec_id + 10000 AS query_id, true AS twin_at_rank_1
+      |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
 }

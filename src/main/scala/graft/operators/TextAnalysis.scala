@@ -102,25 +102,71 @@ object TextAnalysis {
     * plagiarism/copy detection. Guarantee: any shared substring of
     * length ≥ window+k−1 contributes at least one common fingerprint.
     *
-    * Pure per-row expressions: k-gram hashes via xxhash64 substrings,
-    * window minima via a transform over positions — no shuffle at all.
+    * Pure per-row expressions: k-gram hashes via xxhash64 substrings
+    * (or, with `portableHash`, a base-31 polynomial over code points
+    * that any engine reproduces exactly — the declared q46 uses it so
+    * the DuckDB oracle can recompute the fingerprints), window minima
+    * via a transform over positions — no shuffle at all. Winnowing only
+    * needs hash *determinism*, not distribution, so the polynomial is a
+    * valid fingerprint family.
     */
   def winnowFingerprints(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 8,
-      window: Int = 6): DataFrame = {
+      window: Int = 6,
+      portableHash: Boolean = false): DataFrame = {
+    val gramHash =
+      if (portableHash)
+        (0 until k).map(j =>
+          s"CAST(ascii(substring(__t, i + $j, 1)) AS BIGINT) * ${pow31(j)}")
+          .mkString(" + ")
+      else s"xxhash64(substring(__t, i, $k))"
     docs
       .withColumn("__t", lower(col(textCol)))
       .withColumn("__hashes", expr(
         s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), " +
-          s"i -> xxhash64(substring(__t, i, $k)))"))
+          s"i -> $gramHash)"))
       .withColumn("__mins", expr(
         s"array_distinct(transform(sequence(1, greatest(size(__hashes) - ${window - 1}, 1)), " +
           s"i -> array_min(slice(__hashes, i, $window))))"))
       .select(col(idCol), col("__mins").as("fingerprints"),
         size(col("__mins")).as("n_fingerprints"))
+  }
+
+  private def pow31(j: Int): Long = (0 until j).foldLeft(1L)((a, _) => a * 31L)
+
+  /** Declared q46: portable-hash winnowing, projected to exactly
+    * recomputable scalars (count + min/max fingerprint).
+    */
+  def q46WinnowFingerprints(spark: SparkSession, d: String): DataFrame =
+    winnowFingerprints(Tables.documents(spark, d), "doc_id", "text",
+      portableHash = true)
+      .select(col("doc_id"), col("n_fingerprints"),
+        array_min(col("fingerprints")).as("fp_min"),
+        array_max(col("fingerprints")).as("fp_max"))
+
+  /** Oracle for q46: full SQL recomputation of the winnowing pipeline —
+    * base-31 polynomial 8-gram hashes, 6-windows (end-inclusive slices),
+    * rightmost-robust distinct minima.
+    */
+  val q46Sql: String = {
+    val poly = (0 until 8).map(j =>
+      s"CAST(ascii(substring(p, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pow31(j)}")
+      .mkString(" + ")
+    s"""WITH g AS (
+       | SELECT doc_id, list_transform(range(1, greatest(length(p) - 7, 1) + 1),
+       |   i -> $poly) AS hs
+       | FROM (SELECT doc_id, lower(text) AS p FROM documents)),
+       |m AS (
+       | SELECT doc_id, list_distinct(list_transform(
+       |   range(1, greatest(len(hs) - 5, 1) + 1),
+       |   i -> list_min(array_slice(hs, i, i + 5)))) AS mins
+       | FROM g)
+       |SELECT doc_id, CAST(len(mins) AS INT) AS n_fingerprints,
+       | list_min(mins) AS fp_min, list_max(mins) AS fp_max
+       |FROM m""".stripMargin
   }
 
   /** Per-language corpus quality profile: doc counts, length stats,
