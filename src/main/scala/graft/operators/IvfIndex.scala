@@ -30,18 +30,23 @@ object IvfIndex {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast(DoubleType))
 
-  /** Assign every vector to its max-cosine centroid (one broadcast join
-    * + one window).
+  /** Assign every vector to its max-cosine centroid: one broadcast join
+    * + one `max_by` hash aggregate. The previous window-argmax shuffled
+    * n·nLists rows and SORTED each __id group just to keep rank 1; the
+    * aggregate keeps one running best per vector (partial map-side, no
+    * sort) — the shape that survives 100 TB. Ties break to the lowest
+    * list_id via the (sim, -list_id) ordering struct, matching the old
+    * window's (sim desc, list_id asc).
     */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("list_id"))
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
       .withColumn("__sim",
         GraftFunctions.cosineSimilarity(col("__e"), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__id"), col("list_id"), col("__e"))
-  }
+      .groupBy(col("__id"))
+      .agg(max_by(
+        struct(col("list_id"), col("__e")),
+        struct(col("__sim"), (-col("list_id")).as("__nl"))).as("__best"))
+      .select(col("__id"), col("__best.list_id").as("list_id"), col("__best.__e").as("__e"))
 
   def build(
       vectors: DataFrame,
@@ -54,12 +59,16 @@ object IvfIndex {
     val base = vectors.select(
       col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
 
-    // deterministic hash-ordered sample as initial centroids
+    // deterministic hash-ordered sample as initial centroids; the window
+    // runs over the already-limited nLists rows — a constant partition
+    // key keeps it off the unpartitioned-window path (and its WARN)
+    // without implying this would ever see table-scale data
     var centroids = base
       .orderBy(xxhash64(col("__id"), lit(seed)))
       .limit(nLists)
       .withColumn("list_id",
-        row_number().over(Window.orderBy(xxhash64(col("__id"), lit(seed)))))
+        row_number().over(
+          Window.partitionBy(lit(0)).orderBy(xxhash64(col("__id"), lit(seed)))))
       .select(col("list_id"), col("__e").as("centroid"))
 
     (1 to iterations).foreach { _ =>

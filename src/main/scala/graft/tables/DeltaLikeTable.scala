@@ -222,10 +222,10 @@ object DeltaLikeTable {
     *
     * The parquet job writes to a staging subdir; files are then moved
     * (same-filesystem rename — metadata-only) into the table root. Stats
-    * come from one aggregate over the staged files grouped by
-    * `_metadata.file_path` — a single extra scan of freshly written data.
-    * On a cluster writer the same stats would be accumulated in the write
-    * tasks themselves; the log format is agnostic to how they were made.
+    * come from the parquet FOOTERS the write job already produced
+    * ([[FooterStats]]) — metadata-only I/O, so each write scans its data
+    * exactly once. Timestamps are staged as TIMESTAMP_MICROS (not INT96)
+    * so their footer stats exist and order correctly.
     */
   private[tables] def stageFiles(
       df: DataFrame,
@@ -233,10 +233,18 @@ object DeltaLikeTable {
       partitionBy: Seq[String] = Seq.empty): Seq[AddFile] = {
     val stageName = s"_stage-${UUID.randomUUID().toString.take(8)}"
     val stageDir = Paths.get(tableRoot, stageName)
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(stageDir.toString)
     val spark = df.sparkSession
+    val tsConfKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsConfKey)
+    spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(stageDir.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsConfKey, v)
+      case None    => spark.conf.unset(tsConfKey)
+    }
     // relative paths, partition subdirs included (e.g. "k=1/part-….parquet")
     val parts = Files.walk(stageDir).iterator().asScala
       .filter(p => Files.isRegularFile(p))
@@ -246,62 +254,17 @@ object DeltaLikeTable {
       .toSeq.sorted
     if (parts.isEmpty) { deleteRecursively(stageDir); return Seq.empty }
 
-    // one stats pass; on partitioned stages the whole-directory read
-    // reconstructs the partition columns, so they get min=max=value
-    // stats — file pruning on partition predicates falls out of the
-    // ordinary data-skipping path with no special casing
-    val statted = statsForFiles(
-      spark.read.schema(df.schema).parquet(stageDir.toString), df.schema)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val statted = parts.map { rel =>
+      FooterStats.forFile(hadoopConf, stageDir.resolve(rel), rel, df.schema, partitionBy)
+    }
     parts.foreach { rel =>
       val target = Paths.get(tableRoot, rel)
       Files.createDirectories(target.getParent)
       Files.move(stageDir.resolve(rel), target, StandardCopyOption.ATOMIC_MOVE)
     }
     deleteRecursively(stageDir)
-    statted.map { a =>
-      // _metadata.file_path is an absolute URI; keep the path relative to
-      // the staging root (which mirrors the table root after the moves)
-      val marker = s"$stageName/"
-      val idx = a.path.indexOf(marker)
-      require(idx >= 0, s"unexpected staged path ${a.path}")
-      val rel = a.path.substring(idx + marker.length)
-      a.copy(path = rel, sizeBytes = Files.size(Paths.get(tableRoot, rel)))
-    }
-  }
-
-  /** One pass over a file-sourced DataFrame → per-file stats. */
-  private[tables] def statsForFiles(df: DataFrame, schema: StructType): Seq[AddFile] = {
-    val statCols = schema.fields.filter(f => statsSupported(f.dataType))
-    val aggs =
-      count(lit(1)).as("__n") +:
-        statCols.flatMap { f =>
-          Seq(
-            min(col(f.name)).as(s"__min_${f.name}"),
-            max(col(f.name)).as(s"__max_${f.name}"),
-            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
-        }.toSeq
-    df.groupBy(col("_metadata.file_path").as(FileCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { row =>
-        val mins = scala.collection.mutable.Map.empty[String, String]
-        val maxs = scala.collection.mutable.Map.empty[String, String]
-        val nulls = scala.collection.mutable.Map.empty[String, Long]
-        statCols.foreach { f =>
-          val mi = row.getAs[Any](s"__min_${f.name}")
-          val ma = row.getAs[Any](s"__max_${f.name}")
-          if (mi != null) mins(f.name) = encodeStat(mi, f.dataType)
-          if (ma != null) maxs(f.name) = encodeStat(ma, f.dataType)
-          nulls(f.name) = row.getAs[Long](s"__nulls_${f.name}")
-        }
-        AddFile(row.getAs[String](FileCol), 0L, row.getAs[Long]("__n"),
-          mins.toMap, maxs.toMap, nulls.toMap)
-      }.toSeq
-  }
-
-  private def statsSupported(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
-    case _ => false
+    statted
   }
 
   /** Encode a stat value so it can be compared after a log round-trip:

@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *     nondeterministic otherwise).
   *  3. *Commit*: remove(touched) + add(new files) as one log version.
   */
+object MergeBuilder {
+  /** Above this many touched files, phase 1 filters via broadcast
+    * semi-join instead of an IN-list literal.
+    */
+  private[tables] val InListFileThreshold = 1000
+}
+
 final class MergeBuilder private[tables] (
     table: DeltaLikeTable,
     targetAlias: Option[String],
@@ -90,13 +97,31 @@ final class MergeBuilder private[tables] (
     val touchedAbs = target.join(src, condition, "left_semi")
       .select(col(DeltaLikeTable.FileCol)).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSet
-    val touchedRel = snap.files.map(_.path)
-      .filter(p => touchedAbs.exists(_.endsWith(s"/$p")))
+    // resolve the _metadata URIs back to log-relative paths via a set
+    // intersection (O(files)), not a suffix scan (O(files × touched))
+    val tableRootAbs = java.nio.file.Paths.get(snap.tableRoot).toAbsolutePath
+    val touchedRelSet = touchedAbs.map { abs =>
+      tableRootAbs.relativize(
+        java.nio.file.Paths.get(new java.net.URI(abs).getPath)).toString
+    }
+    val touchedRel = snap.files.map(_.path).filter(touchedRelSet.contains)
 
-    // rows that can possibly match live only in touched files
-    val touchedRows = target.where(
-      if (touchedAbs.isEmpty) lit(false)
-      else col(DeltaLikeTable.FileCol).isin(touchedAbs.toSeq: _*))
+    // rows that can possibly match live only in touched files. A small
+    // touched set filters with an IN-list (pushable to the scan); past
+    // the threshold an IN-list literal would be a multi-MB expression at
+    // 100 TB file counts, so switch to a broadcast semi-join on the
+    // file-path metadata column — same pruning, plan-sized metadata.
+    val touchedRows =
+      if (touchedAbs.isEmpty) target.where(lit(false))
+      else if (touchedAbs.size <= MergeBuilder.InListFileThreshold)
+        target.where(col(DeltaLikeTable.FileCol).isin(touchedAbs.toSeq: _*))
+      else {
+        import org.apache.spark.sql.Encoders
+        val touchedDf = spark.createDataset(touchedAbs.toSeq)(Encoders.STRING)
+          .toDF("__graft_touched_path")
+        target.join(broadcast(touchedDf),
+          col(DeltaLikeTable.FileCol) === col("__graft_touched_path"), "left_semi")
+      }
 
     // phase 2a: cardinality guard. (file, row_index) identifies a physical
     // target row uniquely without caching or driver-side ids.
