@@ -90,9 +90,7 @@ final class DeltaLikeTable private (
       case a: AddFile => a.path
     }.distinct
     val doomed = all.filterNot(referenced.contains)
-    doomed.foreach { p =>
-      Files.deleteIfExists(Paths.get(path, p))
-    }
+    doomed.foreach(p => log.io.delete(s"$path/$p"))
     doomed
   }
 
@@ -103,11 +101,14 @@ final class DeltaLikeTable private (
   def generate(mode: String): Unit = {
     require(mode == "symlink_format_manifest", s"unsupported generate mode: $mode")
     val snap = log.snapshot()
-    val dir = Paths.get(path, "_symlink_format_manifest")
-    Files.createDirectories(dir)
-    Files.writeString(dir.resolve("manifest"),
-      snap.filePaths.map(p => Paths.get(p).toAbsolutePath.toString)
-        .mkString("", "\n", "\n"))
+    val dir = s"$path/_symlink_format_manifest"
+    log.io.mkdirs(dir)
+    val entries = snap.filePaths.map { p =>
+      if (new org.apache.hadoop.fs.Path(p).toUri.getScheme == null)
+        Paths.get(p).toAbsolutePath.toString
+      else p
+    }
+    log.io.writeString(s"$dir/manifest", entries.mkString("", "\n", "\n"))
   }
 }
 
@@ -231,8 +232,9 @@ object DeltaLikeTable {
       df: DataFrame,
       tableRoot: String,
       partitionBy: Seq[String] = Seq.empty): Seq[AddFile] = {
+    val io = TableIO.forPath(tableRoot)
     val stageName = s"_stage-${UUID.randomUUID().toString.take(8)}"
-    val stageDir = Paths.get(tableRoot, stageName)
+    val stageDir = s"$tableRoot/$stageName"
     val spark = df.sparkSession
     val tsConfKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsConfKey)
@@ -240,30 +242,30 @@ object DeltaLikeTable {
     try {
       val writer = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(stageDir.toString)
+        .parquet(stageDir)
     } finally prevTs match {
       case Some(v) => spark.conf.set(tsConfKey, v)
       case None    => spark.conf.unset(tsConfKey)
     }
     // relative paths, partition subdirs included (e.g. "k=1/part-….parquet")
-    val parts = Files.walk(stageDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .map(p => stageDir.relativize(p).toString)
-      .filter(n => Paths.get(n).getFileName.toString.startsWith("part-") &&
+    val parts = io.walkFiles(stageDir)
+      .filter(n => n.substring(n.lastIndexOf('/') + 1).startsWith("part-") &&
         n.endsWith(".parquet"))
-      .toSeq.sorted
-    if (parts.isEmpty) { deleteRecursively(stageDir); return Seq.empty }
+      .sorted
+    if (parts.isEmpty) { io.deleteRecursively(stageDir); return Seq.empty }
 
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val statted = parts.map { rel =>
-      FooterStats.forFile(hadoopConf, stageDir.resolve(rel), rel, df.schema, partitionBy)
+      FooterStats.forFile(hadoopConf, s"$stageDir/$rel", rel,
+        io.size(s"$stageDir/$rel"), df.schema, partitionBy)
     }
     parts.foreach { rel =>
-      val target = Paths.get(tableRoot, rel)
-      Files.createDirectories(target.getParent)
-      Files.move(stageDir.resolve(rel), target, StandardCopyOption.ATOMIC_MOVE)
+      val target = s"$tableRoot/$rel"
+      val slash = rel.lastIndexOf('/')
+      if (slash > 0) io.mkdirs(s"$tableRoot/${rel.substring(0, slash)}")
+      io.rename(s"$stageDir/$rel", target)
     }
-    deleteRecursively(stageDir)
+    io.deleteRecursively(stageDir)
     statted
   }
 
@@ -280,7 +282,5 @@ object DeltaLikeTable {
   }
 
   private[tables] def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    NioTableIO.deleteRecursively(p.toString)
 }

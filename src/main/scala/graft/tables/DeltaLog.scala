@@ -1,8 +1,5 @@
 package graft.tables
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.Serialization
@@ -66,37 +63,30 @@ final case class Snapshot(
   *
   * Commit protocol (single log directory, optimistic concurrency): the
   * actions are first written to a temp file, then published under the
-  * version's final name with a hard link — `Files.createLink` is atomic
-  * and fails if the target exists, so two concurrent committers of the
-  * same version cannot both win and readers never observe a partially
-  * written log file. (On HDFS/S3 the same contract is rename-without-
-  * overwrite / put-if-absent; the protocol is identical.)
+  * version's final name atomically — a hard link on local disk,
+  * rename-without-overwrite through Hadoop [[TableIO]] elsewhere. Either
+  * way publishing fails if the target exists, so two concurrent
+  * committers of the same version cannot both win and readers never
+  * observe a partially written log file.
   */
 final class DeltaLog(val tableRoot: String) {
   import DeltaLog._
 
-  private val logDir: Path = Paths.get(tableRoot, LogDirName)
+  private[tables] val io: TableIO = TableIO.forPath(tableRoot)
+  private val logDir: String = s"$tableRoot/$LogDirName"
 
   def exists: Boolean =
-    Files.isDirectory(logDir) && latestVersion >= 0
+    io.isDir(logDir) && latestVersion >= 0
 
   /** Highest committed version, or -1 for a nonexistent table. */
   def latestVersion: Long =
-    if (!Files.isDirectory(logDir)) -1L
-    else {
-      val s = Files.list(logDir)
-      try
-        s.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case VersionFile(v) => v.toLong }
-          .foldLeft(-1L)(math.max)
-      finally s.close()
-    }
+    io.listNames(logDir)
+      .collect { case VersionFile(v) => v.toLong }
+      .foldLeft(-1L)(math.max)
 
-  def actions(version: Long): Seq[Action] = {
-    val f = logDir.resolve(f"$version%08d.json")
-    Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map(parseAction)
-  }
+  def actions(version: Long): Seq[Action] =
+    io.readLines(s"$logDir/${f"$version%08d.json"}")
+      .filter(_.nonEmpty).map(parseAction)
 
   /** Replay the log up to `version` (latest if negative). */
   def snapshot(version: Long = -1L): Snapshot = {
@@ -121,14 +111,9 @@ final class DeltaLog(val tableRoot: String) {
 
   /** Atomically publish `version`; throws if it was already committed. */
   def commit(version: Long, acts: Seq[Action]): Unit = {
-    Files.createDirectories(logDir)
-    val tmp = Files.createTempFile(logDir, s".tmp-$version-", ".json")
-    try {
-      val body = acts.map(renderAction).mkString("", "\n", "\n")
-      Files.writeString(tmp, body)
-      val target = logDir.resolve(f"$version%08d.json")
-      Files.createLink(target, tmp) // atomic create-exclusive
-    } finally Files.deleteIfExists(tmp)
+    io.mkdirs(logDir)
+    val body = acts.map(renderAction).mkString("", "\n", "\n")
+    io.writeExclusive(s"$logDir/${f"$version%08d.json"}", body)
   }
 
   def history(): Seq[(Long, Option[CommitInfo])] =

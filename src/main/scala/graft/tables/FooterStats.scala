@@ -35,12 +35,13 @@ object FooterStats {
     */
   def forFile(
       conf: Configuration,
-      file: java.nio.file.Path,
+      file: String,
       relPath: String,
+      sizeBytes: Long,
       schema: StructType,
       partitionCols: Seq[String]): AddFile = {
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(file.toUri), conf))
+      HadoopInputFile.fromPath(new HPath(file), conf))
     val (rowCount, mins, maxs, nulls) =
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -107,7 +108,7 @@ object FooterStats {
       }
     }
 
-    AddFile(relPath, java.nio.file.Files.size(file), rowCount,
+    AddFile(relPath, sizeBytes, rowCount,
       mins.toMap, maxs.toMap, nulls.toMap)
   }
 

@@ -99,10 +99,13 @@ final class MergeBuilder private[tables] (
       .collect().map(_.getString(0)).filter(_ != null).toSet
     // resolve the _metadata URIs back to log-relative paths via a set
     // intersection (O(files)), not a suffix scan (O(files × touched))
-    val tableRootAbs = java.nio.file.Paths.get(snap.tableRoot).toAbsolutePath
+    val rootUri = new org.apache.hadoop.fs.Path(snap.tableRoot).toUri
+    val rootPath =
+      if (rootUri.getScheme == null)
+        java.nio.file.Paths.get(snap.tableRoot).toAbsolutePath.toString
+      else rootUri.getPath
     val touchedRelSet = touchedAbs.map { abs =>
-      tableRootAbs.relativize(
-        java.nio.file.Paths.get(new java.net.URI(abs).getPath)).toString
+      new java.net.URI(abs).getPath.stripPrefix(rootPath).stripPrefix("/")
     }
     val touchedRel = snap.files.map(_.path).filter(touchedRelSet.contains)
 
