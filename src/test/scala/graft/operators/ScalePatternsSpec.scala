@@ -54,6 +54,68 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AQE splits the skewed orders join; salting bounds per-partition rows") {
+    // hot-key orders fixture: ~90% of orders collapse onto one customer
+    val sp2 = spark.newSession()
+    sp2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sp2.conf.set("spark.sql.adaptive.enabled", "true")
+    sp2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    sp2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sp2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    sp2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192")
+    sp2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+    val d = "/root/testdata/sf0.01"
+    // repartition ahead of the join: AQE splits a skewed reduce partition
+    // at map-output-block granularity, and the single-row-group fixture
+    // file would otherwise produce exactly one map block (unsplittable)
+    val hotOrders = graft.core.Tables.orders(sp2, d)
+      .repartition(16)
+      .withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(10)) < 9, lit(1L))
+          .otherwise(pmod(col("o_orderkey"), lit(50))))
+    val dim = graft.core.Tables.customer(sp2, d)
+      .select(col("c_custkey"), col("c_name"))
+
+    // 1) AQE runtime re-plan: the hot shuffle partition must be split —
+    //    the executed SortMergeJoin carries the isSkewJoin marker
+    val joined = hotOrders.join(dim,
+      hotOrders("o_custkey") === dim("c_custkey"))
+    // execute THIS DataFrame's own query execution (count() would build a
+    // separate plan and leave joined's adaptive plan in its initial state)
+    joined.collect()
+    // the final adaptive plan nests the join inside query-stage wrappers
+    // (leaf nodes to collect()), so assert on the rendered plan: a skewed
+    // AQEShuffleRead is how a split shows up
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+      s"expected a shuffled join in:\n$planStr")
+    // a split skewed partition prints as "AQEShuffleRead skewed" (or
+    // "coalesced and skewed" when both optimizations applied)
+    assert(planStr.contains("skewed"),
+      s"AQE did not split the skewed partition:\n$planStr")
+
+    // 2) explicit salting: the (key, salt) group sizes — which bound the
+    //    join's per-partition work — must spread the hot key ~saltFactor
+    //    ways, and the result must still equal the plain join
+    val saltFactor = 8
+    val hotCount = hotOrders.where(col("o_custkey") === 1L).count()
+    val saltSizes = hotOrders
+      .withColumn("__s",
+        pmod(xxhash64(hotOrders.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      .where(col("o_custkey") === 1L)
+      .groupBy(col("__s")).count().collect().map(_.getLong(1))
+    assert(saltSizes.length === saltFactor,
+      s"hot key not spread over all salts: ${saltSizes.toSeq}")
+    assert(saltSizes.max <= 2L * hotCount / saltFactor,
+      s"salt skew: max ${saltSizes.max} of $hotCount rows")
+    val dimKeyed = dim.withColumnRenamed("c_custkey", "o_custkey")
+    val salted = Skew.saltedJoin(hotOrders, dimKeyed, "o_custkey", saltFactor,
+      "inner")
+    assert(salted.count() ===
+      hotOrders.join(dim,
+        hotOrders("o_custkey") === dim("c_custkey")).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val sp = spark; import sp.implicits._
     val a = (1 to 5000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
