@@ -47,7 +47,8 @@ final class DeltaLikeSource
       case other =>
         throw new IllegalArgumentException(s"deltalike: unsupported save mode $other")
     }
-    DeltaLikeTable.write(data, path, m)
+    DeltaLikeTable.write(data, path, m,
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
     createRelation(sqlContext, parameters)
   }
 }

@@ -123,11 +123,18 @@ object DeltaLikeTable {
   def isDeltaLikeTable(path: String): Boolean = DeltaLog.forPath(path).exists
 
   /** Write `df` as a new version. `mode` ∈ {overwrite, append}; creates
-    * the table at version 0 if absent. Schema evolution is rejected: a
-    * write to an existing table must match its recorded schema
-    * (name/type-wise), per the reference's usage (SURVEY.md §1.3).
-    */
-  /** `skipCommitIf` is re-evaluated against the log before every commit
+    * the table at version 0 if absent.
+    *
+    * By default a write to an existing table must match its recorded
+    * schema (name/type-wise), per the reference's usage (SURVEY.md
+    * §1.3). With `mergeSchema = true` the write may ADD columns (Delta's
+    * schema-evolution contract): the committed schema becomes table
+    * fields ++ new fields, type changes are still rejected, and columns
+    * one side lacks read back as null — old files miss the new columns,
+    * evolved files may miss dropped-from-df ones; the schema-on-read
+    * parquet scan fills both.
+    *
+    * `skipCommitIf` is re-evaluated against the log before every commit
     * attempt (including rebased retries after a concurrent-writer
     * conflict); returning true abandons the commit and leaves any staged
     * files unreferenced (VACUUM-cleanable) — the hook the streaming sink
@@ -139,15 +146,33 @@ object DeltaLikeTable {
       mode: String = "overwrite",
       operation: String = "WRITE",
       partitionBy: Seq[String] = Seq.empty,
-      skipCommitIf: DeltaLog => Boolean = _ => false): DeltaLikeTable = {
+      skipCommitIf: DeltaLog => Boolean = _ => false,
+      mergeSchema: Boolean = false): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' not in schema"))
     val log = DeltaLog.forPath(path)
     val prev = if (log.exists) Some(log.snapshot()) else None
     prev.foreach { s =>
-      require(sameSchema(s.schema, df.schema),
-        s"schema mismatch: table has ${s.schema.toDDL}, write has ${df.schema.toDDL}")
+      if (!mergeSchema)
+        require(sameSchema(s.schema, df.schema),
+          s"schema mismatch: table has ${s.schema.toDDL}, write has " +
+            s"${df.schema.toDDL} (pass mergeSchema to evolve)")
+      else {
+        val prevTypes = s.schema.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach(f => prevTypes.get(f.name).foreach(t =>
+          require(t == f.dataType,
+            s"schema evolution cannot change '${f.name}' from ${t.catalogString}" +
+              s" to ${f.dataType.catalogString}")))
+      }
+    }
+    // schema recorded with the commit: evolved = table fields ++ new ones
+    val committedSchema: StructType = prev match {
+      case Some(s) if mergeSchema =>
+        val existing = s.schema.fieldNames.toSet
+        StructType(s.schema.fields.toSeq ++
+          df.schema.fields.filterNot(f => existing(f.name)).map(_.copy(nullable = true)))
+      case _ => df.schema
     }
     // partitioning is a table property: appends inherit it, overwrite may
     // re-declare it
@@ -171,12 +196,13 @@ object DeltaLikeTable {
     // via their own commit path) are genuine conflicts and fail fast.
     var attempt = 0
     var done = false
+    val schemaChanged = prev.exists(s => !sameSchema(s.schema, committedSchema))
     while (!done) {
       if (skipCommitIf(log)) return new DeltaLikeTable(df.sparkSession, path, None)
       val version = log.latestVersion + 1
       val meta =
-        if (version == 0 || mode == "overwrite")
-          Seq(MetaData(df.schema.toDDL, effectiveParts))
+        if (version == 0 || mode == "overwrite" || schemaChanged)
+          Seq(MetaData(committedSchema.toDDL, effectiveParts))
         else Seq.empty
       try {
         log.commit(version,
@@ -187,7 +213,10 @@ object DeltaLikeTable {
             if mode == "append" && attempt < 20 =>
           attempt += 1
           val head = log.snapshot()
-          require(sameSchema(head.schema, df.schema),
+          // an evolved append rebases only onto the schema it merged from
+          require(
+            if (mergeSchema) prev.exists(p => sameSchema(head.schema, p.schema))
+            else sameSchema(head.schema, df.schema),
             s"append conflict: concurrent writer changed schema to ${head.schema.toDDL}")
           // files were staged under the pre-conflict partition layout; a
           // concurrent overwrite that re-partitioned the table would make

@@ -193,6 +193,56 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("mergeSchema evolves the table: adds columns, nulls across, rejects type changes") {
+    val path = tmpTable()
+    DeltaLikeTable.write(titanic(10), path, "overwrite")
+
+    // evolved append: one new column
+    val evolved = titanic(5)
+      .withColumn("PassengerId", col("PassengerId") + 100)
+      .withColumn("Deck", concat(lit("D"), col("Pclass")))
+    DeltaLikeTable.write(evolved, path, "append", mergeSchema = true)
+
+    val t = DeltaLikeTable.forPath(spark, path)
+    val df = t.toDF
+    assert(df.columns.last === "Deck") // new columns append at the end
+    assert(df.count() === 15)
+    // old rows read null for the new column; evolved rows carry it
+    assert(df.where(col("Deck").isNull).count() === 10)
+    assert(df.where(col("PassengerId") > 100 && col("Deck").startsWith("D")).count() === 5)
+    // time travel still shows the pre-evolution schema
+    assert(!t.toDF(0).columns.contains("Deck"))
+
+    // an evolved write may also OMIT existing columns — they null-fill
+    val partial = evolved.drop("Cabin")
+      .withColumn("PassengerId", col("PassengerId") + 100)
+    DeltaLikeTable.write(partial, path, "append", mergeSchema = true)
+    assert(t.toDF.where(col("PassengerId") > 200 && col("Cabin").isNull).count() === 5)
+
+    // further strict appends must match the EVOLVED schema
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(titanic(3), path, "append")
+    }
+    assert(e1.getMessage.contains("schema mismatch"))
+
+    // type changes stay rejected even with mergeSchema
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(
+        titanic(3).withColumn("Age", col("Age").cast("string")),
+        path, "append", mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("cannot change"))
+
+    // format-writer sugar: option("mergeSchema", "true")
+    val more = titanic(2)
+      .withColumn("PassengerId", col("PassengerId") + 300)
+      .withColumn("Source", lit("csv"))
+    more.write.format("deltalike").mode("append")
+      .option("mergeSchema", "true").save(path)
+    assert(t.toDF.columns.contains("Source"))
+    assert(t.toDF.where(col("Source") === "csv").count() === 2)
+  }
+
   test("commit is create-exclusive: double commit of same version fails") {
     val path = tmpTable()
     DeltaLikeTable.write(titanic(5), path)
