@@ -49,6 +49,79 @@ final class DeltaLikeTable private (
   def merge(source: DataFrame, condition: String): MergeBuilder =
     merge(source, expr(condition))
 
+  /** DELETE FROM: remove rows where `condition` is true (null ≠ true,
+    * like SQL). Same scale shape as MERGE: only files that contain a
+    * matching row are rewritten — the rewrite cost is bound by the match
+    * footprint, never table size. Returns the number of rows deleted,
+    * derived from the log's per-file row counts (no extra scan).
+    */
+  def delete(condition: Column): Long = {
+    rewriteTouched("DELETE",
+      touchFilter = condition,
+      rewrite = rows => rows.where(!coalesce(condition, lit(false))))
+  }
+
+  def delete(condition: String): Long = delete(expr(condition))
+
+  /** UPDATE: set `set` columns where `condition` is true; untouched rows
+    * and files pass through unchanged. Returns the row-count delta of
+    * the rewrite (0 for pure updates — the return value mirrors
+    * [[delete]]'s contract; per-row update counts would need an extra
+    * pass over the touched files).
+    */
+  def update(condition: Column, set: Map[String, Column]): Long = {
+    val snap0 = log.snapshot()
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    set.keys.foreach(c => require(snap0.schema.fieldNames.contains(c),
+      s"unknown column '$c' in UPDATE"))
+    rewriteTouched("UPDATE",
+      touchFilter = condition,
+      rewrite = rows => {
+        val cols = snap0.schema.fieldNames.toSeq.map { c =>
+          set.get(c) match {
+            case Some(v) =>
+              when(coalesce(condition, lit(false)), v)
+                .otherwise(col(c)).cast(snap0.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }
+        rows.select(cols: _*)
+      })
+  }
+
+  def update(condition: String, set: Map[String, Column]): Long =
+    update(expr(condition), set)
+
+  /** Shared DELETE/UPDATE engine: find files containing a row matching
+    * `touchFilter`, rewrite those files through `rewrite`, commit
+    * remove+add as one version. Returns removed − added row counts.
+    */
+  private def rewriteTouched(
+      operation: String,
+      touchFilter: Column,
+      rewrite: DataFrame => DataFrame): Long = {
+    val snap = log.snapshot()
+    val scan = DeltaLikeTable.readSnapshot(spark, snap)
+      .withColumn(DeltaLikeTable.FileCol,
+        if (snap.files.isEmpty) lit(null: String) else col("_metadata.file_path"))
+    val touchedAbs = scan.where(touchFilter)
+      .select(col(DeltaLikeTable.FileCol)).distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSet
+    if (touchedAbs.isEmpty) return 0L
+    val touchedRel = MergeBuilder.resolveRelative(snap, touchedAbs)
+    val relSet = touchedRel.toSet
+    val touchedFiles = snap.files.filter(f => relSet.contains(f.path))
+
+    val touchedRows = MergeBuilder.filterToFiles(scan, touchedAbs)
+      .drop(DeltaLikeTable.FileCol)
+    val rewritten = rewrite(touchedRows)
+    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot, snap.partitionColumns)
+    log.commit(snap.version + 1,
+      touchedRel.map(RemoveFile(_)) ++ adds :+
+        CommitInfo(operation, System.currentTimeMillis()))
+    touchedFiles.map(_.numRecords).sum - adds.map(_.numRecords).sum
+  }
+
   /** Version history (version, operation, timestampMs). */
   def history(): Seq[(Long, String, Long)] =
     log.history().map { case (v, ci) =>
@@ -63,15 +136,34 @@ final class DeltaLikeTable private (
     * accumulation is the natural by-product of frequent merges/appends;
     * at scale compaction is what keeps scan task counts and parquet
     * footer overhead bounded.
+    *
+    * With `zorderBy`, rows are additionally clustered along a Morton
+    * curve over those columns ([[ZOrder]]): each output file then covers
+    * a small hyper-rectangle of the keyed dimensions, so the per-file
+    * min/max stats prune selectively on every z-ordered column — the
+    * multi-dimensional data-skipping pattern Delta/Iceberg ship as
+    * `OPTIMIZE ... ZORDER BY`.
     */
-  def optimize(targetFiles: Int = 1): DeltaLikeTable = {
+  def optimize(targetFiles: Int = 1, zorderBy: Seq[String] = Seq.empty): DeltaLikeTable = {
     val snap = log.snapshot()
-    val compacted = DeltaLikeTable.readSnapshot(spark, snap)
-      .repartition(math.max(1, targetFiles))
+    val base = DeltaLikeTable.readSnapshot(spark, snap)
+    val compacted =
+      if (zorderBy.isEmpty) base.repartition(math.max(1, targetFiles))
+      else {
+        zorderBy.foreach(c => require(snap.schema.fieldNames.contains(c),
+          s"unknown zorder column '$c'"))
+        val zc = "__graft_z"
+        base.withColumn(zc, ZOrder.zvalue(base, zorderBy))
+          .repartitionByRange(math.max(1, targetFiles), col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc)
+      }
     val adds = DeltaLikeTable.stageFiles(compacted, path, snap.partitionColumns)
     log.commit(snap.version + 1,
       snap.files.map(f => RemoveFile(f.path)) ++ adds :+
-        CommitInfo("OPTIMIZE", System.currentTimeMillis()))
+        CommitInfo(if (zorderBy.isEmpty) "OPTIMIZE"
+          else s"OPTIMIZE ZORDER BY (${zorderBy.mkString(",")})",
+          System.currentTimeMillis()))
     this
   }
 

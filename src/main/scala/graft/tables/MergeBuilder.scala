@@ -28,6 +28,41 @@ object MergeBuilder {
     * semi-join instead of an IN-list literal.
     */
   private[tables] val InListFileThreshold = 1000
+
+  /** Resolve `_metadata.file_path` URIs back to log-relative paths via a
+    * set intersection (O(files)), not a suffix scan (O(files × touched)).
+    */
+  private[tables] def resolveRelative(
+      snap: Snapshot, touchedAbs: Set[String]): Seq[String] = {
+    val rootUri = new org.apache.hadoop.fs.Path(snap.tableRoot).toUri
+    val rootPath =
+      if (rootUri.getScheme == null)
+        java.nio.file.Paths.get(snap.tableRoot).toAbsolutePath.toString
+      else rootUri.getPath
+    val touchedRelSet = touchedAbs.map { abs =>
+      new java.net.URI(abs).getPath.stripPrefix(rootPath).stripPrefix("/")
+    }
+    snap.files.map(_.path).filter(touchedRelSet.contains)
+  }
+
+  /** Restrict a FileCol-tagged scan to the touched files. A small set
+    * filters with an IN-list (pushable to the scan); past the threshold
+    * an IN-list literal would be a multi-MB expression at 100 TB file
+    * counts, so switch to a broadcast semi-join on the file-path
+    * metadata column — same pruning, plan-sized metadata.
+    */
+  private[tables] def filterToFiles(
+      target: DataFrame, touchedAbs: Set[String]): DataFrame =
+    if (touchedAbs.isEmpty) target.where(lit(false))
+    else if (touchedAbs.size <= InListFileThreshold)
+      target.where(col(DeltaLikeTable.FileCol).isin(touchedAbs.toSeq: _*))
+    else {
+      import org.apache.spark.sql.Encoders
+      val touchedDf = target.sparkSession.createDataset(touchedAbs.toSeq)(Encoders.STRING)
+        .toDF("__graft_touched_path")
+      target.join(org.apache.spark.sql.functions.broadcast(touchedDf),
+        col(DeltaLikeTable.FileCol) === col("__graft_touched_path"), "left_semi")
+    }
 }
 
 final class MergeBuilder private[tables] (
@@ -97,34 +132,10 @@ final class MergeBuilder private[tables] (
     val touchedAbs = target.join(src, condition, "left_semi")
       .select(col(DeltaLikeTable.FileCol)).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSet
-    // resolve the _metadata URIs back to log-relative paths via a set
-    // intersection (O(files)), not a suffix scan (O(files × touched))
-    val rootUri = new org.apache.hadoop.fs.Path(snap.tableRoot).toUri
-    val rootPath =
-      if (rootUri.getScheme == null)
-        java.nio.file.Paths.get(snap.tableRoot).toAbsolutePath.toString
-      else rootUri.getPath
-    val touchedRelSet = touchedAbs.map { abs =>
-      new java.net.URI(abs).getPath.stripPrefix(rootPath).stripPrefix("/")
-    }
-    val touchedRel = snap.files.map(_.path).filter(touchedRelSet.contains)
+    val touchedRel = MergeBuilder.resolveRelative(snap, touchedAbs)
 
-    // rows that can possibly match live only in touched files. A small
-    // touched set filters with an IN-list (pushable to the scan); past
-    // the threshold an IN-list literal would be a multi-MB expression at
-    // 100 TB file counts, so switch to a broadcast semi-join on the
-    // file-path metadata column — same pruning, plan-sized metadata.
-    val touchedRows =
-      if (touchedAbs.isEmpty) target.where(lit(false))
-      else if (touchedAbs.size <= MergeBuilder.InListFileThreshold)
-        target.where(col(DeltaLikeTable.FileCol).isin(touchedAbs.toSeq: _*))
-      else {
-        import org.apache.spark.sql.Encoders
-        val touchedDf = spark.createDataset(touchedAbs.toSeq)(Encoders.STRING)
-          .toDF("__graft_touched_path")
-        target.join(broadcast(touchedDf),
-          col(DeltaLikeTable.FileCol) === col("__graft_touched_path"), "left_semi")
-      }
+    // rows that can possibly match live only in touched files
+    val touchedRows = MergeBuilder.filterToFiles(target, touchedAbs)
 
     // phase 2a: cardinality guard. (file, row_index) identifies a physical
     // target row uniquely without caching or driver-side ids.

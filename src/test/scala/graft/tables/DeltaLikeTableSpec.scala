@@ -193,6 +193,47 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("DELETE removes matching rows only from touched files; UPDATE rewrites in place") {
+    val path = tmpTable()
+    // two files so touched-file pruning is observable
+    DeltaLikeTable.write(titanic(10), path, "overwrite")
+    DeltaLikeTable.write(titanic(20).where(col("PassengerId") > 10), path, "append")
+    val t = DeltaLikeTable.forPath(spark, path)
+    val v1Files = t.log.snapshot().files.map(_.path).toSet
+
+    // DELETE hits only the second file (ids 11..20)
+    val deleted = t.delete(col("PassengerId") >= 15)
+    assert(deleted === 6)
+    assert(t.toDF.count() === 14)
+    assert(t.toDF.where(col("PassengerId") >= 15).count() === 0)
+    val v2 = t.log.snapshot()
+    // the untouched first file must survive the rewrite verbatim
+    assert(v2.files.map(_.path).toSet.intersect(v1Files).nonEmpty)
+    // history records the operation; the old version still reads whole
+    assert(t.history().map(_._2).contains("DELETE"))
+    assert(t.toDF(1).count() === 20)
+
+    // null-condition rows are kept (SQL semantics: null is not true)
+    val withNullAge = t.delete(col("Age") > lit(1000))
+    assert(withNullAge === 0L)
+    assert(t.log.latestVersion === v2.version) // no-op: no new version
+
+    // UPDATE rewrites matching rows, passes the rest through
+    val before = t.toDF.where(col("PassengerId") === 3)
+      .select("Fare").head().getDouble(0)
+    t.update(col("PassengerId") === 3, Map("Fare" -> lit(999.5)))
+    assert(t.toDF.where(col("PassengerId") === 3)
+      .select("Fare").head().getDouble(0) === 999.5)
+    assert(t.toDF.where(col("Fare") === before && col("PassengerId") === 3).count() === 0)
+    assert(t.toDF.count() === 14) // row count unchanged
+    assert(t.history().map(_._2).contains("UPDATE"))
+
+    // UPDATE validates assignments
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("NoSuchCol" -> lit(1)))
+    }
+  }
+
   test("mergeSchema evolves the table: adds columns, nulls across, rejects type changes") {
     val path = tmpTable()
     DeltaLikeTable.write(titanic(10), path, "overwrite")

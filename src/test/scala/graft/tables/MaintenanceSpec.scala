@@ -49,6 +49,37 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.history().last._2 === "OPTIMIZE")
   }
 
+  test("optimize zorder clusters files so stats prune on every keyed dimension") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val path = Files.createTempDirectory("zorder").toString
+    // 64x64 grid, written hash-shuffled: every file spans the full range
+    // of both x and y, so nothing prunes
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+      .repartition(8, org.apache.spark.sql.functions.xxhash64($"id"))
+    DeltaLikeTable.write(grid, path, "overwrite")
+    val t = DeltaLikeTable.forPath(spark, path)
+    val snap0 = t.log.snapshot()
+    assert(DataSkipping.prune(snap0, Seq(EqualTo("x", 10L))).size === snap0.files.size,
+      "unclustered baseline should not prune")
+
+    t.optimize(targetFiles = 16, zorderBy = Seq("x", "y"))
+    val snap1 = t.log.snapshot()
+    assert(snap1.files.size === 16)
+    // data unchanged
+    assert(t.toDF.agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+      === (0L until 4096L).sum)
+    // each file now covers a hyper-rectangle: point predicates on EITHER
+    // dimension must prune at least half the files
+    val keptX = DataSkipping.prune(snap1, Seq(EqualTo("x", 10L))).size
+    val keptY = DataSkipping.prune(snap1, Seq(EqualTo("y", 10L))).size
+    assert(keptX <= 8, s"x pruning kept $keptX of 16")
+    assert(keptY <= 8, s"y pruning kept $keptY of 16")
+    // provenance recorded
+    assert(t.history().map(_._2).exists(_.startsWith("OPTIMIZE ZORDER")))
+  }
+
   test("vacuum deletes only unreferenced files; retained versions still read") {
     val (path, t) = freshTable()
     t.optimize(targetFiles = 1)
