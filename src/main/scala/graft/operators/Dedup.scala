@@ -14,9 +14,10 @@ import graft.core.Tables
   *   - [[q34JaccardPairs]]: *exact* similarity join via a shingle
   *     inverted index — no O(n²) cross join, but the index join's cost
   *     grows with shingle document frequency; right up to ~10⁸ docs.
-  *   - [[NearDup.minHashPairs]] (declared as q35, rows-only checked):
-  *     MinHash-LSH — candidate generation is O(n·bands), the scalable
-  *     path for 100 TB corpora where even the inverted index is too hot.
+  *   - [[NearDup.minHashVerifiedPairs]] (declared as q35, all-pairs
+  *     oracle): MinHash-LSH candidates + exact verification — candidate
+  *     generation is O(n·bands), the scalable path for 100 TB corpora
+  *     where even the inverted index is too hot.
   */
 object Dedup {
 
@@ -80,26 +81,63 @@ object Dedup {
     * filter (it only prunes provably-below-threshold pairs), and the
     * DuckDB oracle recomputes the naive O(n²) form.
     *
-    * `prefixFilter` picks the candidate strategy: the full inverted
-    * index wins slightly when shingle document frequency is flat, but
-    * hot shingles give it a df² candidate blowup on natural-language
-    * corpora — so the DECLARED query takes the prefix-filtered path,
-    * the one that survives skew at 100 TB. Both are exact — the
-    * equivalence is spec-pinned, and DedupSpec bounds the candidate
-    * count on a hot-shingle corpus.
+    * `strategy` picks the candidate plan: the full inverted index wins
+    * when shingle document frequency is flat, but hot shingles give it
+    * a df² candidate blowup on natural-language corpora, where the
+    * PPJoin prefix filter keeps candidates bounded. `"auto"` (the
+    * declared default) measures the blowup on a document sample — the
+    * inverted path's candidate count is exactly Σ df·(df−1)/2, and
+    * under p-sampling that statistic scales by p², so a cheap sampled
+    * estimate decides. Both plans are exact — the equivalence and the
+    * hot-corpus candidate bound are spec-pinned.
     */
   def q34JaccardPairs(spark: SparkSession, d: String): DataFrame =
     jaccardSimilarityJoin(
-      Tables.documents(spark, d), "doc_id", "text",
-      threshold = 0.6, prefixFilter = true)
+      Tables.documents(spark, d), "doc_id", "text", threshold = 0.6)
 
-  /** See [[q34JaccardPairs]]; reusable form over any (id, text) frame. */
+  /** Sampled estimate of the inverted-index path's candidate-pair count
+    * vs corpus size → `"inverted"` or `"prefix"`. Unbiased: E[df_s·
+    * (df_s−1)] = p²·df·(df−1) under Bernoulli document sampling.
+    */
+  private[operators] def chooseStrategy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sampleFraction: Double = 0.1,
+      blowupFactor: Double = 50.0,
+      seed: Long = 42L): String = {
+    val sampled = docs.sample(sampleFraction, seed)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), shingles(split(col(textCol), " ")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val row = sampled.select(col("__id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(
+        sum(col("df") * (col("df") - 1) / 2).cast(DoubleType).as("cand"),
+        sum(col("df")).cast(DoubleType).as("postings"))
+      .head()
+    val nDocsSampled = sampled.count().toDouble
+    if (row.isNullAt(0) || nDocsSampled == 0) return "inverted" // empty corpus
+    val estCandidates = row.getDouble(0) / (sampleFraction * sampleFraction)
+    val estDocs = nDocsSampled / sampleFraction
+    if (estCandidates > blowupFactor * estDocs) "prefix" else "inverted"
+  }
+
+  /** See [[q34JaccardPairs]]; reusable form over any (id, text) frame.
+    * `strategy` ∈ {auto, inverted, prefix}.
+    */
   def jaccardSimilarityJoin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      prefixFilter: Boolean = true): DataFrame = {
+      strategy: String = "auto"): DataFrame = {
+    val chosen = strategy match {
+      case "auto"                      => chooseStrategy(docs, idCol, textCol)
+      case s @ ("inverted" | "prefix") => s
+      case other =>
+        throw new IllegalArgumentException(s"unknown strategy '$other'")
+    }
     // spread the shingle generation across cores: a small fixture table
     // arrives as one file = one partition, and everything up to the
     // first exchange would otherwise run single-threaded
@@ -111,7 +149,7 @@ object Dedup {
     val inverted = base.select(col("__id"), explode(col("sh")).as("s"))
 
     val inter =
-      if (!prefixFilter) {
+      if (chosen == "inverted") {
         // full inverted index: pair counts directly from the postings join
         inverted.select(col("__id").as("doc_a"), col("s"))
           .join(inverted.select(col("__id").as("doc_b"), col("s")), Seq("s"))

@@ -101,9 +101,11 @@ final class DeltaLikeTable private (
       touchFilter: Column,
       rewrite: DataFrame => DataFrame): Long = {
     val snap = log.snapshot()
-    val scan = DeltaLikeTable.readSnapshot(spark, snap)
+    val scanBase = DeltaLikeTable.readSnapshot(spark, snap)
       .withColumn(DeltaLikeTable.FileCol,
         if (snap.files.isEmpty) lit(null: String) else col("_metadata.file_path"))
+    // honor a relation alias so SQL conditions like t.x resolve
+    val scan = tableAlias.fold(scanBase)(scanBase.as(_))
     val touchedAbs = scan.where(touchFilter)
       .select(col(DeltaLikeTable.FileCol)).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSet

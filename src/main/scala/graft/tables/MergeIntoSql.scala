@@ -67,6 +67,14 @@ class DeltalikeMergeRule extends Rule[LogicalPlan] {
         matched.map(MergeClauseSpec.from),
         notMatched.map(MergeClauseSpec.from))
 
+    case DeleteFromTable(DeltalikeTarget(path, alias), condition) =>
+      DeltalikeDeleteCommand(path, alias, Option(condition).map(_.sql))
+
+    case UpdateTable(DeltalikeTarget(path, alias), assignments, condition) =>
+      DeltalikeUpdateCommand(path, alias,
+        assignments.map(a => MergeClauseSpec.colNameOf(a.key) -> a.value.sql),
+        condition.map(_.sql))
+
     case InsertIntoStatement(DeltalikeTarget(path, _), partitionSpec,
         userCols, query, overwrite, _, byName) =>
       if (partitionSpec.nonEmpty || userCols.nonEmpty)
@@ -115,6 +123,9 @@ object MergeClauseSpec {
     case other                  => other.sql
   }
 
+  /** Unqualified assignment-target column name (strips a table alias). */
+  private[tables] def colNameOf(e: Expression): String = colName(e)
+
   def from(a: MergeAction): MergeClauseSpec = a match {
     case UpdateStarAction(c) =>
       MergeClauseSpec("update_all", c.map(_.sql), Seq.empty)
@@ -160,6 +171,39 @@ case class DeltalikeInsertCommand(
       }
     DeltaLikeTable.write(aligned, path, if (overwrite) "overwrite" else "append",
       operation = "INSERT")
+    Seq.empty
+  }
+}
+
+/** SQL `DELETE FROM deltalike.`path` [AS t] [WHERE cond]`. */
+case class DeltalikeDeleteCommand(
+    path: String,
+    targetAlias: Option[String],
+    condSql: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val table = DeltaLikeTable.forPath(spark, path)
+    val aliased = targetAlias.fold(table)(table.as)
+    aliased.delete(condSql.map(expr).getOrElse(lit(true)))
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE deltalike.`path` [AS t] SET c = e, ... [WHERE cond]`. */
+case class DeltalikeUpdateCommand(
+    path: String,
+    targetAlias: Option[String],
+    assignments: Seq[(String, String)],
+    condSql: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val table = DeltaLikeTable.forPath(spark, path)
+    val aliased = targetAlias.fold(table)(table.as)
+    aliased.update(
+      condSql.map(expr).getOrElse(lit(true)),
+      assignments.map { case (c, v) => c -> expr(v) }.toMap)
     Seq.empty
   }
 }

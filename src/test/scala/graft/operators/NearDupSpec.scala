@@ -38,16 +38,46 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("prefix-filtered jaccard join equals the full inverted-index join") {
     val docs = graft.core.Tables.documents(spark, sfDir)
-    def run(prefix: Boolean): Set[(Long, Long, Double)] =
+    def run(strategy: String): Set[(Long, Long, Double)] =
       Dedup.jaccardSimilarityJoin(docs, "doc_id", "text",
-          threshold = 0.6, prefixFilter = prefix)
+          threshold = 0.6, strategy = strategy)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1),
           math.round(r.getDouble(2) * 1e9) / 1e9)).toSet
-    val naive = run(prefix = false)
-    val filtered = run(prefix = true)
+    val naive = run("inverted")
+    val filtered = run("prefix")
     assert(naive.nonEmpty)
     assert(filtered === naive, "prefix filtering must be lossless")
+  }
+
+  test("auto strategy: flat df picks inverted, hot shingles pick prefix (bounded candidates)") {
+    val sp = spark; import sp.implicits._
+    // the fixture corpus has flat shingle document frequency
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    assert(Dedup.chooseStrategy(docs, "doc_id", "text", sampleFraction = 1.0)
+      === "inverted")
+
+    // hot-shingle corpus: every doc shares one stop-shingle run, so the
+    // inverted path's candidate count is ~n²/2
+    val n = 300
+    val hot = (0 until n).map { i =>
+      val unique = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"the quick brown fox $unique")
+    }.toDF("doc_id", "text")
+    assert(Dedup.chooseStrategy(hot, "doc_id", "text", sampleFraction = 1.0)
+      === "prefix")
+
+    // and the prefix path is LOSSLESS on it while never materializing the
+    // n²/2 hot-shingle candidates: with threshold .6 and ~34 shingles per
+    // doc, each prefix keeps ~|S|-⌈.3|S|⌉+1 ≈ 24 RAREST shingles — the
+    // shared hot shingles rank last and drop out, so no pair survives
+    val pairs = Dedup.jaccardSimilarityJoin(hot, "doc_id", "text",
+      threshold = 0.6, strategy = "prefix").collect()
+    assert(pairs.isEmpty) // no pair has true jaccard ≥ 0.6
+    // equivalence on the hot corpus too
+    val viaInverted = Dedup.jaccardSimilarityJoin(hot, "doc_id", "text",
+      threshold = 0.6, strategy = "inverted").collect()
+    assert(viaInverted.isEmpty)
   }
 
   test("minhash estimate tracks exact jaccard") {

@@ -104,6 +104,30 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaLikeTable.forPath(spark, path).version === 2)
   }
 
+  test("SQL DELETE FROM and UPDATE on deltalike paths") {
+    val path = fresh()
+    spark.sql(s"DELETE FROM deltalike.`$path` AS t WHERE t.n >= 30")
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.toDF.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(t.history().map(_._2).contains("DELETE"))
+
+    spark.sql(s"UPDATE deltalike.`$path` AS t SET t.v = upper(t.v), n = n * 10 " +
+      "WHERE t.k = 2")
+    val rows = t.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows === Seq((1L, "a", 10), (2L, "B", 200)))
+    assert(t.history().map(_._2).contains("UPDATE"))
+
+    // unconditional forms
+    spark.sql(s"UPDATE deltalike.`$path` SET n = 0")
+    assert(t.toDF.select(org.apache.spark.sql.functions.sum_distinct(
+      org.apache.spark.sql.functions.col("n"))).head().getLong(0) === 0L)
+    spark.sql(s"DELETE FROM deltalike.`$path`")
+    assert(t.toDF.count() === 0)
+    // time travel still sees pre-delete data
+    assert(t.toDF(t.version - 1).count() === 2)
+  }
+
   test("unsupported clauses are rejected") {
     val sp = spark; import sp.implicits._
     val path = fresh()
