@@ -88,8 +88,11 @@ object Dedup {
     * declared default) measures the blowup on a document sample — the
     * inverted path's candidate count is exactly Σ df·(df−1)/2, and
     * under p-sampling that statistic scales by p², so a cheap sampled
-    * estimate decides. Both plans are exact — the equivalence and the
-    * hot-corpus candidate bound are spec-pinned.
+    * estimate decides. The crossover (`blowupFactor`, candidate rows
+    * per document) sits where the inverted join's quadratic candidate
+    * work overtakes the prefix plan's constant extra passes — a few
+    * hundred row-units per doc. Both plans are exact — the equivalence
+    * and the hot-corpus candidate bound are spec-pinned.
     */
   def q34JaccardPairs(spark: SparkSession, d: String): DataFrame =
     jaccardSimilarityJoin(
@@ -104,7 +107,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       sampleFraction: Double = 0.1,
-      blowupFactor: Double = 50.0,
+      blowupFactor: Double = 500.0,
       seed: Long = 42L): String = {
     val sampled = docs.sample(sampleFraction, seed)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)

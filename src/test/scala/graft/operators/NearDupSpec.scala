@@ -57,12 +57,13 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.chooseStrategy(docs, "doc_id", "text", sampleFraction = 1.0)
       === "inverted")
 
-    // hot-shingle corpus: every doc shares one stop-shingle run, so the
-    // inverted path's candidate count is ~n²/2
+    // hot-shingle corpus: every doc shares a stop-shingle run, so the
+    // inverted path's candidate count is ~#hot·n²/2 — far past the
+    // candidates-per-doc crossover
     val n = 300
     val hot = (0 until n).map { i =>
       val unique = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
-      (i.toLong, s"the quick brown fox $unique")
+      (i.toLong, s"the quick brown fox jumps over the lazy sleeping dog $unique")
     }.toDF("doc_id", "text")
     assert(Dedup.chooseStrategy(hot, "doc_id", "text", sampleFraction = 1.0)
       === "prefix")
