@@ -56,6 +56,32 @@ object EventStream {
       lateness: String = "10 minutes"): DataFrame =
     windowedByType(stream.withWatermark("ts", lateness), windowDur)
 
+  // ---- streaming dedup -----------------------------------------------
+
+  /** Streaming exact deduplication — the ingest-side twin of the batch
+    * dedup tier ([[graft.operators.Dedup]]): drop any row whose key was
+    * already seen, keeping state only until the event-time watermark
+    * passes (`dropDuplicatesWithinWatermark`), so state is bounded by
+    * the lateness horizon instead of growing with the stream. The keys
+    * are typically a content fingerprint (see [[fingerprinted]]) — the
+    * streaming form of collapse-by-md5 exact dedup.
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      lateness: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Add the exact-dedup content fingerprint (md5 of the sorted distinct
+    * token set — same definition as the batch `q30`) to a text-bearing
+    * stream, so [[dedupWithinWatermark]] can key on it.
+    */
+  def fingerprinted(stream: DataFrame, textCol: String): DataFrame =
+    stream.withColumn("fingerprint",
+      md5(concat_ws(" ", array_sort(array_distinct(split(col(textCol), " "))))))
+
   // ---- custom keyed state: per-user running profile -------------------
 
   case class EventRow(

@@ -90,6 +90,49 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark: duplicates across batches collapse to one") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("evdedup").toString
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 ${h}%02d:${m}%02d:00")
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch 1: events 1..4; event 2 duplicated within the batch
+    write(Seq(
+      (1L, ts(1), 1L, "doc the quick fox", 1.0, null: String),
+      (2L, ts(1, 10), 1L, "doc the lazy dog", 1.0, null: String),
+      (2L, ts(1, 10), 1L, "doc the lazy dog", 1.0, null: String),
+      (3L, ts(1, 20), 2L, "doc quick the fox", 1.0, null: String)))
+
+    val stream = EventStream.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+    // fingerprint dedup: token-set md5 makes reorderings of the same
+    // vocabulary duplicates (event 3 is a reordering of event 1's text)
+    val deduped = EventStream.dedupWithinWatermark(
+      EventStream.fingerprinted(stream, "event_type"),
+      keyCols = Seq("fingerprint"), lateness = "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 (separate trigger): event 2's text again within watermark
+      write(Seq((4L, ts(1, 30), 3L, "doc the lazy dog", 1.0, null: String)))
+      q.processAllAvailable()
+
+      val ids = spark.table("dedup_stream")
+        .select(col("event_id")).collect().map(_.getLong(0)).toSeq.sorted
+      // events 1 and 2 survive; 3 (reordered text) and 4 (cross-batch dup)
+      // collapse; the within-batch duplicate of 2 emits once
+      assert(ids === Seq(1L, 2L))
+      // batch twin: distinct fingerprints over the same files
+      val batchDistinct = EventStream.fingerprinted(
+        spark.read.schema(EventStream.eventSchema).parquet(dir), "event_type")
+        .select(col("fingerprint")).distinct().count()
+      assert(batchDistinct === 2L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState per-user profiles: streaming final state equals batch") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("evstate").toString
