@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Physical-plan regression pins for the headline queries: each
+  * assertion encodes "the plan we want" — the broadcast, pushdown, or
+  * operator choice that makes the query survive a 100× scale-up — so a
+  * Spark upgrade or refactor that silently degrades a plan (broadcast →
+  * shuffle join, lost WindowGroupLimit, lost parquet pushdown) fails CI
+  * instead of surfacing as a cluster bill.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("plan-shape", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Executed plan string after running the query (final AQE plan only —
+    * the rendering appends the pre-execution "Initial Plan" section,
+    * which would double-match assertions).
+    */
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q08 star join: dimensions broadcast, fact side never broadcast") {
+    val plan = executedPlan(Relational.q08RevenueByNation(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    // the fact table (lineitem) must stay on the streamed side: no
+    // broadcast exchange may carry a lineitem scan
+    val broadcastSubtrees = plan.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(_.takeWhile(_ != '\n').contains("lineitem")),
+      s"lineitem must not be broadcast:\n$plan")
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the exchange") {
+    val plan = executedPlan(Relational.q01PricingSummary(spark, sfDir))
+    // two HashAggregate levels around one shuffle = partial + final
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q17 top-k compiles to TakeOrderedAndProject, not global sort") {
+    val plan = executedPlan(Relational.q17TopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan degraded:\n$plan")
+  }
+
+  test("q14 rank window carries WindowGroupLimit pushdown") {
+    val plan = executedPlan(Relational.q14Top3PerCustomer(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter not pushed into the window:\n$plan")
+  }
+
+  test("scans prune columns and push filters to parquet") {
+    val q = graft.core.Tables.lineitem(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("l_quantity") > 49)
+      .select("l_orderkey", "l_quantity")
+    val plan = executedPlan(q)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$plan")
+    // ReadSchema must carry only the projected columns
+    val read = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_comment"), s"column pruning lost: $read")
+  }
+
+  test("deltalike scan pushes filters and prunes files via stats") {
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString
+    val sp = spark; import sp.implicits._
+    // two files with disjoint key ranges → stats prune one
+    graft.tables.DeltaLikeTable.write(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, $"k"), dir)
+    val q = spark.read.format("deltalike").load(dir).where($"k" === 5L)
+    assert(q.count() === 1)
+    val snap = graft.tables.DeltaLog.forPath(dir).snapshot()
+    val kept = graft.tables.DataSkipping.prune(snap,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 5L)))
+    assert(snap.files.size === 2 && kept.size === 1,
+      s"stats pruning inactive: ${snap.files.size} -> ${kept.size}")
+  }
+
+  test("ANN bucketize runs inside whole-stage codegen (no interpreted LSH math)") {
+    val e = graft.core.Tables.embeddings(spark, sfDir)
+    val ann = Similarity.annCosineTopK(
+      e.where(org.apache.spark.sql.functions.col("vec_id") >= 5),
+      e.where(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", 64)
+    val plan = executedPlan(ann)
+    assert(plan.contains("hyperplane_buckets"), s"fused LSH expression missing:\n$plan")
+    // the operator evaluating it must carry a whole-stage-codegen marker
+    // (`*(n)` prefix in the executed-plan rendering)
+    val lshLines = plan.linesIterator.filter(_.contains("hyperplane_buckets")).toSeq
+    assert(lshLines.nonEmpty && lshLines.forall(_.contains("*(")),
+      s"LSH projection fell out of codegen:\n${lshLines.mkString("\n")}")
+  }
+}
