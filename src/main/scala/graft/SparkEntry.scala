@@ -84,6 +84,10 @@ object SparkEntry {
     "q33_event_windows" -> (Relational.q33EventWindows _),
     // E1 statistical aggregates
     "q47_stats_aggs" -> (Relational.q47StatsAggs _),
+    // E2 extension: exact percentiles + approx-sketch error gate
+    "q51_quantile_gate" -> (Relational.q51QuantileGate _),
+    // E15 extension: per-document quality filter (keep/drop + reasons)
+    "q50_quality_filter" -> (TextAnalysis.q50QualityFilter _),
     // E5 extension: point-in-time (as-of) join
     "q49_asof_join" -> (graft.operators.AsOfJoin.q49AsOfJoin _),
     // multimodal plumbing (stubbed decode; scalar projection → full oracle)
@@ -145,6 +149,8 @@ object SparkEntry {
     "q32_cosine_topk" -> Similarity.q32Sql,
     "q33_event_windows" -> Relational.q33Sql,
     "q47_stats_aggs" -> Relational.q47Sql,
+    "q50_quality_filter" -> TextAnalysis.q50Sql,
+    "q51_quantile_gate" -> Relational.q51Sql,
     "q48_tfidf" -> TextAnalysis.q48Sql,
     "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,

@@ -125,6 +125,28 @@ object Relational {
   val q05Sql: String =
     "SELECT count(DISTINCT o_custkey) AS n_exact, true AS approx_within_band FROM orders"
 
+  /** Exact percentiles (oracle-checked against DuckDB's quantile_cont —
+    * same (n−1)·p linear interpolation) plus an error gate on the
+    * approx_percentile sketch, mirroring q05's treatment of HLL: the
+    * sketch must land within 2% of the exact answer or the boolean
+    * flips driver-visible red.
+    */
+  def q51QuantileGate(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("__a50"))
+      .select(col("p50"), col("p90"),
+        (abs(col("__a50") - col("p50")) / col("p50") <= 0.02)
+          .as("approx_within_2pct"))
+
+  val q51Sql: String =
+    """SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+      | quantile_cont(o_totalprice, 0.9) AS p90,
+      | true AS approx_within_2pct
+      |FROM orders""".stripMargin
+
   // ------------------------------------------------- E3: rollup / cube / sets
 
   def q06Rollup(spark: SparkSession, d: String): DataFrame =

@@ -169,6 +169,65 @@ object TextAnalysis {
        |FROM m""".stripMargin
   }
 
+  /** Gopher-style per-document quality filter (declared q50): length,
+    * type-token ratio, stopword density, and most-frequent-token
+    * repetition, folded into a keep/drop decision with a reasons
+    * string — the gate a training-data pipeline applies before dedup.
+    * Every metric is exact-integer aggregation + one division, so the
+    * whole row (booleans included) is hash-checked against the DuckDB
+    * oracle. Shape at scale: one narrow pass for the array metrics, one
+    * explode + two hash aggregates for the repetition metric, one join
+    * on doc_id.
+    */
+  def q50QualityFilter(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val toks = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("ttr"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType) /
+        size(toks)).as("stop_frac"))
+    val rep = docs.select(col("doc_id"), explode(toks).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("cnt")).cast(DoubleType) / sum(col("cnt"))).as("max_tok_frac"))
+    base.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("ttr"), col("stop_frac"),
+        col("max_tok_frac"),
+        (col("n_tokens") >= 20 && col("ttr") >= 0.35 &&
+          col("stop_frac") <= 0.5 && col("max_tok_frac") <= 0.2).as("keep"),
+        concat_ws(",",
+          when(col("n_tokens") < 20, lit("too_short")),
+          when(col("ttr") < 0.35, lit("low_ttr")),
+          when(col("stop_frac") > 0.5, lit("stopword_heavy")),
+          when(col("max_tok_frac") > 0.2, lit("repetitive"))).as("fail_reasons"))
+  }
+
+  val q50Sql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+       |  CAST(len(list_filter(toks, tk -> list_contains([$stopList], tk))) AS DOUBLE)
+       |    / len(toks) AS stop_frac
+       | FROM t),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |c AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS max_tok_frac
+       |      FROM c GROUP BY 1)
+       |SELECT b.doc_id, n_tokens, ttr, stop_frac, max_tok_frac,
+       | (n_tokens >= 20 AND ttr >= 0.35 AND stop_frac <= 0.5
+       |   AND max_tok_frac <= 0.2) AS keep,
+       | concat_ws(',',
+       |   CASE WHEN n_tokens < 20 THEN 'too_short' END,
+       |   CASE WHEN ttr < 0.35 THEN 'low_ttr' END,
+       |   CASE WHEN stop_frac > 0.5 THEN 'stopword_heavy' END,
+       |   CASE WHEN max_tok_frac > 0.2 THEN 'repetitive' END) AS fail_reasons
+       |FROM b JOIN m USING (doc_id)""".stripMargin
+  }
+
   /** Per-language corpus quality profile: doc counts, length stats,
     * stopword ratio, vocabulary richness. One shuffle on `lang`.
     */
