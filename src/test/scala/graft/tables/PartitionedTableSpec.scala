@@ -56,6 +56,49 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("bucket") === 2).count() === 100)
   }
 
+  test("partition values with escaped chars, spaces, dates, and nulls round-trip") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("part_esc").toString
+    // '=' ':' '%' are Hive-%-escaped in directory names; spaces are not;
+    // null becomes __HIVE_DEFAULT_PARTITION__
+    val keys = Seq("a=b", "x:y", "p%q", "has space", null)
+    val rows = keys.zipWithIndex.flatMap { case (k, i) =>
+      (0 until 10).map(j => ((i * 10 + j).toLong, k, s"v$j"))
+    }
+    DeltaLikeTable.write(rows.toDF("id", "k", "v"), path, partitionBy = Seq("k"))
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    // read-back reconstructs the exact values
+    val got = t.toDF.select("k").distinct().collect().map(_.getString(0)).toSet
+    assert(got === keys.toSet)
+    assert(t.toDF.where($"k".isNull).count() === 10)
+
+    // footer/path-derived stats prune correctly on the escaped values
+    val snap = t.log.snapshot()
+    keys.filter(_ != null).foreach { k =>
+      val kept = DataSkipping.prune(snap, Seq(EqualTo("k", k)))
+      assert(kept.size < snap.files.size, s"no pruning for key '$k'")
+      assert(kept.nonEmpty, s"over-pruned for key '$k'")
+      assert(t.toDF.where($"k" === k).count() === 10, s"wrong rows for '$k'")
+    }
+    // null partition: IsNotNull prunes the null file
+    val notNull = DataSkipping.prune(snap,
+      Seq(org.apache.spark.sql.sources.IsNotNull("k")))
+    assert(notNull.size < snap.files.size)
+
+    // date partition values encode as epoch days in stats
+    val path2 = Files.createTempDirectory("part_date").toString
+    val d0 = java.sql.Date.valueOf("2024-03-01")
+    val d1 = java.sql.Date.valueOf("2024-03-02")
+    DeltaLikeTable.write(
+      Seq((1L, d0), (2L, d0), (3L, d1)).toDF("id", "day").coalesce(1),
+      path2, partitionBy = Seq("day"))
+    val t2 = DeltaLikeTable.forPath(spark, path2)
+    val keptDay = DataSkipping.prune(t2.log.snapshot(), Seq(EqualTo("day", d0)))
+    assert(keptDay.size === 1)
+    assert(t2.toDF.where($"day" === d0).count() === 2)
+  }
+
   test("append inherits partitioning; mismatched repartitioning rejected") {
     val path = Files.createTempDirectory("part_append").toString
     DeltaLikeTable.write(df(100), path, partitionBy = Seq("bucket"))
