@@ -88,6 +88,8 @@ object SparkEntry {
     "q51_quantile_gate" -> (Relational.q51QuantileGate _),
     // E15 extension: per-document quality filter (keep/drop + reasons)
     "q50_quality_filter" -> (TextAnalysis.q50QualityFilter _),
+    // flagship composition: quality filter → exact dedup → corpus summary
+    "q52_corpus_pipeline" -> (TextAnalysis.q52CorpusPipeline _),
     // E5 extension: point-in-time (as-of) join
     "q49_asof_join" -> (graft.operators.AsOfJoin.q49AsOfJoin _),
     // multimodal plumbing (stubbed decode; scalar projection → full oracle)
@@ -151,6 +153,7 @@ object SparkEntry {
     "q47_stats_aggs" -> Relational.q47Sql,
     "q50_quality_filter" -> TextAnalysis.q50Sql,
     "q51_quantile_gate" -> Relational.q51Sql,
+    "q52_corpus_pipeline" -> TextAnalysis.q52Sql,
     "q48_tfidf" -> TextAnalysis.q48Sql,
     "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,

@@ -228,6 +228,64 @@ object TextAnalysis {
        |FROM b JOIN m USING (doc_id)""".stripMargin
   }
 
+  /** Declared q52 — the end-to-end training-data corpus pipeline,
+    * composed from the engine's own stages: quality-filter
+    * ([[q50QualityFilter]] keep rule) → exact dedup (token-set md5
+    * fingerprint, keep lowest doc_id — [[Dedup.q30ExactDedup]]'s rule)
+    * → per-language corpus summary. One declared query proves the
+    * stages compose without driver round-trips: filter is a narrow
+    * pass, dedup one shuffle, the summary one aggregate — the whole
+    * pipeline is three exchanges at any scale.
+    */
+  def q52CorpusPipeline(spark: SparkSession, d: String): DataFrame = {
+    val quality = q50QualityFilter(spark, d).where(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
+    val docs = Tables.documents(spark, d)
+      .join(quality, Seq("doc_id"))
+    val toks = tokens(col("text"))
+    val deduped = docs
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens")), col("doc_id"))
+        .as("__keep"))
+      .select(col("__keep.doc_id"), col("__keep.lang"), col("__keep.n_tokens"))
+    deduped.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+        min(col("doc_id")).as("first_doc_id"))
+  }
+
+  val q52Sql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, lang, toks, CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+       |  CAST(len(list_filter(toks, tk -> list_contains([$stopList], tk))) AS DOUBLE)
+       |    / len(toks) AS stop_frac
+       | FROM t),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |c AS (SELECT doc_id, tk, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS max_tok_frac
+       |      FROM c GROUP BY 1),
+       |kept AS (
+       | SELECT b.doc_id, lang, toks, n_tokens FROM b JOIN m USING (doc_id)
+       | WHERE n_tokens >= 20 AND ttr >= 0.35 AND stop_frac <= 0.5
+       |   AND max_tok_frac <= 0.2),
+       |fp AS (SELECT doc_id, lang, n_tokens,
+       |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS f
+       | FROM kept),
+       |dedup AS (
+       | SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |final AS (SELECT fp.doc_id, fp.lang, fp.n_tokens
+       |  FROM fp JOIN dedup ON fp.doc_id = dedup.doc_id AND fp.f = dedup.f)
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | min(doc_id) AS first_doc_id
+       |FROM final GROUP BY lang""".stripMargin
+  }
+
   /** Per-language corpus quality profile: doc counts, length stats,
     * stopword ratio, vocabulary richness. One shuffle on `lang`.
     */

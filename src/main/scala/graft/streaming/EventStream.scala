@@ -82,6 +82,38 @@ object EventStream {
     stream.withColumn("fingerprint",
       md5(concat_ws(" ", array_sort(array_distinct(split(col(textCol), " "))))))
 
+  // ---- stream-stream interval join ------------------------------------
+
+  /** Stream-stream inner join with an event-time interval condition:
+    * each left event pairs with right events of the same key whose
+    * timestamp falls in `[left.ts, left.ts + maxDelay]` (funnel
+    * attribution: click → purchase within the window). Both sides carry
+    * watermarks and the join condition bounds the time range in BOTH
+    * directions, so Spark can size the state store to watermark +
+    * interval and evict — the one configuration where stream-stream
+    * joins have bounded state on unbounded streams. Identical
+    * expression works in batch (the spec pins stream ≡ batch).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      maxDelay: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.ts >= l.ts AND r.ts <= l.ts + interval $maxDelay"))
+      .select(
+        col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.ts").as("left_ts"),
+        ((unix_micros(col("r.ts")) - unix_micros(col("l.ts"))) / 1000L)
+          .cast("long").as("delay_ms"))
+  }
+
   // ---- custom keyed state: per-user running profile -------------------
 
   case class EventRow(

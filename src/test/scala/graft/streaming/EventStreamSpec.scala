@@ -90,6 +90,30 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val dir = Files.createTempDirectory("evjoin").toString
+    Tables.events(spark, sfDir).drop("props")
+      .withColumn("props", lit(null).cast("string"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+
+    def split(df: DataFrame): (DataFrame, DataFrame) =
+      (df.where(col("event_type") === "click"),
+        df.where(col("event_type") === "purchase"))
+
+    val (sc, sp2) = split(EventStream.readEventStream(spark, dir, maxFilesPerTrigger = 2))
+    val q = EventStream.intervalJoin(sc, sp2, "user_id", maxDelay = "30 minutes")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = canon(spark.table("funnel"))
+      val (bc, bp) = split(spark.read.schema(EventStream.eventSchema).parquet(dir))
+      val want = canon(EventStream.intervalJoin(bc, bp, "user_id", maxDelay = "30 minutes"))
+      assert(got === want)
+      assert(got.nonEmpty, "fixture produced no click->purchase pairs")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark: duplicates across batches collapse to one") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("evdedup").toString
