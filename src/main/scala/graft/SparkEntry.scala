@@ -71,6 +71,7 @@ object SparkEntry {
     "q48_tfidf" -> (TextAnalysis.q48Tfidf _),
     // E12–E13 dedup
     "q30_exact_dedup" -> (Dedup.q30ExactDedup _),
+    "q53_incremental_dedup" -> (Dedup.q53IncrementalDedup _),
     "q34_jaccard_pairs" -> (Dedup.q34JaccardPairs _),
     "q35_minhash_pairs" -> ((s: SparkSession, d: String) =>
       NearDup.minHashVerifiedPairs(graft.core.Tables.documents(s, d), "doc_id", "text")),
@@ -154,6 +155,7 @@ object SparkEntry {
     "q50_quality_filter" -> TextAnalysis.q50Sql,
     "q51_quantile_gate" -> Relational.q51Sql,
     "q52_corpus_pipeline" -> TextAnalysis.q52Sql,
+    "q53_incremental_dedup" -> Dedup.q53Sql,
     "q48_tfidf" -> TextAnalysis.q48Sql,
     "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,

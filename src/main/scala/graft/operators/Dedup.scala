@@ -59,6 +59,45 @@ object Dedup {
       | min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Incremental ingest dedup (declared q53): keep only new-batch docs
+    * whose content fingerprint is absent from the existing corpus AND
+    * unique within the batch — the daily-ingest shape, where the corpus
+    * side is 100 TB and the batch is small. The anti-join shuffles on
+    * the fingerprint (Spark's runtime bloom filter prunes the corpus
+    * scan when enabled); the within-batch collapse is the q30 rule.
+    */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def fp(c: Column) =
+      md5(concat_ws(" ", array_sort(array_distinct(split(c, " ")))))
+    val corpusFp = corpus.select(fp(col(textCol)).as("__fp"))
+    batch.select(col(idCol), fp(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .select(col(idCol), col("__fp").as("fingerprint"))
+  }
+
+  /** q53 over the fixture: docs with doc_id < 400 stand in for the
+    * existing corpus, the rest for the incoming batch.
+    */
+  def q53IncrementalDedup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    incrementalDedup(
+      docs.where(col("doc_id") < 400), docs.where(col("doc_id") >= 400),
+      "doc_id", "text")
+  }
+
+  val q53Sql: String =
+    """WITH fp AS (SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS f
+      | FROM documents),
+      |batch AS (SELECT f, min(doc_id) AS doc_id FROM fp WHERE doc_id >= 400 GROUP BY f)
+      |SELECT doc_id, f AS fingerprint FROM batch
+      |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id < 400)""".stripMargin
+
   /** Exact n-gram Jaccard similarity join: all pairs with shingle-set
     * Jaccard ≥ 0.6 — EXACT result, no cross join, with PPJoin-style
     * prefix filtering to keep the candidate space linear-ish:
