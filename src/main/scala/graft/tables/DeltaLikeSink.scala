@@ -16,17 +16,19 @@ object DeltaLikeSink {
 
   private val OpPrefix = "STREAM"
 
-  /** Operation tag carrying the idempotence key. */
+  /** Operation tag (history/provenance only — idempotence rides on the
+    * [[Txn]] action, not on parsing this string).
+    */
   private def op(queryId: String, batchId: Long): String =
     s"$OpPrefix:$queryId:$batchId"
 
-  /** Highest batchId already committed by `queryId`, or -1. */
+  /** Highest batchId already committed by `queryId`, or -1 — one map
+    * lookup on the snapshot's [[Txn]] watermarks (checkpoint-bounded),
+    * not a scan of commit history.
+    */
   private[tables] def lastCommittedBatch(log: DeltaLog, queryId: String): Long =
     if (!log.exists) -1L
-    else log.history().flatMap(_._2).map(_.operation).collect {
-      case o if o.startsWith(s"$OpPrefix:$queryId:") =>
-        o.substring(OpPrefix.length + queryId.length + 2).toLong
-    }.foldLeft(-1L)(math.max)
+    else log.snapshot().txns.getOrElse(queryId, -1L)
 
   /** The foreachBatch function: append `batch` to `path` unless this
     * (query, batch) was already committed.
@@ -35,16 +37,14 @@ object DeltaLikeSink {
     * (via `skipCommitIf`), not just before the write: two concurrent
     * instances of the same query can both pass an up-front check, but
     * the loser of the version race re-reads the log on rebase and finds
-    * the winner's (queryId, batchId) tag — so the batch commits exactly
-    * once. `:` is the key separator and is rejected in queryId (a
-    * colon-bearing id would make another query's tag parse as ours).
+    * the winner's [[Txn]] watermark — so the batch commits exactly once.
     */
   def appendBatch(path: String, queryId: String)(batch: DataFrame, batchId: Long): Unit = {
-    require(!queryId.contains(":"), s"queryId must not contain ':': $queryId")
     val log = DeltaLog.forPath(path)
     if (batchId <= lastCommittedBatch(log, queryId)) return // replayed batch
     DeltaLikeTable.write(batch, path, "append", operation = op(queryId, batchId),
-      skipCommitIf = l => batchId <= lastCommittedBatch(l, queryId))
+      skipCommitIf = l => batchId <= lastCommittedBatch(l, queryId),
+      extraActions = Seq(Txn(queryId, batchId)))
   }
 
   /** Wire a streaming writer to a deltalike table:

@@ -241,7 +241,8 @@ object DeltaLikeTable {
       operation: String = "WRITE",
       partitionBy: Seq[String] = Seq.empty,
       skipCommitIf: DeltaLog => Boolean = _ => false,
-      mergeSchema: Boolean = false): DeltaLikeTable = {
+      mergeSchema: Boolean = false,
+      extraActions: Seq[Action] = Seq.empty): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' not in schema"))
@@ -300,7 +301,8 @@ object DeltaLikeTable {
         else Seq.empty
       try {
         log.commit(version,
-          meta ++ removes ++ adds :+ CommitInfo(operation, System.currentTimeMillis()))
+          meta ++ removes ++ adds ++ extraActions :+
+            CommitInfo(operation, System.currentTimeMillis()))
         done = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException

@@ -49,13 +49,24 @@ final case class RemoveFile(path: String) extends Action
 final case class CommitInfo(operation: String, timestampMs: Long)
     extends Action
 
-/** A resolved view of the table at one version: schema + active files. */
+/** Idempotent-writer marker (Delta's SetTransaction): records that
+  * application `appId` has committed through its own version counter
+  * `txnVersion`. The snapshot keeps the max per appId, so an
+  * exactly-once writer (e.g. the streaming sink's (queryId, batchId))
+  * checks one map lookup instead of scanning commit history.
+  */
+final case class Txn(appId: String, txnVersion: Long) extends Action
+
+/** A resolved view of the table at one version: schema + active files
+  * + idempotent-writer watermarks.
+  */
 final case class Snapshot(
     version: Long,
     schema: StructType,
     files: Seq[AddFile],
     tableRoot: String,
-    partitionColumns: Seq[String] = Seq.empty) {
+    partitionColumns: Seq[String] = Seq.empty,
+    txns: Map[String, Long] = Map.empty) {
   def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
 }
 
@@ -88,7 +99,13 @@ final class DeltaLog(val tableRoot: String) {
     io.readLines(s"$logDir/${f"$version%08d.json"}")
       .filter(_.nonEmpty).map(parseAction)
 
-  /** Replay the log up to `version` (latest if negative). */
+  /** Replay the log up to `version` (latest if negative), starting from
+    * the newest checkpoint at or below it: resolution cost is
+    * O(checkpoint + tail), not O(versions since table creation) — the
+    * property that keeps a years-old table with tens of thousands of
+    * commits readable in constant-ish time (Delta's `_checkpoint`
+    * files, same trick).
+    */
   def snapshot(version: Long = -1L): Snapshot = {
     val latest = latestVersion
     require(latest >= 0, s"not a deltalike table (no log): $tableRoot")
@@ -97,24 +114,63 @@ final class DeltaLog(val tableRoot: String) {
     var schemaDdl: String = null
     var partCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    (0L to v).foreach { i =>
-      actions(i).foreach {
-        case m: MetaData   => schemaDdl = m.schemaDdl; partCols = m.partitionColumns
-        case a: AddFile    => active(a.path) = a
-        case r: RemoveFile => active.remove(r.path)
-        case _: CommitInfo => ()
-      }
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    def apply(a: Action): Unit = a match {
+      case m: MetaData   => schemaDdl = m.schemaDdl; partCols = m.partitionColumns
+      case a: AddFile    => active(a.path) = a
+      case r: RemoveFile => active.remove(r.path): Unit
+      case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
+      case _: CommitInfo => ()
     }
+    val start = latestCheckpoint(v) match {
+      case Some(cp) =>
+        io.readLines(checkpointPath(cp)).filter(_.nonEmpty).map(parseAction).foreach(apply)
+        cp + 1
+      case None => 0L
+    }
+    (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
-    Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot, partCols)
+    Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
+      partCols, txns.toMap)
   }
 
-  /** Atomically publish `version`; throws if it was already committed. */
+  /** Atomically publish `version`; throws if it was already committed.
+    * Every `CheckpointInterval`-th version also writes a checkpoint
+    * (best-effort: a concurrent writer's identical checkpoint wins
+    * harmlessly; failures never fail the commit).
+    */
   def commit(version: Long, acts: Seq[Action]): Unit = {
     io.mkdirs(logDir)
     val body = acts.map(renderAction).mkString("", "\n", "\n")
     io.writeExclusive(s"$logDir/${f"$version%08d.json"}", body)
+    if (version > 0 && version % CheckpointInterval == 0)
+      try checkpoint(version)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Write the checkpoint for `version`: the resolved state rendered as
+    * ordinary NDJSON actions (metadata, txns, active files).
+    */
+  def checkpoint(version: Long): Unit = {
+    val snap = snapshot(version)
+    val acts: Seq[Action] =
+      MetaData(snap.schema.toDDL, snap.partitionColumns) +:
+        (snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
+          snap.files)
+    try io.writeExclusive(checkpointPath(version),
+      acts.map(renderAction).mkString("", "\n", "\n"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  private def checkpointPath(v: Long): String =
+    s"$logDir/${f"$v%08d"}.checkpoint.json"
+
+  /** Newest checkpoint version ≤ `upTo`, if any. */
+  private[tables] def latestCheckpoint(upTo: Long): Option[Long] =
+    io.listNames(logDir)
+      .collect { case CheckpointFile(v) => v.toLong }
+      .filter(_ <= upTo)
+      .maxOption
 
   def history(): Seq[(Long, Option[CommitInfo])] =
     (0L to latestVersion).map { v =>
@@ -124,7 +180,10 @@ final class DeltaLog(val tableRoot: String) {
 
 object DeltaLog {
   val LogDirName = "_graft_log"
+  /** Checkpoint cadence in versions. */
+  val CheckpointInterval = 10L
   private val VersionFile = "([0-9]{8})\\.json".r
+  private val CheckpointFile = "([0-9]{8})\\.checkpoint\\.json".r
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -135,15 +194,17 @@ object DeltaLog {
     case f: AddFile    => Serialization.write(Map("add" -> Extraction.decompose(f)))
     case r: RemoveFile => Serialization.write(Map("remove" -> Extraction.decompose(r)))
     case c: CommitInfo => Serialization.write(Map("commitInfo" -> Extraction.decompose(c)))
+    case t: Txn        => Serialization.write(Map("txn" -> Extraction.decompose(t)))
   }
 
   private[tables] def parseAction(line: String): Action = {
     val j = JsonMethods.parse(line)
-    (j \ "metaData", j \ "add", j \ "remove", j \ "commitInfo") match {
-      case (m, _, _, _) if m != JNothing => m.extract[MetaData]
-      case (_, a, _, _) if a != JNothing => a.extract[AddFile]
-      case (_, _, r, _) if r != JNothing => r.extract[RemoveFile]
-      case (_, _, _, c) if c != JNothing => c.extract[CommitInfo]
+    (j \ "metaData", j \ "add", j \ "remove", j \ "commitInfo", j \ "txn") match {
+      case (m, _, _, _, _) if m != JNothing => m.extract[MetaData]
+      case (_, a, _, _, _) if a != JNothing => a.extract[AddFile]
+      case (_, _, r, _, _) if r != JNothing => r.extract[RemoveFile]
+      case (_, _, _, c, _) if c != JNothing => c.extract[CommitInfo]
+      case (_, _, _, _, t) if t != JNothing => t.extract[Txn]
       case _ => throw new IllegalArgumentException(s"unknown action: $line")
     }
   }

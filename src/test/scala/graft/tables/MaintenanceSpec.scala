@@ -119,6 +119,53 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("log checkpoints: snapshot equals full replay; time travel spans checkpoints") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("ckpt").toString
+    // 25 versions → checkpoints at v10 and v20
+    (0 until 25).foreach { i =>
+      DeltaLikeTable.write(
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1),
+        path, if (i == 0) "overwrite" else "append")
+    }
+    val log = DeltaLog.forPath(path)
+    assert(log.latestCheckpoint(24) === Some(20L))
+    assert(log.latestCheckpoint(19) === Some(10L))
+    assert(log.latestCheckpoint(9) === None)
+
+    // checkpoint-based snapshot must equal the state implied by the data
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.toDF.count() === 25)
+    assert(log.snapshot().files.size === 25)
+    // time travel before, at, and after a checkpoint
+    Seq(5L, 10L, 15L, 20L, 24L).foreach { v =>
+      assert(t.toDF(v).count() === v + 1, s"version $v")
+    }
+    // a checkpoint round-trips the schema and partition columns
+    val snap = log.snapshot(20L)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "v"))
+
+    // overwrite after checkpoints: removes recorded post-checkpoint win
+    DeltaLikeTable.write(Seq((99L, "z")).toDF("id", "v"), path, "overwrite")
+    assert(t.toDF.count() === 1)
+  }
+
+  test("txn watermarks ride the snapshot and survive checkpoints") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("txns").toString
+    (0 until 12).foreach { i =>
+      DeltaLikeTable.write(
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1),
+        path, if (i == 0) "overwrite" else "append",
+        extraActions = if (i % 2 == 0) Seq(Txn("qA", i.toLong)) else Seq(Txn("qB", i.toLong)))
+    }
+    val log = DeltaLog.forPath(path)
+    // v10 checkpoint exists; watermarks must be identical either side of it
+    assert(log.latestCheckpoint(11) === Some(10L))
+    assert(log.snapshot().txns === Map("qA" -> 10L, "qB" -> 11L))
+    assert(log.snapshot(9L).txns === Map("qA" -> 8L, "qB" -> 9L))
+  }
+
   test("vacuum with larger retention keeps recent versions readable") {
     val (_, t) = freshTable()
     t.optimize(targetFiles = 1) // v4
