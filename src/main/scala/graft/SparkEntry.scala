@@ -91,6 +91,8 @@ object SparkEntry {
     "q50_quality_filter" -> (TextAnalysis.q50QualityFilter _),
     // flagship composition: quality filter → exact dedup → corpus summary
     "q52_corpus_pipeline" -> (TextAnalysis.q52CorpusPipeline _),
+    // E15/E2 extension: heavy hitters with freqItems superset gate
+    "q54_heavy_hitters" -> (TextAnalysis.q54HeavyHitters _),
     // E5 extension: point-in-time (as-of) join
     "q49_asof_join" -> (graft.operators.AsOfJoin.q49AsOfJoin _),
     // multimodal plumbing (stubbed decode; scalar projection → full oracle)
@@ -156,6 +158,7 @@ object SparkEntry {
     "q51_quantile_gate" -> Relational.q51Sql,
     "q52_corpus_pipeline" -> TextAnalysis.q52Sql,
     "q53_incremental_dedup" -> Dedup.q53Sql,
+    "q54_heavy_hitters" -> TextAnalysis.q54Sql,
     "q48_tfidf" -> TextAnalysis.q48Sql,
     "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,

@@ -318,6 +318,36 @@ object TextAnalysis {
       |   / len(string_split(text, ' '))) AS avg_ttr
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** Declared q54: exact heavy hitters gated on the `freqItems` sketch.
+    * The single-pass sketch guarantees a SUPERSET of all items above
+    * the support fraction (false positives possible, false negatives
+    * impossible), so `found_by_sketch` is deterministically true for
+    * every exact heavy hitter even though the sketch itself may vary —
+    * a sketch regression (missed heavy hitter) flips a boolean and the
+    * driver's compare goes red. The sketch result is vocabulary-bounded
+    * driver metadata, like any broadcast side.
+    */
+  def q54HeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    val support = 0.003
+    val tok = Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("tk"))
+    val sketch: Seq[String] = tok.stat.freqItems(Array("tk"), support)
+      .head().getSeq[Any](0).map(String.valueOf)
+    val tot = tok.agg(count(lit(1)).cast(DoubleType).as("__n"))
+    tok.groupBy(col("tk")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      .where(col("freq") > col("__n") * support)
+      .select(col("tk").as("token"), col("freq"),
+        col("tk").isin(sketch: _*).as("found_by_sketch"))
+  }
+
+  val q54Sql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+      |c AS (SELECT tk, count(*) AS freq FROM tok GROUP BY 1)
+      |SELECT tk AS token, freq, true AS found_by_sketch
+      |FROM c, tot WHERE freq > n * 0.003""".stripMargin
+
   /** Global term frequencies via explode (generator surface, E11/E15):
     * one wide shuffle on token — the classic word count, which at 100 TB
     * is partial-agg'd map-side before the exchange.
