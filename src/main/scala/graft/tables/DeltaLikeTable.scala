@@ -177,12 +177,16 @@ final class DeltaLikeTable private (
   def vacuum(retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = log.latestVersion
-    val cutoff = math.max(0L, latest - (retainVersions - 1))
+    val cutoff = math.max(math.max(0L, log.minVersion),
+      latest - (retainVersions - 1))
     val referenced = (cutoff to latest)
       .flatMap(v => log.snapshot(v).files.map(_.path)).toSet
-    val all = (0L to latest).flatMap(v => log.actions(v)).collect {
-      case a: AddFile => a.path
-    }.distinct
+    // scan only retained log segments (older ones may be cleaned up —
+    // run vacuum BEFORE cleanupLogs so their files are still enumerable)
+    val all = (math.max(0L, log.minVersion) to latest)
+      .flatMap(v => log.actions(v)).collect {
+        case a: AddFile => a.path
+      }.distinct
     val doomed = all.filterNot(referenced.contains)
     doomed.foreach(p => log.io.delete(s"$path/$p"))
     doomed

@@ -95,6 +95,14 @@ final class DeltaLog(val tableRoot: String) {
       .collect { case VersionFile(v) => v.toLong }
       .foldLeft(-1L)(math.max)
 
+  /** Lowest version whose log entry is still present (older entries may
+    * have been removed by [[cleanupLogs]]); Long.MaxValue when empty.
+    */
+  def minVersion: Long =
+    io.listNames(logDir)
+      .collect { case VersionFile(v) => v.toLong }
+      .foldLeft(Long.MaxValue)(math.min)
+
   def actions(version: Long): Seq[Action] =
     io.readLines(s"$logDir/${f"$version%08d.json"}")
       .filter(_.nonEmpty).map(parseAction)
@@ -128,6 +136,9 @@ final class DeltaLog(val tableRoot: String) {
         cp + 1
       case None => 0L
     }
+    require(start >= minVersion || start > v,
+      s"version $v predates the retained log of $tableRoot " +
+        s"(oldest entry: $minVersion; log was cleaned up)")
     (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
@@ -173,9 +184,36 @@ final class DeltaLog(val tableRoot: String) {
       .maxOption
 
   def history(): Seq[(Long, Option[CommitInfo])] =
-    (0L to latestVersion).map { v =>
+    (math.max(0L, minVersion) to latestVersion).map { v =>
       v -> actions(v).collectFirst { case c: CommitInfo => c }
     }
+
+  /** Delete log segments no retained read needs: entries (and older
+    * checkpoints) strictly below the newest checkpoint that still
+    * covers the oldest retained version. Time travel below that
+    * checkpoint stops working — the same contract VACUUM applies to
+    * data files; run [[DeltaLikeTable.vacuum]] FIRST, while the old
+    * entries still enumerate their files. Returns deleted names.
+    */
+  def cleanupLogs(retainVersions: Int = DeltaLog.CheckpointInterval.toInt): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val latest = latestVersion
+    val oldestRetained = math.max(0L, latest - (retainVersions - 1))
+    latestCheckpoint(oldestRetained) match {
+      case None => Seq.empty // no checkpoint old enough: nothing removable
+      case Some(cp) =>
+        val names = io.listNames(logDir)
+        val doomedVersions = names.collect {
+          case n @ VersionFile(v) if v.toLong < cp => n
+        }
+        val doomedCheckpoints = names.collect {
+          case n @ CheckpointFile(v) if v.toLong < cp => n
+        }
+        val doomed = doomedVersions ++ doomedCheckpoints
+        doomed.foreach(n => io.delete(s"$logDir/$n"))
+        doomed
+    }
+  }
 }
 
 object DeltaLog {

@@ -166,6 +166,40 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.snapshot(9L).txns === Map("qA" -> 8L, "qB" -> 9L))
   }
 
+  test("cleanupLogs drops pre-checkpoint segments; retained reads and history survive") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("logclean").toString
+    (0 until 25).foreach { i =>
+      DeltaLikeTable.write(
+        Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1),
+        path, if (i == 0) "overwrite" else "append")
+    }
+    val t = DeltaLikeTable.forPath(spark, path)
+    val log = t.log
+
+    // vacuum first (no-op here: appends never unreference files), then
+    // drop everything below the checkpoint covering the retained window
+    t.vacuum(retainVersions = 5)
+    val removed = log.cleanupLogs(retainVersions = 5)
+    // retention floor = v20 checkpoint → versions 0..19 and the v10
+    // checkpoint go away
+    assert(removed.nonEmpty)
+    assert(log.minVersion === 20L)
+
+    // latest and any version >= the surviving checkpoint still resolve
+    assert(t.toDF.count() === 25)
+    Seq(20L, 22L, 24L).foreach(v => assert(t.toDF(v).count() === v + 1))
+    // pre-checkpoint time travel fails with a clear retention error
+    val e = intercept[IllegalArgumentException] { t.toDF(5L).count() }
+    assert(e.getMessage.contains("predates the retained log"))
+    // history spans only retained versions, without crashing on the gap
+    assert(t.history().map(_._1) === (20L to 24L))
+    // subsequent writes and vacuums keep working
+    DeltaLikeTable.write(Seq((99L, "z")).toDF("id", "v"), path, "append")
+    assert(t.toDF.count() === 26)
+    assert(t.vacuum(retainVersions = 1).isEmpty === false || t.toDF.count() === 26)
+  }
+
   test("vacuum with larger retention keeps recent versions readable") {
     val (_, t) = freshTable()
     t.optimize(targetFiles = 1) // v4
