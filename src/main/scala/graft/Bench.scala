@@ -18,10 +18,16 @@ object Bench {
     // happens to run first (~6s of pure startup attributed to one query)
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // median of 3 runs per query: single-shot timing under machine load
+    // has shown ~2.7x variance on this box, which is larger than any
+    // engine-side regression we'd want to detect
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

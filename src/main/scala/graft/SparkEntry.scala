@@ -103,8 +103,7 @@ object SparkEntry {
     // oracles)
     "q45_lang_id" -> ((s: SparkSession, d: String) => {
       val docs = graft.core.Tables.documents(s, d)
-      graft.operators.LangId.classify(docs, "doc_id", "text",
-        graft.operators.LangId.trainProfiles(docs, "text", "lang"))
+      graft.operators.LangId.trainAndClassify(docs, "doc_id", "text", "lang")
     }),
     "q46_winnow_fingerprints" -> (graft.operators.TextAnalysis.q46WinnowFingerprints _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,

@@ -19,13 +19,19 @@ import org.apache.spark.sql.types._
   * spliced into the enclosing WholeStageCodegen stage.
   *
   * The planes are derived from `seed` with the exact gaussian draw order
-  * the interpreted code used (t-major, then bit, then component), so
-  * bucket assignments — and the measured recall — are bit-identical to
-  * the HOF version; the equivalence is spec-pinned.
+  * the interpreted code used (t-major, then bit, then component), so for
+  * fully non-null embeddings bucket assignments — and the measured
+  * recall — are bit-identical to the HOF version; the equivalence is
+  * spec-pinned.
   *
   * Returns `array<int>` of length `tables`: element t packs the sign
   * bits (projection > 0) of table t's `bits` hyperplanes. Null array or
-  * null element → null; length ≠ `dim` → error.
+  * null ELEMENT → null buckets; length ≠ `dim` → error. The null-element
+  * case is an intentional deviation from the historical HOF fold (which
+  * treated a null projection as a 0 bit): a vector with null components
+  * has no meaningful cosine — the exact-verify stage would null it out
+  * anyway — so such rows drop out of LSH bucketing entirely instead of
+  * colliding in an arbitrary bucket. Spec-pinned in HyperplaneBucketsSpec.
   */
 case class HyperplaneBuckets(
     child: Expression,

@@ -137,9 +137,21 @@ object Dedup {
     jaccardSimilarityJoin(
       Tables.documents(spark, d), "doc_id", "text", threshold = 0.6)
 
+  /** Decision memo: the strategy statistic is a property of the input
+    * relation + parameters, so repeated invocations (retries, the same
+    * table deduped in a loop) should not re-run the sampling job. Keyed
+    * by the Dataset's semantic hash — a collision can only flip a
+    * performance hint between two EXACT plans, never correctness.
+    */
+  private val strategyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Double, Long), String]()
+
   /** Sampled estimate of the inverted-index path's candidate-pair count
     * vs corpus size → `"inverted"` or `"prefix"`. Unbiased: E[df_s·
-    * (df_s−1)] = p²·df·(df−1) under Bernoulli document sampling.
+    * (df_s−1)] = p²·df·(df−1) under Bernoulli document sampling. Both
+    * statistics (candidate estimate, sampled doc count) come back from
+    * ONE action — a cross join of the two single-row aggregates — not a
+    * `.head()` plus a `.count()` over the same sample.
     */
   private[operators] def chooseStrategy(
       docs: DataFrame,
@@ -147,23 +159,29 @@ object Dedup {
       textCol: String,
       sampleFraction: Double = 0.1,
       blowupFactor: Double = 500.0,
-      seed: Long = 42L): String = {
-    val sampled = docs.sample(sampleFraction, seed)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("__id"), shingles(split(col(textCol), " ")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val row = sampled.select(col("__id"), explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .agg(
-        sum(col("df") * (col("df") - 1) / 2).cast(DoubleType).as("cand"),
-        sum(col("df")).cast(DoubleType).as("postings"))
-      .head()
-    val nDocsSampled = sampled.count().toDouble
-    if (row.isNullAt(0) || nDocsSampled == 0) return "inverted" // empty corpus
-    val estCandidates = row.getDouble(0) / (sampleFraction * sampleFraction)
-    val estDocs = nDocsSampled / sampleFraction
-    if (estCandidates > blowupFactor * estDocs) "prefix" else "inverted"
-  }
+      seed: Long = 42L): String =
+    strategyMemo.computeIfAbsent(
+      (docs.semanticHash(), sampleFraction, blowupFactor, seed),
+      _ => {
+        val sampled = docs.sample(sampleFraction, seed)
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+          .select(col(idCol).as("__id"), shingles(split(col(textCol), " ")).as("sh"))
+          .where(size(col("sh")) > 0)
+        val candStats = sampled.select(explode(col("sh")).as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .agg(
+            sum(col("df") * (col("df") - 1) / 2).cast(DoubleType).as("cand"),
+            sum(col("df")).cast(DoubleType).as("postings"))
+        val docStats = sampled.agg(count(lit(1)).as("n_docs"))
+        val row = candStats.crossJoin(docStats).head()
+        val nDocsSampled = row.getLong(2).toDouble
+        if (row.isNullAt(0) || nDocsSampled == 0) "inverted" // empty corpus
+        else {
+          val estCandidates = row.getDouble(0) / (sampleFraction * sampleFraction)
+          val estDocs = nDocsSampled / sampleFraction
+          if (estCandidates > blowupFactor * estDocs) "prefix" else "inverted"
+        }
+      })
 
   /** See [[q34JaccardPairs]]; reusable form over any (id, text) frame.
     * `strategy` ∈ {auto, inverted, prefix}.

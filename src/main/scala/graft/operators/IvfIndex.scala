@@ -56,28 +56,39 @@ object IvfIndex {
       nLists: Int,
       iterations: Int = 2,
       seed: Long = 42L): Ivf = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val base = vectors.select(
       col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
 
-    // deterministic hash-ordered sample as initial centroids; the window
-    // runs over the already-limited nLists rows — a constant partition
-    // key keeps it off the unpartitioned-window path (and its WARN)
-    // without implying this would ever see table-scale data
-    var centroids = base
-      .orderBy(xxhash64(col("__id"), lit(seed)))
-      .limit(nLists)
-      .withColumn("list_id",
-        row_number().over(
-          Window.partitionBy(lit(0)).orderBy(xxhash64(col("__id"), lit(seed)))))
-      .select(col("list_id"), col("__e").as("centroid"))
+    // Centroids are nLists rows — driver metadata, not data. Each step
+    // collects them to a LocalRelation so (a) the k-means lineage is cut
+    // at every iteration (a chained-DataFrame `var` would re-execute the
+    // whole sample→assign→avg chain on EVERY downstream action of every
+    // consumer), and (b) the assign broadcast is a literal local plan,
+    // not a recomputed subtree. The sample's hash order also assigns
+    // list_ids here, driver-side, instead of a degenerate
+    // single-partition window.
+    def localize(rows: Array[(Int, Seq[Double])]): DataFrame =
+      rows.toSeq.toDF("list_id", "centroid")
+
+    var centroids = localize(
+      base.orderBy(xxhash64(col("__id"), lit(seed)))
+        .limit(nLists)
+        .select(col("__e"))
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Double](0)) })
 
     (1 to iterations).foreach { _ =>
-      val assigned = assign(base, centroids)
-      centroids = assigned
-        .groupBy(col("list_id"))
-        .agg(VectorAvg.of(dim)(
-          transform(col("__e"), x => x.cast(FloatType))).as("cf"))
-        .select(col("list_id"), toDouble(col("cf")).as("centroid"))
+      centroids = localize(
+        assign(base, centroids)
+          .groupBy(col("list_id"))
+          .agg(VectorAvg.of(dim)(
+            transform(col("__e"), x => x.cast(FloatType))).as("cf"))
+          .select(col("list_id"), toDouble(col("cf")).as("centroid"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))))
     }
     Ivf(centroids, assign(base, centroids))
   }

@@ -88,6 +88,60 @@ object LangId {
         col("__score").as("lang_score"))
   }
 
+  /** Train-and-classify over the same labeled corpus in ONE corpus
+    * pass: the per-(doc, trigram) occurrence relation is built once and
+    * both consumers — the per-language profile aggregate and the
+    * scoring join — hang off the identical aggregate subtree, so
+    * Spark's exchange reuse executes the explode + first shuffle once
+    * (the plan shows one ReusedExchange/stage instead of two trigram
+    * explodes of the full corpus). Numerically identical to
+    * `classify(docs, ..., trainProfiles(docs, ...))`: because each doc
+    * carries exactly one label, grouping occurrences by (doc, lang,
+    * trigram) equals grouping by (doc, trigram), and the profile counts
+    * are the same integers summed per (lang, trigram).
+    */
+  def trainAndClassify(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      topN: Int = 300): DataFrame = {
+    // one explode + one shuffle: occurrences per (doc, lang, trigram)
+    val base = trigramRows(
+      labeled.select(col(idCol).as("__id"), col(langCol).as("__lang"), col(textCol)),
+      textCol)
+      .groupBy(col("__id"), col("__lang"), col("__tri"))
+      .agg(count(lit(1)).as("__occ"))
+
+    // profiles: partial-aggregate on top of the shared exchange
+    val counts = base.groupBy(col("__lang"), col("__tri"))
+      .agg(sum(col("__occ")).as("__n"))
+    val w = Window.partitionBy(col("__lang")).orderBy(col("__n").desc, col("__tri"))
+    val total = Window.partitionBy(col("__lang"))
+    val profiles = counts
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__total", sum(col("__n")).over(total))
+      .where(col("__rank") <= topN)
+      .select(col("__lang").as("lang"), col("__tri").as("trigram"),
+        col("__n").as("n"), col("__total").as("total"))
+
+    // scoring: same base, doc's own label dropped (it is not the join key)
+    val occ = base.select(col("__id"), col("__tri"), col("__occ"))
+    val scored = occ
+      .join(broadcast(profiles), occ("__tri") === profiles("trigram"))
+      .groupBy(col("__id"), col("lang"))
+      .agg(sum(col("__occ") * col("n")).as("__num"), max(col("total")).as("__total"))
+      .select(col("__id"), col("lang"),
+        (col("__num").cast(DoubleType) / col("__total")).as("__score"))
+    val rankW = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("lang"))
+    scored
+      .withColumn("__rn", row_number().over(rankW))
+      .where(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("lang").as("predicted_lang"),
+        col("__score").as("lang_score"))
+  }
+
   /** Oracle for the declared q45 (train on the labeled corpus, classify
     * the same corpus): full SQL replication of [[trainProfiles]] +
     * [[classify]] — trigram explode, top-300 profile per language

@@ -43,7 +43,28 @@ object NearDup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.6,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    minHashCandidates(docs, idCol, textCol, numHashes, bands, seed)
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+
+  /** Banded candidate pairs with both signatures attached, no similarity
+    * estimate. Callers that verify candidates exactly project the ids
+    * only, and column pruning then drops the k-long signatures from the
+    * band shuffle entirely — the estimate is a per-candidate interpreted
+    * 2k-element fold, the dominant verify-side cost when evaluated and
+    * discarded.
+    */
+  private def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
@@ -77,11 +98,6 @@ object NearDup {
     left.join(right, Seq("__band", "__bh"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        (aggregate(
-          zip_with(col("__sig_a"), col("__sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
   }
 
   /** MinHash-LSH candidates verified with EXACT shingle-set Jaccard —
@@ -108,10 +124,11 @@ object NearDup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), shingleSet(col(textCol)).as("__sh"))
       .where(size(col("__sh")) > 0)
-    // candidates: every banded collision, no estimate filter — the exact
-    // verification below decides
-    val candidates = minHashPairs(docs, idCol, textCol,
-      numHashes = numHashes, bands = bands, threshold = 0.0, seed = seed)
+    // candidates: every banded collision, no estimate — the exact
+    // verification below decides, so evaluating the signature-fold
+    // estimate here would be pure waste
+    val candidates = minHashCandidates(docs, idCol, textCol,
+      numHashes = numHashes, bands = bands, seed = seed)
       .select(col("id_a"), col("id_b"))
     candidates
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
@@ -143,18 +160,16 @@ object NearDup {
       | ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.6""".stripMargin
 
-  /** Portable 60-bit hash: 15 hex digits of md5 packed 4 bits each —
-    * reproducible in any engine with md5/substring/ascii (the declared
-    * q36 is hash-checked against a DuckDB oracle recomputing it).
-    * 60 not 64 bits so the packed value stays inside a signed long.
+  /** Portable 60-bit hash: the first 15 hex digits of md5, read
+    * big-endian — one `conv` expression instead of the historical 15×
+    * substring/ascii/case packing, and reproducible in any engine with
+    * md5 + hex-string-to-int (DuckDB: `('0x' || substring(md5(s),1,15))
+    * ::BIGINT`; the declared q36 is hash-checked against a DuckDB oracle
+    * recomputing it). 60 not 64 bits so the value stays inside a signed
+    * long.
     */
-  private[operators] def portable60(s: Column): Column = {
-    val m = md5(s)
-    (0 until 15).map { c =>
-      val a = ascii(substring(m, c + 1, 1))
-      when(a >= 97, a - 87).otherwise(a - 48).cast(LongType) * (1L << (4 * c))
-    }.reduce(_ + _)
-  }
+  private[operators] def portable60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 
   /** SimHash near-duplicate pairs with exact Hamming verification.
     *
@@ -228,11 +243,7 @@ object NearDup {
     * this brute-force recompute bit-for-bit.
     */
   val q36Sql: String = {
-    val h60 = (0 until 15).map { c =>
-      s"(CASE WHEN ascii(substring(m, ${c + 1}, 1)) >= 97 " +
-        s"THEN ascii(substring(m, ${c + 1}, 1)) - 87 " +
-        s"ELSE ascii(substring(m, ${c + 1}, 1)) - 48 END) * CAST(${1L << (4 * c)} AS BIGINT)"
-    }.mkString(" + ")
+    val h60 = "('0x' || substring(m, 1, 15))::BIGINT"
     val votes = (0 until 60).map { i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i"
     }.mkString(", ")

@@ -63,9 +63,16 @@ object DataSkipping {
     } yield (lo, hi)
 
   /** Compare an encoded stat (see [[DeltaLikeTable.encodeStat]]) with a
-    * pushed-filter literal under the column's type ordering.
+    * pushed-filter literal under the column's type ordering. Any parse
+    * failure (e.g. an "Infinity" stat written by an older log, or an
+    * infinite filter literal) yields None → keep the file: the contract
+    * is strictly conservative, never an exception at scan time.
     */
-  private def compare(dt: DataType, stat: String, v: Any): Option[Int] = dt match {
+  private def compare(dt: DataType, stat: String, v: Any): Option[Int] =
+    try compareUnsafe(dt, stat, v)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def compareUnsafe(dt: DataType, stat: String, v: Any): Option[Int] = dt match {
     case _: NumericType =>
       numeric(v).map(b => new java.math.BigDecimal(stat).compareTo(b))
     case StringType =>

@@ -118,9 +118,12 @@ final class DeltaLikeTable private (
       .drop(DeltaLikeTable.FileCol)
     val rewritten = rewrite(touchedRows)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot, snap.partitionColumns)
-    log.commit(snap.version + 1,
+    try log.commit(snap.version + 1,
       touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo(operation, System.currentTimeMillis()))
+    catch {
+      case e: Throwable => DeltaLikeTable.discardStaged(path, adds); throw e
+    }
     touchedFiles.map(_.numRecords).sum - adds.map(_.numRecords).sum
   }
 
@@ -161,11 +164,14 @@ final class DeltaLikeTable private (
           .drop(zc)
       }
     val adds = DeltaLikeTable.stageFiles(compacted, path, snap.partitionColumns)
-    log.commit(snap.version + 1,
+    try log.commit(snap.version + 1,
       snap.files.map(f => RemoveFile(f.path)) ++ adds :+
         CommitInfo(if (zorderBy.isEmpty) "OPTIMIZE"
           else s"OPTIMIZE ZORDER BY (${zorderBy.mkString(",")})",
           System.currentTimeMillis()))
+    catch {
+      case e: Throwable => DeltaLikeTable.discardStaged(path, adds); throw e
+    }
     this
   }
 
@@ -234,9 +240,10 @@ object DeltaLikeTable {
     *
     * `skipCommitIf` is re-evaluated against the log before every commit
     * attempt (including rebased retries after a concurrent-writer
-    * conflict); returning true abandons the commit and leaves any staged
-    * files unreferenced (VACUUM-cleanable) — the hook the streaming sink
-    * uses to make its (queryId, batchId) idempotence check race-free.
+    * conflict); returning true abandons the commit and DELETES the
+    * staged files (they were never logged, so no later vacuum could
+    * reclaim them) — the hook the streaming sink uses to make its
+    * (queryId, batchId) idempotence check race-free.
     */
   def write(
       df: DataFrame,
@@ -260,17 +267,24 @@ object DeltaLikeTable {
       else {
         val prevTypes = s.schema.fields.map(f => f.name -> f.dataType).toMap
         df.schema.fields.foreach(f => prevTypes.get(f.name).foreach(t =>
-          require(t == f.dataType,
+          require(t == f.dataType || canWiden(t, f.dataType),
             s"schema evolution cannot change '${f.name}' from ${t.catalogString}" +
-              s" to ${f.dataType.catalogString}")))
+              s" to ${f.dataType.catalogString} (only widening promotions: " +
+              "byte/short/int→long chain, float→double)")))
       }
     }
-    // schema recorded with the commit: evolved = table fields ++ new ones
+    // schema recorded with the commit: evolved = table fields (widened
+    // where the write promotes a type) ++ new ones
     val committedSchema: StructType = prev match {
       case Some(s) if mergeSchema =>
+        val incoming = df.schema.fields.map(f => f.name -> f.dataType).toMap
         val existing = s.schema.fieldNames.toSet
-        StructType(s.schema.fields.toSeq ++
-          df.schema.fields.filterNot(f => existing(f.name)).map(_.copy(nullable = true)))
+        StructType(s.schema.fields.toSeq.map { f =>
+          incoming.get(f.name) match {
+            case Some(t) if canWiden(f.dataType, t) => f.copy(dataType = t)
+            case _                                  => f
+          }
+        } ++ df.schema.fields.filterNot(f => existing(f.name)).map(_.copy(nullable = true)))
       case _ => df.schema
     }
     // partitioning is a table property: appends inherit it, overwrite may
@@ -282,7 +296,21 @@ object DeltaLikeTable {
             s"${prev.get.partitionColumns}, write asked $partitionBy")
         prev.get.partitionColumns
       } else partitionBy
-    val adds = stageFiles(df, path, effectiveParts)
+    // widened columns are cast UP before staging so every new file
+    // carries the committed (wide) physical type; only pre-evolution
+    // files need read-time promotion
+    val stagedDf = {
+      val target = committedSchema.fields.map(f => f.name -> f.dataType).toMap
+      if (df.schema.fields.exists(f => target.get(f.name).exists(_ != f.dataType)))
+        df.select(df.schema.fields.toSeq.map { f =>
+          target.get(f.name) match {
+            case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+            case _                          => col(f.name)
+          }
+        }: _*)
+      else df
+    }
+    val adds = stageFiles(stagedDf, path, effectiveParts)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
@@ -293,40 +321,62 @@ object DeltaLikeTable {
     // the new head and retries — after re-checking the schema, which a
     // concurrent overwrite could have changed. Overwrites (and merges,
     // via their own commit path) are genuine conflicts and fail fast.
+    // Any abandoned commit — skipCommitIf, a lost overwrite race, an
+    // exhausted/failed rebase — deletes its staged files: they were
+    // never logged as AddFile, so nothing else (vacuum included) would
+    // ever reclaim them.
     var attempt = 0
     var done = false
     val schemaChanged = prev.exists(s => !sameSchema(s.schema, committedSchema))
-    while (!done) {
-      if (skipCommitIf(log)) return new DeltaLikeTable(df.sparkSession, path, None)
-      val version = log.latestVersion + 1
-      val meta =
-        if (version == 0 || mode == "overwrite" || schemaChanged)
-          Seq(MetaData(committedSchema.toDDL, effectiveParts))
-        else Seq.empty
-      try {
-        log.commit(version,
-          meta ++ removes ++ adds ++ extraActions :+
-            CommitInfo(operation, System.currentTimeMillis()))
-        done = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            if mode == "append" && attempt < 20 =>
-          attempt += 1
-          val head = log.snapshot()
-          // an evolved append rebases only onto the schema it merged from
-          require(
-            if (mergeSchema) prev.exists(p => sameSchema(head.schema, p.schema))
-            else sameSchema(head.schema, df.schema),
-            s"append conflict: concurrent writer changed schema to ${head.schema.toDDL}")
-          // files were staged under the pre-conflict partition layout; a
-          // concurrent overwrite that re-partitioned the table would make
-          // their paths lie about partition values — fail, don't rebase
-          require(head.partitionColumns == effectiveParts,
-            s"append conflict: concurrent writer changed partitioning to " +
-              s"${head.partitionColumns} (append staged ${effectiveParts})")
+    try {
+      while (!done) {
+        if (skipCommitIf(log)) {
+          discardStaged(path, adds)
+          return new DeltaLikeTable(df.sparkSession, path, None)
+        }
+        val version = log.latestVersion + 1
+        val meta =
+          if (version == 0 || mode == "overwrite" || schemaChanged)
+            Seq(MetaData(committedSchema.toDDL, effectiveParts))
+          else Seq.empty
+        try {
+          log.commit(version,
+            meta ++ removes ++ adds ++ extraActions :+
+              CommitInfo(operation, System.currentTimeMillis()))
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException
+              if mode == "append" && attempt < 20 =>
+            attempt += 1
+            val head = log.snapshot()
+            // an evolved append rebases only onto the schema it merged from
+            require(
+              if (mergeSchema) prev.exists(p => sameSchema(head.schema, p.schema))
+              else sameSchema(head.schema, df.schema),
+              s"append conflict: concurrent writer changed schema to ${head.schema.toDDL}")
+            // files were staged under the pre-conflict partition layout; a
+            // concurrent overwrite that re-partitioned the table would make
+            // their paths lie about partition values — fail, don't rebase
+            require(head.partitionColumns == effectiveParts,
+              s"append conflict: concurrent writer changed partitioning to " +
+                s"${head.partitionColumns} (append staged ${effectiveParts})")
+        }
       }
+    } catch {
+      case e: Throwable => discardStaged(path, adds); throw e
     }
     new DeltaLikeTable(df.sparkSession, path, None)
+  }
+
+  /** Delete data files staged for a commit that will never happen. Never
+    * throws — the original failure (if any) is the interesting one.
+    */
+  private[tables] def discardStaged(tableRoot: String, adds: Seq[AddFile]): Unit = {
+    val io = TableIO.forPath(tableRoot)
+    adds.foreach { a =>
+      try io.delete(s"$tableRoot/${a.path}")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private[tables] def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame =
@@ -346,6 +396,19 @@ object DeltaLikeTable {
   private def sameSchema(a: StructType, b: StructType): Boolean =
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** Lossless widening promotions `mergeSchema` accepts (Delta's type
+    * widening, restricted to the integral chain + float→double). Old
+    * files keep their narrow physical type; the parquet reader promotes
+    * at scan time, new files are written wide.
+    */
+  private[tables] def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType)            => true
+    case (IntegerType, LongType)                        => true
+    case (FloatType, DoubleType)                        => true
+    case _                                              => false
+  }
 
   /** Physically write `df` into the table directory and return AddFile
     * actions with per-file min/max/null-count stats.

@@ -126,10 +126,14 @@ object FooterStats {
       logical: LogicalTypeAnnotation,
       v: AnyRef): Option[String] = (field.dataType, v) match {
     case (_, null) => None
+    // NaN AND ±Infinity withheld: the stat format is BigDecimal-parsed at
+    // prune time (cmp / DataSkipping.compare), where "Infinity" would
+    // throw — and a NaN-/Inf-bearing chunk's min/max ordering is not
+    // trustworthy anyway. No stat → never pruned, the conservative side.
     case (FloatType, f: java.lang.Float) =>
-      if (f.isNaN) None else Some(f.toString)
+      if (f.isNaN || f.isInfinite) None else Some(f.toString)
     case (DoubleType, d: java.lang.Double) =>
-      if (d.isNaN) None else Some(d.toString)
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
     case (dec: DecimalType, i: java.lang.Integer) =>
       Some(new java.math.BigDecimal(
         java.math.BigInteger.valueOf(i.longValue), dec.scale).toPlainString)

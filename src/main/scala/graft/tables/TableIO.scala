@@ -15,10 +15,12 @@ import org.apache.spark.sql.SparkSession
   * so a table root like `s3a://bucket/table` works wherever Spark does.
   *
   * Commit atomicity contract per store: NIO uses `Files.createLink`
-  * (create-exclusive, atomic). HDFS uses rename-without-overwrite
-  * (atomic on HDFS). Raw object stores without atomic rename (plain
-  * S3) need single-writer discipline or a coordinating commit service —
-  * the identical caveat Delta documents for its S3 LogStore.
+  * (create-exclusive, atomic). Hadoop schemes use FileContext's
+  * rename-without-overwrite (atomic on HDFS). Schemes known to LACK an
+  * atomic rename (S3 family, GCS, ...) are rejected at `forPath` unless
+  * `-Dgraft.io.allowNonAtomicRename=true` opts into single-writer
+  * discipline — the caveat Delta documents for its S3 LogStore, enforced
+  * instead of documented.
   */
 private[tables] trait TableIO {
   /** File/dir names directly under `dir`; empty if `dir` is absent. */
@@ -41,11 +43,35 @@ private[tables] trait TableIO {
 }
 
 private[tables] object TableIO {
-  /** Local paths (no scheme / file:) get NIO; anything else Hadoop. */
+  /** Schemes whose rename is copy-then-delete or silently overwrites —
+    * no atomic create-exclusive, so the commit protocol's mutual
+    * exclusion does not hold. Failing fast here beats doc-level
+    * discipline; a coordinated single-writer deployment can opt out via
+    * `-Dgraft.io.allowNonAtomicRename=true` (the same posture as Delta's
+    * S3 single-cluster LogStore).
+    */
+  private val NonAtomicRenameSchemes = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+
+  /** Local paths (no scheme / file:) get NIO; anything else Hadoop.
+    * `-Dgraft.io.forceHadoop=true` routes local paths through
+    * [[HadoopTableIO]] too — CI uses it to drive a full table lifecycle
+    * through the non-NIO branch without a cluster.
+    */
   def forPath(path: String): TableIO = {
     val scheme = new HPath(path).toUri.getScheme
-    if (scheme == null || scheme == "file") NioTableIO
-    else new HadoopTableIO(new HPath(path), hadoopConf())
+    if ((scheme == null || scheme == "file") &&
+      !java.lang.Boolean.getBoolean("graft.io.forceHadoop")) NioTableIO
+    else if (scheme == null || scheme == "file")
+      new HadoopTableIO(new HPath(path), hadoopConf())
+    else {
+      require(
+        !NonAtomicRenameSchemes.contains(scheme) ||
+          java.lang.Boolean.getBoolean("graft.io.allowNonAtomicRename"),
+        s"scheme '$scheme' lacks atomic rename: concurrent commits can corrupt " +
+          "the log. Set -Dgraft.io.allowNonAtomicRename=true only with " +
+          "single-writer discipline or an external commit coordinator.")
+      new HadoopTableIO(new HPath(path), hadoopConf())
+    }
   }
 
   private def hadoopConf(): Configuration =
@@ -134,16 +160,30 @@ private[tables] final class HadoopTableIO(anchor: HPath, conf: Configuration)
     finally in.close()
   }
 
+  private lazy val fc =
+    if (anchor.toUri.getScheme == null)
+      org.apache.hadoop.fs.FileContext.getFileContext(conf)
+    else org.apache.hadoop.fs.FileContext.getFileContext(anchor.toUri, conf)
+
   def writeExclusive(path: String, content: String): Unit = {
     val target = new HPath(path)
     val tmp = new HPath(target.getParent, s".tmp-${target.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     write(tmp, content)
-    // rename-without-overwrite: atomic on HDFS; object stores without
-    // that contract need single-writer discipline (see class docs)
-    val renamed = !fs.exists(target) && fs.rename(tmp, target)
-    if (!renamed) {
-      fs.delete(tmp, false)
-      throw new java.nio.file.FileAlreadyExistsException(path)
+    // FileContext.rename WITHOUT Rename.OVERWRITE: one atomic
+    // rename-no-overwrite primitive on HDFS (no exists() probe, no
+    // TOCTOU window — the FileSystem.rename path silently overwrites on
+    // some stores and needed a racy pre-check). Readers still never see
+    // partial files: content lands in tmp first.
+    try fc.rename(tmp, target)
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(tmp, false)
+        // FileAlreadyExistsException (hadoop.fs or mapped) and the
+        // generic-IOE-because-target-exists case both mean: lost the race
+        if (e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+          fs.exists(target))
+          throw new java.nio.file.FileAlreadyExistsException(path)
+        else throw e
     }
   }
 

@@ -96,6 +96,23 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hyperplane_buckets null semantics: null element → null buckets (intentional strictness)") {
+    // Deviates from the historical HOF fold on purpose (that one treated
+    // a null projection as a 0 bit): a vector with null components has
+    // no meaningful cosine — the exact-verify stage nulls it out too —
+    // so such rows drop out of LSH bucketing instead of colliding in an
+    // arbitrary bucket. Documented in HyperplaneBuckets's scaladoc.
+    val schema = StructType(Seq(StructField("e", ArrayType(DoubleType))))
+    def run(e: Seq[java.lang.Double]): Boolean = { // isNull of the bucket array
+      val df = spark.createDataFrame(java.util.Arrays.asList(Row(e)), schema)
+      df.select(GraftFunctions.hyperplaneBuckets(col("e"), 4, 2, 4, 7L).as("b"))
+        .head().isNullAt(0)
+    }
+    assert(!run(Seq(1.0, 2.0, 3.0, 4.0))) // clean row buckets normally
+    assert(run(Seq(1.0, null, 3.0, 4.0))) // null element → null buckets
+    assert(run(null))                     // null array → null buckets
+  }
+
   test("hyperplane_buckets participates in whole-stage codegen") {
     val e = Tables.embeddings(spark, sfDir)
     val plan = e.select(

@@ -66,4 +66,49 @@ class ChangeReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("rewrites files"))
   }
+
+  test("changeFeed delivers row-level changes across MERGE/DELETE exactly once") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("cdc_feed").toString
+    DeltaLikeTable.write((1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    // v1: MERGE updating one row and inserting one — the rewrite copies
+    // the 4 untouched rows into a new file; those must NOT reappear
+    t.as("t").merge(
+        Seq((2L, "UPD"), (99L, "NEW")).toDF("id", "v").as("s"), "t.id = s.id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+    def rows(feed: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long)] =
+      feed.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+    assert(rows(ChangeReader.changeFeed(spark, path, 0)) === Set(
+      (2L, "UPD", "insert", 1L), // update post-image
+      (2L, "v2", "delete", 1L),  // update pre-image
+      (99L, "NEW", "insert", 1L)))
+
+    // v2: DELETE — pre-image rows surface as deletes only
+    t.delete("id = 3")
+    assert(rows(ChangeReader.changeFeed(spark, path, 1)) ===
+      Set((3L, "v3", "delete", 2L)))
+
+    // v3 OPTIMIZE is a logical no-op; v4 append surfaces as plain inserts
+    t.optimize()
+    DeltaLikeTable.write(Seq((100L, "x")).toDF("id", "v"), path, "append")
+    assert(rows(ChangeReader.changeFeed(spark, path, 2)) ===
+      Set((100L, "x", "insert", 4L)))
+
+    // whole-history feed replays the table: v0 initial load as inserts,
+    // then every change exactly once; inserts minus deletes = head state
+    val full = ChangeReader.changeFeed(spark, path, -1)
+    assert(full.where("_commit_version = 0").count() === 5)
+    val net = full.where("_change_type = 'insert'")
+      .select("id", "v")
+      .exceptAll(full.where("_change_type = 'delete'").select("id", "v"))
+    assert(rowsOf(net) === rowsOf(t.toDF.select("id", "v")))
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
 }

@@ -284,6 +284,62 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF.where(col("Source") === "csv").count() === 2)
   }
 
+  test("mergeSchema type widening: int→long / float→double accepted, narrowing rejected") {
+    val sp = spark; import sp.implicits._
+    val path = tmpTable()
+    DeltaLikeTable.write(
+      Seq((1, 1.5f), (2, 2.5f)).toDF("id", "x"), path) // int, float
+
+    // widened append: committed schema promotes, old files read through it
+    DeltaLikeTable.write(
+      Seq((3L, 3.5d)).toDF("id", "x"), path, "append", mergeSchema = true)
+    val t = DeltaLikeTable.forPath(spark, path)
+    val df = t.toDF
+    assert(df.schema("id").dataType === LongType)
+    assert(df.schema("x").dataType === DoubleType)
+    assert(df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // time travel still shows the pre-widening schema
+    assert(t.toDF(0).schema("id").dataType === IntegerType)
+
+    // narrower write against the widened table: rejected, not silently cast
+    val e = intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(
+        Seq((4, 4.5f)).toDF("id", "x"), path, "append", mergeSchema = true)
+    }
+    assert(e.getMessage.contains("cannot change"))
+
+    // widening composes with column adds in one evolved write
+    DeltaLikeTable.write(
+      Seq((5L, 5.5d, "new")).toDF("id", "x", "tag"),
+      path, "append", mergeSchema = true)
+    assert(t.toDF.where("tag = 'new'").count() === 1)
+    assert(t.toDF.where("id = 1 AND tag IS NULL").count() === 1)
+  }
+
+  test("abandoned commits delete their staged files (no orphans)") {
+    val sp = spark; import sp.implicits._
+    val path = tmpTable()
+    DeltaLikeTable.write(Seq((1L, "a")).toDF("id", "v"), path)
+    def dataFiles(): Set[String] =
+      NioTableIO.walkFiles(path).filter(_.endsWith(".parquet")).toSet
+    val before = dataFiles()
+
+    // skipCommitIf abandons after staging → staged files must be gone
+    DeltaLikeTable.write(Seq((2L, "b")).toDF("id", "v"), path, "append",
+      skipCommitIf = _ => true)
+    assert(dataFiles() === before, "skipCommitIf left orphan files")
+
+    // a commit attempt that dies (hook throws) also cleans up
+    intercept[RuntimeException] {
+      DeltaLikeTable.write(Seq((3L, "c")).toDF("id", "v"), path, "append",
+        skipCommitIf = _ => throw new RuntimeException("boom"))
+    }
+    assert(dataFiles() === before, "failed commit left orphan files")
+    assert(DeltaLikeTable.forPath(spark, path).toDF.count() === 1)
+  }
+
   test("commit is create-exclusive: double commit of same version fails") {
     val path = tmpTable()
     DeltaLikeTable.write(titanic(5), path)

@@ -72,6 +72,36 @@ class TableIOSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: write → merge → time travel runs entirely through HadoopTableIO") {
+    // -Dgraft.io.forceHadoop routes local paths through the Hadoop
+    // branch, so the full table lifecycle (stage, footer stats, rename,
+    // exclusive log commit via FileContext rename-no-overwrite) runs the
+    // code a cluster deployment would, without needing one
+    System.setProperty("graft.io.forceHadoop", "true")
+    try {
+      val spark = graft.core.GraftSession.local("tableio-e2e", cores = 4)
+      try {
+        import spark.implicits._
+        val path = Files.createTempDirectory("graft-io-e2e").toString
+        DeltaLikeTable.write(
+          (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+        val t = DeltaLikeTable.forPath(spark, path)
+        assert(t.log.io.isInstanceOf[HadoopTableIO], "NIO branch was used")
+        t.as("t").merge(
+            Seq((1L, "UPD"), (11L, "NEW")).toDF("id", "v").as("s"), "t.id = s.id")
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        assert(t.version === 1)
+        assert(t.toDF.count() === 11)
+        assert(t.toDF.where("v = 'UPD'").select("id").head().getLong(0) === 1L)
+        assert(t.toDF(0).count() === 10) // time travel to pre-merge
+        // the exclusive-commit contract holds through this branch too
+        intercept[FileAlreadyExistsException] {
+          t.log.commit(1, Seq(CommitInfo("DUP", 0L)))
+        }
+      } finally spark.stop()
+    } finally System.clearProperty("graft.io.forceHadoop")
+  }
+
   test("a deltalike table round-trips through the Hadoop IO path") {
     withTmp { tmp =>
       // force the Hadoop implementation for the whole table lifecycle by
