@@ -24,7 +24,14 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // "exec:<name>" executes the query and prints the FINAL adaptive
+      // plan — with AQE on, exchange/stage reuse only appears there,
+      // not in the static explain
+      if (n.startsWith("exec:")) {
+        val df = SparkEntry.queries(n.stripPrefix("exec:"))(spark, sfDir)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

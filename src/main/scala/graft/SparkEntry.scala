@@ -61,9 +61,11 @@ object SparkEntry {
     // §2.A reference ops on fixtures
     "q24_filter_in" -> (Relational.q24FilterIn _),
     "q25_union_withcolumn" -> (Relational.q25UnionWithColumn _),
-    // §2.B deltalike versioned tables (overwrite + merge + time travel)
+    // §2.B deltalike versioned tables (overwrite + merge + time travel +
+    // row-level CDC across the rewriting MERGE commit)
     "q26_merge_upsert" -> (Versioned.q26MergeUpsert _),
     "q27_time_travel" -> (Versioned.q27TimeTravel _),
+    "q55_change_feed" -> (Versioned.q55ChangeFeed _),
     // E15 text analysis
     "q28_text_stats" -> (TextAnalysis.q28TextStats _),
     "q29_lang_quality" -> (TextAnalysis.q29LangQuality _),
@@ -146,6 +148,7 @@ object SparkEntry {
     "q25_union_withcolumn" -> Relational.q25Sql,
     "q26_merge_upsert" -> Versioned.q26Sql,
     "q27_time_travel" -> Versioned.q27Sql,
+    "q55_change_feed" -> Versioned.q55Sql,
     "q28_text_stats" -> TextAnalysis.q28Sql,
     "q29_lang_quality" -> TextAnalysis.q29Sql,
     "q30_exact_dedup" -> Dedup.q30Sql,

@@ -91,14 +91,17 @@ object LangId {
   /** Train-and-classify over the same labeled corpus in ONE corpus
     * pass: the per-(doc, trigram) occurrence relation is built once and
     * both consumers — the per-language profile aggregate and the
-    * scoring join — hang off the identical aggregate subtree, so
-    * Spark's exchange reuse executes the explode + first shuffle once
-    * (the plan shows one ReusedExchange/stage instead of two trigram
-    * explodes of the full corpus). Numerically identical to
-    * `classify(docs, ..., trainProfiles(docs, ...))`: because each doc
-    * carries exactly one label, grouping occurrences by (doc, lang,
-    * trigram) equals grouping by (doc, trigram), and the profile counts
-    * are the same integers summed per (lang, trigram).
+    * scoring join — hang off a BYTE-IDENTICAL aggregate subtree, so
+    * Spark's exchange reuse executes the explode + its shuffle once
+    * (plan shows ReusedExchange; the explode is the dominant cost — it
+    * multiplies the corpus by ~text length). The doc label deliberately
+    * does NOT ride through the explode: keeping it there makes the two
+    * consumers prune different columns, which breaks plan
+    * canonicalization and silently doubles the corpus pass — instead
+    * the profile branch joins the label back from a thin (doc, lang)
+    * side relation. Numerically identical to `classify(docs, ...,
+    * trainProfiles(docs, ...))`: each doc has exactly one label, so
+    * per-(lang, trigram) counts are the same integers either way.
     */
   def trainAndClassify(
       labeled: DataFrame,
@@ -106,15 +109,25 @@ object LangId {
       textCol: String,
       langCol: String,
       topN: Int = 300): DataFrame = {
-    // one explode + one shuffle: occurrences per (doc, lang, trigram)
-    val base = trigramRows(
-      labeled.select(col(idCol).as("__id"), col(langCol).as("__lang"), col(textCol)),
-      textCol)
-      .groupBy(col("__id"), col("__lang"), col("__tri"))
+    // one explode + one shuffle: occurrences per (doc, trigram). The
+    // explicit isNotNull filters are for PLAN EQUALITY, not semantics
+    // (null ids/trigrams contribute nothing either way): the profile
+    // branch's inner join infers isnotnull(__id) and the scoring join
+    // infers isnotnull(__tri); stating both here keeps the two
+    // consumers' subtrees canonically identical so the exchange is
+    // computed once and reused.
+    val occ = trigramRows(
+      labeled.select(col(idCol).as("__id"), col(textCol))
+        .where(col(idCol).isNotNull && col(textCol).isNotNull), textCol)
+      .where(col("__tri").isNotNull)
+      .groupBy(col("__id"), col("__tri"))
       .agg(count(lit(1)).as("__occ"))
 
-    // profiles: partial-aggregate on top of the shared exchange
-    val counts = base.groupBy(col("__lang"), col("__tri"))
+    // profiles: label joined back (thin two-column scan, no explode),
+    // then partial-aggregate per (lang, trigram)
+    val docLang = labeled.select(col(idCol).as("__id"), col(langCol).as("__lang"))
+    val counts = occ.join(docLang, Seq("__id"))
+      .groupBy(col("__lang"), col("__tri"))
       .agg(sum(col("__occ")).as("__n"))
     val w = Window.partitionBy(col("__lang")).orderBy(col("__n").desc, col("__tri"))
     val total = Window.partitionBy(col("__lang"))
@@ -125,8 +138,7 @@ object LangId {
       .select(col("__lang").as("lang"), col("__tri").as("trigram"),
         col("__n").as("n"), col("__total").as("total"))
 
-    // scoring: same base, doc's own label dropped (it is not the join key)
-    val occ = base.select(col("__id"), col("__tri"), col("__occ"))
+    // scoring: the SAME occ subtree (reused exchange), profiles broadcast
     val scored = occ
       .join(broadcast(profiles), occ("__tri") === profiles("trigram"))
       .groupBy(col("__id"), col("lang"))

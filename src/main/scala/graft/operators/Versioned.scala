@@ -73,4 +73,40 @@ object Versioned {
   }
 
   val q27Sql: String = "SELECT * FROM customer"
+
+  /** Same overwrite+MERGE, then the ROW-LEVEL change feed of the merge
+    * version (CDC across a rewriting commit,
+    * [[graft.tables.ChangeReader.changeFeed]]): each genuinely updated
+    * customer surfaces as delete(pre-image) + insert(post-image), each
+    * new customer as one insert, and rows the rewrite merely copied
+    * surface zero times — including matched rows the update left
+    * bit-identical (acctbal already 0), which the multiset diff cancels.
+    */
+  def q55ChangeFeed(spark: SparkSession, d: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_cdc").toString
+    DeltaLikeTable.write(Tables.customer(spark, d), path, "overwrite")
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.as("old").merge(mergeSource(spark, d).as("new"),
+        "old.c_custkey = new.c_custkey")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    graft.tables.ChangeReader.changeFeed(spark, path, 0)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
+  val q55Sql: String =
+    """SELECT c_custkey, CAST(0.0 AS DOUBLE) AS c_acctbal,
+      | 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      |FROM customer WHERE c_custkey <= 10 AND c_acctbal <> 0.0
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal, 'delete', CAST(1 AS BIGINT)
+      |FROM customer WHERE c_custkey <= 10 AND c_acctbal <> 0.0
+      |UNION ALL
+      |SELECT * FROM (VALUES
+      | (CAST(9000001 AS BIGINT), 111.1, 'insert', CAST(1 AS BIGINT)),
+      | (CAST(9000002 AS BIGINT), 222.2, 'insert', CAST(1 AS BIGINT)))
+      | t(c_custkey, c_acctbal, change_type, commit_version)""".stripMargin
 }

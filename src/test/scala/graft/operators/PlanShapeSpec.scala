@@ -103,4 +103,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lshLines.nonEmpty && lshLines.forall(_.contains("*(")),
       s"LSH projection fell out of codegen:\n${lshLines.mkString("\n")}")
   }
+
+  test("q45 lang-ID: train + classify share ONE trigram explode via stage reuse") {
+    // the trigram explode multiplies the corpus by ~text length — it must
+    // run once, with the profile and scoring branches consuming the same
+    // materialized stage. Subtree canonical equality is fragile (a single
+    // join-inferred IsNotNull pushed into one branch splits them), so
+    // this pins the final adaptive plan to a single Generate.
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val df = LangId.trainAndClassify(docs, "doc_id", "text", "lang")
+    val plan = executedPlan(df)
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes === 1,
+      s"expected exactly one trigram explode in the final plan, got $explodes:\n$plan")
+  }
 }
