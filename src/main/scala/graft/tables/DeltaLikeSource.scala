@@ -21,9 +21,32 @@ import org.apache.spark.sql.types.StructType
 final class DeltaLikeSource
     extends RelationProvider
     with CreatableRelationProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "deltalike"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("deltalike: 'path' is required"))
+    (shortName(), schema.getOrElse(DeltaLog.forPath(path).snapshot().schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("deltalike: 'path' is required"))
+    new DeltaLikeStreamSource(sqlContext.sparkSession, path,
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+  }
 
   override def createRelation(
       sqlContext: SQLContext,

@@ -1,0 +1,87 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("deltalike")` — the deltalike table as a
+  * Structured Streaming SOURCE, mirroring Delta's `readStream` contract
+  * (the reference's tables become live inputs, not just batch reads):
+  *
+  *   - **Offsets are log versions.** The committed offset is the last
+  *     version whose rows were delivered; a restart resumes from the
+  *     checkpointed version with no reprocessing — exactly-once row
+  *     delivery rides on the log's atomic commits, the same property
+  *     [[ChangeReader.changesSince]] gives batch consumers.
+  *   - **First batch = the snapshot** at the stream-start version (the
+  *     table's current contents), subsequent batches = rows appended by
+  *     each committed version. Both resolve to explicit file lists from
+  *     the log — never a directory listing, so object-store listing
+  *     inconsistency can't duplicate or drop data.
+  *   - **OPTIMIZE versions deliver nothing** (logical no-ops — their
+  *     adds rewrite already-delivered rows). Genuinely rewriting
+  *     versions (MERGE/DELETE/UPDATE/overwrite) fail the stream by
+  *     default — their row-level effect is not representable as appends;
+  *     `.option("skipChangeCommits", "true")` skips them (Delta's option
+  *     of the same name), and [[ChangeReader.changeFeed]] is the batch
+  *     API that delivers their delete+insert pairs.
+  *
+  * Scale shape: each micro-batch reads exactly the files its versions
+  * added (vectorized parquet, no shuffle introduced by the source);
+  * driver-side work per trigger is one log listing.
+  */
+private[tables] final class DeltaLikeStreamSource(
+    spark: SparkSession,
+    path: String,
+    skipChangeCommits: Boolean)
+    extends Source {
+
+  private val log = DeltaLog.forPath(path)
+  require(log.exists, s"not a deltalike table: $path")
+
+  override val schema: StructType = log.snapshot().schema
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = log.latestVersion
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start match {
+      case None =>
+        // stream start: the full snapshot at the batch's end version
+        DeltaLikeTable.readSnapshot(spark, log.snapshot(endV))
+      case Some(s) =>
+        val startV = versionOf(s)
+        val head = log.snapshot(endV) // schema + partition layout
+        val added = ((startV + 1) to endV).flatMap { v =>
+          val acts = log.actions(v)
+          val adds = acts.collect { case a: AddFile => a }
+          val removes = acts.collect { case r: RemoveFile => r }
+          val op = acts.collectFirst { case c: CommitInfo => c.operation }.getOrElse("")
+          if (removes.isEmpty) adds
+          else if (op.startsWith("OPTIMIZE") || skipChangeCommits) Seq.empty
+          else throw new UnsupportedOperationException(
+            s"version $v of $path rewrites files (op=$op); a streaming read " +
+              "delivers appends only — set option skipChangeCommits=true to " +
+              "skip rewriting versions, or consume ChangeReader.changeFeed " +
+              "for their row-level changes")
+        }
+        DeltaLikeTable.readSnapshot(spark, head.copy(files = added, version = endV))
+    }
+    GraftSqlBridge.asStreamingBatch(spark, batch)
+  }
+
+  /** LongOffset live, SerializedOffset after a checkpoint restart. */
+  private def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"DeltaLikeStreamSource[$path]"
+}

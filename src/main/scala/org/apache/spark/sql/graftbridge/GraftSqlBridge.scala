@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming = true`)
+    * — what a DSv1 `Source.getBatch` must return so MicroBatchExecution
+    * accepts the plan. The established custom-source pattern
+    * (`internalCreateDataFrame` over the batch's InternalRow RDD); the
+    * only other `private[sql]` call this bridge exposes.
+    */
+  def asStreamingBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,124 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** The deltalike table as a Structured Streaming source: version-offset
+  * exactly-once delivery, OPTIMIZE transparency, rewrite refusal /
+  * skipChangeCommits, and checkpoint-restart continuity (which exercises
+  * the SerializedOffset deserialization path).
+  */
+class DeltaLikeStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("deltalike-stream-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def rows(n: Range): DataFrame = {
+    val sp = spark; import sp.implicits._
+    n.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+  }
+
+  test("stream delivers snapshot then appends, each row exactly once") {
+    val path = Files.createTempDirectory("dls").toString
+    DeltaLikeTable.write(rows(1 to 20), path)
+
+    val q = spark.readStream.format("deltalike").load(path)
+      .writeStream.format("memory").queryName("dls_snap").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dls_snap").count() === 20)
+
+      DeltaLikeTable.write(rows(100 to 109), path, "append")
+      DeltaLikeTable.write(rows(200 to 204), path, "append")
+      q.processAllAvailable()
+      val got = spark.table("dls_snap").select("id").collect().map(_.getLong(0))
+      assert(got.length === 35, "each appended row must arrive exactly once")
+      assert(got.toSet.size === 35)
+
+      // OPTIMIZE rewrites already-delivered rows: nothing new arrives
+      DeltaLikeTable.forPath(spark, path).optimize()
+      q.processAllAvailable()
+      assert(spark.table("dls_snap").count() === 35)
+    } finally q.stop()
+  }
+
+  test("rewriting commit fails the stream; skipChangeCommits skips it and continues") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("dls_rw").toString
+    DeltaLikeTable.write(rows(1 to 10), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    val strict = spark.readStream.format("deltalike").load(path)
+      .writeStream.format("memory").queryName("dls_strict").outputMode("append")
+      .start()
+    try {
+      strict.processAllAvailable()
+      t.as("t").merge(Seq((1L, "UPD")).toDF("id", "v").as("s"), "t.id = s.id")
+        .whenMatchedUpdateAll().execute()
+      val e = intercept[StreamingQueryException] { strict.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("rewrites files"))
+    } finally strict.stop()
+
+    // permissive reader over the same history: the merge version is
+    // skipped, later appends still flow
+    val permissive = spark.readStream.format("deltalike")
+      .option("skipChangeCommits", "true").load(path)
+      .writeStream.format("memory").queryName("dls_skip").outputMode("append")
+      .start()
+    try {
+      permissive.processAllAvailable()
+      assert(spark.table("dls_skip").count() === 10) // start snapshot = post-merge head
+      DeltaLikeTable.write(rows(50 to 54), path, "append")
+      permissive.processAllAvailable()
+      assert(spark.table("dls_skip").count() === 15)
+      assert(spark.table("dls_skip").where("v = 'UPD'").count() === 1,
+        "stream-start snapshot is the current (post-merge) table")
+    } finally permissive.stop()
+  }
+
+  test("checkpoint restart resumes from the committed version (no reprocessing)") {
+    val path = Files.createTempDirectory("dls_ck").toString
+    val ckpt = Files.createTempDirectory("dls_ckpt").toString
+    val out = Files.createTempDirectory("dls_out").toString
+    DeltaLikeTable.write(rows(1 to 8), path)
+
+    // parquet sink: supports checkpoint recovery AND appends, so any
+    // reprocessing after restart would surface as duplicate rows
+    def start() = spark.readStream.format("deltalike").load(path)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 8)
+    } finally q1.stop()
+
+    // rows committed while the stream is DOWN
+    DeltaLikeTable.write(rows(300 to 309), path, "append")
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // resumed from the checkpointed version offset (deserialized
+      // SerializedOffset): the offline appends arrive once, the initial
+      // snapshot is NOT reprocessed
+      val got = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === ((1L to 8L) ++ (300L to 309L)).toSeq,
+        s"expected 8 snapshot + 10 offline rows exactly once, got ${got.mkString(",")}")
+    } finally q2.stop()
+  }
+}
