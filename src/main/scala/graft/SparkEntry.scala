@@ -97,6 +97,12 @@ object SparkEntry {
     "q54_heavy_hitters" -> (TextAnalysis.q54HeavyHitters _),
     // E5 extension: point-in-time (as-of) join
     "q49_asof_join" -> (graft.operators.AsOfJoin.q49AsOfJoin _),
+    // corpus construction: benchmark decontamination (exact containment
+    // via inverted index), distributed token-budget sharding,
+    // deterministic md5-hash stratified sampling
+    "q56_decontaminate" -> (graft.operators.CorpusOps.q56Decontaminate _),
+    "q57_token_shards" -> (graft.operators.CorpusOps.q57TokenShards _),
+    "q58_stratified_sample" -> (graft.operators.CorpusOps.q58StratifiedSample _),
     // multimodal plumbing (stubbed decode; scalar projection → full oracle)
     "q38_media_features" -> (graft.operators.Multimodal.q38MediaFeatures _),
     // E14 IVF-index ANN, gated on exact-top-k recall per query
@@ -163,6 +169,9 @@ object SparkEntry {
     "q54_heavy_hitters" -> TextAnalysis.q54Sql,
     "q48_tfidf" -> TextAnalysis.q48Sql,
     "q49_asof_join" -> graft.operators.AsOfJoin.q49Sql,
+    "q56_decontaminate" -> graft.operators.CorpusOps.q56Sql,
+    "q57_token_shards" -> graft.operators.CorpusOps.q57Sql,
+    "q58_stratified_sample" -> graft.operators.CorpusOps.q58Sql,
     "q34_jaccard_pairs" -> Dedup.q34Sql,
     "q35_minhash_pairs" -> NearDup.q35Sql,
     "q36_simhash_pairs" -> NearDup.q36Sql,

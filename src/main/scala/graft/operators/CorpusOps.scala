@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * needs beyond dedup/quality (SURVEY.md §2.E/§2.G): benchmark
+  * decontamination, token-budget sharding, and deterministic stratified
+  * sampling. All three are declared oracle queries — the sampling and
+  * hashing primitives are chosen to be engine-reproducible (md5-derived
+  * uniforms, exact integer division points) so DuckDB can recompute
+  * them bit-for-bit.
+  */
+object CorpusOps {
+
+  /** Benchmark decontamination: for every corpus document, the maximum
+    * shingle CONTAINMENT |A∩B| / |A| against any reference document
+    * (A = corpus doc's word-3-gram set, B = a reference doc's) — the
+    * standard train/test-overlap check before training on scraped data.
+    * Containment, not Jaccard: a short benchmark prompt fully embedded
+    * in a long document is contamination even though Jaccard is tiny.
+    *
+    * Shape at scale: inverted-index join on shingles — reference side
+    * is benchmark-sized (small), corpus side streams through one hash
+    * shuffle; no cross join. Intersections are counted per (corpus,
+    * ref) pair only where ≥1 shingle collides, then max-reduced per
+    * corpus doc. Exact (no LSH): decontamination wants recall 1.
+    *
+    * @return every corpus doc (with ≥3 tokens): (idCol,
+    *         max_containment, contaminated)
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"),
+        Dedup.shingles(split(col(textCol), " ")).as("__sh"))
+      .where(size(col("__sh")) > 0)
+
+    val c = shingled(corpus)
+    val r = shingled(reference)
+    val cInv = c.select(col("__id").as("__cid"), col("__sh"),
+      explode(col("__sh")).as("__s")).select(col("__cid"), col("__s"))
+    val rInv = r.select(col("__id").as("__rid"), explode(col("__sh")).as("__s"))
+
+    val inter = cInv.join(rInv, Seq("__s"))
+      .groupBy(col("__cid"), col("__rid"))
+      .agg(count(lit(1)).as("__n_inter"))
+    val best = inter.groupBy(col("__cid")).agg(max(col("__n_inter")).as("__best_raw"))
+
+    // containment denominator is the corpus doc's own shingle count;
+    // max(n_inter)/|A| == max(n_inter/|A|) since |A| is constant per doc
+    c.select(col("__id").as("__cid"), size(col("__sh")).as("__n_sh"))
+      .join(best, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol),
+        coalesce(col("__best_raw").cast(DoubleType) / col("__n_sh"), lit(0.0))
+          .as("max_containment"))
+      .withColumn("contaminated", col("max_containment") >= threshold)
+  }
+
+  /** Declared q56: corpus = doc_id ≥ 100, reference/benchmark = doc_id
+    * < 100, over the documents fixture.
+    */
+  def q56Decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    decontaminate(
+      docs.where(col("doc_id") >= 100), docs.where(col("doc_id") < 100),
+      "doc_id", "text")
+  }
+
+  /** Oracle: naive all-pairs containment (safe at oracle scale). */
+  val q56Sql: String =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      | WHERE len(t) >= 3),
+      |corpus AS (SELECT * FROM sh WHERE doc_id >= 100),
+      |ref AS (SELECT * FROM sh WHERE doc_id < 100),
+      |pairs AS (
+      | SELECT c.doc_id, max(len(list_intersect(c.sh, r.sh))) AS best
+      | FROM corpus c JOIN ref r ON len(list_intersect(c.sh, r.sh)) > 0
+      | GROUP BY 1)
+      |SELECT c.doc_id,
+      | COALESCE(CAST(p.best AS DOUBLE) / len(c.sh), 0.0) AS max_containment,
+      | COALESCE(CAST(p.best AS DOUBLE) / len(c.sh), 0.0) >= 0.6 AS contaminated
+      |FROM corpus c LEFT JOIN pairs p USING (doc_id)""".stripMargin
+
+  /** Token-budget sharding: assign documents (in stable `idCol` order)
+    * to contiguous shards of ≈`budgetTokens` whitespace tokens each —
+    * how training corpora are cut into fixed-size chunks. A document's
+    * shard is floor(prefixTokens / budget) where prefixTokens counts
+    * all earlier documents' tokens.
+    *
+    * The global ordered prefix sum is computed DISTRIBUTED: range-
+    * partition by id, per-partition token totals to the driver (one row
+    * per partition — metadata scale), exclusive prefix offsets
+    * broadcast back, then a window PARTITIONED by the range partition
+    * finishes the cumulative sum — no single-partition window at any
+    * size, and the result is independent of where the range boundaries
+    * fall.
+    *
+    * @return per-shard summary (shard_id, n_docs, total_tokens)
+    */
+  def tokenShards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = docs
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("__id"), size(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__pid", spark_partition_id())
+
+    // exclusive per-partition offsets: P rows through the driver
+    val totals = parts.groupBy(col("__pid"))
+      .agg(sum(col("__tok")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
+      val o = pid -> acc; acc += t; o
+    }.toMap
+    val offsetCol = element_at(typedLit(offsets), col("__pid"))
+
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts
+      .withColumn("__prior", offsetCol + coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("shard_id", floor(col("__prior") / budgetTokens.toDouble).cast(LongType))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("total_tokens"))
+  }
+
+  /** Declared q57: 2000-token shards over the documents fixture. */
+  def q57TokenShards(spark: SparkSession, d: String): DataFrame =
+    tokenShards(Tables.documents(spark, d), "doc_id", "text", budgetTokens = 2000L)
+
+  val q57Sql: String =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok,
+      |  COALESCE(sum(tok) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      | FROM t)
+      |SELECT CAST(floor(prior / 2000.0) AS BIGINT) AS shard_id,
+      | count(*) AS n_docs, sum(tok) AS total_tokens
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** Deterministic stratified sampling: keep a document iff its
+    * md5-derived uniform in [0,1) falls under its stratum's rate — the
+    * reproducible (re-runnable, engine-portable) way to rebalance a
+    * corpus by language/source/quality tier. No RNG state: the "random"
+    * draw is a pure function of the id, so the sample is stable across
+    * runs, engines, and partitionings, and composable (a doc's fate
+    * never depends on other docs).
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.where(u < rate)
+  }
+
+  /** Declared q58: keep 50% of English, 20% of everything else. */
+  def q58StratifiedSample(spark: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, d), "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.2)
+      .select(col("doc_id"), col("lang"))
+
+  val q58Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |   / 1152921504606846976.0
+      |  < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("corpus-ops-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("decontaminate flags a corpus doc embedding a benchmark doc verbatim") {
+    val sp = spark; import sp.implicits._
+    val benchmark = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      // benchmark text fully embedded in a longer doc → containment of
+      // the BENCHMARK'S shingles in it is partial, but of its own
+      // shingles vs benchmark: high overlap region
+      (10L, "prefix words here the quick brown fox jumps over the lazy dog and a suffix"),
+      (11L, "completely different content with no shared trigrams at all whatsoever"),
+      (12L, "the quick brown fox jumps over the lazy dog")) // exact copy
+      .toDF("id", "text")
+    val got = CorpusOps.decontaminate(corpus, benchmark, "id", "text", threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(12L)._1 === 1.0) // identical doc: full containment
+    assert(got(12L)._2)
+    assert(got(11L)._1 === 0.0) // disjoint doc: zero, still reported
+    assert(!got(11L)._2)
+    assert(got(10L)._1 > 0.3 && got(10L)._1 < 1.0) // embedded: partial
+  }
+
+  test("token shards: totals conserve tokens, fill order is by id, budget respected") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val budget = 500L
+    val shards = CorpusOps.tokenShards(docs, "doc_id", "text", budget)
+      .orderBy("shard_id").collect()
+    val corpusTokens = docs.select(sum(size(split(col("text"), " "))))
+      .head().getLong(0)
+    assert(shards.map(_.getLong(2)).sum === corpusTokens, "tokens conserved")
+    assert(shards.map(_.getLong(0)).toSeq ===
+      (0L until shards.length).toSeq, "contiguous shard ids")
+    // every shard STARTS before its budget boundary is crossed: a shard's
+    // cumulative start position is shard_id * budget by construction, so
+    // all but the last must carry at least one doc and cross the boundary
+    val allBut = shards.dropRight(1)
+    assert(allBut.forall(_.getLong(1) >= 1))
+    // partition-count independence: same result at parallelism 1
+    val single = CorpusOps.tokenShards(
+      docs.coalesce(1), "doc_id", "text", budget).orderBy("shard_id").collect()
+    assert(single.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      shards.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "shard assignment must not depend on physical partitioning")
+  }
+
+  test("stratified sample is deterministic and rate-proportional") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    def run() = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run() === run(), "same input → same sample, no RNG state")
+
+    val sampled = CorpusOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultRate = 0.2)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang("en").toDouble / totals("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate $enRate far from 0.5")
+    val otherKept = (byLang - "en").values.sum.toDouble
+    val otherTotal = (totals - "en").values.sum.toDouble
+    val otherRate = otherKept / otherTotal
+    assert(otherRate > 0.1 && otherRate < 0.3, s"other rate $otherRate far from 0.2")
+  }
+}
