@@ -85,7 +85,19 @@ object ChangeReader {
     require(latest >= 0, s"not a deltalike table: $path")
     require(sinceVersion <= latest,
       s"sinceVersion $sinceVersion is beyond latest $latest")
-    val head = log.snapshot()
+    changeFeedBetween(spark, log, sinceVersion, latest)
+  }
+
+  /** [[changeFeed]] bounded to versions (`sinceVersion`, `untilVersion`]
+    * — the shared engine behind the batch API and the streaming source's
+    * `readChangeFeed` mode (whose batches are version ranges).
+    */
+  private[tables] def changeFeedBetween(
+      spark: SparkSession,
+      log: DeltaLog,
+      sinceVersion: Long,
+      untilVersion: Long): DataFrame = {
+    val head = log.snapshot(untilVersion)
 
     def readFiles(files: Seq[AddFile], v: Long): DataFrame =
       DeltaLikeTable.readSnapshot(spark, head.copy(files = files, version = v))
@@ -95,7 +107,7 @@ object ChangeReader {
         .withColumn(CommitVersionCol, lit(v))
 
     val perVersion: Seq[DataFrame] =
-      ((sinceVersion + 1) to latest).flatMap { v =>
+      ((sinceVersion + 1) to untilVersion).flatMap { v =>
         val acts = log.actions(v)
         val adds = acts.collect { case a: AddFile => a }
         val removedPaths = acts.collect { case r: RemoveFile => r.path }.toSet

@@ -33,7 +33,16 @@ final class DeltaLikeSource
       parameters: Map[String, String]): (String, StructType) = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("deltalike: 'path' is required"))
-    (shortName(), schema.getOrElse(DeltaLog.forPath(path).snapshot().schema))
+    val base = schema.getOrElse(DeltaLog.forPath(path).snapshot().schema)
+    val resolved =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        StructType(base.fields.toSeq ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            ChangeReader.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            ChangeReader.CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)))
+      else base
+    (shortName(), resolved)
   }
 
   override def createSource(
@@ -45,7 +54,8 @@ final class DeltaLikeSource
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("deltalike: 'path' is required"))
     new DeltaLikeStreamSource(sqlContext.sparkSession, path,
-      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   override def createRelation(
@@ -53,8 +63,14 @@ final class DeltaLikeSource
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("deltalike: 'path' is required"))
-    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
-    new DeltaLikeRelation(sqlContext, DeltaLog.forPath(path).snapshot(version))
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "deltalike: versionAsOf and timestampAsOf are mutually exclusive")
+    val log = DeltaLog.forPath(path)
+    val version = parameters.get("timestampAsOf") match {
+      case Some(ts) => log.versionAtTimestamp(DeltaLikeSource.parseTimestamp(ts))
+      case None     => parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
+    }
+    new DeltaLikeRelation(sqlContext, log.snapshot(version))
   }
 
   override def createRelation(
@@ -73,6 +89,30 @@ final class DeltaLikeSource
     DeltaLikeTable.write(data, path, m,
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
     createRelation(sqlContext, parameters)
+  }
+}
+
+private[tables] object DeltaLikeSource {
+  /** `timestampAsOf` accepts epoch millis or ISO-8601 (date, date+time,
+    * with or without zone; zoneless strings read as UTC).
+    */
+  private[tables] def parseTimestamp(s: String): Long = {
+    val t = s.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else {
+      val normalized = if (t.contains("T") || !t.contains(" ")) t else t.replace(" ", "T")
+      try java.time.Instant.parse(normalized).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(normalized)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(normalized)
+                .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          }
+      }
+    }
   }
 }
 

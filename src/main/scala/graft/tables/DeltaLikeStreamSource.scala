@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** `spark.readStream.format("deltalike")` — the deltalike table as a
   * Structured Streaming SOURCE, mirroring Delta's `readStream` contract
@@ -35,13 +35,18 @@ import org.apache.spark.sql.types.StructType
 private[tables] final class DeltaLikeStreamSource(
     spark: SparkSession,
     path: String,
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean,
+    readChangeFeed: Boolean = false)
     extends Source {
 
   private val log = DeltaLog.forPath(path)
   require(log.exists, s"not a deltalike table: $path")
 
-  override val schema: StructType = log.snapshot().schema
+  override val schema: StructType =
+    if (readChangeFeed) StructType(log.snapshot().schema.fields.toSeq ++ Seq(
+      StructField(ChangeReader.ChangeTypeCol, StringType, nullable = false),
+      StructField(ChangeReader.CommitVersionCol, LongType, nullable = false)))
+    else log.snapshot().schema
 
   override def getOffset: Option[OffsetV1] = {
     val v = log.latestVersion
@@ -50,12 +55,23 @@ private[tables] final class DeltaLikeStreamSource(
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
-    val batch = start match {
-      case None =>
+    val batch = (start.map(versionOf), readChangeFeed) match {
+      case (None, false) =>
         // stream start: the full snapshot at the batch's end version
         DeltaLikeTable.readSnapshot(spark, log.snapshot(endV))
-      case Some(s) =>
-        val startV = versionOf(s)
+      case (None, true) =>
+        // CDF stream start: the snapshot AS inserts at the start version
+        // (Delta CDF's initial-snapshot behavior), so downstream state
+        // bootstraps from the same schema it will keep consuming
+        import org.apache.spark.sql.functions.lit
+        DeltaLikeTable.readSnapshot(spark, log.snapshot(endV))
+          .withColumn(ChangeReader.ChangeTypeCol, lit("insert"))
+          .withColumn(ChangeReader.CommitVersionCol, lit(endV))
+      case (Some(startV), true) =>
+        // row-level changes, rewriting commits included — the batch
+        // changeFeed machinery bounded to (startV, endV]
+        ChangeReader.changeFeedBetween(spark, log, startV, endV)
+      case (Some(startV), false) =>
         val head = log.snapshot(endV) // schema + partition layout
         val added = ((startV + 1) to endV).flatMap { v =>
           val acts = log.actions(v)
@@ -67,8 +83,8 @@ private[tables] final class DeltaLikeStreamSource(
           else throw new UnsupportedOperationException(
             s"version $v of $path rewrites files (op=$op); a streaming read " +
               "delivers appends only — set option skipChangeCommits=true to " +
-              "skip rewriting versions, or consume ChangeReader.changeFeed " +
-              "for their row-level changes")
+              "skip rewriting versions, or option readChangeFeed=true for " +
+              "their row-level changes")
         }
         DeltaLikeTable.readSnapshot(spark, head.copy(files = added, version = endV))
     }

@@ -175,6 +175,44 @@ final class DeltaLikeTable private (
     this
   }
 
+  /** RESTORE the table to the state of `version` as a NEW commit
+    * (Delta's `RESTORE TABLE ... TO VERSION AS OF`): active files not in
+    * the target version are removed, target files not currently active
+    * are re-added, and the target's schema/partitioning is re-declared
+    * if it differs. History is preserved — the restore is itself a
+    * version, so it can be audited and even restored away from.
+    * Metadata-only (no data files move); fails if a needed old file was
+    * already vacuumed.
+    */
+  def restore(version: Long): DeltaLikeTable = {
+    val cur = log.snapshot()
+    require(version >= 0 && version <= cur.version,
+      s"cannot restore to version $version (latest: ${cur.version})")
+    if (version == cur.version) return this
+    val target = log.snapshot(version)
+    val curPaths = cur.files.map(_.path).toSet
+    val targetPaths = target.files.map(_.path).toSet
+    val readds = target.files.filterNot(f => curPaths(f.path))
+    readds.foreach { f =>
+      try log.io.size(s"$path/${f.path}")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          throw new IllegalStateException(
+            s"cannot restore $path to version $version: data file ${f.path} " +
+              "no longer exists (vacuumed)")
+      }
+    }
+    val removes = cur.files.filterNot(f => targetPaths(f.path)).map(f => RemoveFile(f.path))
+    val meta =
+      if (target.schema.toDDL == cur.schema.toDDL &&
+        target.partitionColumns == cur.partitionColumns) Seq.empty
+      else Seq(MetaData(target.schema.toDDL, target.partitionColumns))
+    log.commit(cur.version + 1,
+      meta ++ removes ++ readds :+
+        CommitInfo(s"RESTORE VERSION AS OF $version", System.currentTimeMillis()))
+    this
+  }
+
   /** Delete data files that no version ≥ `retainVersions`-back
     * references — Delta's VACUUM. Time travel to vacuumed versions
     * stops working (their log entries remain for history/audit).

@@ -188,6 +188,22 @@ final class DeltaLog(val tableRoot: String) {
       v -> actions(v).collectFirst { case c: CommitInfo => c }
     }
 
+  /** Newest version committed at or before `tsMillis` — the resolution
+    * rule behind `timestampAsOf` reads (Delta's contract: a timestamp
+    * pins the table state a reader at that wall-clock instant saw).
+    * Driver-side metadata only: one pass over the retained log's
+    * CommitInfo lines.
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val eligible = history().collect {
+      case (v, Some(ci)) if ci.timestampMs <= tsMillis => v
+    }
+    require(eligible.nonEmpty,
+      s"no version of $tableRoot committed at or before timestamp $tsMillis " +
+        s"(earliest retained commit: ${history().headOption.flatMap(_._2).map(_.timestampMs)})")
+    eligible.max
+  }
+
   /** Delete log segments no retained read needs: entries (and older
     * checkpoints) strictly below the newest checkpoint that still
     * covers the oldest retained version. Time travel below that

@@ -87,6 +87,36 @@ class DeltaLikeStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally permissive.stop()
   }
 
+  test("readChangeFeed streams row-level changes, rewriting commits included") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("dls_cdf").toString
+    DeltaLikeTable.write(rows(1 to 5), path)
+
+    val q = spark.readStream.format("deltalike")
+      .option("readChangeFeed", "true").load(path)
+      .writeStream.format("memory").queryName("dls_cdf").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // CDF stream start: the current snapshot arrives as inserts
+      val initial = spark.table("dls_cdf").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(initial.length === 5 && initial.forall(_._3 == "insert"))
+
+      // a MERGE — the commit type changesSince refuses — streams as
+      // delete+insert pairs; copied rows do not reappear
+      DeltaLikeTable.forPath(spark, path).as("t")
+        .merge(Seq((2L, "UPD"), (99L, "NEW")).toDF("id", "v").as("s"), "t.id = s.id")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      q.processAllAvailable()
+      val changes = spark.table("dls_cdf").where("_commit_version = 1").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(changes === Set(
+        (2L, "UPD", "insert"), (2L, "v2", "delete"), (99L, "NEW", "insert")))
+      assert(spark.table("dls_cdf").count() === 8)
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes from the committed version (no reprocessing)") {
     val path = Files.createTempDirectory("dls_ck").toString
     val ckpt = Files.createTempDirectory("dls_ckpt").toString

@@ -207,4 +207,60 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF(3).count() === 400)
     assert(t.toDF.count() === 400)
   }
+
+  test("RESTORE rewinds table state as a new auditable version") {
+    val sp = spark; import sp.implicits._
+    val (path, t) = freshTable() // v0..v3, 400 rows
+    t.delete("id < 200") // v4: rewrite
+    assert(t.toDF.count() === 200)
+
+    t.restore(3) // back to the full 400 rows
+    assert(t.version === 5, "restore is a new commit, not history rewriting")
+    assert(t.toDF.count() === 400)
+    assert(t.toDF.select("id").distinct().count() === 400)
+    // the deleted state remains time-travelable and audited
+    assert(t.toDF(4).count() === 200)
+    assert(t.history().exists(_._2.startsWith("RESTORE VERSION AS OF 3")))
+
+    // restoring to a vacuumed version fails with a clear error
+    t.delete("id >= 300") // v6
+    t.vacuum(retainVersions = 1)
+    val e = intercept[IllegalStateException] { t.restore(5) }
+    assert(e.getMessage.contains("vacuumed"))
+
+    // no-op restore to the current version commits nothing
+    val v = t.version
+    t.restore(v)
+    assert(t.version === v)
+  }
+
+  test("timestampAsOf resolves the newest version at or before the instant") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("ts_travel").toString
+    DeltaLikeTable.write(Seq((1L, "a")).toDF("id", "v"), path)
+    DeltaLikeTable.write(Seq((2L, "b")).toDF("id", "v"), path, "append")
+    DeltaLikeTable.write(Seq((3L, "c")).toDF("id", "v"), path, "append")
+    val t = DeltaLikeTable.forPath(spark, path)
+    val times = t.history().map { case (v, _, ts) => v -> ts }.toMap
+
+    assert(t.log.versionAtTimestamp(times(0L)) === 0L)
+    assert(t.log.versionAtTimestamp(times(2L)) === 2L)
+    assert(t.log.versionAtTimestamp(times(2L) + 60000) === 2L)
+    intercept[IllegalArgumentException] {
+      t.log.versionAtTimestamp(times(0L) - 1)
+    }
+
+    // format-option surface: epoch-millis and mutual exclusion
+    val atV1 = spark.read.format("deltalike")
+      .option("timestampAsOf", times(1L).toString).load(path)
+    assert(atV1.count() === 2)
+    intercept[IllegalArgumentException] {
+      spark.read.format("deltalike")
+        .option("timestampAsOf", times(1L).toString)
+        .option("versionAsOf", "0").load(path)
+    }
+    // ISO forms parse (instant in the far future → latest version)
+    assert(spark.read.format("deltalike")
+      .option("timestampAsOf", "2999-01-01").load(path).count() === 3)
+  }
 }
