@@ -51,7 +51,10 @@ object CorpusOps {
       explode(col("__sh")).as("__s")).select(col("__cid"), col("__s"))
     val rInv = r.select(col("__id").as("__rid"), explode(col("__sh")).as("__s"))
 
-    val inter = cInv.join(rInv, Seq("__s"))
+    // the reference side is benchmark-sized by definition — broadcast it
+    // so the corpus-scale inverted index never shuffles: the join is
+    // map-side, and only matched (corpus, ref) rows reach the aggregate
+    val inter = cInv.join(broadcast(rInv), Seq("__s"))
       .groupBy(col("__cid"), col("__rid"))
       .agg(count(lit(1)).as("__n_inter"))
     val best = inter.groupBy(col("__cid")).agg(max(col("__n_inter")).as("__best_raw"))

@@ -87,7 +87,9 @@ final class DeltaLikeSource
         throw new IllegalArgumentException(s"deltalike: unsupported save mode $other")
     }
     DeltaLikeTable.write(data, path, m,
-      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      bloomFilterColumns = parameters.get("bloomFilterColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
     createRelation(sqlContext, parameters)
   }
 }

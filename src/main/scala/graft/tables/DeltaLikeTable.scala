@@ -291,7 +291,8 @@ object DeltaLikeTable {
       partitionBy: Seq[String] = Seq.empty,
       skipCommitIf: DeltaLog => Boolean = _ => false,
       mergeSchema: Boolean = false,
-      extraActions: Seq[Action] = Seq.empty): DeltaLikeTable = {
+      extraActions: Seq[Action] = Seq.empty,
+      bloomFilterColumns: Seq[String] = Seq.empty): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' not in schema"))
@@ -348,7 +349,9 @@ object DeltaLikeTable {
         }: _*)
       else df
     }
-    val adds = stageFiles(stagedDf, path, effectiveParts)
+    bloomFilterColumns.foreach(c => require(df.columns.contains(c),
+      s"bloom filter column '$c' not in schema"))
+    val adds = stageFiles(stagedDf, path, effectiveParts, bloomFilterColumns)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
@@ -461,7 +464,8 @@ object DeltaLikeTable {
   private[tables] def stageFiles(
       df: DataFrame,
       tableRoot: String,
-      partitionBy: Seq[String] = Seq.empty): Seq[AddFile] = {
+      partitionBy: Seq[String] = Seq.empty,
+      bloomFilterColumns: Seq[String] = Seq.empty): Seq[AddFile] = {
     val io = TableIO.forPath(tableRoot)
     val stageName = s"_stage-${UUID.randomUUID().toString.take(8)}"
     val stageDir = s"$tableRoot/$stageName"
@@ -470,7 +474,15 @@ object DeltaLikeTable {
     val prevTs = spark.conf.getOption(tsConfKey)
     spark.conf.set(tsConfKey, "TIMESTAMP_MICROS")
     try {
-      val writer = df.write.mode("overwrite")
+      var writer = df.write.mode("overwrite")
+      // parquet-native bloom filters: written into each file's column
+      // chunks, applied by the reader at row-group level on pushed
+      // equality/IN predicates — the point-lookup complement to min/max
+      // stats (useless on high-cardinality columns like ids/UUIDs).
+      // Metadata rides IN the files: no extra index artifacts to manage.
+      bloomFilterColumns.foreach { c =>
+        writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(stageDir)
     } finally prevTs match {

@@ -104,6 +104,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LSH projection fell out of codegen:\n${lshLines.mkString("\n")}")
   }
 
+  test("q56 decontamination: reference side broadcasts into the inverted-index join") {
+    // the benchmark/reference set is small by definition — the corpus-
+    // scale posting list must meet it in a map-side broadcast join, not
+    // shuffle on the shingle key
+    val plan = executedPlan(CorpusOps.q56Decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reference side not broadcast:\n$plan")
+  }
+
   test("q45 lang-ID: train + classify share ONE trigram explode via stage reuse") {
     // the trigram explode multiplies the corpus by ~text length — it must
     // run once, with the profile and scoring branches consuming the same

@@ -340,6 +340,40 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaLikeTable.forPath(spark, path).toDF.count() === 1)
   }
 
+  test("bloomFilterColumns writes parquet-native blooms; reads stay correct") {
+    val sp = spark; import sp.implicits._
+    import scala.jdk.CollectionConverters._
+    val path = tmpTable()
+    val df = (1 to 2000).map(i => (i.toLong, s"u-$i")).toDF("id", "v").repartition(2)
+    DeltaLikeTable.write(df, path, bloomFilterColumns = Seq("v"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    // point lookups unchanged semantically (blooms only prune row groups)
+    assert(t.toDF.where("v = 'u-1500'").count() === 1)
+    assert(t.toDF.where("v = 'nope'").count() === 0)
+
+    val file = t.log.snapshot().files.head.path
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$path/$file"),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala
+      val bfReader = reader.getBloomFilterDataReader(block)
+      val bfV = bfReader.readBloomFilter(cols.find(_.getPath.toDotString == "v").get)
+      assert(bfV != null, "requested column has no bloom filter")
+      assert(bfReader.readBloomFilter(
+        cols.find(_.getPath.toDotString == "id").get) == null,
+        "unrequested column unexpectedly has a bloom filter")
+      // membership: a value from THIS file hits, a never-written one misses
+      val sample = spark.read.parquet(s"$path/$file")
+        .select("v").head().getString(0)
+      import org.apache.parquet.io.api.Binary
+      assert(bfV.findHash(bfV.hash(Binary.fromString(sample))))
+      assert(!bfV.findHash(bfV.hash(Binary.fromString("never-written-value-xyz"))))
+    } finally reader.close()
+  }
+
   test("commit is create-exclusive: double commit of same version fails") {
     val path = tmpTable()
     DeltaLikeTable.write(titanic(5), path)
