@@ -117,7 +117,8 @@ final class DeltaLikeTable private (
     val touchedRows = MergeBuilder.filterToFiles(scan, touchedAbs)
       .drop(DeltaLikeTable.FileCol)
     val rewritten = rewrite(touchedRows)
-    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot, snap.partitionColumns)
+    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
+      snap.partitionColumns, snap.bloomFilterColumns)
     try log.commit(snap.version + 1,
       touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo(operation, System.currentTimeMillis()))
@@ -163,7 +164,8 @@ final class DeltaLikeTable private (
           .sortWithinPartitions(zc)
           .drop(zc)
       }
-    val adds = DeltaLikeTable.stageFiles(compacted, path, snap.partitionColumns)
+    val adds = DeltaLikeTable.stageFiles(compacted, path,
+      snap.partitionColumns, snap.bloomFilterColumns)
     try log.commit(snap.version + 1,
       snap.files.map(f => RemoveFile(f.path)) ++ adds :+
         CommitInfo(if (zorderBy.isEmpty) "OPTIMIZE"
@@ -205,8 +207,10 @@ final class DeltaLikeTable private (
     val removes = cur.files.filterNot(f => targetPaths(f.path)).map(f => RemoveFile(f.path))
     val meta =
       if (target.schema.toDDL == cur.schema.toDDL &&
-        target.partitionColumns == cur.partitionColumns) Seq.empty
-      else Seq(MetaData(target.schema.toDDL, target.partitionColumns))
+        target.partitionColumns == cur.partitionColumns &&
+        target.bloomFilterColumns == cur.bloomFilterColumns) Seq.empty
+      else Seq(MetaData(target.schema.toDDL, target.partitionColumns,
+        target.bloomFilterColumns))
     log.commit(cur.version + 1,
       meta ++ removes ++ readds :+
         CommitInfo(s"RESTORE VERSION AS OF $version", System.currentTimeMillis()))
@@ -351,7 +355,17 @@ object DeltaLikeTable {
     }
     bloomFilterColumns.foreach(c => require(df.columns.contains(c),
       s"bloom filter column '$c' not in schema"))
-    val adds = stageFiles(stagedDf, path, effectiveParts, bloomFilterColumns)
+    // sticky table property: declared at creation/overwrite, inherited by
+    // appends (which may not silently change it)
+    val effectiveBlooms =
+      if (mode == "append" && prev.nonEmpty) {
+        require(bloomFilterColumns.isEmpty ||
+          bloomFilterColumns == prev.get.bloomFilterColumns,
+          s"append with different bloom filter columns: table has " +
+            s"${prev.get.bloomFilterColumns}, write asked $bloomFilterColumns")
+        prev.get.bloomFilterColumns
+      } else bloomFilterColumns
+    val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
@@ -378,7 +392,7 @@ object DeltaLikeTable {
         val version = log.latestVersion + 1
         val meta =
           if (version == 0 || mode == "overwrite" || schemaChanged)
-            Seq(MetaData(committedSchema.toDDL, effectiveParts))
+            Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms))
           else Seq.empty
         try {
           log.commit(version,

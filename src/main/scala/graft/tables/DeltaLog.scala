@@ -19,10 +19,16 @@ import org.apache.spark.sql.types.StructType
   */
 sealed trait Action
 
-/** Table-level metadata; written at version 0 and on schema change (we
-  * require schema equality on later writes, so in practice only v0).
+/** Table-level metadata; written at version 0, on overwrite, and on
+  * schema change. `bloomFilterColumns` is a sticky table property:
+  * declared at creation/overwrite, inherited by every append / merge /
+  * optimize rewrite (absent in logs written before the field existed —
+  * json4s fills the default).
   */
-final case class MetaData(schemaDdl: String, partitionColumns: Seq[String])
+final case class MetaData(
+    schemaDdl: String,
+    partitionColumns: Seq[String],
+    bloomFilterColumns: Seq[String] = Seq.empty)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -66,7 +72,8 @@ final case class Snapshot(
     files: Seq[AddFile],
     tableRoot: String,
     partitionColumns: Seq[String] = Seq.empty,
-    txns: Map[String, Long] = Map.empty) {
+    txns: Map[String, Long] = Map.empty,
+    bloomFilterColumns: Seq[String] = Seq.empty) {
   def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
 }
 
@@ -121,10 +128,13 @@ final class DeltaLog(val tableRoot: String) {
     require(v <= latest, s"version $v does not exist (latest: $latest)")
     var schemaDdl: String = null
     var partCols: Seq[String] = Seq.empty
+    var bloomCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
-      case m: MetaData   => schemaDdl = m.schemaDdl; partCols = m.partitionColumns
+      case m: MetaData =>
+        schemaDdl = m.schemaDdl; partCols = m.partitionColumns
+        bloomCols = m.bloomFilterColumns
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -142,7 +152,7 @@ final class DeltaLog(val tableRoot: String) {
     (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
-      partCols, txns.toMap)
+      partCols, txns.toMap, bloomCols)
   }
 
   /** Atomically publish `version`; throws if it was already committed.
@@ -165,7 +175,7 @@ final class DeltaLog(val tableRoot: String) {
   def checkpoint(version: Long): Unit = {
     val snap = snapshot(version)
     val acts: Seq[Action] =
-      MetaData(snap.schema.toDDL, snap.partitionColumns) +:
+      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns) +:
         (snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
           snap.files)
     try io.writeExclusive(checkpointPath(version),

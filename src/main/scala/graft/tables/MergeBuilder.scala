@@ -191,7 +191,8 @@ final class MergeBuilder private[tables] (
 
     // phase 3: stage new files + atomic log commit (partition layout of
     // the table is preserved through the rewrite)
-    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot, snap.partitionColumns)
+    val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
+      snap.partitionColumns, snap.bloomFilterColumns)
     try table.log.commit(snap.version + 1,
       touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo("MERGE", System.currentTimeMillis()))

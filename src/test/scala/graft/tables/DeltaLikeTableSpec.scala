@@ -372,6 +372,29 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bfV.findHash(bfV.hash(Binary.fromString(sample))))
       assert(!bfV.findHash(bfV.hash(Binary.fromString("never-written-value-xyz"))))
     } finally reader.close()
+
+    // sticky table property: a later append (no option) and an OPTIMIZE
+    // rewrite both inherit the bloom declaration
+    def hasBloomOnV(rel: String): Boolean = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$path/$rel"),
+          spark.sparkContext.hadoopConfiguration))
+      try {
+        val b = r.getFooter.getBlocks.get(0)
+        r.getBloomFilterDataReader(b).readBloomFilter(
+          b.getColumns.asScala.find(_.getPath.toDotString == "v").get) != null
+      } finally r.close()
+    }
+    DeltaLikeTable.write(
+      Seq((9001L, "u-appended")).toDF("id", "v"), path, "append")
+    val appended = (t.log.snapshot(1).files.map(_.path).toSet --
+      t.log.snapshot(0).files.map(_.path).toSet).head
+    assert(hasBloomOnV(appended), "append did not inherit bloom columns")
+    t.optimize(1)
+    assert(t.log.snapshot().files.forall(f => hasBloomOnV(f.path)),
+      "optimize did not inherit bloom columns")
+    assert(t.toDF.where("v = 'u-appended'").count() === 1)
   }
 
   test("commit is create-exclusive: double commit of same version fails") {
