@@ -83,6 +83,8 @@ object SparkEntry {
     // E14 similarity search
     "q32_cosine_topk" -> (Similarity.q32CosineTopK _),
     "q37_ann_topk" -> (Similarity.q37AnnRecallGate _),
+    // E13 embedding near-dup, planted-twin recall gate
+    "q59_embedding_dedup" -> (NearDup.q59EmbeddingDedupGate _),
     // E16 event-time windows (batch form)
     "q33_event_windows" -> (Relational.q33EventWindows _),
     // E1 statistical aggregates
@@ -175,6 +177,7 @@ object SparkEntry {
     "q34_jaccard_pairs" -> Dedup.q34Sql,
     "q35_minhash_pairs" -> NearDup.q35Sql,
     "q36_simhash_pairs" -> NearDup.q36Sql,
+    "q59_embedding_dedup" -> NearDup.q59Sql,
     "q37_ann_topk" -> Similarity.q37Sql,
     "q38_media_features" -> graft.operators.Multimodal.q38Sql,
     "q44_ivf_topk" -> graft.operators.IvfIndex.q44Sql,

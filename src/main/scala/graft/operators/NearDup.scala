@@ -264,6 +264,38 @@ object NearDup {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
+  /** Declared q59 — embedding near-dup as a driver-visible recall gate:
+    * plant five identical twins (vec_id + 10000, the [[Similarity]]
+    * twin device), run the full hyperplane-LSH + exact-verify pipeline
+    * over corpus ∪ twins, and assert each planted pair comes back.
+    * Deterministic: an identical vector lands in identical buckets in
+    * EVERY table (same sign bits), so the pair is always a candidate,
+    * and its verified cosine is 1 up to one ulp — the gate allows
+    * ≥ 0.999999. A bucketing, join, or verification regression turns
+    * the static oracle red.
+    */
+  def q59EmbeddingDedupGate(
+      spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = graft.core.Tables.embeddings(spark, d)
+    val base = e.select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(Similarity.twinQueries(e))
+    val pairs = embeddingPairs(corpus, "vec_id", "embedding", 64, threshold = 0.95)
+    val expected = Similarity.twinQueries(e)
+      .select((col("vec_id") - lit(10000L)).as("query_id"))
+    expected
+      .join(pairs,
+        expected("query_id") === pairs("id_a") &&
+          pairs("id_b") === expected("query_id") + lit(10000L),
+        "left")
+      .select(col("query_id"),
+        col("id_b").isNotNull.as("twin_pair_found"),
+        (coalesce(col("cos_sim"), lit(0.0)) >= 0.999999).as("cos_at_1"))
+  }
+
+  val q59Sql: String =
+    """SELECT vec_id AS query_id, true AS twin_pair_found, true AS cos_at_1
+      |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
+
   /** Cosine of two double-array columns, computed as one sequential fold
     * (deterministic, cross-engine reproducible).
     */

@@ -117,6 +117,9 @@ final class DeltaLikeTable private (
     val touchedRows = MergeBuilder.filterToFiles(scan, touchedAbs)
       .drop(DeltaLikeTable.FileCol)
     val rewritten = rewrite(touchedRows)
+    // DELETE keeps a subset of already-valid rows; UPDATE can violate
+    if (operation == "UPDATE")
+      DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
       snap.partitionColumns, snap.bloomFilterColumns)
     try log.commit(snap.version + 1,
@@ -177,6 +180,37 @@ final class DeltaLikeTable private (
     this
   }
 
+  /** ADD a CHECK constraint (name → boolean SQL expression over the
+    * table's columns), like Delta's `ALTER TABLE ... ADD CONSTRAINT`:
+    * existing rows must already satisfy it (one validation scan), and
+    * every later write/merge/update batch is rejected if any written
+    * row violates any constraint. Metadata-only commit; sticky like
+    * partitioning and bloom columns.
+    */
+  def addConstraint(name: String, constraintExpr: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    require(!snap.constraints.contains(name), s"constraint '$name' already exists")
+    val bad = DeltaLikeTable.readSnapshot(spark, snap)
+      .where(!coalesce(expr(constraintExpr), lit(false))).limit(1).count()
+    require(bad == 0,
+      s"cannot add CHECK constraint '$name': existing rows violate ($constraintExpr)")
+    log.commit(snap.version + 1, Seq(
+      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
+        snap.constraints + (name -> constraintExpr)),
+      CommitInfo(s"ADD CONSTRAINT $name", System.currentTimeMillis())))
+    this
+  }
+
+  def dropConstraint(name: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    require(snap.constraints.contains(name), s"no such constraint '$name'")
+    log.commit(snap.version + 1, Seq(
+      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
+        snap.constraints - name),
+      CommitInfo(s"DROP CONSTRAINT $name", System.currentTimeMillis())))
+    this
+  }
+
   /** RESTORE the table to the state of `version` as a NEW commit
     * (Delta's `RESTORE TABLE ... TO VERSION AS OF`): active files not in
     * the target version are removed, target files not currently active
@@ -208,9 +242,10 @@ final class DeltaLikeTable private (
     val meta =
       if (target.schema.toDDL == cur.schema.toDDL &&
         target.partitionColumns == cur.partitionColumns &&
-        target.bloomFilterColumns == cur.bloomFilterColumns) Seq.empty
+        target.bloomFilterColumns == cur.bloomFilterColumns &&
+        target.constraints == cur.constraints) Seq.empty
       else Seq(MetaData(target.schema.toDDL, target.partitionColumns,
-        target.bloomFilterColumns))
+        target.bloomFilterColumns, target.constraints))
     log.commit(cur.version + 1,
       meta ++ removes ++ readds :+
         CommitInfo(s"RESTORE VERSION AS OF $version", System.currentTimeMillis()))
@@ -365,6 +400,10 @@ object DeltaLikeTable {
             s"${prev.get.bloomFilterColumns}, write asked $bloomFilterColumns")
         prev.get.bloomFilterColumns
       } else bloomFilterColumns
+    // CHECK constraints survive overwrite (dropConstraint removes them)
+    // and gate every batch before anything is staged
+    val effectiveConstraints = prev.map(_.constraints).getOrElse(Map.empty)
+    enforceConstraints(df, effectiveConstraints)
     val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
@@ -392,7 +431,8 @@ object DeltaLikeTable {
         val version = log.latestVersion + 1
         val meta =
           if (version == 0 || mode == "overwrite" || schemaChanged)
-            Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms))
+            Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms,
+              effectiveConstraints))
           else Seq.empty
         try {
           log.commit(version,
@@ -421,6 +461,29 @@ object DeltaLikeTable {
       case e: Throwable => discardStaged(path, adds); throw e
     }
     new DeltaLikeTable(df.sparkSession, path, None)
+  }
+
+  /** Reject the batch if any row violates any CHECK constraint. One
+    * action over the BATCH (not the table); reports the violated
+    * constraint by name. Runs before staging, so a bad batch writes
+    * nothing.
+    */
+  private[tables] def enforceConstraints(
+      df: DataFrame,
+      constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty) return
+    val checks = constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      struct(lit(n).as("name"), (!coalesce(expr(e), lit(false))).as("bad"))
+    }
+    val bad = df.select(array(checks: _*).as("__checks"))
+      .select(explode(col("__checks")).as("c"))
+      .where(col("c.bad"))
+      .select(col("c.name")).limit(1).collect()
+    if (bad.nonEmpty) {
+      val name = bad.head.getString(0)
+      throw new IllegalArgumentException(
+        s"CHECK constraint '$name' violated by write: ${constraints(name)}")
+    }
   }
 
   /** Delete data files staged for a commit that will never happen. Never

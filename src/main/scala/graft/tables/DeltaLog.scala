@@ -20,15 +20,17 @@ import org.apache.spark.sql.types.StructType
 sealed trait Action
 
 /** Table-level metadata; written at version 0, on overwrite, and on
-  * schema change. `bloomFilterColumns` is a sticky table property:
-  * declared at creation/overwrite, inherited by every append / merge /
-  * optimize rewrite (absent in logs written before the field existed —
-  * json4s fills the default).
+  * schema change. `bloomFilterColumns` and `constraints` (CHECK
+  * constraints, name → boolean SQL expression) are sticky table
+  * properties: declared once, inherited by every later commit (absent
+  * in logs written before the fields existed — json4s fills the
+  * defaults).
   */
 final case class MetaData(
     schemaDdl: String,
     partitionColumns: Seq[String],
-    bloomFilterColumns: Seq[String] = Seq.empty)
+    bloomFilterColumns: Seq[String] = Seq.empty,
+    constraints: Map[String, String] = Map.empty)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -73,7 +75,8 @@ final case class Snapshot(
     tableRoot: String,
     partitionColumns: Seq[String] = Seq.empty,
     txns: Map[String, Long] = Map.empty,
-    bloomFilterColumns: Seq[String] = Seq.empty) {
+    bloomFilterColumns: Seq[String] = Seq.empty,
+    constraints: Map[String, String] = Map.empty) {
   def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
 }
 
@@ -129,12 +132,13 @@ final class DeltaLog(val tableRoot: String) {
     var schemaDdl: String = null
     var partCols: Seq[String] = Seq.empty
     var bloomCols: Seq[String] = Seq.empty
+    var constraints: Map[String, String] = Map.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
       case m: MetaData =>
         schemaDdl = m.schemaDdl; partCols = m.partitionColumns
-        bloomCols = m.bloomFilterColumns
+        bloomCols = m.bloomFilterColumns; constraints = m.constraints
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -152,7 +156,7 @@ final class DeltaLog(val tableRoot: String) {
     (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
-      partCols, txns.toMap, bloomCols)
+      partCols, txns.toMap, bloomCols, constraints)
   }
 
   /** Atomically publish `version`; throws if it was already committed.
@@ -175,7 +179,8 @@ final class DeltaLog(val tableRoot: String) {
   def checkpoint(version: Long): Unit = {
     val snap = snapshot(version)
     val acts: Seq[Action] =
-      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns) +:
+      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
+        snap.constraints) +:
         (snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
           snap.files)
     try io.writeExclusive(checkpointPath(version),

@@ -191,6 +191,7 @@ final class MergeBuilder private[tables] (
 
     // phase 3: stage new files + atomic log commit (partition layout of
     // the table is preserved through the rewrite)
+    DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
       snap.partitionColumns, snap.bloomFilterColumns)
     try table.log.commit(snap.version + 1,

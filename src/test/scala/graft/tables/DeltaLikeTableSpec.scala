@@ -397,6 +397,56 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF.where("v = 'u-appended'").count() === 1)
   }
 
+  test("CHECK constraints gate writes, merges, and updates; sticky across overwrite") {
+    val sp = spark; import sp.implicits._
+    val path = tmpTable()
+    DeltaLikeTable.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    // adding a constraint existing rows violate is refused
+    val e0 = intercept[IllegalArgumentException] { t.addConstraint("big", "bal >= 100") }
+    assert(e0.getMessage.contains("existing rows violate"))
+    t.addConstraint("non_negative", "bal >= 0")
+
+    // a violating append writes NOTHING (no version, no orphan files)
+    val vBefore = t.version
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(Seq((3L, -5.0)).toDF("id", "bal"), path, "append")
+    }
+    assert(e1.getMessage.contains("non_negative"))
+    assert(t.version === vBefore)
+    // null fails the check (SQL: constraint must evaluate true)
+    intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(Seq((3L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "bal"), path, "append")
+    }
+    DeltaLikeTable.write(Seq((3L, 30.0)).toDF("id", "bal"), path, "append")
+    assert(t.toDF.count() === 3)
+
+    // MERGE and UPDATE enforce on the rewritten rows
+    val e2 = intercept[IllegalArgumentException] {
+      t.as("t").merge(Seq((1L, -1.0)).toDF("id", "bal").as("s"), "t.id = s.id")
+        .whenMatchedUpdateAll().execute()
+    }
+    assert(e2.getMessage.contains("non_negative"))
+    val e3 = intercept[IllegalArgumentException] {
+      t.update(expr("id = 2"), Map("bal" -> lit(-7.0)))
+    }
+    assert(e3.getMessage.contains("non_negative"))
+    assert(t.toDF.where("bal < 0").count() === 0)
+    // DELETE never re-validates (subset of valid rows)
+    t.delete("id = 3")
+
+    // constraints survive an overwrite, and dropConstraint lifts the gate
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(Seq((9L, -9.0)).toDF("id", "bal"), path, "overwrite")
+    }
+    assert(e4.getMessage.contains("non_negative"))
+    t.dropConstraint("non_negative")
+    DeltaLikeTable.write(Seq((9L, -9.0)).toDF("id", "bal"), path, "overwrite")
+    assert(DeltaLikeTable.forPath(spark, path).toDF.count() === 1)
+  }
+
   test("commit is create-exclusive: double commit of same version fails") {
     val path = tmpTable()
     DeltaLikeTable.write(titanic(5), path)
