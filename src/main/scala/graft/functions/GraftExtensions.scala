@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // otherwise reject the deltalike.`path` target as a direct file query
     ext.injectHintResolutionRule(_ => new graft.tables.DeltalikeMergeRule)
     ext.injectResolutionRule(s => new graft.tables.DeltalikeReadResolution(s))
+    // statements Spark's grammar lacks (RESTORE, constraints, VACUUM,
+    // OPTIMIZE) — claimed by pattern, everything else delegated
+    ext.injectParser((_, delegate) => new graft.tables.GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(

@@ -1,0 +1,123 @@
+package graft.tables
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL DDL/maintenance statements for deltalike tables that Spark's
+  * grammar doesn't know — injected as a thin parser wrapper (the same
+  * mechanism Delta Lake uses for its extensions). Only statements
+  * matching the `deltalike.`path`` patterns below are claimed; every
+  * other string goes to the delegate parser untouched.
+  *
+  * {{{
+  * RESTORE TABLE deltalike.`/p` TO VERSION AS OF 3
+  * RESTORE TABLE deltalike.`/p` TO TIMESTAMP AS OF '2026-08-12T10:00:00Z'
+  * ALTER TABLE deltalike.`/p` ADD CONSTRAINT positive CHECK (bal >= 0)
+  * ALTER TABLE deltalike.`/p` DROP CONSTRAINT positive
+  * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
+  * OPTIMIZE deltalike.`/p` [ZORDER BY (c1, c2)]
+  * }}}
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraftStatement(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+}
+
+object GraftSqlParser {
+  private val RestoreVersion =
+    """(?is)\s*RESTORE\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTimestamp =
+    """(?is)\s*RESTORE\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+deltalike\s*\.\s*`([^`]+)`(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+
+  private[tables] def parseGraftStatement(sql: String): Option[LogicalPlan] =
+    sql match {
+      case RestoreVersion(path, v) =>
+        Some(DeltalikeRestoreCommand(path, Some(v.toLong), None))
+      case RestoreTimestamp(path, ts) =>
+        Some(DeltalikeRestoreCommand(path, None, Some(ts)))
+      case AddConstraint(path, name, check) =>
+        Some(DeltalikeAddConstraintCommand(path, name, check))
+      case DropConstraint(path, name) =>
+        Some(DeltalikeDropConstraintCommand(path, name))
+      case Vacuum(path, retain) =>
+        Some(DeltalikeVacuumCommand(path,
+          Option(retain).map(_.toInt).getOrElse(1)))
+      case Optimize(path, zorder) =>
+        Some(DeltalikeOptimizeCommand(path,
+          Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)))
+      case _ => None
+    }
+}
+
+case class DeltalikeRestoreCommand(
+    path: String,
+    version: Option[Long],
+    timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaLikeTable.forPath(spark, path)
+    val v = version.getOrElse(
+      t.log.versionAtTimestamp(DeltaLikeSource.parseTimestamp(timestamp.get)))
+    t.restore(v)
+    Seq.empty
+  }
+}
+
+case class DeltalikeAddConstraintCommand(path: String, name: String, check: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).addConstraint(name, check)
+    Seq.empty
+  }
+}
+
+case class DeltalikeDropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).dropConstraint(name)
+    Seq.empty
+  }
+}
+
+case class DeltalikeVacuumCommand(path: String, retainVersions: Int)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).vacuum(retainVersions)
+    Seq.empty
+  }
+}
+
+case class DeltalikeOptimizeCommand(path: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).optimize(zorderBy = zorderBy)
+    Seq.empty
+  }
+}

@@ -140,4 +140,31 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
   }
+
+  test("SQL DDL/maintenance: constraints, OPTIMIZE, VACUUM, RESTORE") {
+    val path = fresh() // v0: (1,a,10) (2,b,20) (3,c,30)
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    spark.sql(s"ALTER TABLE deltalike.`$path` ADD CONSTRAINT positive CHECK (n > 0)")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE deltalike.`$path` SET n = -1 WHERE k = 2")
+    }
+    assert(e.getMessage.contains("positive"))
+    spark.sql(s"ALTER TABLE deltalike.`$path` DROP CONSTRAINT positive")
+    spark.sql(s"UPDATE deltalike.`$path` SET n = -1 WHERE k = 2") // now allowed
+
+    spark.sql(s"OPTIMIZE deltalike.`$path`")
+    assert(t.log.snapshot().files.size === 1)
+    assert(t.toDF.count() === 3)
+
+    spark.sql(s"RESTORE TABLE deltalike.`$path` TO VERSION AS OF 0")
+    assert(t.toDF.where("k = 2").select("n").head().getInt(0) === 20)
+    assert(t.history().exists(_._2.startsWith("RESTORE VERSION AS OF 0")))
+
+    spark.sql(s"VACUUM deltalike.`$path` RETAIN 1 VERSIONS")
+    assert(t.toDF.count() === 3) // head still reads after cleanup
+
+    // a non-graft statement still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+  }
 }
