@@ -54,11 +54,60 @@ final class DeltaLikeTable private (
     * matching row are rewritten — the rewrite cost is bound by the match
     * footprint, never table size. Returns the number of rows deleted,
     * derived from the log's per-file row counts (no extra scan).
+    *
+    * With `deletionVectors` enabled on the table and a small match set,
+    * no file is rewritten at all: the matched (file, row-index) pairs
+    * are recorded as an inline deletion vector in the log and readers
+    * exclude them — deleting 3 rows from a 1 GB file becomes a
+    * metadata-only commit instead of a 1 GB rewrite (Delta's DV
+    * behavior). Above [[DeltaLikeTable.InlineDvMaxRows]] matches, the
+    * rewrite path runs as before.
     */
   def delete(condition: Column): Long = {
+    val snap0 = log.snapshot()
+    if (snap0.deletionVectors) {
+      deleteViaVectors(condition, snap0) match {
+        case Some(n) => return n
+        case None    => () // match set too large for an inline DV
+      }
+    }
     rewriteTouched("DELETE",
       touchFilter = condition,
       rewrite = rows => rows.where(!coalesce(condition, lit(false))))
+  }
+
+  /** Inline-DV delete; None when the match count exceeds the cap. */
+  private def deleteViaVectors(condition: Column, snap: Snapshot): Option[Long] = {
+    val cap = DeltaLikeTable.InlineDvMaxRows
+    val fileC = "__graft_dv_file"
+    val idxC = "__graft_dv_row"
+    val scanBase = DeltaLikeTable.readSnapshotWithMeta(
+      spark, snap, Some(fileC), Some(idxC))
+    val scan = tableAlias.fold(scanBase)(scanBase.as(_))
+    val matched = scan.where(condition)
+      .select(col(fileC), col(idxC)).limit(cap + 1).collect()
+    if (matched.length > cap) return None
+    if (matched.isEmpty) return Some(0L)
+    val byFile = matched
+      .map(r => DeltaLikeTable.fileNameOf(new java.net.URI(r.getString(0)).getPath) ->
+        r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val touched = snap.files.filter(f => byFile.contains(DeltaLikeTable.fileNameOf(f.path)))
+    require(touched.map(f => DeltaLikeTable.fileNameOf(f.path)).toSet == byFile.keySet,
+      "deletion-vector delete could not resolve all touched files")
+    val updated = touched.map { f =>
+      val add = byFile(DeltaLikeTable.fileNameOf(f.path))
+      f.copy(
+        numRecords = f.numRecords - add.length,
+        nullCounts = Map.empty, // live subset's null counts are unknown
+        deletedRows = (f.deletedRows ++ add).sorted)
+    }
+    // a file whose last live row died is simply removed
+    val live = updated.filter(_.numRecords > 0)
+    log.commit(snap.version + 1,
+      touched.map(f => RemoveFile(f.path)) ++ live :+
+        CommitInfo("DELETE", System.currentTimeMillis()))
+    Some(matched.length.toLong)
   }
 
   def delete(condition: String): Long = delete(expr(condition))
@@ -101,9 +150,8 @@ final class DeltaLikeTable private (
       touchFilter: Column,
       rewrite: DataFrame => DataFrame): Long = {
     val snap = log.snapshot()
-    val scanBase = DeltaLikeTable.readSnapshot(spark, snap)
-      .withColumn(DeltaLikeTable.FileCol,
-        if (snap.files.isEmpty) lit(null: String) else col("_metadata.file_path"))
+    val scanBase = DeltaLikeTable.readSnapshotWithMeta(
+      spark, snap, Some(DeltaLikeTable.FileCol), None)
     // honor a relation alias so SQL conditions like t.x resolve
     val scan = tableAlias.fold(scanBase)(scanBase.as(_))
     val touchedAbs = scan.where(touchFilter)
@@ -196,7 +244,7 @@ final class DeltaLikeTable private (
       s"cannot add CHECK constraint '$name': existing rows violate ($constraintExpr)")
     log.commit(snap.version + 1, Seq(
       MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
-        snap.constraints + (name -> constraintExpr)),
+        snap.constraints + (name -> constraintExpr), snap.deletionVectors),
       CommitInfo(s"ADD CONSTRAINT $name", System.currentTimeMillis())))
     this
   }
@@ -206,7 +254,7 @@ final class DeltaLikeTable private (
     require(snap.constraints.contains(name), s"no such constraint '$name'")
     log.commit(snap.version + 1, Seq(
       MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
-        snap.constraints - name),
+        snap.constraints - name, snap.deletionVectors),
       CommitInfo(s"DROP CONSTRAINT $name", System.currentTimeMillis())))
     this
   }
@@ -243,9 +291,10 @@ final class DeltaLikeTable private (
       if (target.schema.toDDL == cur.schema.toDDL &&
         target.partitionColumns == cur.partitionColumns &&
         target.bloomFilterColumns == cur.bloomFilterColumns &&
-        target.constraints == cur.constraints) Seq.empty
+        target.constraints == cur.constraints &&
+        target.deletionVectors == cur.deletionVectors) Seq.empty
       else Seq(MetaData(target.schema.toDDL, target.partitionColumns,
-        target.bloomFilterColumns, target.constraints))
+        target.bloomFilterColumns, target.constraints, target.deletionVectors))
     log.commit(cur.version + 1,
       meta ++ removes ++ readds :+
         CommitInfo(s"RESTORE VERSION AS OF $version", System.currentTimeMillis()))
@@ -296,6 +345,12 @@ final class DeltaLikeTable private (
 object DeltaLikeTable {
   private[tables] val FileCol = "__graft_file"
 
+  /** Max matched rows an inline deletion vector may record (the whole
+    * exclusion set is log metadata and broadcasts at read time). Beyond
+    * this, DELETE falls back to rewriting touched files.
+    */
+  private[tables] val InlineDvMaxRows = 100000
+
   def forPath(spark: SparkSession, path: String): DeltaLikeTable = {
     require(DeltaLog.forPath(path).exists, s"not a deltalike table: $path")
     new DeltaLikeTable(spark, path, None)
@@ -331,7 +386,8 @@ object DeltaLikeTable {
       skipCommitIf: DeltaLog => Boolean = _ => false,
       mergeSchema: Boolean = false,
       extraActions: Seq[Action] = Seq.empty,
-      bloomFilterColumns: Seq[String] = Seq.empty): DeltaLikeTable = {
+      bloomFilterColumns: Seq[String] = Seq.empty,
+      enableDeletionVectors: Boolean = false): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' not in schema"))
@@ -404,6 +460,9 @@ object DeltaLikeTable {
     // and gate every batch before anything is staged
     val effectiveConstraints = prev.map(_.constraints).getOrElse(Map.empty)
     enforceConstraints(df, effectiveConstraints)
+    // deletion vectors: enable-only-forward (an append can't turn them
+    // off; an overwrite may declare them)
+    val effectiveDv = enableDeletionVectors || prev.exists(_.deletionVectors)
     val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
@@ -430,9 +489,10 @@ object DeltaLikeTable {
         }
         val version = log.latestVersion + 1
         val meta =
-          if (version == 0 || mode == "overwrite" || schemaChanged)
+          if (version == 0 || mode == "overwrite" || schemaChanged ||
+            (enableDeletionVectors && !prev.exists(_.deletionVectors)))
             Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms,
-              effectiveConstraints))
+              effectiveConstraints, effectiveDv))
           else Seq.empty
         try {
           log.commit(version,
@@ -498,6 +558,53 @@ object DeltaLikeTable {
   }
 
   private[tables] def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame =
+    readSnapshotWithMeta(spark, snap, None, None)
+
+  /** Snapshot scan with inline deletion vectors applied. `fileCol` /
+    * `rowIdxCol` attach `_metadata.file_path` / `_metadata.row_index` as
+    * ordinary columns — they must be bound HERE, on the file-source
+    * relation, because hidden metadata columns do not survive the DV
+    * anti-join (and the merge/delete/update paths all need them).
+    */
+  private[tables] def readSnapshotWithMeta(
+      spark: SparkSession,
+      snap: Snapshot,
+      fileCol: Option[String],
+      rowIdxCol: Option[String]): DataFrame = {
+    val empty = snap.files.isEmpty
+    var df = rawRead(spark, snap)
+    fileCol.foreach { c =>
+      df = df.withColumn(c,
+        if (empty) lit(null: String) else col("_metadata.file_path"))
+    }
+    val dvFiles = snap.files.filter(_.deletedRows.nonEmpty)
+    if (dvFiles.isEmpty) {
+      rowIdxCol.foreach { c =>
+        df = df.withColumn(c,
+          if (empty) lit(null).cast(LongType) else col("_metadata.row_index"))
+      }
+      df
+    } else {
+      // exclusion set: (file name, physical row index). File names carry
+      // Spark's per-task UUID, so they are unique table-wide; the set is
+      // bounded by the inline-DV cap and broadcasts.
+      val idxC = rowIdxCol.getOrElse("__graft_dv_idx")
+      val nameC = "__graft_dv_fname"
+      df = df
+        .withColumn(idxC, col("_metadata.row_index"))
+        .withColumn(nameC, col("_metadata.file_name"))
+      val sp = spark
+      import sp.implicits._
+      val excl = dvFiles
+        .flatMap(f => f.deletedRows.map(i => (fileNameOf(f.path), i)))
+        .toDF(nameC, idxC)
+      df = df.join(broadcast(excl), Seq(nameC, idxC), "left_anti").drop(nameC)
+      if (rowIdxCol.isEmpty) df = df.drop(idxC)
+      df
+    }
+  }
+
+  private def rawRead(spark: SparkSession, snap: Snapshot): DataFrame =
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     else if (snap.partitionColumns.isEmpty)
@@ -509,6 +616,9 @@ object DeltaLikeTable {
       spark.read.schema(snap.schema)
         .option("basePath", snap.tableRoot)
         .parquet(snap.filePaths: _*)
+
+  private[tables] def fileNameOf(relPath: String): String =
+    relPath.substring(relPath.lastIndexOf('/') + 1)
 
   /** Name+type equality ignoring nullability (parquet round-trips relax it). */
   private def sameSchema(a: StructType, b: StructType): Boolean =

@@ -30,7 +30,8 @@ final case class MetaData(
     schemaDdl: String,
     partitionColumns: Seq[String],
     bloomFilterColumns: Seq[String] = Seq.empty,
-    constraints: Map[String, String] = Map.empty)
+    constraints: Map[String, String] = Map.empty,
+    deletionVectors: Boolean = false)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -38,6 +39,13 @@ final case class MetaData(
   * stats (JSON-encoded literals) used for data skipping at scan time —
   * the same trick Delta/Iceberg use so selective queries touch a subset
   * of a 100 TB table's files.
+  *
+  * `deletedRows` is the file's inline deletion vector: physical row
+  * indexes (parquet `_metadata.row_index`) soft-deleted from this file
+  * — readers exclude them; the bytes on disk are untouched (Delta's DV
+  * concept, inline-only). For a DV'd file `numRecords` counts LIVE
+  * rows, and nullCounts are dropped (a subset's null count is unknown;
+  * min/max stay valid as outer bounds).
   */
 final case class AddFile(
     path: String,
@@ -45,7 +53,8 @@ final case class AddFile(
     numRecords: Long,
     minValues: Map[String, String] = Map.empty,
     maxValues: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty)
+    nullCounts: Map[String, Long] = Map.empty,
+    deletedRows: Seq[Long] = Seq.empty)
     extends Action
 
 /** A data file logically deleted at this version (still on disk so older
@@ -76,7 +85,8 @@ final case class Snapshot(
     partitionColumns: Seq[String] = Seq.empty,
     txns: Map[String, Long] = Map.empty,
     bloomFilterColumns: Seq[String] = Seq.empty,
-    constraints: Map[String, String] = Map.empty) {
+    constraints: Map[String, String] = Map.empty,
+    deletionVectors: Boolean = false) {
   def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
 }
 
@@ -133,12 +143,14 @@ final class DeltaLog(val tableRoot: String) {
     var partCols: Seq[String] = Seq.empty
     var bloomCols: Seq[String] = Seq.empty
     var constraints: Map[String, String] = Map.empty
+    var dvEnabled = false
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
       case m: MetaData =>
         schemaDdl = m.schemaDdl; partCols = m.partitionColumns
         bloomCols = m.bloomFilterColumns; constraints = m.constraints
+        dvEnabled = m.deletionVectors
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -156,7 +168,7 @@ final class DeltaLog(val tableRoot: String) {
     (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
-      partCols, txns.toMap, bloomCols, constraints)
+      partCols, txns.toMap, bloomCols, constraints, dvEnabled)
   }
 
   /** Atomically publish `version`; throws if it was already committed.
@@ -180,7 +192,7 @@ final class DeltaLog(val tableRoot: String) {
     val snap = snapshot(version)
     val acts: Seq[Action] =
       MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
-        snap.constraints) +:
+        snap.constraints, snap.deletionVectors) +:
         (snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
           snap.files)
     try io.writeExclusive(checkpointPath(version),

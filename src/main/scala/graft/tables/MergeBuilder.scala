@@ -114,14 +114,10 @@ final class MergeBuilder private[tables] (
     val tPresent = "__graft_t_present"
     val sPresent = "__graft_s_present"
 
-    val targetScan = DeltaLikeTable.readSnapshot(spark, snap)
     val rowIdxCol = "__graft_row_idx"
-    val targetBase = targetScan
-      .withColumn(DeltaLikeTable.FileCol,
-        if (snap.files.isEmpty) lit(null: String) else col("_metadata.file_path"))
-      .withColumn(rowIdxCol,
-        if (snap.files.isEmpty) lit(null: String)
-        else col("_metadata.row_index").cast("string"))
+    val targetBase = DeltaLikeTable.readSnapshotWithMeta(
+        spark, snap, Some(DeltaLikeTable.FileCol), Some(rowIdxCol))
+      .withColumn(rowIdxCol, col(rowIdxCol).cast("string"))
       .withColumn(tPresent, lit(true))
     // Bound-attribute handles (df("c")) survive the join regardless of
     // aliasing, so UPDATE ALL / INSERT ALL never hit ambiguous names.

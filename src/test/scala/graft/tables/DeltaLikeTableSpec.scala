@@ -447,6 +447,47 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaLikeTable.forPath(spark, path).toDF.count() === 1)
   }
 
+  test("deletion vectors: small DELETE is metadata-only; reads/CDC/merge/optimize compose") {
+    val sp = spark; import sp.implicits._
+    val path = tmpTable()
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2)
+    DeltaLikeTable.write(df, path, enableDeletionVectors = true)
+    val t = DeltaLikeTable.forPath(spark, path)
+    def dataFiles() = NioTableIO.walkFiles(path).filter(_.endsWith(".parquet")).toSet
+    val before = dataFiles()
+
+    assert(t.delete("id IN (5, 500, 999)") === 3)
+    assert(dataFiles() === before, "DV delete must not write or remove any data file")
+    assert(t.version === 1)
+    assert(t.toDF.count() === 997)
+    assert(t.toDF.where("id IN (5, 500, 999)").count() === 0)
+    assert(t.toDF(0).count() === 1000) // time travel sees pre-delete state
+    assert(t.log.snapshot().files.map(_.numRecords).sum === 997) // live counts
+
+    // a second DV delete stacks onto the existing vectors
+    assert(t.delete("id IN (1, 2)") === 2)
+    assert(t.toDF.count() === 995)
+    assert(dataFiles() === before)
+
+    // CDC reads the DV commit as row-level deletes, nothing else
+    val dels = ChangeReader.changeFeed(spark, path, 0)
+      .where("_commit_version = 1").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(dels === Set((5L, "delete"), (500L, "delete"), (999L, "delete")))
+
+    // MERGE over a DV'd table sees live rows only (500 is dead → insert)
+    t.as("t").merge(Seq((500L, "BACK")).toDF("id", "v").as("s"), "t.id = s.id")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.toDF.where("id = 500").select("v").head().getString(0) === "BACK")
+    assert(t.toDF.count() === 996)
+
+    // OPTIMIZE compacts away the vectors
+    t.optimize(1)
+    assert(t.log.snapshot().files.forall(_.deletedRows.isEmpty))
+    assert(t.toDF.count() === 996)
+    assert(t.toDF.where("id IN (1, 2, 5, 999)").count() === 0)
+  }
+
   test("commit is create-exclusive: double commit of same version fails") {
     val path = tmpTable()
     DeltaLikeTable.write(titanic(5), path)
