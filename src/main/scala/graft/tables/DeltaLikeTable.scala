@@ -123,6 +123,12 @@ final class DeltaLikeTable private (
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.keys.foreach(c => require(snap0.schema.fieldNames.contains(c),
       s"unknown column '$c' in UPDATE"))
+    if (snap0.deletionVectors) {
+      updateViaVectors(condition, set, snap0) match {
+        case Some(n) => return n
+        case None    => ()
+      }
+    }
     rewriteTouched("UPDATE",
       touchFilter = condition,
       rewrite = rows => {
@@ -136,6 +142,61 @@ final class DeltaLikeTable private (
         }
         rows.select(cols: _*)
       })
+  }
+
+  /** DV-backed UPDATE: soft-delete the matched rows and append ONLY
+    * their rewritten versions — updating 3 rows in a 1 GB file writes a
+    * 3-row file plus a metadata exclusion, never a 1 GB rewrite. None
+    * when the match count exceeds the inline cap (→ rewrite path).
+    */
+  private def updateViaVectors(
+      condition: Column,
+      set: Map[String, Column],
+      snap: Snapshot): Option[Long] = {
+    val cap = DeltaLikeTable.InlineDvMaxRows
+    val fileC = "__graft_dv_file"
+    val idxC = "__graft_dv_row"
+    val scanBase = DeltaLikeTable.readSnapshotWithMeta(
+      spark, snap, Some(fileC), Some(idxC))
+    val scan = tableAlias.fold(scanBase)(scanBase.as(_))
+    val matchedScan = scan.where(condition)
+    val matched = matchedScan.select(col(fileC), col(idxC)).limit(cap + 1).collect()
+    if (matched.length > cap) return None
+    if (matched.isEmpty) return Some(0L)
+
+    // rewritten versions of exactly the matched rows, appended as new files
+    val outCols = snap.schema.fieldNames.toSeq.map { c =>
+      set.get(c) match {
+        case Some(v) => v.cast(snap.schema(c).dataType).as(c)
+        case None    => col(c)
+      }
+    }
+    val rewritten = matchedScan.select(outCols: _*)
+    DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
+    val newAdds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
+      snap.partitionColumns, snap.bloomFilterColumns)
+
+    val byFile = matched
+      .map(r => DeltaLikeTable.fileNameOf(new java.net.URI(r.getString(0)).getPath) ->
+        r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val touched = snap.files.filter(f => byFile.contains(DeltaLikeTable.fileNameOf(f.path)))
+    require(touched.map(f => DeltaLikeTable.fileNameOf(f.path)).toSet == byFile.keySet,
+      "deletion-vector update could not resolve all touched files")
+    val dvAdds = touched.map { f =>
+      val add = byFile(DeltaLikeTable.fileNameOf(f.path))
+      f.copy(
+        numRecords = f.numRecords - add.length,
+        nullCounts = Map.empty,
+        deletedRows = (f.deletedRows ++ add).sorted)
+    }.filter(_.numRecords > 0)
+    try log.commit(snap.version + 1,
+      touched.map(f => RemoveFile(f.path)) ++ dvAdds ++ newAdds :+
+        CommitInfo("UPDATE", System.currentTimeMillis()))
+    catch {
+      case e: Throwable => DeltaLikeTable.discardStaged(path, newAdds); throw e
+    }
+    Some(0L) // mirrors the rewrite path's removed − added = 0 for pure updates
   }
 
   def update(condition: String, set: Map[String, Column]): Long =

@@ -481,6 +481,20 @@ class DeltaLikeTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF.where("id = 500").select("v").head().getString(0) === "BACK")
     assert(t.toDF.count() === 996)
 
+    // UPDATE via DV: old row soft-deleted, only the new row written
+    val filesBeforeUpdate = dataFiles()
+    assert(t.update(expr("id = 10"), Map("v" -> lit("TEN"))) === 0L)
+    val newFiles = dataFiles() -- filesBeforeUpdate
+    assert(filesBeforeUpdate.subsetOf(dataFiles()),
+      "DV update must not remove data files")
+    assert(newFiles.nonEmpty, "DV update appends the rewritten rows")
+    assert(t.toDF.where("id = 10").select("v").head().getString(0) === "TEN")
+    assert(t.toDF.count() === 996)
+    // CDC on the update version: delete(old) + insert(new)
+    val upd = ChangeReader.changeFeed(spark, path, t.version - 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(upd === Set((10L, "v10", "delete"), (10L, "TEN", "insert")))
+
     // OPTIMIZE compacts away the vectors
     t.optimize(1)
     assert(t.log.snapshot().files.forall(_.deletedRows.isEmpty))
