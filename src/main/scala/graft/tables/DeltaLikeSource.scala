@@ -89,7 +89,8 @@ final class DeltaLikeSource
     DeltaLikeTable.write(data, path, m,
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
       bloomFilterColumns = parameters.get("bloomFilterColumns")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      enableDeletionVectors = parameters.get("enableDeletionVectors").exists(_.toBoolean))
     createRelation(sqlContext, parameters)
   }
 }
