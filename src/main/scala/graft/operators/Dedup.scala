@@ -144,7 +144,7 @@ object Dedup {
     * performance hint between two EXACT plans, never correctness.
     */
   private val strategyMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Double, Long), String]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Double, Double, Long), String]()
 
   /** Sampled estimate of the inverted-index path's candidate-pair count
     * vs corpus size → `"inverted"` or `"prefix"`. Unbiased: E[df_s·
@@ -161,7 +161,10 @@ object Dedup {
       blowupFactor: Double = 500.0,
       seed: Long = 42L): String =
     strategyMemo.computeIfAbsent(
-      (docs.semanticHash(), sampleFraction, blowupFactor, seed),
+      // idCol/textCol are part of the statistic, not just the plan: the
+      // same relation deduped on a different text column has different
+      // shingle frequencies
+      (docs.semanticHash(), idCol, textCol, sampleFraction, blowupFactor, seed),
       _ => {
         val sampled = docs.sample(sampleFraction, seed)
           .repartition(docs.sparkSession.sparkContext.defaultParallelism)

@@ -99,9 +99,13 @@ object LangId {
     * consumers prune different columns, which breaks plan
     * canonicalization and silently doubles the corpus pass — instead
     * the profile branch joins the label back from a thin (doc, lang)
-    * side relation. Numerically identical to `classify(docs, ...,
-    * trainProfiles(docs, ...))`: each doc has exactly one label, so
-    * per-(lang, trigram) counts are the same integers either way.
+    * side relation. For documents with non-null ids this is numerically
+    * identical to `classify(docs, ..., trainProfiles(docs, ...))` —
+    * each doc has exactly one label, so per-(lang, trigram) counts are
+    * the same integers either way. A null-id document is excluded from
+    * BOTH training and scoring here (it cannot be scored anyway),
+    * whereas `trainProfiles` alone would still count its trigrams —
+    * the one intentional divergence.
     */
   def trainAndClassify(
       labeled: DataFrame,
@@ -110,12 +114,12 @@ object LangId {
       langCol: String,
       topN: Int = 300): DataFrame = {
     // one explode + one shuffle: occurrences per (doc, trigram). The
-    // explicit isNotNull filters are for PLAN EQUALITY, not semantics
-    // (null ids/trigrams contribute nothing either way): the profile
+    // explicit isNotNull filters serve PLAN EQUALITY: the profile
     // branch's inner join infers isnotnull(__id) and the scoring join
     // infers isnotnull(__tri); stating both here keeps the two
     // consumers' subtrees canonically identical so the exchange is
-    // computed once and reused.
+    // computed once and reused. (They also exclude null-id docs from
+    // training — see the scaladoc note.)
     val occ = trigramRows(
       labeled.select(col(idCol).as("__id"), col(textCol))
         .where(col(idCol).isNotNull && col(textCol).isNotNull), textCol)

@@ -29,6 +29,15 @@ object ChangeReader {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** The single definition of a change-feed row's shape: table schema +
+    * the metadata columns — used by the batch API, the streaming
+    * source's declared schema, and its batches, so they cannot drift.
+    */
+  def withChangeSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq ++ Seq(
+      StructField(ChangeTypeCol, StringType, nullable = false),
+      StructField(CommitVersionCol, LongType, nullable = false)))
+
   /** Rows added in versions (`sinceVersion`, latest]; append-only
     * semantics. Versions whose commit also REMOVED files are not
     * representable as pure row-adds: by default OPTIMIZE versions are
@@ -129,11 +138,9 @@ object ChangeReader {
       }
 
     perVersion.reduceOption(_ unionAll _).getOrElse {
-      val schema = StructType(head.schema.fields.toSeq ++ Seq(
-        StructField(ChangeTypeCol, StringType, nullable = false),
-        StructField(CommitVersionCol, LongType, nullable = false)))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        withChangeSchema(head.schema))
     }
   }
 

@@ -36,11 +36,7 @@ final class DeltaLikeSource
     val base = schema.getOrElse(DeltaLog.forPath(path).snapshot().schema)
     val resolved =
       if (parameters.get("readChangeFeed").exists(_.toBoolean))
-        StructType(base.fields.toSeq ++ Seq(
-          org.apache.spark.sql.types.StructField(
-            ChangeReader.ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField(
-            ChangeReader.CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)))
+        ChangeReader.withChangeSchema(base)
       else base
     (shortName(), resolved)
   }

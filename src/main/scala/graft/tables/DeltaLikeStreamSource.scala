@@ -43,9 +43,7 @@ private[tables] final class DeltaLikeStreamSource(
   require(log.exists, s"not a deltalike table: $path")
 
   override val schema: StructType =
-    if (readChangeFeed) StructType(log.snapshot().schema.fields.toSeq ++ Seq(
-      StructField(ChangeReader.ChangeTypeCol, StringType, nullable = false),
-      StructField(ChangeReader.CommitVersionCol, LongType, nullable = false)))
+    if (readChangeFeed) ChangeReader.withChangeSchema(log.snapshot().schema)
     else log.snapshot().schema
 
   override def getOffset: Option[OffsetV1] = {

@@ -65,6 +65,7 @@ final class DeltaLikeTable private (
     */
   def delete(condition: Column): Long = {
     val snap0 = log.snapshot()
+    requireDeterministic(condition, "DELETE", snap0)
     if (snap0.deletionVectors) {
       deleteViaVectors(condition, snap0) match {
         case Some(n) => return n
@@ -95,6 +96,10 @@ final class DeltaLikeTable private (
     val touched = snap.files.filter(f => byFile.contains(DeltaLikeTable.fileNameOf(f.path)))
     require(touched.map(f => DeltaLikeTable.fileNameOf(f.path)).toSet == byFile.keySet,
       "deletion-vector delete could not resolve all touched files")
+    // the cap bounds the ACCUMULATED vector, not just this statement —
+    // repeated small deletes would otherwise grow the broadcast exclusion
+    // set without limit; the rewrite fallback purges the touched DVs
+    if (touched.map(_.deletedRows.length).sum + matched.length > cap) return None
     val updated = touched.map { f =>
       val add = byFile(DeltaLikeTable.fileNameOf(f.path))
       f.copy(
@@ -120,6 +125,7 @@ final class DeltaLikeTable private (
     */
   def update(condition: Column, set: Map[String, Column]): Long = {
     val snap0 = log.snapshot()
+    requireDeterministic(condition, "UPDATE", snap0)
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.keys.foreach(c => require(snap0.schema.fieldNames.contains(c),
       s"unknown column '$c' in UPDATE"))
@@ -164,6 +170,17 @@ final class DeltaLikeTable private (
     if (matched.length > cap) return None
     if (matched.isEmpty) return Some(0L)
 
+    val byFile = matched
+      .map(r => DeltaLikeTable.fileNameOf(new java.net.URI(r.getString(0)).getPath) ->
+        r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val touched = snap.files.filter(f => byFile.contains(DeltaLikeTable.fileNameOf(f.path)))
+    require(touched.map(f => DeltaLikeTable.fileNameOf(f.path)).toSet == byFile.keySet,
+      "deletion-vector update could not resolve all touched files")
+    // accumulated-vector cap, as in deleteViaVectors (checked before any
+    // staging so the fallback wastes no I/O)
+    if (touched.map(_.deletedRows.length).sum + matched.length > cap) return None
+
     // rewritten versions of exactly the matched rows, appended as new files
     val outCols = snap.schema.fieldNames.toSeq.map { c =>
       set.get(c) match {
@@ -176,13 +193,6 @@ final class DeltaLikeTable private (
     val newAdds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
       snap.partitionColumns, snap.bloomFilterColumns)
 
-    val byFile = matched
-      .map(r => DeltaLikeTable.fileNameOf(new java.net.URI(r.getString(0)).getPath) ->
-        r.getLong(1))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val touched = snap.files.filter(f => byFile.contains(DeltaLikeTable.fileNameOf(f.path)))
-    require(touched.map(f => DeltaLikeTable.fileNameOf(f.path)).toSet == byFile.keySet,
-      "deletion-vector update could not resolve all touched files")
     val dvAdds = touched.map { f =>
       val add = byFile(DeltaLikeTable.fileNameOf(f.path))
       f.copy(
@@ -201,6 +211,28 @@ final class DeltaLikeTable private (
 
   def update(condition: String, set: Map[String, Column]): Long =
     update(expr(condition), set)
+
+  /** Both DELETE/UPDATE execution paths evaluate the condition more than
+    * once (touch detection + rewrite, or DV collect + rewrite), so a
+    * non-deterministic predicate would silently drop or duplicate rows —
+    * reject it up front, like Delta does. Analysis-only: the condition
+    * is resolved against an empty frame with the table schema, no job
+    * runs.
+    */
+  private def requireDeterministic(
+      condition: Column, op: String, snap: Snapshot): Unit = {
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], snap.schema)
+    val aliased = tableAlias.fold(probe)(probe.as(_))
+    val deterministic = aliased.where(condition).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic
+    }.forall(identity)
+    require(deterministic,
+      s"$op condition must be deterministic: it is evaluated more than once " +
+        "(file/row-match detection, then the rewrite), so non-deterministic " +
+        "predicates would lose or duplicate rows")
+  }
 
   /** Shared DELETE/UPDATE engine: find files containing a row matching
     * `touchFilter`, rewrite those files through `rewrite`, commit
@@ -335,9 +367,13 @@ final class DeltaLikeTable private (
       s"cannot restore to version $version (latest: ${cur.version})")
     if (version == cur.version) return this
     val target = log.snapshot(version)
-    val curPaths = cur.files.map(_.path).toSet
+    val curByPath = cur.files.map(f => f.path -> f).toMap
     val targetPaths = target.files.map(_.path).toSet
-    val readds = target.files.filterNot(f => curPaths(f.path))
+    // compare full AddFile entries, not just paths: a deletion-vector
+    // commit re-adds the SAME path with different deletedRows, and a
+    // path-only diff would silently keep the post-delete exclusions —
+    // rows the restore promises to resurrect would stay dead
+    val readds = target.files.filterNot(f => curByPath.get(f.path).contains(f))
     readds.foreach { f =>
       try log.io.size(s"$path/${f.path}")
       catch {

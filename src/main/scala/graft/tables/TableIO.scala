@@ -160,10 +160,18 @@ private[tables] final class HadoopTableIO(anchor: HPath, conf: Configuration)
     finally in.close()
   }
 
-  private lazy val fc =
-    if (anchor.toUri.getScheme == null)
-      org.apache.hadoop.fs.FileContext.getFileContext(conf)
-    else org.apache.hadoop.fs.FileContext.getFileContext(anchor.toUri, conf)
+  /** None when the scheme ships no AbstractFileSystem binding (s3a, gs,
+    * ... provide only a FileSystem) — those reach this class solely via
+    * the `allowNonAtomicRename` opt-in, whose contract is single-writer
+    * discipline anyway, so the non-atomic fallback below is acceptable
+    * there by construction.
+    */
+  private lazy val fcOpt: Option[org.apache.hadoop.fs.FileContext] =
+    try Some(
+      if (anchor.toUri.getScheme == null)
+        org.apache.hadoop.fs.FileContext.getFileContext(conf)
+      else org.apache.hadoop.fs.FileContext.getFileContext(anchor.toUri, conf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
 
   def writeExclusive(path: String, content: String): Unit = {
     val target = new HPath(path)
@@ -174,8 +182,12 @@ private[tables] final class HadoopTableIO(anchor: HPath, conf: Configuration)
     // TOCTOU window — the FileSystem.rename path silently overwrites on
     // some stores and needed a racy pre-check). Readers still never see
     // partial files: content lands in tmp first.
-    try fc.rename(tmp, target)
-    catch {
+    try fcOpt match {
+      case Some(fc) => fc.rename(tmp, target)
+      case None => // opt-in non-atomic scheme: best-effort probe + rename
+        if (fs.exists(target) || !fs.rename(tmp, target))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(path)
+    } catch {
       case e: java.io.IOException =>
         fs.delete(tmp, false)
         // FileAlreadyExistsException (hadoop.fs or mapped) and the

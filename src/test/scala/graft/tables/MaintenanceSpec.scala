@@ -234,6 +234,45 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.version === v)
   }
 
+  test("RESTORE resurrects deletion-vector'd rows (entry-level diff, not path-level)") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("restore_dv").toString
+    DeltaLikeTable.write(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      path, enableDeletionVectors = true)
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.delete("id <= 3") === 3) // DV commit: same path, new exclusions
+    assert(t.toDF.count() === 97)
+    t.restore(0)
+    // a path-only file diff would keep the DV and leave the rows dead
+    assert(t.toDF.count() === 100, "restore must clear the deletion vector")
+    assert(t.toDF.where("id <= 3").count() === 3)
+
+    // same through a DV UPDATE: old row resurrected, new version dropped
+    t.update(org.apache.spark.sql.functions.expr("id = 50"),
+      Map("v" -> org.apache.spark.sql.functions.lit("FIFTY")))
+    assert(t.toDF.where("v = 'FIFTY'").count() === 1)
+    t.restore(0)
+    assert(t.toDF.count() === 100)
+    assert(t.toDF.where("id = 50").select("v").head().getString(1 - 1) === "v50")
+  }
+
+  test("non-deterministic DELETE/UPDATE conditions are rejected up front") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("nondet").toString
+    DeltaLikeTable.write((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    val e1 = intercept[IllegalArgumentException] { t.delete("rand() < 0.5") }
+    assert(e1.getMessage.contains("deterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      t.update(org.apache.spark.sql.functions.expr("rand() < 0.5"),
+        Map("v" -> org.apache.spark.sql.functions.lit("x")))
+    }
+    assert(e2.getMessage.contains("deterministic"))
+    assert(t.toDF.count() === 50) // nothing changed, no version committed
+    assert(t.version === 0)
+  }
+
   test("timestampAsOf resolves the newest version at or before the instant") {
     val sp = spark; import sp.implicits._
     val path = Files.createTempDirectory("ts_travel").toString
