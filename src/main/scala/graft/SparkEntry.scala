@@ -116,6 +116,11 @@ object SparkEntry {
       graft.operators.LangId.trainAndClassify(docs, "doc_id", "text", "lang")
     }),
     "q46_winnow_fingerprints" -> (graft.operators.TextAnalysis.q46WinnowFingerprints _),
+    // privacy + repetition quality (round-3 additions to the LLM set):
+    // regex PII redaction with audit counts; Gopher-style n-gram
+    // repetition fractions
+    "q60_redact_pii" -> (graft.operators.Privacy.q60RedactPii _),
+    "q61_repetition" -> (graft.operators.TextAnalysis.q61Repetition _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -183,6 +188,8 @@ object SparkEntry {
     "q44_ivf_topk" -> graft.operators.IvfIndex.q44Sql,
     "q45_lang_id" -> graft.operators.LangId.q45Sql,
     "q46_winnow_fingerprints" -> graft.operators.TextAnalysis.q46Sql,
+    "q60_redact_pii" -> graft.operators.Privacy.q60Sql,
+    "q61_repetition" -> graft.operators.TextAnalysis.q61Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

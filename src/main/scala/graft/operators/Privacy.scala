@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** PII redaction for a training-data pipeline: mask emails, phone
+  * numbers, IPv4 addresses and SSN-like ids before a corpus leaves the
+  * ingestion boundary. Reference scope: the reference repo has no
+  * privacy surface (SURVEY.md §2.E) — this is part of the mandated
+  * LLM-pipeline extension set.
+  *
+  * Design: one `regexp_replace` chain per row — a pure projection, no
+  * shuffle, fully whole-stage-codegen'd, so the cost at 100 TB is one
+  * scan. Patterns are deliberately RE2-safe (no back-references, no
+  * look-around) so the exact same regexes run on Java's engine and on
+  * RE2-based engines (DuckDB oracle, Go tooling) with identical
+  * semantics.
+  *
+  * Order matters and is fixed: IP before phone (an IPv4 octet sequence
+  * `1.222.333.4444` could otherwise partially match the dotted phone
+  * form), SSN before phone (both dashed digit shapes; SSN `3-2-4` is
+  * more specific than phone `3-3-4`).
+  */
+object Privacy {
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The redaction chain (order-sensitive, see scaladoc). */
+  def redact(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    val noSsn = regexp_replace(noIp, SsnPattern, "<ID>")
+    regexp_replace(noSsn, PhonePattern, "<PHONE>")
+  }
+
+  /** Per-type match counts BEFORE redaction — the audit trail a
+    * compliance pipeline keeps alongside the masked corpus.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))),
+    "n_ids" -> size(regexp_extract_all(text, lit(SsnPattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+
+  /** Apply [[redact]] to `textCol`, keeping all other columns and
+    * appending the audit counts.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    // counts FIRST: they must see the pre-redaction text (col(textCol)
+    // resolves against whatever frame it is applied to)
+    val withCounts = piiCounts(col(textCol)).foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    withCounts.withColumn(textCol, redact(col(textCol)))
+  }
+
+  /** Declared q60: plant deterministic PII derived from `doc_id` into
+    * the synthetic corpus (the fixture text contains none), then redact
+    * and audit. The plant step is part of the DECLARED QUERY, not the
+    * operator — the oracle plants the identical strings in SQL, so the
+    * hash compare exercises the full regex battery on every row.
+    */
+  def q60RedactPii(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val planted = docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail.org"),
+        lit(" ip 10.1."), col("doc_id") % 256, lit(".7"),
+        lit(" ssn "), lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        lit("-42-1234"),
+        lit(" tel 555-01"), lpad((col("doc_id") % 10).cast("string"), 1, "0"),
+        lit("-2368")).as("text"))
+    val counts = piiCounts(col("text"))
+    planted.select(
+      col("doc_id") +: redact(col("text")).as("redacted") +:
+        counts.map { case (n, c) => c.cast("int").as(n) }: _*)
+  }
+
+  /** DuckDB oracle for q60: identical plant + identical RE2-safe
+    * patterns. DuckDB's `regexp_replace` needs the `'g'` flag for
+    * replace-all (Spark's replaces all by default); counts via
+    * `len(regexp_extract_all(...))`.
+    */
+  val q60Sql: String = {
+    // single-quoted SQL strings pass backslashes through verbatim, so the
+    // Scala pattern constants embed unchanged
+    val (email, ip, ssn, phone) = (EmailPattern, Ipv4Pattern, SsnPattern, PhonePattern)
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' contact u' || doc_id || '@mail.org'
+       |      || ' ip 10.1.' || (doc_id % 256) || '.7'
+       |      || ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+       |      || '-42-1234'
+       |      || ' tel 555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0')
+       |      || '-2368' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$ssn', '<ID>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$ssn')) AS INT) AS n_ids,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones
+       |FROM planted""".stripMargin
+  }
+}

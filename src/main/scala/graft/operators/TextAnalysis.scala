@@ -363,4 +363,73 @@ object TextAnalysis {
     """SELECT token, count(*) AS freq
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token HAVING count(*) >= 10""".stripMargin
+
+  /** Space-joined n-grams of `toks` as an array column; empty (not a
+    * descending `sequence` artifact) when the doc is shorter than `n`.
+    */
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    * "repetitious text" filters): fraction of all bigram occurrences
+    * taken by the single most frequent bigram, and fraction of trigram
+    * occurrences whose trigram occurs more than once. Heavily repeated
+    * boilerplate (nav bars, spam keyword stuffing) scores high on both;
+    * natural prose stays low.
+    *
+    * One explode over a combined (n, gram) array → one hash-aggregate
+    * chain — a single shuffle regardless of how many n-gram orders are
+    * requested, embarrassingly parallel at corpus scale.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tagged = concat(
+      transform(ngrams(toks, 2), g => struct(lit(2).as("n"), g.as("g"))),
+      transform(ngrams(toks, 3), g => struct(lit(3).as("n"), g.as("g"))))
+    val grams = docs.select(col(idCol).as("__id"), explode(tagged).as("x"))
+      .select(col("__id"), col("x.n").as("n"), col("x.g").as("g"))
+    val counts = grams.groupBy(col("__id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(col("__id"), col("n")).agg(
+      (max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_frac"),
+      (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast(DoubleType) /
+        sum(col("c"))).as("dup_frac"))
+    per.groupBy(col("__id")).agg(
+      max(when(col("n") === 2, col("top_frac"))).as("top_bigram_frac"),
+      max(when(col("n") === 3, col("dup_frac"))).as("dup_trigram_frac"))
+      .select(col("__id").as(idCol), col("top_bigram_frac"), col("dup_trigram_frac"),
+        (col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3).as("keep"))
+  }
+
+  /** Declared q61 — [[repetitionSignals]] over the documents fixture. */
+  def q61Repetition(spark: SparkSession, d: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, d), "doc_id", "text")
+
+  val q61Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, 2 AS n,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+      |  FROM t
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n,
+      |    unnest(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+      |  FROM t),
+      |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |p AS (SELECT doc_id, n,
+      |        CAST(max(c) AS DOUBLE) / sum(c) AS top_frac,
+      |        CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+      |          AS dup_frac
+      |      FROM c GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  max(CASE WHEN n = 2 THEN top_frac END) AS top_bigram_frac,
+      |  max(CASE WHEN n = 3 THEN dup_frac END) AS dup_trigram_frac,
+      |  (max(CASE WHEN n = 2 THEN top_frac END) <= 0.2
+      |    AND max(CASE WHEN n = 3 THEN dup_frac END) <= 0.3) AS keep
+      |FROM p GROUP BY 1""".stripMargin
 }

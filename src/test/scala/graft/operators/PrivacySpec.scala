@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** PII redaction and repetition-signal semantics on planted rows — the
+  * oracle (q60/q61) proves cross-engine equality on the fixture; these
+  * pin the tricky cases the fixture cannot plant (adjacent matches,
+  * pattern-order interplay, degenerate repetition extremes).
+  */
+class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("privacy-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("redactPii masks every type, counts pre-redaction occurrences") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c+tag@sub.example.org and x@y.io ok"),
+      (2L, "host 192.168.001.042 then call 555-867-5309"),
+      (3L, "ssn 123-45-6789 is not phone 123-456-7890"),
+      (4L, "clean text, no identifiers at all")).toDF("id", "text")
+    val out = Privacy.redactPii(df, "text").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+
+    assert(out(1L).getAs[String]("text") === "mail <EMAIL> and <EMAIL> ok")
+    assert(out(1L).getAs[Int]("n_emails") === 2)
+    assert(out(2L).getAs[String]("text") === "host <IP> then call <PHONE>")
+    assert(out(2L).getAs[Int]("n_ips") === 1)
+    assert(out(2L).getAs[Int]("n_phones") === 1)
+    // SSN (3-2-4) and phone (3-3-4) shapes must not cross-match
+    assert(out(3L).getAs[String]("text") === "ssn <ID> is not phone <PHONE>")
+    assert(out(3L).getAs[Int]("n_ids") === 1)
+    assert(out(3L).getAs[Int]("n_phones") === 1)
+    assert(out(4L).getAs[String]("text") === "clean text, no identifiers at all")
+    assert(Seq("n_emails", "n_ips", "n_ids", "n_phones")
+      .forall(c => out(4L).getAs[Int](c) === 0))
+  }
+
+  test("IP-before-phone ordering: dotted quads never leave partial digits") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "addr 10.255.254.7 port open")).toDF("id", "text")
+    val r = Privacy.redactPii(df, "text").head()
+    assert(r.getAs[String]("text") === "addr <IP> port open")
+    assert(r.getAs[Int]("n_phones") === 0)
+  }
+
+  test("repetition signals: stuffed doc flagged, varied doc kept") {
+    val sp = spark; import sp.implicits._
+    // 20× the same bigram back-to-back: top bigram dominates, every
+    // trigram duplicated
+    val stuffed = Seq.fill(20)("buy now").mkString(" ")
+    // all-distinct tokens: every bigram/trigram unique
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.repetitionSignals(
+      Seq((1L, stuffed), (2L, varied)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r).toMap
+
+    val s = out(1L)
+    assert(s.getAs[Double]("top_bigram_frac") > 0.45) // "buy now" ~ half of all bigrams
+    assert(s.getAs[Double]("dup_trigram_frac") === 1.0)
+    assert(!s.getAs[Boolean]("keep"))
+
+    val v = out(2L)
+    assert(v.getAs[Double]("top_bigram_frac") < 0.05)
+    assert(v.getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(v.getAs[Boolean]("keep"))
+  }
+
+  test("repetition signals: docs shorter than n drop out consistently") {
+    val sp = spark; import sp.implicits._
+    val out = TextAnalysis.repetitionSignals(
+      Seq((1L, "solo"), (2L, "two tokens here okay")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    // the 1-token doc has no bigrams at all → no output row (matches the
+    // oracle, where unnest of an empty list yields no rows)
+    assert(out.map(_.getLong(0)).toSet === Set(2L))
+  }
+}
