@@ -191,7 +191,7 @@ final class DeltaLikeTable private (
     val rewritten = matchedScan.select(outCols: _*)
     DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val newAdds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
-      snap.partitionColumns, snap.bloomFilterColumns)
+      snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
 
     val dvAdds = touched.map { f =>
       val add = byFile(DeltaLikeTable.fileNameOf(f.path))
@@ -262,7 +262,7 @@ final class DeltaLikeTable private (
     if (operation == "UPDATE")
       DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
-      snap.partitionColumns, snap.bloomFilterColumns)
+      snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
     try log.commit(snap.version + 1,
       touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo(operation, System.currentTimeMillis()))
@@ -309,7 +309,7 @@ final class DeltaLikeTable private (
           .drop(zc)
       }
     val adds = DeltaLikeTable.stageFiles(compacted, path,
-      snap.partitionColumns, snap.bloomFilterColumns)
+      snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
     try log.commit(snap.version + 1,
       snap.files.map(f => RemoveFile(f.path)) ++ adds :+
         CommitInfo(if (zorderBy.isEmpty) "OPTIMIZE"
@@ -336,8 +336,7 @@ final class DeltaLikeTable private (
     require(bad == 0,
       s"cannot add CHECK constraint '$name': existing rows violate ($constraintExpr)")
     log.commit(snap.version + 1, Seq(
-      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
-        snap.constraints + (name -> constraintExpr), snap.deletionVectors),
+      snap.toMetaData(constraints = snap.constraints + (name -> constraintExpr)),
       CommitInfo(s"ADD CONSTRAINT $name", System.currentTimeMillis())))
     this
   }
@@ -346,10 +345,102 @@ final class DeltaLikeTable private (
     val snap = log.snapshot()
     require(snap.constraints.contains(name), s"no such constraint '$name'")
     log.commit(snap.version + 1, Seq(
-      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
-        snap.constraints - name, snap.deletionVectors),
+      snap.toMetaData(constraints = snap.constraints - name),
       CommitInfo(s"DROP CONSTRAINT $name", System.currentTimeMillis())))
     this
+  }
+
+  /** RENAME COLUMN as a metadata-only commit (Delta's name-based column
+    * mapping): no data file is touched — the first rename/drop
+    * materializes a logical→physical name mapping (identity for every
+    * existing column, since the files already store those names), and
+    * the renamed column simply points its new logical name at the old
+    * physical one. Partition columns can't be renamed (their physical
+    * names are baked into directory layout), nor can columns referenced
+    * by a CHECK constraint (the stored SQL text would dangle).
+    */
+  def renameColumn(oldName: String, newName: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    require(snap.schema.fieldNames.contains(oldName), s"no such column '$oldName'")
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    requireUnreferenced(snap, oldName, "rename")
+    val mapping = materialized(snap) - oldName +
+      (newName -> snap.physicalName(oldName))
+    val schema = StructType(snap.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val blooms = snap.bloomFilterColumns.map(c => if (c == oldName) newName else c)
+    log.commit(snap.version + 1, Seq(
+      snap.toMetaData(schemaDdl = schema.toDDL, bloomFilterColumns = blooms,
+        columnMapping = mapping),
+      CommitInfo(s"RENAME COLUMN $oldName TO $newName", System.currentTimeMillis())))
+    this
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the bytes stay in the data
+    * files (readable via time travel) but the logical schema and the
+    * mapping forget the column — and a later re-add of the same name
+    * gets a FRESH physical name, so the old bytes can never leak back.
+    */
+  def dropColumn(name: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    require(snap.schema.fieldNames.contains(name), s"no such column '$name'")
+    require(snap.schema.size > 1, "cannot drop the last column")
+    requireUnreferenced(snap, name, "drop")
+    val mapping = materialized(snap) - name
+    val schema = StructType(snap.schema.fields.filterNot(_.name == name))
+    val blooms = snap.bloomFilterColumns.filterNot(_ == name)
+    log.commit(snap.version + 1, Seq(
+      snap.toMetaData(schemaDdl = schema.toDDL, bloomFilterColumns = blooms,
+        columnMapping = mapping),
+      CommitInfo(s"DROP COLUMN $name", System.currentTimeMillis())))
+    this
+  }
+
+  /** DESCRIBE HISTORY: one row per retained commit, newest first —
+    * version, commit timestamp, operation, files added/removed in that
+    * commit (Delta's history() shape, trimmed to what the log records).
+    * Reads only the retained log tail: O(versions), no data files
+    * touched. The tuple variant [[history]] predates this and stays for
+    * API compatibility.
+    */
+  def historyDF(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val lo = math.max(0L, log.minVersion)
+    val rows = (lo to log.latestVersion).reverse.map { v =>
+      val acts = log.actions(v)
+      val ci = acts.collectFirst { case c: CommitInfo => c }
+      (v,
+        ci.map(c => new java.sql.Timestamp(c.timestampMs)).orNull,
+        ci.map(_.operation).getOrElse("UNKNOWN"),
+        acts.count(_.isInstanceOf[AddFile]),
+        acts.count(_.isInstanceOf[RemoveFile]))
+    }
+    rows.toDF("version", "timestamp", "operation",
+      "num_added_files", "num_removed_files")
+  }
+
+  /** Identity mapping for every current column on first use; the
+    * existing mapping afterwards.
+    */
+  private def materialized(snap: Snapshot): Map[String, String] =
+    if (snap.columnMapping.nonEmpty) snap.columnMapping
+    else snap.schema.fieldNames.map(n => n -> n).toMap
+
+  private def requireUnreferenced(snap: Snapshot, column: String, op: String): Unit = {
+    require(!snap.partitionColumns.contains(column),
+      s"cannot $op partition column '$column'")
+    snap.constraints.foreach { case (cname, sql) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.exists(_.equalsIgnoreCase(column)),
+        s"cannot $op column '$column': referenced by CHECK constraint " +
+          s"'$cname' ($sql)")
+    }
   }
 
   /** RESTORE the table to the state of `version` as a NEW commit
@@ -385,13 +476,8 @@ final class DeltaLikeTable private (
     }
     val removes = cur.files.filterNot(f => targetPaths(f.path)).map(f => RemoveFile(f.path))
     val meta =
-      if (target.schema.toDDL == cur.schema.toDDL &&
-        target.partitionColumns == cur.partitionColumns &&
-        target.bloomFilterColumns == cur.bloomFilterColumns &&
-        target.constraints == cur.constraints &&
-        target.deletionVectors == cur.deletionVectors) Seq.empty
-      else Seq(MetaData(target.schema.toDDL, target.partitionColumns,
-        target.bloomFilterColumns, target.constraints, target.deletionVectors))
+      if (target.toMetaData() == cur.toMetaData()) Seq.empty
+      else Seq(target.toMetaData())
     log.commit(cur.version + 1,
       meta ++ removes ++ readds :+
         CommitInfo(s"RESTORE VERSION AS OF $version", System.currentTimeMillis()))
@@ -560,7 +646,21 @@ object DeltaLikeTable {
     // deletion vectors: enable-only-forward (an append can't turn them
     // off; an overwrite may declare them)
     val effectiveDv = enableDeletionVectors || prev.exists(_.deletionVectors)
-    val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms)
+    // column mapping is sticky once materialized (by a rename/drop):
+    // retained columns keep their physical names; columns NEW to the
+    // table get fresh physical names so a re-added logical name never
+    // resurrects a dropped column's bytes in pre-drop files
+    val effectiveMapping: Map[String, String] =
+      prev.map(_.columnMapping).getOrElse(Map.empty) match {
+        case m if m.isEmpty => Map.empty
+        case m =>
+          val retained = committedSchema.fieldNames.toSet
+          m.view.filterKeys(retained).toMap ++
+            committedSchema.fieldNames.toSeq.filterNot(m.contains)
+              .map(c => c -> DeltaLikeTable.freshPhysicalName(c))
+      }
+    val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms,
+      effectiveMapping)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
@@ -589,7 +689,7 @@ object DeltaLikeTable {
           if (version == 0 || mode == "overwrite" || schemaChanged ||
             (enableDeletionVectors && !prev.exists(_.deletionVectors)))
             Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms,
-              effectiveConstraints, effectiveDv))
+              effectiveConstraints, effectiveDv, effectiveMapping))
           else Seq.empty
         try {
           log.commit(version,
@@ -675,12 +775,13 @@ object DeltaLikeTable {
         if (empty) lit(null: String) else col("_metadata.file_path"))
     }
     val dvFiles = snap.files.filter(_.deletedRows.nonEmpty)
+    val extras = fileCol.toSeq ++ rowIdxCol.toSeq
     if (dvFiles.isEmpty) {
       rowIdxCol.foreach { c =>
         df = df.withColumn(c,
           if (empty) lit(null).cast(LongType) else col("_metadata.row_index"))
       }
-      df
+      toLogical(df, snap, extras)
     } else {
       // exclusion set: (file name, physical row index). File names carry
       // Spark's per-task UUID, so they are unique table-wide; the set is
@@ -697,22 +798,45 @@ object DeltaLikeTable {
         .toDF(nameC, idxC)
       df = df.join(broadcast(excl), Seq(nameC, idxC), "left_anti").drop(nameC)
       if (rowIdxCol.isEmpty) df = df.drop(idxC)
-      df
+      toLogical(df, snap, extras)
     }
   }
 
+  /** File-source scan under PHYSICAL column names (identical to logical
+    * until a rename/drop materializes the mapping). Callers needing
+    * `_metadata` columns must attach them before [[toLogical]] projects
+    * the frame (hidden metadata columns resolve only on the file-source
+    * relation).
+    */
   private def rawRead(spark: SparkSession, snap: Snapshot): DataFrame =
     if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.physicalSchema)
     else if (snap.partitionColumns.isEmpty)
-      spark.read.schema(snap.schema).parquet(snap.filePaths: _*)
+      spark.read.schema(snap.physicalSchema).parquet(snap.filePaths: _*)
     else
       // basePath lets partition-directory discovery work over an explicit
       // file list, reconstructing the partition columns the data files
       // don't store
-      spark.read.schema(snap.schema)
+      spark.read.schema(snap.physicalSchema)
         .option("basePath", snap.tableRoot)
         .parquet(snap.filePaths: _*)
+
+  /** Rename physical → logical, preserving any caller-attached extra
+    * columns (`keep`).
+    */
+  private def toLogical(df: DataFrame, snap: Snapshot, keep: Seq[String]): DataFrame =
+    if (snap.columnMapping.isEmpty) df
+    else df.select(
+      snap.schema.fieldNames.toSeq.map(n => col(snap.physicalName(n)).as(n)) ++
+        keep.map(col): _*)
+
+  /** Physical name for a column newly added while column mapping is
+    * active: UUID-suffixed so it can never collide with a column that
+    * ever existed in any data file (Delta's column-mapping rule — a
+    * dropped-then-re-added logical name must not resurrect old bytes).
+    */
+  private[tables] def freshPhysicalName(logical: String): String =
+    s"${logical}_${UUID.randomUUID().toString.take(8)}"
 
   private[tables] def fileNameOf(relPath: String): String =
     relPath.substring(relPath.lastIndexOf('/') + 1)
@@ -749,7 +873,29 @@ object DeltaLikeTable {
       df: DataFrame,
       tableRoot: String,
       partitionBy: Seq[String] = Seq.empty,
-      bloomFilterColumns: Seq[String] = Seq.empty): Seq[AddFile] = {
+      bloomFilterColumns: Seq[String] = Seq.empty,
+      columnMapping: Map[String, String] = Map.empty): Seq[AddFile] = {
+    // with column mapping active, files store PHYSICAL names (rename is
+    // then metadata-only forever after); stats are remapped back to
+    // logical below so the log — and DataSkipping — never see physical
+    // names
+    val (physDf, physParts, physBlooms) =
+      if (columnMapping.isEmpty) (df, partitionBy, bloomFilterColumns)
+      else (
+        df.select(df.schema.fieldNames.toSeq.map(n =>
+          col(n).as(columnMapping.getOrElse(n, n))): _*),
+        partitionBy.map(c => columnMapping.getOrElse(c, c)),
+        bloomFilterColumns.map(c => columnMapping.getOrElse(c, c)))
+    stageFilesPhysical(physDf, tableRoot, physParts, physBlooms,
+      columnMapping)
+  }
+
+  private def stageFilesPhysical(
+      df: DataFrame,
+      tableRoot: String,
+      partitionBy: Seq[String],
+      bloomFilterColumns: Seq[String],
+      columnMapping: Map[String, String]): Seq[AddFile] = {
     val io = TableIO.forPath(tableRoot)
     val stageName = s"_stage-${UUID.randomUUID().toString.take(8)}"
     val stageDir = s"$tableRoot/$stageName"
@@ -792,7 +938,18 @@ object DeltaLikeTable {
       io.rename(s"$stageDir/$rel", target)
     }
     io.deleteRecursively(stageDir)
-    statted
+    if (columnMapping.isEmpty) statted
+    else {
+      // physical → logical for the stats keys (injective by construction:
+      // physical names are UUID-fresh or identity, never reused)
+      val toLogical = columnMapping.map(_.swap)
+      def remap[V](m: Map[String, V]): Map[String, V] =
+        m.map { case (k, v) => toLogical.getOrElse(k, k) -> v }
+      statted.map(a => a.copy(
+        minValues = remap(a.minValues),
+        maxValues = remap(a.maxValues),
+        nullCounts = remap(a.nullCounts)))
+    }
   }
 
   /** Encode a stat value so it can be compared after a log round-trip:

@@ -31,7 +31,8 @@ final case class MetaData(
     partitionColumns: Seq[String],
     bloomFilterColumns: Seq[String] = Seq.empty,
     constraints: Map[String, String] = Map.empty,
-    deletionVectors: Boolean = false)
+    deletionVectors: Boolean = false,
+    columnMapping: Map[String, String] = Map.empty)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -86,8 +87,37 @@ final case class Snapshot(
     txns: Map[String, Long] = Map.empty,
     bloomFilterColumns: Seq[String] = Seq.empty,
     constraints: Map[String, String] = Map.empty,
-    deletionVectors: Boolean = false) {
+    deletionVectors: Boolean = false,
+    columnMapping: Map[String, String] = Map.empty) {
   def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
+
+  /** Name a data file stores for logical column `c`. Identity until a
+    * rename/drop materializes the mapping (Delta's column-mapping idea,
+    * name-based): renames are then metadata-only — files keep their
+    * original column names forever.
+    */
+  def physicalName(c: String): String = columnMapping.getOrElse(c, c)
+
+  /** The schema as stored in data files: logical types under physical
+    * names.
+    */
+  def physicalSchema: StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f.name))))
+
+  /** This snapshot's metadata action, for commits that carry the sticky
+    * table properties forward. Callers override what they change —
+    * going through here means a new sticky field can never be silently
+    * dropped by an unrelated commit path.
+    */
+  def toMetaData(
+      schemaDdl: String = schema.toDDL,
+      partitionColumns: Seq[String] = partitionColumns,
+      bloomFilterColumns: Seq[String] = bloomFilterColumns,
+      constraints: Map[String, String] = constraints,
+      deletionVectors: Boolean = deletionVectors,
+      columnMapping: Map[String, String] = columnMapping): MetaData =
+    MetaData(schemaDdl, partitionColumns, bloomFilterColumns, constraints,
+      deletionVectors, columnMapping)
 }
 
 /** Reader/writer for the JSON transaction log of one table.
@@ -144,13 +174,14 @@ final class DeltaLog(val tableRoot: String) {
     var bloomCols: Seq[String] = Seq.empty
     var constraints: Map[String, String] = Map.empty
     var dvEnabled = false
+    var colMapping: Map[String, String] = Map.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
       case m: MetaData =>
         schemaDdl = m.schemaDdl; partCols = m.partitionColumns
         bloomCols = m.bloomFilterColumns; constraints = m.constraints
-        dvEnabled = m.deletionVectors
+        dvEnabled = m.deletionVectors; colMapping = m.columnMapping
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -168,7 +199,7 @@ final class DeltaLog(val tableRoot: String) {
     (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
-      partCols, txns.toMap, bloomCols, constraints, dvEnabled)
+      partCols, txns.toMap, bloomCols, constraints, dvEnabled, colMapping)
   }
 
   /** Atomically publish `version`; throws if it was already committed.
@@ -191,8 +222,7 @@ final class DeltaLog(val tableRoot: String) {
   def checkpoint(version: Long): Unit = {
     val snap = snapshot(version)
     val acts: Seq[Action] =
-      MetaData(snap.schema.toDDL, snap.partitionColumns, snap.bloomFilterColumns,
-        snap.constraints, snap.deletionVectors) +:
+      snap.toMetaData() +:
         (snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
           snap.files)
     try io.writeExclusive(checkpointPath(version),

@@ -18,6 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * RESTORE TABLE deltalike.`/p` TO TIMESTAMP AS OF '2026-08-12T10:00:00Z'
   * ALTER TABLE deltalike.`/p` ADD CONSTRAINT positive CHECK (bal >= 0)
   * ALTER TABLE deltalike.`/p` DROP CONSTRAINT positive
+  * ALTER TABLE deltalike.`/p` RENAME COLUMN a TO b
+  * ALTER TABLE deltalike.`/p` DROP COLUMN a
+  * DESCRIBE HISTORY deltalike.`/p`
   * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
   * OPTIMIZE deltalike.`/p` [ZORDER BY (c1, c2)]
   * }}}
@@ -50,6 +53,12 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val RenameColumn =
+    """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropColumn =
+    """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val DescribeHistory =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
@@ -65,6 +74,12 @@ object GraftSqlParser {
         Some(DeltalikeAddConstraintCommand(path, name, check))
       case DropConstraint(path, name) =>
         Some(DeltalikeDropConstraintCommand(path, name))
+      case RenameColumn(path, from, to) =>
+        Some(DeltalikeRenameColumnCommand(path, from, to))
+      case DropColumn(path, name) =>
+        Some(DeltalikeDropColumnCommand(path, name))
+      case DescribeHistory(path) =>
+        Some(DeltalikeDescribeHistoryCommand(path))
       case Vacuum(path, retain) =>
         Some(DeltalikeVacuumCommand(path,
           Option(retain).map(_.toInt).getOrElse(1)))
@@ -104,6 +119,38 @@ case class DeltalikeDropConstraintCommand(path: String, name: String)
     DeltaLikeTable.forPath(spark, path).dropConstraint(name)
     Seq.empty
   }
+}
+
+case class DeltalikeRenameColumnCommand(path: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).renameColumn(from, to)
+    Seq.empty
+  }
+}
+
+case class DeltalikeDropColumnCommand(path: String, column: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).dropColumn(column)
+    Seq.empty
+  }
+}
+
+case class DeltalikeDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = true)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("num_added_files", IntegerType, nullable = false)(),
+    AttributeReference("num_removed_files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaLikeTable.forPath(spark, path).historyDF().collect().toSeq
 }
 
 case class DeltalikeVacuumCommand(path: String, retainVersions: Int)

@@ -189,7 +189,7 @@ final class MergeBuilder private[tables] (
     // the table is preserved through the rewrite)
     DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
-      snap.partitionColumns, snap.bloomFilterColumns)
+      snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
     try table.log.commit(snap.version + 1,
       touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo("MERGE", System.currentTimeMillis()))

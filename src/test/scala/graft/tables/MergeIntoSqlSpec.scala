@@ -167,4 +167,22 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a non-graft statement still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
   }
+
+  test("SQL DDL: RENAME/DROP COLUMN and DESCRIBE HISTORY") {
+    val path = fresh()
+    spark.sql(s"ALTER TABLE deltalike.`$path` RENAME COLUMN v TO label")
+    assert(spark.sql(s"SELECT label FROM deltalike.`$path` WHERE k = 2")
+      .head().getString(0) === "b")
+
+    spark.sql(s"ALTER TABLE deltalike.`$path` DROP COLUMN n")
+    val cols = spark.sql(s"SELECT * FROM deltalike.`$path`").schema.fieldNames.toSeq
+    assert(cols === Seq("k", "label"))
+
+    val hist = spark.sql(s"DESCRIBE HISTORY deltalike.`$path`").collect()
+    assert(hist.length === 3) // write, rename, drop — newest first
+    assert(hist.head.getAs[String]("operation") === "DROP COLUMN n")
+    assert(hist.last.getAs[Long]("version") === 0L)
+    assert(hist.map(_.getAs[String]("operation"))
+      .contains("RENAME COLUMN v TO label"))
+  }
 }
