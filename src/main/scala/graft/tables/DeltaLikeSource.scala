@@ -51,7 +51,12 @@ final class DeltaLikeSource
       throw new IllegalArgumentException("deltalike: 'path' is required"))
     new DeltaLikeStreamSource(sqlContext.sparkSession, path,
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map { s =>
+        val n = s.toLong
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      })
   }
 
   override def createRelation(

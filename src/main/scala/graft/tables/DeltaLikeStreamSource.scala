@@ -31,16 +31,31 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Scale shape: each micro-batch reads exactly the files its versions
   * added (vectorized parquet, no shuffle introduced by the source);
   * driver-side work per trigger is one log listing.
+  *
+  * `maxVersionsPerTrigger` caps how many log versions one micro-batch
+  * may cover (Delta's `maxFilesPerTrigger` idea at version granularity):
+  * a stream catching up on a long backlog delivers bounded batches
+  * instead of one giant catch-up batch that overwhelms executor memory
+  * and checkpoint latency. The first batch (initial snapshot) is always
+  * a single batch — the cap applies to subsequent version consumption.
   */
 private[tables] final class DeltaLikeStreamSource(
     spark: SparkSession,
     path: String,
     skipChangeCommits: Boolean,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Source {
 
   private val log = DeltaLog.forPath(path)
   require(log.exists, s"not a deltalike table: $path")
+
+  /** End version of the newest batch handed to the engine — the rate
+    * limit's anchor. Restart-safe without persistence: on recovery Spark
+    * replays the checkpointed pending batch through [[getBatch]] (which
+    * re-anchors this) before asking [[getOffset]] for new data.
+    */
+  @volatile private var lastBatchEnd: Option[Long] = None
 
   override val schema: StructType =
     if (readChangeFeed) ChangeReader.withChangeSchema(log.snapshot().schema)
@@ -48,11 +63,19 @@ private[tables] final class DeltaLikeStreamSource(
 
   override def getOffset: Option[OffsetV1] = {
     val v = log.latestVersion
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) None
+    else {
+      val capped = (maxVersionsPerTrigger, lastBatchEnd) match {
+        case (Some(n), Some(last)) => math.min(v, last + n)
+        case _                     => v // first batch (snapshot) is uncapped
+      }
+      Some(LongOffset(capped))
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    lastBatchEnd = Some(endV)
     val batch = (start.map(versionOf), readChangeFeed) match {
       case (None, false) =>
         // stream start: the full snapshot at the batch's end version

@@ -186,4 +186,41 @@ class DeltaLikeStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected 8 snapshot + 10 offline rows exactly once, got ${got.mkString(",")}")
     } finally q2.stop()
   }
+
+  test("maxVersionsPerTrigger bounds each micro-batch; backlog drains completely") {
+    val path = Files.createTempDirectory("dls_rate").toString
+    DeltaLikeTable.write(rows(1 to 5), path)
+
+    val q = spark.readStream.format("deltalike")
+      .option("maxVersionsPerTrigger", "2").load(path)
+      .writeStream.format("memory").queryName("dls_rate").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable() // initial snapshot: one (uncapped) batch
+      val snapshotBatches = q.recentProgress.count(_.numInputRows > 0)
+
+      // 6 append versions accumulate while the stream is idle — a capped
+      // stream must drain them 2 versions per micro-batch, not in one
+      // catch-up batch
+      (0 until 6).foreach(i => DeltaLikeTable.write(
+        rows((100 + 10 * i) until (100 + 10 * i + 10)), path, "append"))
+      q.processAllAvailable()
+
+      val got = spark.table("dls_rate").select("id").collect().map(_.getLong(0))
+      assert(got.length === 65 && got.toSet.size === 65,
+        "every backlog row exactly once despite the cap")
+      val drainBatches =
+        q.recentProgress.count(_.numInputRows > 0) - snapshotBatches
+      assert(drainBatches >= 3,
+        s"6-version backlog under maxVersionsPerTrigger=2 needs >=3 " +
+          s"micro-batches, saw $drainBatches")
+
+      // live appends keep draining under the cap, exactly once
+      (0 until 3).foreach(i => DeltaLikeTable.write(
+        rows((500 + 10 * i) until (500 + 10 * i + 10)), path, "append"))
+      q.processAllAvailable()
+      val all = spark.table("dls_rate").select("id").collect().map(_.getLong(0))
+      assert(all.length === 95 && all.toSet.size === 95)
+    } finally q.stop()
+  }
 }
