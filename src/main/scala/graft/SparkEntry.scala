@@ -121,6 +121,9 @@ object SparkEntry {
     // repetition fractions
     "q60_redact_pii" -> (graft.operators.Privacy.q60RedactPii _),
     "q61_repetition" -> (graft.operators.TextAnalysis.q61Repetition _),
+    // corpus balancing + context-window chunking
+    "q62_domain_cap" -> (graft.operators.CorpusOps.q62DomainCap _),
+    "q63_chunk" -> (graft.operators.CorpusOps.q63Chunk _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -190,6 +193,8 @@ object SparkEntry {
     "q46_winnow_fingerprints" -> graft.operators.TextAnalysis.q46Sql,
     "q60_redact_pii" -> graft.operators.Privacy.q60Sql,
     "q61_repetition" -> graft.operators.TextAnalysis.q61Sql,
+    "q62_domain_cap" -> graft.operators.CorpusOps.q62Sql,
+    "q63_chunk" -> graft.operators.CorpusOps.q63Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

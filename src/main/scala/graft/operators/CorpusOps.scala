@@ -190,4 +190,107 @@ object CorpusOps {
       |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       |   / 1152921504606846976.0
       |  < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""".stripMargin
+
+  /** Per-domain document caps — the web-corpus balancing step that stops
+    * a handful of giant domains from dominating the training mix
+    * (RefinedWeb/C4 keep per-host quotas; same idea here, keyed on any
+    * domain column). Deterministic preference order inside a domain:
+    * longest documents first, doc id as tiebreak, so reruns and engines
+    * agree row-for-row.
+    *
+    * Scale shape: one hash shuffle on the domain key, then a windowed
+    * rank with the filter directly above it — Spark compiles that to
+    * WindowGroupLimit, so each partition keeps only `cap` rows per
+    * domain during the shuffle read; no domain's full posting list is
+    * ever materialized.
+    */
+  def domainCap(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      qualityCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= cap)
+      .drop("__rank")
+  }
+
+  /** Declared q62: at most 8 docs per source, longest-first. */
+  def q62DomainCap(spark: SparkSession, d: String): DataFrame =
+    domainCap(Tables.documents(spark, d), "doc_id", "source", "n_chars", 8)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  val q62Sql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 8""".stripMargin
+
+  /** Fixed-size token chunking with overlap — the doc→context-window
+    * splitter every RAG/pretraining pipeline needs. Chunk starts advance
+    * by `chunkSize - overlap` tokens; the tail chunk may be short but is
+    * never empty; a doc shorter than one chunk yields itself. Pure
+    * per-row array expressions (no shuffle, no state): at 100 TB this is
+    * a map-only pass.
+    *
+    * Chunk-count arithmetic uses an explicit `floor` before the integer
+    * cast: Spark truncates double→int while other engines round, so the
+    * floor keeps the formula engine-portable (the oracle replicates it
+    * verbatim).
+    */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      floor((n - chunkSize).cast("double") / stride).cast("int") + lit(2) -
+        // a final window that would start past the last token is dropped:
+        // starts are 0, stride, 2*stride, ...; the +2 counts the first
+        // full window plus the ceil of the remainder — when the remainder
+        // divides evenly the extra start coincides with the end and would
+        // produce an empty chunk
+        when(((n - chunkSize) % stride) === 0, lit(1)).otherwise(lit(0)))
+    docs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), " ")).as("chunk_tokens"))
+  }
+
+  /** Declared q63: 32-token chunks with 8-token overlap. */
+  def q63Chunk(spark: SparkSession, d: String): DataFrame =
+    chunk(Tables.documents(spark, d), "doc_id", "text", 32, 8)
+
+  val q63Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN n <= 32 THEN 1
+      |         ELSE CAST(floor((n - 32) / 24.0) AS INT) + 2 -
+      |           CASE WHEN (n - 32) % 24 = 0 THEN 1 ELSE 0 END
+      |    END AS n_chunks
+      |  FROM t)
+      |SELECT doc_id,
+      |  x.i AS chunk_idx,
+      |  array_to_string(toks[x.i * 24 + 1 : x.i * 24 + 32], ' ') AS chunk_text,
+      |  len(toks[x.i * 24 + 1 : x.i * 24 + 32]) AS chunk_tokens
+      |FROM c, LATERAL (
+      |  SELECT unnest(generate_series(0, n_chunks - 1)) AS i) AS x""".stripMargin
 }

@@ -80,4 +80,54 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val otherRate = otherKept / otherTotal
     assert(otherRate > 0.1 && otherRate < 0.3, s"other rate $otherRate far from 0.2")
   }
+
+  test("domain cap keeps exactly `cap` best docs per domain, deterministic order") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"d${i % 3}", (i % 7).toLong)).toDF("id", "host", "len")
+    val kept = CorpusOps.domainCap(docs, "id", "host", "len", 4).collect()
+    assert(kept.length === 12) // 3 domains × cap 4
+    // the kept set must be exactly the reference ranking computed in
+    // plain Scala: per domain, highest len first, lowest id tiebreak
+    val expected = (1 to 30).map(i => (i.toLong, s"d${i % 3}", (i % 7).toLong))
+      .groupBy(_._2).values
+      .flatMap(_.sortBy { case (id, _, len) => (-len, id) }.take(4))
+      .map(_._1).toSet
+    assert(kept.map(_.getLong(0)).toSet === expected)
+    // a domain under its cap is untouched
+    val small = CorpusOps.domainCap(
+      Seq((1L, "only", 5L)).toDF("id", "host", "len"), "id", "host", "len", 4)
+    assert(small.count() === 1)
+  }
+
+  test("chunking: coverage, overlap stitching, and the exact-multiple edge") {
+    val sp = spark; import sp.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // 80 tokens, chunk 32, overlap 8 → starts 0,24,48 and NO empty chunk
+    // at 72 (80-32=48 divides stride 24 exactly — the edge the formula
+    // subtracts for)
+    val exact = CorpusOps.chunk(
+      Seq((1L, doc(80))).toDF("doc_id", "text"), "doc_id", "text", 32, 8)
+      .orderBy("chunk_idx").collect()
+    assert(exact.length === 3)
+    assert(exact.map(_.getAs[Int]("chunk_tokens")).toSeq === Seq(32, 32, 32))
+    assert(exact.last.getAs[String]("chunk_text").endsWith("t80"))
+
+    // 70 tokens → starts 0,24,48: tail chunk is short (70-48=22 tokens)
+    val ragged = CorpusOps.chunk(
+      Seq((1L, doc(70))).toDF("doc_id", "text"), "doc_id", "text", 32, 8)
+      .orderBy("chunk_idx").collect()
+    assert(ragged.map(_.getAs[Int]("chunk_tokens")).toSeq === Seq(32, 32, 22))
+
+    // every token of the doc appears in some chunk (coverage), and
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = ragged(0).getAs[String]("chunk_text").split(" ")
+    val c1 = ragged(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+
+    // shorter than one chunk → the doc itself, once
+    val tiny = CorpusOps.chunk(
+      Seq((1L, doc(5))).toDF("doc_id", "text"), "doc_id", "text", 32, 8).collect()
+    assert(tiny.length === 1 && tiny.head.getAs[Int]("chunk_tokens") === 5)
+  }
 }
