@@ -252,6 +252,11 @@ final class DeltaLikeTable private (
       .collect().map(_.getString(0)).filter(_ != null).toSet
     if (touchedAbs.isEmpty) return 0L
     val touchedRel = MergeBuilder.resolveRelative(snap, touchedAbs)
+    // every scanned file URI must resolve to exactly one log entry; a
+    // partial resolution would rewrite rows WITHOUT removing their old
+    // file — silent duplication
+    require(touchedRel.size == touchedAbs.size,
+      s"$operation resolved ${touchedRel.size} of ${touchedAbs.size} touched files")
     val relSet = touchedRel.toSet
     val touchedFiles = snap.files.filter(f => relSet.contains(f.path))
 
@@ -466,7 +471,7 @@ final class DeltaLikeTable private (
     // rows the restore promises to resurrect would stay dead
     val readds = target.files.filterNot(f => curByPath.get(f.path).contains(f))
     readds.foreach { f =>
-      try log.io.size(s"$path/${f.path}")
+      try log.io.size(DeltaLog.resolvePath(path, f.path))
       catch {
         case scala.util.control.NonFatal(_) =>
           throw new IllegalStateException(
@@ -502,7 +507,11 @@ final class DeltaLikeTable private (
       .flatMap(v => log.actions(v)).collect {
         case a: AddFile => a.path
       }.distinct
+    // absolute paths are a shallow clone's references INTO ITS SOURCE —
+    // the clone does not own those bytes and must never reclaim them
+    // (the source table's own vacuum does, by its own retention)
     val doomed = all.filterNot(referenced.contains)
+      .filterNot(DeltaLog.isAbsolute)
     doomed.foreach(p => log.io.delete(s"$path/$p"))
     doomed
   }
@@ -522,6 +531,42 @@ final class DeltaLikeTable private (
       else p
     }
     log.io.writeString(s"$dir/manifest", entries.mkString("", "\n", "\n"))
+  }
+
+  /** SHALLOW CLONE: a new table at `target` whose version 0 references
+    * the source's current data files by ABSOLUTE path — zero bytes
+    * copied, however large the source (Delta's `CREATE TABLE ... SHALLOW
+    * CLONE`). The clone is immediately independent: writes/merges/
+    * deletes commit to its own log and stage files in its own root, and
+    * `OPTIMIZE` localizes it completely (compacted files land in the
+    * clone; the absolute references drop out). The clone's `vacuum`
+    * never touches referenced source bytes (absolute paths are skipped)
+    * — but it does NOT pin them either: vacuuming the SOURCE past the
+    * cloned version breaks the clone, exactly Delta's documented shallow
+    * -clone hazard.
+    *
+    * Partitioned sources are rejected: partition values are
+    * reconstructed from directory layout under the table root, which
+    * out-of-root references cannot satisfy.
+    */
+  def shallowCloneTo(target: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    require(snap.partitionColumns.isEmpty,
+      "shallow clone of a partitioned table is not supported (partition " +
+        "values derive from directory layout under the table root)")
+    val tlog = DeltaLog.forPath(target)
+    require(!tlog.exists, s"clone target is already a table: $target")
+    val srcRoot =
+      if (new org.apache.hadoop.fs.Path(path).toUri.getScheme == null)
+        Paths.get(path).toAbsolutePath.toString
+      else path
+    val refs = snap.files.map(f =>
+      f.copy(path = DeltaLog.resolvePath(srcRoot, f.path)))
+    tlog.commit(0L,
+      snap.toMetaData() +: (refs :+
+        CommitInfo(s"SHALLOW CLONE FROM $srcRoot@v${snap.version}",
+          System.currentTimeMillis())))
+    new DeltaLikeTable(spark, target, None)
   }
 }
 

@@ -89,7 +89,8 @@ final case class Snapshot(
     constraints: Map[String, String] = Map.empty,
     deletionVectors: Boolean = false,
     columnMapping: Map[String, String] = Map.empty) {
-  def filePaths: Seq[String] = files.map(f => s"$tableRoot/${f.path}")
+  def filePaths: Seq[String] =
+    files.map(f => DeltaLog.resolvePath(tableRoot, f.path))
 
   /** Name a data file stores for logical column `c`. Identity until a
     * rename/drop materializes the mapping (Delta's column-mapping idea,
@@ -293,6 +294,17 @@ object DeltaLog {
   val LogDirName = "_graft_log"
   /** Checkpoint cadence in versions. */
   val CheckpointInterval = 10L
+
+  /** An AddFile path is normally relative to the table root; a SHALLOW
+    * CLONE records absolute paths into the source table instead (Delta's
+    * convention). Absolute = rooted ("/...") or scheme-qualified
+    * ("s3a://...").
+    */
+  def isAbsolute(p: String): Boolean =
+    p.startsWith("/") || p.contains("://")
+
+  def resolvePath(root: String, p: String): String =
+    if (isAbsolute(p)) p else s"$root/$p"
   private val VersionFile = "([0-9]{8})\\.json".r
   private val CheckpointFile = "([0-9]{8})\\.checkpoint\\.json".r
 

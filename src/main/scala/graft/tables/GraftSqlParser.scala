@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE deltalike.`/p` RENAME COLUMN a TO b
   * ALTER TABLE deltalike.`/p` DROP COLUMN a
   * DESCRIBE HISTORY deltalike.`/p`
+  * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
   * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
   * OPTIMIZE deltalike.`/p` [ZORDER BY (c1, c2)]
   * }}}
@@ -59,6 +60,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
@@ -80,6 +83,8 @@ object GraftSqlParser {
         Some(DeltalikeDropColumnCommand(path, name))
       case DescribeHistory(path) =>
         Some(DeltalikeDescribeHistoryCommand(path))
+      case ShallowClone(target, source) =>
+        Some(DeltalikeShallowCloneCommand(source, target))
       case Vacuum(path, retain) =>
         Some(DeltalikeVacuumCommand(path,
           Option(retain).map(_.toInt).getOrElse(1)))
@@ -151,6 +156,14 @@ case class DeltalikeDescribeHistoryCommand(path: String)
 
   override def run(spark: SparkSession): Seq[Row] =
     DeltaLikeTable.forPath(spark, path).historyDF().collect().toSeq
+}
+
+case class DeltalikeShallowCloneCommand(source: String, target: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, source).shallowCloneTo(target)
+    Seq.empty
+  }
 }
 
 case class DeltalikeVacuumCommand(path: String, retainVersions: Int)

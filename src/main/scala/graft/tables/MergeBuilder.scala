@@ -34,15 +34,22 @@ object MergeBuilder {
     */
   private[tables] def resolveRelative(
       snap: Snapshot, touchedAbs: Set[String]): Seq[String] = {
-    val rootUri = new org.apache.hadoop.fs.Path(snap.tableRoot).toUri
-    val rootPath =
-      if (rootUri.getScheme == null)
-        java.nio.file.Paths.get(snap.tableRoot).toAbsolutePath.toString
-      else rootUri.getPath
-    val touchedRelSet = touchedAbs.map { abs =>
-      new java.net.URI(abs).getPath.stripPrefix(rootPath).stripPrefix("/")
+    // normalize every active file (relative OR absolute — shallow clones
+    // reference their source by absolute path) to its filesystem path,
+    // then match the scan's `_metadata.file_path` URIs against that;
+    // prefix-stripping the table root would silently miss out-of-root
+    // references
+    def fsPath(p: String): String = {
+      val uri = new org.apache.hadoop.fs.Path(p).toUri
+      if (uri.getScheme == null)
+        java.nio.file.Paths.get(p).toAbsolutePath.toString
+      else uri.getPath
     }
-    snap.files.map(_.path).filter(touchedRelSet.contains)
+    val touchedPaths = touchedAbs.map(abs => new java.net.URI(abs).getPath)
+    snap.files
+      .filter(f => touchedPaths.contains(
+        fsPath(DeltaLog.resolvePath(snap.tableRoot, f.path))))
+      .map(_.path)
   }
 
   /** Restrict a FileCol-tagged scan to the touched files. A small set
