@@ -126,4 +126,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explodes === 1,
       s"expected exactly one trigram explode in the final plan, got $explodes:\n$plan")
   }
+
+  test("q60 PII redaction is a shuffle-free codegen projection") {
+    val plan = executedPlan(graft.operators.Privacy.q60RedactPii(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"redaction must not shuffle:\n$plan")
+    assert(plan.contains("*(1) Project"),
+      s"regex battery must run inside a whole-stage-codegen projection " +
+        s"(the '*(n)' marker):\n$plan")
+  }
+
+  test("q62 domain cap carries WindowGroupLimit (no full domain lists)") {
+    val plan = executedPlan(graft.operators.CorpusOps.q62DomainCap(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap filter must push into the window:\n$plan")
+  }
+
+  test("q63 chunking is a single map-only pass (no exchange, one explode)") {
+    val plan = executedPlan(graft.operators.CorpusOps.q63Chunk(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    val explodes = plan.linesIterator.count(_.contains("Generate"))
+    assert(explodes === 1, s"expected one generator, got $explodes:\n$plan")
+  }
+
+  test("q61 repetition signals: one explode feeding one aggregation chain") {
+    val plan = executedPlan(graft.operators.TextAnalysis.q61Repetition(spark, sfDir))
+    val explodes = plan.linesIterator.count(_.contains("Generate"))
+    assert(explodes === 1,
+      s"bigrams+trigrams must ride ONE combined explode, got $explodes:\n$plan")
+    assert(plan.contains("partial_"),
+      s"n-gram counting must map-side combine:\n$plan")
+  }
 }
