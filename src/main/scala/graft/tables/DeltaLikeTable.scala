@@ -375,9 +375,12 @@ final class DeltaLikeTable private (
     val schema = StructType(snap.schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val blooms = snap.bloomFilterColumns.map(c => if (c == oldName) newName else c)
+    val gens = snap.generatedColumns.map { case (k, v) =>
+      (if (k == oldName) newName else k) -> v
+    }
     log.commit(snap.version + 1, Seq(
       snap.toMetaData(schemaDdl = schema.toDDL, bloomFilterColumns = blooms,
-        columnMapping = mapping),
+        columnMapping = mapping, generatedColumns = gens),
       CommitInfo(s"RENAME COLUMN $oldName TO $newName", System.currentTimeMillis())))
     this
   }
@@ -397,7 +400,8 @@ final class DeltaLikeTable private (
     val blooms = snap.bloomFilterColumns.filterNot(_ == name)
     log.commit(snap.version + 1, Seq(
       snap.toMetaData(schemaDdl = schema.toDDL, bloomFilterColumns = blooms,
-        columnMapping = mapping),
+        columnMapping = mapping,
+        generatedColumns = snap.generatedColumns - name),
       CommitInfo(s"DROP COLUMN $name", System.currentTimeMillis())))
     this
   }
@@ -436,15 +440,22 @@ final class DeltaLikeTable private (
   private def requireUnreferenced(snap: Snapshot, column: String, op: String): Unit = {
     require(!snap.partitionColumns.contains(column),
       s"cannot $op partition column '$column'")
-    snap.constraints.foreach { case (cname, sql) =>
-      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    def refsOf(sql: String): Seq[String] =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(sql).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.name
         }
-      require(!refs.exists(_.equalsIgnoreCase(column)),
+    snap.constraints.foreach { case (cname, sql) =>
+      require(!refsOf(sql).exists(_.equalsIgnoreCase(column)),
         s"cannot $op column '$column': referenced by CHECK constraint " +
           s"'$cname' ($sql)")
+    }
+    snap.generatedColumns.foreach { case (gname, sql) =>
+      if (gname != column) // dropping the generated column itself is fine
+        require(!refsOf(sql).exists(_.equalsIgnoreCase(column)),
+          s"cannot $op column '$column': generated column '$gname' is " +
+            s"computed from it ($sql)")
     }
   }
 
@@ -615,12 +626,71 @@ object DeltaLikeTable {
       mergeSchema: Boolean = false,
       extraActions: Seq[Action] = Seq.empty,
       bloomFilterColumns: Seq[String] = Seq.empty,
-      enableDeletionVectors: Boolean = false): DeltaLikeTable = {
+      enableDeletionVectors: Boolean = false,
+      generatedColumns: Map[String, String] = Map.empty): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
-    partitionBy.foreach(c => require(df.columns.contains(c),
-      s"partition column '$c' not in schema"))
     val log = DeltaLog.forPath(path)
     val prev = if (log.exists) Some(log.snapshot()) else None
+    // generated columns (Delta's GENERATED ALWAYS AS): declared at
+    // create/overwrite, sticky for appends. A write missing the column
+    // gets it computed; a write supplying it is VALIDATED against the
+    // expression before anything stages — silent divergence between
+    // stored and declared values is the failure mode this exists to
+    // prevent.
+    val effectiveGenerated: Map[String, String] =
+      if (mode == "append" && prev.nonEmpty) {
+        require(generatedColumns.isEmpty ||
+          generatedColumns == prev.get.generatedColumns,
+          s"append with different generated columns: table has " +
+            s"${prev.get.generatedColumns}, write asked $generatedColumns")
+        prev.get.generatedColumns
+      } else generatedColumns
+    effectiveGenerated.foreach { case (c, sql) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      refs.foreach { r =>
+        require(!effectiveGenerated.keys.exists(_.equalsIgnoreCase(r)),
+          s"generated column '$c' may not reference generated column '$r'")
+        require(df.columns.exists(_.equalsIgnoreCase(r)) || r.equalsIgnoreCase(c),
+          s"generated column '$c' references unknown column '$r'")
+      }
+    }
+    val (df0, provided) = effectiveGenerated.foldLeft((df, Seq.empty[String])) {
+      case ((d, prov), (c, sql)) =>
+        if (d.columns.contains(c)) (d, prov :+ c)
+        else (d.withColumn(c, expr(sql)), prov)
+    }
+    provided.foreach { c =>
+      val sql = effectiveGenerated(c)
+      val bad = df0.where(!(col(c) <=> expr(sql))).limit(1).count()
+      require(bad == 0,
+        s"generated column '$c' was supplied with values that differ from " +
+          s"its expression ($sql)")
+    }
+    writeResolved(df0, path, mode, operation, partitionBy, skipCommitIf,
+      mergeSchema, extraActions, bloomFilterColumns, enableDeletionVectors,
+      effectiveGenerated, log, prev)
+  }
+
+  private def writeResolved(
+      df: DataFrame,
+      path: String,
+      mode: String,
+      operation: String,
+      partitionBy: Seq[String],
+      skipCommitIf: DeltaLog => Boolean,
+      mergeSchema: Boolean,
+      extraActions: Seq[Action],
+      bloomFilterColumns: Seq[String],
+      enableDeletionVectors: Boolean,
+      effectiveGenerated: Map[String, String],
+      log: DeltaLog,
+      prev: Option[Snapshot]): DeltaLikeTable = {
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' not in schema"))
     prev.foreach { s =>
       if (!mergeSchema)
         require(sameSchema(s.schema, df.schema),
@@ -734,7 +804,8 @@ object DeltaLikeTable {
           if (version == 0 || mode == "overwrite" || schemaChanged ||
             (enableDeletionVectors && !prev.exists(_.deletionVectors)))
             Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms,
-              effectiveConstraints, effectiveDv, effectiveMapping))
+              effectiveConstraints, effectiveDv, effectiveMapping,
+              effectiveGenerated))
           else Seq.empty
         try {
           log.commit(version,

@@ -32,7 +32,8 @@ final case class MetaData(
     bloomFilterColumns: Seq[String] = Seq.empty,
     constraints: Map[String, String] = Map.empty,
     deletionVectors: Boolean = false,
-    columnMapping: Map[String, String] = Map.empty)
+    columnMapping: Map[String, String] = Map.empty,
+    generatedColumns: Map[String, String] = Map.empty)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -88,7 +89,8 @@ final case class Snapshot(
     bloomFilterColumns: Seq[String] = Seq.empty,
     constraints: Map[String, String] = Map.empty,
     deletionVectors: Boolean = false,
-    columnMapping: Map[String, String] = Map.empty) {
+    columnMapping: Map[String, String] = Map.empty,
+    generatedColumns: Map[String, String] = Map.empty) {
   def filePaths: Seq[String] =
     files.map(f => DeltaLog.resolvePath(tableRoot, f.path))
 
@@ -116,9 +118,10 @@ final case class Snapshot(
       bloomFilterColumns: Seq[String] = bloomFilterColumns,
       constraints: Map[String, String] = constraints,
       deletionVectors: Boolean = deletionVectors,
-      columnMapping: Map[String, String] = columnMapping): MetaData =
+      columnMapping: Map[String, String] = columnMapping,
+      generatedColumns: Map[String, String] = generatedColumns): MetaData =
     MetaData(schemaDdl, partitionColumns, bloomFilterColumns, constraints,
-      deletionVectors, columnMapping)
+      deletionVectors, columnMapping, generatedColumns)
 }
 
 /** Reader/writer for the JSON transaction log of one table.
@@ -176,6 +179,7 @@ final class DeltaLog(val tableRoot: String) {
     var constraints: Map[String, String] = Map.empty
     var dvEnabled = false
     var colMapping: Map[String, String] = Map.empty
+    var genCols: Map[String, String] = Map.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
@@ -183,6 +187,7 @@ final class DeltaLog(val tableRoot: String) {
         schemaDdl = m.schemaDdl; partCols = m.partitionColumns
         bloomCols = m.bloomFilterColumns; constraints = m.constraints
         dvEnabled = m.deletionVectors; colMapping = m.columnMapping
+        genCols = m.generatedColumns
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -200,7 +205,8 @@ final class DeltaLog(val tableRoot: String) {
     (start to v).foreach(i => actions(i).foreach(apply))
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
-      partCols, txns.toMap, bloomCols, constraints, dvEnabled, colMapping)
+      partCols, txns.toMap, bloomCols, constraints, dvEnabled, colMapping,
+      genCols)
   }
 
   /** Atomically publish `version`; throws if it was already committed.
