@@ -124,6 +124,9 @@ object SparkEntry {
     // corpus balancing + context-window chunking
     "q62_domain_cap" -> (graft.operators.CorpusOps.q62DomainCap _),
     "q63_chunk" -> (graft.operators.CorpusOps.q63Chunk _),
+    // unigram-LM quality scoring + int8 embedding quantization
+    "q64_unigram_logprob" -> (graft.operators.TextAnalysis.q64UnigramLogProb _),
+    "q65_quantize_int8" -> (Similarity.q65QuantizeInt8 _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -195,6 +198,8 @@ object SparkEntry {
     "q61_repetition" -> graft.operators.TextAnalysis.q61Sql,
     "q62_domain_cap" -> graft.operators.CorpusOps.q62Sql,
     "q63_chunk" -> graft.operators.CorpusOps.q63Sql,
+    "q64_unigram_logprob" -> graft.operators.TextAnalysis.q64Sql,
+    "q65_quantize_int8" -> Similarity.q65Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -141,4 +141,74 @@ object Similarity {
   val q37Sql: String =
     """SELECT vec_id + 10000 AS query_id, true AS twin_at_rank_1
       |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
+
+  /** Int8 scalar quantization of an embedding column — the 4× memory
+    * shrink every ANN index at 100 TB scale applies before anything else
+    * (FAISS's SQ8). Per vector: symmetric scale = max|x| / 127, each
+    * element rounds to [-127, 127], and the root-mean-square
+    * reconstruction error is reported so a pipeline can gate on
+    * quantization loss. Pure per-row array math in one codegen
+    * projection: no shuffle, no state.
+    *
+    * Floats are widened to double BEFORE any arithmetic: float32
+    * division differs between engines' evaluation orders, while
+    * float→double widening is exact and double math is IEEE-identical —
+    * that is what makes the declared query hash-comparable.
+    */
+  def quantizeInt8(
+      vecs: DataFrame,
+      idCol: String,
+      embCol: String): DataFrame = {
+    val xs = transform(col(embCol), x => x.cast(DoubleType))
+    val scale = array_max(transform(xs, x => abs(x))) / lit(127.0)
+    val q = when(scale === 0d,
+      transform(xs, _ => lit(0)))
+      .otherwise(transform(xs, x => round(x / scale).cast(IntegerType)))
+    val err = when(scale === 0d, lit(0d)).otherwise(
+      sqrt(aggregate(
+        zip_with(xs, q, (x, qi) => {
+          val d = x - qi.cast(DoubleType) * scale
+          d * d
+        }),
+        lit(0d), (acc, v) => acc + v) / size(col(embCol))))
+    vecs.select(
+      col(idCol),
+      scale.as("scale"),
+      err.as("rms_err"),
+      // positional checksum pins every quantized VALUE in the oracle
+      // hash without emitting 64 columns
+      aggregate(
+        zip_with(q, sequence(lit(1), size(col(embCol))),
+          (qi, i) => qi.cast(LongType) * i.cast(LongType)),
+        lit(0L), (acc, v) => acc + v).as("q_checksum"))
+  }
+
+  /** Declared q65 — SQ8 over the embeddings fixture. */
+  def q65QuantizeInt8(spark: SparkSession, d: String): DataFrame =
+    quantizeInt8(Tables.embeddings(spark, d), "vec_id", "embedding")
+
+  val q65Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+      |    len(embedding) AS n
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, xs, n,
+      |    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, xs, n, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(xs, x -> 0)
+      |         ELSE list_transform(xs, x -> CAST(round(x / scale) AS INT))
+      |    END AS qs
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  CASE WHEN scale = 0 THEN 0.0
+      |       ELSE sqrt(list_sum(list_transform(generate_series(1, n),
+      |              i -> (xs[i] - qs[i] * scale) * (xs[i] - qs[i] * scale))) / n)
+      |  END AS rms_err,
+      |  list_sum(list_transform(generate_series(1, n),
+      |    i -> CAST(qs[i] AS BIGINT) * i)) AS q_checksum
+      |FROM q""".stripMargin
 }

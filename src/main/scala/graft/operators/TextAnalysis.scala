@@ -404,6 +404,59 @@ object TextAnalysis {
         (col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3).as("keep"))
   }
 
+  /** Unigram language-model scoring — the CCNet-style perplexity proxy
+    * for quality filtering, with the corpus itself as the model: every
+    * document is scored by the mean natural-log probability of its
+    * tokens under the corpus-wide unigram distribution. Low scores =
+    * rare-token-heavy docs (gibberish, encoding damage); suspiciously
+    * high scores = boilerplate. A real pipeline trains the model on a
+    * trusted reference corpus and scores candidates — the operator takes
+    * them as two arguments for exactly that; the declared query uses the
+    * self-scoring special case so the oracle can replicate it from one
+    * table.
+    *
+    * Shape: one explode → one token-count aggregate (map-side combined)
+    * → broadcast-join of the counts back onto the occurrences → one
+    * per-doc mean. The model side is vocabulary-bounded, so the join
+    * side that grows with the corpus never re-shuffles twice.
+    */
+  def unigramLogProb(
+      model: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val occ = docs.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = model.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    occ.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        avg(log(col("cnt").cast(DoubleType) / col("total").cast(DoubleType)))
+          .as("avg_logprob"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("avg_logprob"))
+  }
+
+  /** Declared q64 — self-scored unigram log-probs on the fixture. */
+  def q64UnigramLogProb(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    unigramLogProb(docs, docs, "doc_id", "text")
+  }
+
+  val q64Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY tok),
+      |t AS (SELECT sum(cnt) AS total FROM c)
+      |SELECT occ.doc_id,
+      |  CAST(count(*) AS INT) AS n_tokens,
+      |  avg(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) AS avg_logprob
+      |FROM occ JOIN c USING (tok) CROSS JOIN t
+      |GROUP BY occ.doc_id""".stripMargin
+
   /** Declared q61 — [[repetitionSignals]] over the documents fixture. */
   def q61Repetition(spark: SparkSession, d: String): DataFrame =
     repetitionSignals(Tables.documents(spark, d), "doc_id", "text")
