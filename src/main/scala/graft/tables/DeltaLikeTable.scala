@@ -946,6 +946,48 @@ object DeltaLikeTable {
       snap.schema.fieldNames.toSeq.map(n => col(snap.physicalName(n)).as(n)) ++
         keep.map(col): _*)
 
+  /** CONVERT TO DELTALIKE: register an existing plain-parquet directory
+    * as a versioned table IN PLACE — the files are recorded as version
+    * 0 (with footer-read stats for data skipping) and never rewritten or
+    * moved, so converting a 100 TB directory costs one footer pass and
+    * one log commit (Delta's `CONVERT TO DELTA`). The directory must not
+    * already be a table; partitioned (`k=v` subdirectory) layouts
+    * declare their partition columns, whose values then come from the
+    * directory structure exactly as a native write would lay them out.
+    *
+    * The one-time listing is acceptable here — and ONLY here — because
+    * conversion is the moment the table's file list is being
+    * established; every later reader resolves files from the log.
+    */
+  def convert(
+      spark: SparkSession,
+      path: String,
+      partitionColumns: Seq[String] = Seq.empty): DeltaLikeTable = {
+    val log = DeltaLog.forPath(path)
+    require(!log.exists, s"$path is already a deltalike table")
+    val io = TableIO.forPath(path)
+    val parts = io.walkFiles(path)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .sorted
+    require(parts.nonEmpty, s"no parquet files under $path")
+    // schema from the data as Spark infers it (partition columns
+    // included, typed by directory values)
+    val inferred =
+      if (partitionColumns.isEmpty) spark.read.parquet(path).schema
+      else spark.read.option("basePath", path).parquet(path).schema
+    partitionColumns.foreach(c => require(inferred.fieldNames.contains(c),
+      s"partition column '$c' not found in $path"))
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val adds = parts.map { rel =>
+      FooterStats.forFile(hadoopConf, s"$path/$rel", rel,
+        io.size(s"$path/$rel"), inferred, partitionColumns)
+    }
+    log.commit(0L,
+      MetaData(inferred.toDDL, partitionColumns) +: (adds :+
+        CommitInfo("CONVERT", System.currentTimeMillis())))
+    new DeltaLikeTable(spark, path, None)
+  }
+
   /** Physical name for a column newly added while column mapping is
     * active: UUID-suffixed so it can never collide with a column that
     * ever existed in any data file (Delta's column-mapping rule — a

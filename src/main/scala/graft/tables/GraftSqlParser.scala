@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE deltalike.`/p` DROP COLUMN a
   * DESCRIBE HISTORY deltalike.`/p`
   * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
+  * CONVERT TO DELTALIKE parquet.`/dir` [PARTITIONED BY (k)]
   * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
   * OPTIMIZE deltalike.`/p` [ZORDER BY (c1, c2)]
   * }}}
@@ -62,6 +63,8 @@ object GraftSqlParser {
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val ConvertToDeltalike =
+    """(?is)\s*CONVERT\s+TO\s+DELTALIKE\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
@@ -85,6 +88,10 @@ object GraftSqlParser {
         Some(DeltalikeDescribeHistoryCommand(path))
       case ShallowClone(target, source) =>
         Some(DeltalikeShallowCloneCommand(source, target))
+      case ConvertToDeltalike(path, partCols) =>
+        Some(DeltalikeConvertCommand(path,
+          Option(partCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)))
       case Vacuum(path, retain) =>
         Some(DeltalikeVacuumCommand(path,
           Option(retain).map(_.toInt).getOrElse(1)))
@@ -162,6 +169,14 @@ case class DeltalikeShallowCloneCommand(source: String, target: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaLikeTable.forPath(spark, source).shallowCloneTo(target)
+    Seq.empty
+  }
+}
+
+case class DeltalikeConvertCommand(path: String, partitionColumns: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.convert(spark, path, partitionColumns)
     Seq.empty
   }
 }
