@@ -223,4 +223,23 @@ class DeltaLikeStreamSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(all.length === 95 && all.toSet.size === 95)
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains everything then terminates") {
+    val path = Files.createTempDirectory("dls_avnow").toString
+    DeltaLikeTable.write(rows(1 to 10), path)
+    (0 until 3).foreach(i => DeltaLikeTable.write(
+      rows((50 + 5 * i) until (50 + 5 * i + 5)), path, "append"))
+
+    val q = spark.readStream.format("deltalike").load(path)
+      .writeStream.format("memory").queryName("dls_avnow").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query must terminate on its own")
+      val got = spark.table("dls_avnow").select("id").collect().map(_.getLong(0))
+      assert(got.length === 25 && got.toSet.size === 25,
+        "batch-style drain must deliver every row exactly once")
+    } finally q.stop()
+  }
 }
