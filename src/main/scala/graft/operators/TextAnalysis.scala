@@ -427,7 +427,13 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val occ = docs.select(col(idCol).as("__id"),
       explode(tokens(col(textCol))).as("tok"))
-    val counts = model.select(explode(tokens(col(textCol))).as("tok"))
+    // Two corpus passes are INHERENT here (counts must complete before
+    // scoring, and the vocab-bounded count side broadcasts — there is no
+    // common exchange for Spark to reuse, unlike q45's shared-aggregate
+    // case). In self-scoring mode the branches at least share the
+    // occurrence relation, keeping the plans' scan sides identical.
+    val counts = (if (model eq docs) occ
+                  else model.select(explode(tokens(col(textCol))).as("tok")))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     occ.join(counts, Seq("tok"))
