@@ -149,11 +149,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explodes === 1, s"expected one generator, got $explodes:\n$plan")
   }
 
-  test("q61 repetition signals: one explode feeding one aggregation chain") {
+  test("q61 repetition signals: codegen n-gram build, no interpreted lambdas") {
     val plan = executedPlan(graft.operators.TextAnalysis.q61Repetition(spark, sfDir))
+    // posexplode + window-lead + tagged explode: two codegen generators,
+    // zero higher-order functions (transform/aggregate run interpreted
+    // per element — the formulation this replaced was 4x slower)
     val explodes = plan.linesIterator.count(_.contains("Generate"))
-    assert(explodes === 1,
-      s"bigrams+trigrams must ride ONE combined explode, got $explodes:\n$plan")
+    assert(explodes === 2,
+      s"expected posexplode + tagged explode, got $explodes generators:\n$plan")
+    assert(!plan.contains("transform("),
+      s"no interpreted higher-order calls in the gram build:\n$plan")
     assert(plan.contains("partial_"),
       s"n-gram counting must map-side combine:\n$plan")
   }
