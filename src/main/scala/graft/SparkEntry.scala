@@ -127,6 +127,8 @@ object SparkEntry {
     // unigram-LM quality scoring + int8 embedding quantization
     "q64_unigram_logprob" -> (graft.operators.TextAnalysis.q64UnigramLogProb _),
     "q65_quantize_int8" -> (Similarity.q65QuantizeInt8 _),
+    // gap-based sessionization (batch twin of the streaming operator)
+    "q66_sessionize" -> (graft.streaming.EventStream.q66Sessionize _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -200,6 +202,7 @@ object SparkEntry {
     "q63_chunk" -> graft.operators.CorpusOps.q63Sql,
     "q64_unigram_logprob" -> graft.operators.TextAnalysis.q64Sql,
     "q65_quantize_int8" -> Similarity.q65Sql,
+    "q66_sessionize" -> graft.streaming.EventStream.q66Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -245,4 +245,33 @@ object EventStream {
         count(lit(1)).as("n_events"))
       .drop("__session_id")
   }
+
+  /** Declared q66 — gap-based sessionization of the events fixture
+    * (30-minute inactivity gap). One shuffle on the session key covers
+    * the lag window, the cumulative-sum window AND the per-session
+    * aggregate — the user-key partitioning is established once and
+    * reused through all three.
+    */
+  def q66Sessionize(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sessionizeBatch(graft.core.Tables.events(spark, d), gapMs = 30L * 60 * 1000)
+
+  val q66Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev IS NULL
+      |          OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM l),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM n)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
 }

@@ -149,6 +149,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(explodes === 1, s"expected one generator, got $explodes:\n$plan")
   }
 
+  test("q66 sessionization: ONE user-key shuffle serves lag, cumsum, and the agg") {
+    val plan = executedPlan(graft.streaming.EventStream.q66Sessionize(spark, sfDir))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"lag window, cumulative-sum window and the per-session aggregate must " +
+        s"reuse one hashpartitioning(user_id), got $exchanges exchanges:\n$plan")
+  }
+
   test("q61 repetition signals: codegen n-gram build, no interpreted lambdas") {
     val plan = executedPlan(graft.operators.TextAnalysis.q61Repetition(spark, sfDir))
     // posexplode + window-lead + tagged explode: two codegen generators,
