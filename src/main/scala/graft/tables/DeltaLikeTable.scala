@@ -299,9 +299,44 @@ final class DeltaLikeTable private (
     * multi-dimensional data-skipping pattern Delta/Iceberg ship as
     * `OPTIMIZE ... ZORDER BY`.
     */
-  def optimize(targetFiles: Int = 1, zorderBy: Seq[String] = Seq.empty): DeltaLikeTable = {
+  def optimize(targetFiles: Int = 1, zorderBy: Seq[String] = Seq.empty): DeltaLikeTable =
+    optimize(targetFiles, zorderBy, where = None)
+
+  /** `where` scopes the compaction to matching PARTITIONS (Delta's
+    * `OPTIMIZE ... WHERE`): only files in partitions satisfying the
+    * predicate are rewritten; everything else is untouched by the
+    * commit. This is the only shape that scales — compacting the one
+    * hot ingest partition of a 100 TB table must not rewrite the cold
+    * 99%. The predicate may reference partition columns only, and is
+    * evaluated against the partition values parsed from each file's
+    * path (no data read for selection).
+    */
+  def optimize(
+      targetFiles: Int,
+      zorderBy: Seq[String],
+      where: Option[String]): DeltaLikeTable = {
     val snap = log.snapshot()
-    val base = DeltaLikeTable.readSnapshot(spark, snap)
+    val selected = where match {
+      case None => snap.files
+      case Some(pred) =>
+        require(snap.partitionColumns.nonEmpty,
+          "OPTIMIZE WHERE needs a partitioned table")
+        val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(pred).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }
+        refs.foreach(r => require(
+          snap.partitionColumns.exists(_.equalsIgnoreCase(r)),
+          s"OPTIMIZE WHERE may reference partition columns only; '$r' is not " +
+            s"one of ${snap.partitionColumns.mkString(", ")}"))
+        val matches = DeltaLikeTable.partitionMatches(
+          spark, snap, expr(pred))
+        snap.files.zip(matches).collect { case (f, true) => f }
+    }
+    if (selected.isEmpty) return this
+    val base = DeltaLikeTable.readSnapshot(spark,
+      snap.copy(files = selected))
     val compacted =
       if (zorderBy.isEmpty) base.repartition(math.max(1, targetFiles))
       else {
@@ -316,9 +351,10 @@ final class DeltaLikeTable private (
     val adds = DeltaLikeTable.stageFiles(compacted, path,
       snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
     try log.commit(snap.version + 1,
-      snap.files.map(f => RemoveFile(f.path)) ++ adds :+
-        CommitInfo(if (zorderBy.isEmpty) "OPTIMIZE"
-          else s"OPTIMIZE ZORDER BY (${zorderBy.mkString(",")})",
+      selected.map(f => RemoveFile(f.path)) ++ adds :+
+        CommitInfo((if (zorderBy.isEmpty) "OPTIMIZE"
+          else s"OPTIMIZE ZORDER BY (${zorderBy.mkString(",")})") +
+          where.fold("")(w => s" WHERE $w"),
           System.currentTimeMillis()))
     catch {
       case e: Throwable => DeltaLikeTable.discardStaged(path, adds); throw e
@@ -986,6 +1022,44 @@ object DeltaLikeTable {
       MetaData(inferred.toDDL, partitionColumns) +: (adds :+
         CommitInfo("CONVERT", System.currentTimeMillis())))
     new DeltaLikeTable(spark, path, None)
+  }
+
+  /** Evaluate a partition predicate per active file from the partition
+    * values in each file's PATH — a driver-local metadata operation, no
+    * data file is opened. Returns booleans in `snap.files` order; a null
+    * partition value (`__HIVE_DEFAULT_PARTITION__`) behaves as SQL null
+    * under the predicate.
+    */
+  private[tables] def partitionMatches(
+      spark: SparkSession,
+      snap: Snapshot,
+      pred: org.apache.spark.sql.Column): Seq[Boolean] = {
+    val partCols = snap.partitionColumns
+    def valuesOf(rel: String): Map[String, String] =
+      rel.split('/').dropRight(1).flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val name = FooterStats.unescapePath(seg.substring(0, eq))
+          val raw = FooterStats.unescapePath(seg.substring(eq + 1))
+          if (!partCols.contains(name)) None
+          else if (raw == "__HIVE_DEFAULT_PARTITION__") Some(name -> null)
+          else Some(name -> raw)
+        }
+      }.toMap
+    val rows = snap.files.zipWithIndex.map { case (f, i) =>
+      val vals = valuesOf(f.path)
+      Row.fromSeq(i.toLong +: partCols.map(c => vals.getOrElse(c, null)))
+    }
+    val strSchema = StructType(
+      StructField("__i", LongType, nullable = false) +:
+        partCols.map(c => StructField(c, StringType, nullable = true)))
+    val df = spark.createDataFrame(rows.asJava, strSchema)
+    val typed = partCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast(snap.schema(c).dataType)))
+    val hit = typed.where(pred).select(col("__i"))
+      .collect().map(_.getLong(0)).toSet
+    snap.files.indices.map(i => hit.contains(i.toLong))
   }
 
   /** Physical name for a column newly added while column mapping is

@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
   * CONVERT TO DELTALIKE parquet.`/dir` [PARTITIONED BY (k)]
   * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
-  * OPTIMIZE deltalike.`/p` [ZORDER BY (c1, c2)]
+  * OPTIMIZE deltalike.`/p` [WHERE part_pred] [ZORDER BY (c1, c2)]
   * }}}
   */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -68,7 +68,7 @@ object GraftSqlParser {
   private val Vacuum =
     """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+deltalike\s*\.\s*`([^`]+)`(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+deltalike\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
 
   private[tables] def parseGraftStatement(sql: String): Option[LogicalPlan] =
     sql match {
@@ -95,10 +95,11 @@ object GraftSqlParser {
       case Vacuum(path, retain) =>
         Some(DeltalikeVacuumCommand(path,
           Option(retain).map(_.toInt).getOrElse(1)))
-      case Optimize(path, zorder) =>
+      case Optimize(path, where, zorder) =>
         Some(DeltalikeOptimizeCommand(path,
           Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Seq.empty)))
+            .getOrElse(Seq.empty),
+          Option(where).map(_.trim)))
       case _ => None
     }
 }
@@ -189,10 +190,14 @@ case class DeltalikeVacuumCommand(path: String, retainVersions: Int)
   }
 }
 
-case class DeltalikeOptimizeCommand(path: String, zorderBy: Seq[String])
+case class DeltalikeOptimizeCommand(
+    path: String,
+    zorderBy: Seq[String],
+    where: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    DeltaLikeTable.forPath(spark, path).optimize(zorderBy = zorderBy)
+    DeltaLikeTable.forPath(spark, path)
+      .optimize(targetFiles = 1, zorderBy = zorderBy, where = where)
     Seq.empty
   }
 }

@@ -273,6 +273,37 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.version === 0)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("opt_where").toString
+    // 3 partitions, several files each (repartition forces multiple)
+    val df = (1 to 300).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "k", "v")
+      .repartition(4)
+    DeltaLikeTable.write(df, path, partitionBy = Seq("k"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    val before = t.log.snapshot().files.map(_.path)
+    val untouched = before.filterNot(_.startsWith("k=1/")).toSet
+    assert(before.count(_.startsWith("k=1/")) > 1, "need >1 file in k=1")
+
+    spark.sql(s"OPTIMIZE deltalike.`$path` WHERE k = 1")
+    val after = DeltaLikeTable.forPath(spark, path).log.snapshot().files.map(_.path)
+    assert(after.count(_.startsWith("k=1/")) === 1, "k=1 compacted to one file")
+    assert(after.filterNot(_.startsWith("k=1/")).toSet === untouched,
+      "other partitions' files must be byte-identical (same log entries)")
+    assert(t.toDF.count() === 300)
+    assert(t.toDF.where("k = 1").count() === 100)
+
+    // predicate on a non-partition column is refused
+    assert(intercept[IllegalArgumentException] {
+      t.optimize(1, Seq.empty, Some("v = 'v1'"))
+    }.getMessage.contains("partition columns only"))
+
+    // predicate matching nothing commits nothing
+    val v = t.version
+    t.optimize(1, Seq.empty, Some("k = 99"))
+    assert(t.version === v)
+  }
+
   test("timestampAsOf resolves the newest version at or before the instant") {
     val sp = spark; import sp.implicits._
     val path = Files.createTempDirectory("ts_travel").toString
