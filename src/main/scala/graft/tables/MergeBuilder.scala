@@ -113,19 +113,40 @@ final class MergeBuilder private[tables] (
     notMatchedClauses :+= InsertSet(Some(condition), set); this
   }
 
+  private var evolveSchema = false
+
+  /** Source columns absent from the target are APPENDED to the table
+    * schema by this merge (Delta's `withSchemaEvolution`): existing rows
+    * read them as null, UPDATE ALL / INSERT ALL carry the source values.
+    * Without this call, extra source columns are ignored.
+    */
+  def withSchemaEvolution(): MergeBuilder = { evolveSchema = true; this }
+
   def execute(): Unit = {
     val spark = table.spark
     val snap = table.log.snapshot()
-    val cols = snap.schema.fieldNames.toSeq
+    // schema evolution: source-only columns append (nullable) to the
+    // table schema; the target scan presents them as null so the
+    // when-chain below needs no special cases
+    val newFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (!evolveSchema) Seq.empty
+      else source.schema.fields.toSeq
+        .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        .map(_.copy(nullable = true))
+    val evolved = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.toSeq ++ newFields)
+    val cols = evolved.fieldNames.toSeq
 
     val tPresent = "__graft_t_present"
     val sPresent = "__graft_s_present"
 
     val rowIdxCol = "__graft_row_idx"
-    val targetBase = DeltaLikeTable.readSnapshotWithMeta(
+    val targetBase0 = DeltaLikeTable.readSnapshotWithMeta(
         spark, snap, Some(DeltaLikeTable.FileCol), Some(rowIdxCol))
       .withColumn(rowIdxCol, col(rowIdxCol).cast("string"))
       .withColumn(tPresent, lit(true))
+    val targetBase = newFields.foldLeft(targetBase0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
     // Bound-attribute handles (df("c")) survive the join regardless of
     // aliasing, so UPDATE ALL / INSERT ALL never hit ambiguous names.
     val target = targetAlias.fold(targetBase)(targetBase.as(_))
@@ -178,14 +199,14 @@ final class MergeBuilder private[tables] (
         require(source.columns.contains(c), s"MERGE *ALL requires source column '$c'")
         src(c)
       case UpdateSet(_, set) => set.getOrElse(c, target(c))
-      case InsertSet(_, set) => set.getOrElse(c, lit(null).cast(snap.schema(c).dataType))
+      case InsertSet(_, set) => set.getOrElse(c, lit(null).cast(evolved(c).dataType))
       case Delete(_)         => target(c) // row dropped; value irrelevant
     }
 
     val outCols = cols.map { c =>
       chain(when(lit(false), lit(null))) { (e, cl, hit) =>
         e.when(hit, clauseValue(cl, c))
-      }.otherwise(target(c)).cast(snap.schema(c).dataType).as(c)
+      }.otherwise(target(c)).cast(evolved(c).dataType).as(c)
     }
 
     val rewritten = joined
@@ -195,10 +216,20 @@ final class MergeBuilder private[tables] (
     // phase 3: stage new files + atomic log commit (partition layout of
     // the table is preserved through the rewrite)
     DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
+    // evolved columns get fresh physical names when a mapping is active
+    // (same no-resurrection rule as the write path)
+    val mergedMapping =
+      if (snap.columnMapping.isEmpty || newFields.isEmpty) snap.columnMapping
+      else snap.columnMapping ++ newFields.map(f =>
+        f.name -> DeltaLikeTable.freshPhysicalName(f.name))
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
-      snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
+      snap.partitionColumns, snap.bloomFilterColumns, mergedMapping)
+    val meta =
+      if (newFields.isEmpty) Seq.empty
+      else Seq(snap.toMetaData(schemaDdl = evolved.toDDL,
+        columnMapping = mergedMapping))
     try table.log.commit(snap.version + 1,
-      touchedRel.map(RemoveFile(_)) ++ adds :+
+      meta ++ touchedRel.map(RemoveFile(_)) ++ adds :+
         CommitInfo("MERGE", System.currentTimeMillis()))
     catch {
       case e: Throwable =>

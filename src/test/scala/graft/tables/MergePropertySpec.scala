@@ -103,4 +103,58 @@ class MergePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df(a).union(df(b)).count() === a.size + b.size)
     }
   }
+
+  test("withSchemaEvolution appends source-only columns through a merge") {
+    val sp = spark; import sp.implicits._
+    val path = java.nio.file.Files.createTempDirectory("merge_evolve").toString
+    DeltaLikeTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    // source carries an extra column `score`
+    val src = Seq((2L, "B", 20.0), (4L, "D", 40.0)).toDF("k", "v", "score")
+    t.as("t").merge(src.as("s"), "t.k = s.k")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .withSchemaEvolution()
+      .execute()
+
+    val out = t.toDF
+    assert(out.schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    val byK = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byK(1L) === (("a", None)), "untouched row reads null for the new column")
+    assert(byK(2L) === (("B", Some(20.0))))
+    assert(byK(4L) === (("D", Some(40.0))))
+    // pre-merge version still presents the old schema
+    assert(t.toDF(0).schema.fieldNames.toSeq === Seq("k", "v"))
+
+    // WITHOUT evolution, the same merge ignores the extra column
+    val path2 = java.nio.file.Files.createTempDirectory("merge_noevo").toString
+    DeltaLikeTable.write(Seq((1L, "a")).toDF("k", "v"), path2)
+    val t2 = DeltaLikeTable.forPath(spark, path2)
+    t2.as("t").merge(
+      Seq((1L, "A", 9.9)).toDF("k", "v", "score").as("s"), "t.k = s.k")
+      .whenMatchedUpdateAll().execute()
+    assert(t2.toDF.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(t2.toDF.head().getString(1) === "A")
+  }
+
+  test("schema evolution composes with column mapping (fresh physical names)") {
+    val sp = spark; import sp.implicits._
+    val path = java.nio.file.Files.createTempDirectory("merge_evo_map").toString
+    DeltaLikeTable.write(Seq((1L, "a")).toDF("k", "v"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.renameColumn("v", "label") // materializes the mapping
+    t.as("t").merge(
+      Seq((1L, "A", 7L)).toDF("k", "label", "extra").as("s"), "t.k = s.k")
+      .whenMatchedUpdateAll()
+      .withSchemaEvolution()
+      .execute()
+    val snap = t.log.snapshot()
+    assert(snap.schema.fieldNames.toSeq === Seq("k", "label", "extra"))
+    assert(snap.physicalName("extra") !== "extra",
+      "evolved column must get a fresh physical name under mapping")
+    assert(t.toDF.head().getLong(2) === 7L)
+  }
 }
