@@ -466,6 +466,32 @@ final class DeltaLikeTable private (
       "num_added_files", "num_removed_files")
   }
 
+  /** DESCRIBE DETAIL: one-row summary of the current snapshot (Delta's
+    * shape, trimmed to what the log records) — all driver-side metadata.
+    */
+  def detail(): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val snap = log.snapshot()
+    Seq((
+      "deltalike",
+      path,
+      snap.version,
+      snap.files.size.toLong,
+      snap.files.map(_.sizeBytes).sum,
+      snap.files.map(_.numRecords).sum,
+      snap.partitionColumns,
+      snap.bloomFilterColumns,
+      snap.constraints.keys.toSeq.sorted,
+      snap.deletionVectors,
+      snap.columnMapping.nonEmpty,
+      snap.generatedColumns.keys.toSeq.sorted))
+      .toDF("format", "location", "version", "num_files", "size_bytes",
+        "num_records", "partition_columns", "bloom_filter_columns",
+        "constraints", "deletion_vectors", "column_mapping",
+        "generated_columns")
+  }
+
   /** Identity mapping for every current column on first use; the
     * existing mapping afterwards.
     */

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE deltalike.`/p` RENAME COLUMN a TO b
   * ALTER TABLE deltalike.`/p` DROP COLUMN a
   * DESCRIBE HISTORY deltalike.`/p`
+  * DESCRIBE DETAIL deltalike.`/p`
   * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
   * CONVERT TO DELTALIKE parquet.`/dir` [PARTITIONED BY (k)]
   * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
@@ -61,6 +62,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val DescribeDetail =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val ConvertToDeltalike =
@@ -86,6 +89,8 @@ object GraftSqlParser {
         Some(DeltalikeDropColumnCommand(path, name))
       case DescribeHistory(path) =>
         Some(DeltalikeDescribeHistoryCommand(path))
+      case DescribeDetail(path) =>
+        Some(DeltalikeDescribeDetailCommand(path))
       case ShallowClone(target, source) =>
         Some(DeltalikeShallowCloneCommand(source, target))
       case ConvertToDeltalike(path, partCols) =>
@@ -148,6 +153,29 @@ case class DeltalikeDropColumnCommand(path: String, column: String)
     DeltaLikeTable.forPath(spark, path).dropColumn(column)
     Seq.empty
   }
+}
+
+case class DeltalikeDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, LongType, StringType}
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_records", LongType, nullable = false)(),
+    AttributeReference("partition_columns", ArrayType(StringType), nullable = true)(),
+    AttributeReference("bloom_filter_columns", ArrayType(StringType), nullable = true)(),
+    AttributeReference("constraints", ArrayType(StringType), nullable = true)(),
+    AttributeReference("deletion_vectors", BooleanType, nullable = false)(),
+    AttributeReference("column_mapping", BooleanType, nullable = false)(),
+    AttributeReference("generated_columns", ArrayType(StringType), nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaLikeTable.forPath(spark, path).detail().collect().toSeq
 }
 
 case class DeltalikeDescribeHistoryCommand(path: String)

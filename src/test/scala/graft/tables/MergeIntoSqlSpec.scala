@@ -184,5 +184,11 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.last.getAs[Long]("version") === 0L)
     assert(hist.map(_.getAs[String]("operation"))
       .contains("RENAME COLUMN v TO label"))
+
+    val det = spark.sql(s"DESCRIBE DETAIL deltalike.`$path`").collect()
+    assert(det.length === 1)
+    assert(det.head.getAs[Long]("version") === 2L)
+    assert(det.head.getAs[Long]("num_records") === 3L)
+    assert(det.head.getAs[Boolean]("column_mapping") === true)
   }
 }
