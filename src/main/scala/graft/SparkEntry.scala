@@ -129,6 +129,9 @@ object SparkEntry {
     "q65_quantize_int8" -> (Similarity.q65QuantizeInt8 _),
     // gap-based sessionization (batch twin of the streaming operator)
     "q66_sessionize" -> (graft.streaming.EventStream.q66Sessionize _),
+    // training prep: reproducible shuffle order + pad-efficient batching
+    "q67_shuffle" -> (graft.operators.CorpusOps.q67Shuffle _),
+    "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -203,6 +206,8 @@ object SparkEntry {
     "q64_unigram_logprob" -> graft.operators.TextAnalysis.q64Sql,
     "q65_quantize_int8" -> Similarity.q65Sql,
     "q66_sessionize" -> graft.streaming.EventStream.q66Sql,
+    "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
+    "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -231,6 +231,78 @@ object CorpusOps {
       |  FROM documents)
       |WHERE rk <= 8""".stripMargin
 
+  /** Deterministic corpus shuffle — the training-order randomization
+    * step: every epoch pipeline needs documents in a pseudorandom order
+    * that is REPRODUCIBLE (resume from a checkpoint, re-run a job, share
+    * the order across engines). Position = rank of md5(seed ‖ id): the
+    * hash gives uniform dispersion, the seed gives a different
+    * permutation per epoch, and no RNG state exists anywhere.
+    *
+    * Scale shape: a global sort — Spark range-partitions on the hash
+    * (sampled boundaries), so the sort is fully distributed; nothing
+    * single-node. This is the one operator where a total order is the
+    * POINT, so the sort is irreducible.
+    */
+  def deterministicShuffle(
+      docs: DataFrame,
+      idCol: String,
+      seed: String): DataFrame = {
+    val key = md5(concat(lit(seed), lit("|"), col(idCol).cast(StringType)))
+    docs.withColumn("position",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(key))
+        .cast(LongType))
+  }
+
+  /** Declared q67: epoch-0 shuffle order of the documents fixture. */
+  def q67Shuffle(spark: SparkSession, d: String): DataFrame =
+    deterministicShuffle(Tables.documents(spark, d), "doc_id", "epoch0")
+      .select(col("doc_id"), col("position"))
+
+  val q67Sql: String =
+    """SELECT doc_id,
+      |  row_number() OVER (ORDER BY md5('epoch0' || '|' || CAST(doc_id AS VARCHAR)))
+      |    AS position
+      |FROM documents""".stripMargin
+
+  /** Length-bucketed batch assignment — pad-efficient batching for
+    * training/inference: documents are bucketed by length so each batch
+    * holds similar-length sequences (padding waste is bounded by the
+    * bucket width), then numbered into fixed-size batches inside the
+    * bucket in a deterministic order. Returns (id, bucket, batch_idx).
+    *
+    * Scale shape: one shuffle on the bucket key, ranking within buckets
+    * only — no global sort, no driver state; bucket count is chosen by
+    * the caller so partitions stay balanced.
+    */
+  def lengthBucketedBatches(
+      docs: DataFrame,
+      idCol: String,
+      lengthCol: String,
+      bucketWidth: Int,
+      batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "bucketWidth and batchSize must be positive")
+    val bucket = floor(col(lengthCol).cast(DoubleType) / bucketWidth).cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucket).orderBy(col(idCol))
+    docs.select(
+      col(idCol),
+      bucket.as("bucket"),
+      (floor((row_number().over(w) - 1).cast(DoubleType) / batchSize))
+        .cast(LongType).as("batch_idx"))
+  }
+
+  /** Declared q68: 50-char buckets, batches of 8. */
+  def q68LengthBatches(spark: SparkSession, d: String): DataFrame =
+    lengthBucketedBatches(Tables.documents(spark, d), "doc_id", "n_chars", 50, 8)
+
+  val q68Sql: String =
+    """SELECT doc_id,
+      |  CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
+      |  CAST(floor((row_number() OVER (
+      |      PARTITION BY CAST(floor(n_chars / 50.0) AS BIGINT)
+      |      ORDER BY doc_id) - 1) / 8.0) AS BIGINT) AS batch_idx
+      |FROM documents""".stripMargin
+
   /** Fixed-size token chunking with overlap — the doc→context-window
     * splitter every RAG/pretraining pipeline needs. Chunk starts advance
     * by `chunkSize - overlap` tokens; the tail chunk may be short but is

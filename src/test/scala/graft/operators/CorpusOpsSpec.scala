@@ -130,4 +130,38 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, doc(5))).toDF("doc_id", "text"), "doc_id", "text", 32, 8).collect()
     assert(tiny.length === 1 && tiny.head.getAs[Int]("chunk_tokens") === 5)
   }
+
+  test("deterministic shuffle: same seed = same order, new seed = new permutation") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("id", "t")
+      .repartition(7) // order must not depend on physical layout
+    def order(seed: String): Seq[Long] =
+      CorpusOps.deterministicShuffle(docs, "id", seed)
+        .orderBy("position").select("id").collect().map(_.getLong(0)).toSeq
+    val e0a = order("epoch0")
+    val e0b = order("epoch0")
+    val e1 = order("epoch1")
+    assert(e0a === e0b, "same seed must reproduce the identical order")
+    assert(e0a !== e1, "different seeds must permute differently")
+    assert(e0a.sorted === (1L to 200L), "every doc exactly once")
+    assert(e0a !== (1L to 200L).toSeq, "hash order must not be insertion order")
+  }
+
+  test("length-bucketed batches: bounded batch size, bounded padding waste") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, (i * 7 % 330).toLong)).toDF("id", "len")
+    val out = CorpusOps.lengthBucketedBatches(docs, "id", "len", 50, 8)
+      .join(docs, "id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bucket"), r.getAs[Long]("batch_idx"),
+        r.getAs[Long]("len")))
+    // every (bucket, batch) holds at most 8 docs
+    out.groupBy(t => (t._2, t._3)).foreach { case (_, g) =>
+      assert(g.length <= 8)
+      // padding bound: within one batch, max-min length < bucket width
+      val lens = g.map(_._4)
+      assert(lens.max - lens.min < 50,
+        s"batch spans ${lens.min}..${lens.max}, exceeds the 50-char bucket")
+    }
+    assert(out.map(_._1).distinct.length === 100)
+  }
 }
