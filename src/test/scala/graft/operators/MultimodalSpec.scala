@@ -74,4 +74,73 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val maxIdx = frames.groupBy("media_id").agg(max("frame_idx").as("mx"), count(lit(1)).as("n"))
     assert(maxIdx.where(col("mx") =!= col("n") - 1).count() === 0)
   }
+
+  /** Byte-accurate 16-bit PCM WAV: 440 Hz sine, amplitude a, n samples. */
+  private def wavBytes(rate: Int, n: Int, amplitude: Double): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until n).foreach { i =>
+      val s = amplitude * math.sin(2 * math.Pi * 440 * i / rate)
+      bb.putShort((s * 32767).toShort)
+    }
+    bb.array()
+  }
+
+  /** Minimal 24bpp BMP with a constant pixel value (no padding: width%4==0). */
+  private def bmpBytes(w: Int, h: Int, value: Int): Array[Byte] = {
+    val raster = w * h * 3
+    val bb = java.nio.ByteBuffer.allocate(54 + raster)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + raster)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(raster).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until raster).foreach(_ => bb.put(value.toByte))
+    bb.array()
+  }
+
+  test("REAL decode: WAV header walk, PCM RMS, BMP dimensions and raster stats") {
+    // a full-scale sine has RMS 1/sqrt(2); at amplitude 0.5 → ~0.3536
+    val wav = Multimodal.probe(wavBytes(16000, 16000, 0.5)).get
+    assert(wav.format === "wav")
+    assert(wav.sampleRate.get === 16000 && wav.channels.get === 1)
+    assert(wav.bitsPerSample.get === 16)
+    assert(math.abs(wav.durationMs.get - 1000.0) < 1e-9)
+    assert(math.abs(wav.rms.get - 0.5 / math.sqrt(2)) < 0.01)
+
+    val bmp = Multimodal.probe(bmpBytes(16, 9, 200)).get
+    assert(bmp.format === "bmp")
+    assert(bmp.width.get === 16 && bmp.height.get === 9 && bmp.bpp.get === 24)
+    assert(math.abs(bmp.meanByte.get - 200.0) < 1e-9)
+
+    // garbage, truncation, and non-PCM are quarantined as None, not errors
+    assert(Multimodal.probe("not media at all".getBytes).isEmpty)
+    assert(Multimodal.probe(wavBytes(16000, 100, 0.5).take(30)).isEmpty)
+    assert(Multimodal.probe(null).isEmpty)
+  }
+
+  test("decodeMedia: batched real decode over a mixed binary column") {
+    val sp = spark; import sp.implicits._
+    val media = Seq(
+      (1L, wavBytes(8000, 4000, 0.25)),
+      (2L, bmpBytes(8, 4, 100)),
+      (3L, "opaque compressed payload".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content")
+      .repartition(3)
+    val out = Multimodal.decodeMedia(media).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[org.apache.spark.sql.Row]("decoded")))
+      .toMap
+    assert(out(1L).get.getAs[String]("format") === "wav")
+    assert(math.abs(out(1L).get.getAs[Double]("duration_ms") - 500.0) < 1e-9)
+    assert(out(2L).get.getAs[String]("format") === "bmp")
+    assert(out(2L).get.getAs[Int]("width") === 8)
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
 }
