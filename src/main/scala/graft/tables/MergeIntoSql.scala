@@ -59,13 +59,11 @@ class DeltalikeMergeRule extends Rule[LogicalPlan] {
       if (notMatchedBySource.nonEmpty)
         throw new UnsupportedOperationException(
           "deltalike MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-      if (withSchemaEvolution)
-        throw new UnsupportedOperationException(
-          "deltalike MERGE: WITH SCHEMA EVOLUTION is not supported")
       DeltalikeMergeCommand(
         path, alias, source, cond.sql,
         matched.map(MergeClauseSpec.from),
-        notMatched.map(MergeClauseSpec.from))
+        notMatched.map(MergeClauseSpec.from),
+        withSchemaEvolution)
 
     case DeleteFromTable(DeltalikeTarget(path, alias), condition) =>
       DeltalikeDeleteCommand(path, alias, Option(condition).map(_.sql))
@@ -86,6 +84,15 @@ class DeltalikeMergeRule extends Rule[LogicalPlan] {
     case UnresolvedRelation(Seq("deltalike", raw), _, _) =>
       val (path, version) = splitVersion(raw)
       DeltalikeResolvedRead(path, version)
+
+    // change-feed reads: SELECT ... FROM deltalike_cdf.`path[@vN]` —
+    // row-level changes SINCE version N (exclusive, Delta CDF's
+    // convention); without a suffix the whole history arrives as
+    // changes (v0's rows as inserts). Same two-phase resolution as the
+    // snapshot read.
+    case UnresolvedRelation(Seq("deltalike_cdf", raw), _, _) =>
+      val (path, version) = splitVersion(raw) // -1 when no @vN suffix
+      DeltalikeResolvedChanges(path, version)
   }
 }
 
@@ -101,11 +108,24 @@ case class DeltalikeResolvedRead(path: String, version: Long)
   override lazy val resolved: Boolean = false
 }
 
+/** Change-feed sibling of [[DeltalikeResolvedRead]]: resolves to
+  * `ChangeReader.changeFeed(path, sinceVersion)` — row-level changes
+  * (incl. rewriting commits) with `_change_type`/`_commit_version`.
+  */
+case class DeltalikeResolvedChanges(path: String, sinceVersion: Long)
+    extends LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq.empty
+  override lazy val resolved: Boolean = false
+}
+
 /** Resolution-batch rule: [[DeltalikeResolvedRead]] → actual scan plan. */
 class DeltalikeReadResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case DeltalikeResolvedRead(path, version) =>
       DeltaLikeTable.forPath(spark, path).toDF(version).queryExecution.logical
+    case DeltalikeResolvedChanges(path, since) =>
+      ChangeReader.changeFeed(spark, path, since).queryExecution.logical
   }
 }
 
@@ -214,7 +234,8 @@ case class DeltalikeMergeCommand(
     source: LogicalPlan,
     condSql: String,
     matched: Seq[MergeClauseSpec],
-    notMatched: Seq[MergeClauseSpec])
+    notMatched: Seq[MergeClauseSpec],
+    schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -222,6 +243,7 @@ case class DeltalikeMergeCommand(
     val table = DeltaLikeTable.forPath(spark, path)
     var builder = targetAlias.fold(table)(table.as)
       .merge(sourceDF, expr(condSql))
+    if (schemaEvolution) builder = builder.withSchemaEvolution()
     def cond(c: Option[String]) = c.map(expr)
     (matched ++ notMatched).foreach { cl =>
       builder = (cl.kind, cond(cl.condSql)) match {

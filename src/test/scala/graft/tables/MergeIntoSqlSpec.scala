@@ -191,4 +191,30 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(det.head.getAs[Long]("num_records") === 3L)
     assert(det.head.getAs[Boolean]("column_mapping") === true)
   }
+
+  test("SQL change-feed reads and MERGE WITH SCHEMA EVOLUTION") {
+    val sp = spark; import sp.implicits._
+    val path = fresh() // v0: (1,a,10) (2,b,20) (3,c,30)
+    spark.sql(s"DELETE FROM deltalike.`$path` WHERE k = 3") // v1
+
+    val changes = spark.sql(s"SELECT * FROM deltalike_cdf.`$path`")
+    // v0 inserts (3 rows) + v1 delete (1 row)
+    assert(changes.count() === 4)
+    assert(changes.where("_change_type = 'delete' AND k = 3").count() === 1)
+    val since = spark.sql(s"SELECT * FROM deltalike_cdf.`$path@v0`").collect()
+    assert(since.map(_.getAs[String]("_change_type")).toSeq === Seq("delete"))
+
+    // MERGE with an extra source column evolves the schema through SQL
+    Seq((2L, "B2", 20, 99.5), (9L, "i", 90, 1.25))
+      .toDF("k", "v", "n", "score").createOrReplaceTempView("evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO deltalike.`$path` AS t
+         |USING evo_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(s"SELECT * FROM deltalike.`$path`")
+    assert(out.schema.fieldNames.toSeq === Seq("k", "v", "n", "score"))
+    assert(out.where("k = 1 AND score IS NULL").count() === 1)
+    assert(out.where("k = 9 AND score = 1.25").count() === 1)
+  }
 }
