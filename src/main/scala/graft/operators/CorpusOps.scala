@@ -247,10 +247,25 @@ object CorpusOps {
       docs: DataFrame,
       idCol: String,
       seed: String): DataFrame = {
-    val key = md5(concat(lit(seed), lit("|"), col(idCol).cast(StringType)))
-    docs.withColumn("position",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(key))
-        .cast(LongType))
+    // An unpartitioned row_number() window would move the whole corpus
+    // to ONE partition. Instead: distributed range-partitioned sort on
+    // the hash, then zipWithIndex — partition k's indexes all precede
+    // partition k+1's (range partitioning orders the partitions), so
+    // positions equal the global hash rank with no single-node stage.
+    val spark = docs.sparkSession
+    val kc = "__graft_shuffle_key"
+    val sorted = docs
+      .withColumn(kc, md5(concat(lit(seed), lit("|"), col(idCol).cast(StringType))))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col(kc))
+      .sortWithinPartitions(kc)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("position", LongType, nullable = false))
+    val n = docs.schema.size
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.take(n) :+ (i + 1))
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Declared q67: epoch-0 shuffle order of the documents fixture. */

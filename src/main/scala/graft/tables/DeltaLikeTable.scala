@@ -129,6 +129,9 @@ final class DeltaLikeTable private (
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     set.keys.foreach(c => require(snap0.schema.fieldNames.contains(c),
       s"unknown column '$c' in UPDATE"))
+    set.keys.foreach(c => require(!snap0.generatedColumns.contains(c),
+      s"cannot UPDATE generated column '$c' directly: it is always " +
+        s"recomputed as ${snap0.generatedColumns.getOrElse(c, "")}"))
     if (snap0.deletionVectors) {
       updateViaVectors(condition, set, snap0) match {
         case Some(n) => return n
@@ -188,7 +191,8 @@ final class DeltaLikeTable private (
         case None    => col(c)
       }
     }
-    val rewritten = matchedScan.select(outCols: _*)
+    val rewritten = DeltaLikeTable.regenerate(
+      matchedScan.select(outCols: _*), snap.generatedColumns)
     DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val newAdds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
       snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
@@ -262,8 +266,12 @@ final class DeltaLikeTable private (
 
     val touchedRows = MergeBuilder.filterToFiles(scan, touchedAbs)
       .drop(DeltaLikeTable.FileCol)
-    val rewritten = rewrite(touchedRows)
+    val rewritten0 = rewrite(touchedRows)
     // DELETE keeps a subset of already-valid rows; UPDATE can violate
+    val rewritten =
+      if (operation == "UPDATE")
+        DeltaLikeTable.regenerate(rewritten0, snap.generatedColumns)
+      else rewritten0
     if (operation == "UPDATE")
       DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
@@ -720,17 +728,37 @@ object DeltaLikeTable {
           s"generated column '$c' references unknown column '$r'")
       }
     }
-    val (df0, provided) = effectiveGenerated.foldLeft((df, Seq.empty[String])) {
+    val (df1, provided) = effectiveGenerated.foldLeft((df, Seq.empty[String])) {
       case ((d, prov), (c, sql)) =>
         if (d.columns.contains(c)) (d, prov :+ c)
         else (d.withColumn(c, expr(sql)), prov)
     }
-    provided.foreach { c =>
-      val sql = effectiveGenerated(c)
-      val bad = df0.where(!(col(c) <=> expr(sql))).limit(1).count()
-      require(bad == 0,
+    // withColumn appends computed columns at the END; an append against
+    // an existing table must present them in the TABLE's column order
+    // (schema compare is order-sensitive, deliberately)
+    val df0 = prev match {
+      case Some(s) if s.schema.fieldNames.forall(df1.columns.contains) &&
+        df1.columns.length == s.schema.size &&
+        df1.columns.toSeq != s.schema.fieldNames.toSeq =>
+        df1.select(s.schema.fieldNames.toSeq.map(col): _*)
+      case _ => df1
+    }
+    if (provided.nonEmpty) {
+      // ONE validation scan for all supplied generated columns (the
+      // enforceConstraints array-of-structs pattern); per-column blame
+      // is recovered on the rare failure path only
+      val checks = provided.sorted.map { c =>
+        struct(lit(c).as("name"),
+          (!(col(c) <=> expr(effectiveGenerated(c)))).as("bad"))
+      }
+      val bad = df0.select(array(checks: _*).as("__gc"))
+        .select(explode(col("__gc")).as("c"))
+        .where(col("c.bad")).select(col("c.name")).limit(1).collect()
+      require(bad.isEmpty, {
+        val c = bad.head.getString(0)
         s"generated column '$c' was supplied with values that differ from " +
-          s"its expression ($sql)")
+          s"its expression (${effectiveGenerated(c)})"
+      })
     }
     writeResolved(df0, path, mode, operation, partitionBy, skipCommitIf,
       mergeSchema, extraActions, bloomFilterColumns, enableDeletionVectors,
@@ -903,6 +931,25 @@ object DeltaLikeTable {
     * constraint by name. Runs before staging, so a bad batch writes
     * nothing.
     */
+  /** Re-apply every generated-column expression over the (final) row
+    * values — identity on rows that already satisfy the invariant, and
+    * the universal enforcement point for rewrite paths (UPDATE, MERGE,
+    * DV-UPDATE): whatever the clause chain produced, the stored value of
+    * a generated column is ALWAYS its expression of the stored inputs.
+    * This is Delta's UPDATE-recomputes-generated-columns behavior,
+    * applied uniformly.
+    */
+  private[tables] def regenerate(
+      df: DataFrame,
+      generated: Map[String, String]): DataFrame =
+    if (generated.isEmpty) df
+    else df.select(df.schema.fieldNames.toSeq.map { c =>
+      generated.get(c) match {
+        case Some(sql) => expr(sql).cast(df.schema(c).dataType).as(c)
+        case None      => col(c)
+      }
+    }: _*)
+
   private[tables] def enforceConstraints(
       df: DataFrame,
       constraints: Map[String, String]): Unit = {
@@ -1028,8 +1075,13 @@ object DeltaLikeTable {
     val log = DeltaLog.forPath(path)
     require(!log.exists, s"$path is already a deltalike table")
     val io = TableIO.forPath(path)
+    // hidden-path rule matches Spark's reader: ANY path segment starting
+    // with '_' or '.' (staging dirs, _SUCCESS trees) is invisible — the
+    // registered file list must equal what spark.read.parquet would see
     val parts = io.walkFiles(path)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .filter(_.endsWith(".parquet"))
+      .filterNot(_.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith(".")))
       .sorted
     require(parts.nonEmpty, s"no parquet files under $path")
     // schema from the data as Spark infers it (partition columns

@@ -132,7 +132,14 @@ final class MergeBuilder private[tables] (
       if (!evolveSchema) Seq.empty
       else source.schema.fields.toSeq
         .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        .map(_.copy(nullable = true))
+        .map { f =>
+          // a literal NULL source column has NullType, which parquet
+          // cannot store — fail fast here, not after the rewrite ran
+          require(f.dataType != org.apache.spark.sql.types.NullType,
+            s"cannot evolve schema with untyped NULL column '${f.name}': " +
+              "cast the source column to a concrete type")
+          f.copy(nullable = true)
+        }
     val evolved = org.apache.spark.sql.types.StructType(
       snap.schema.fields.toSeq ++ newFields)
     val cols = evolved.fieldNames.toSeq
@@ -209,9 +216,12 @@ final class MergeBuilder private[tables] (
       }.otherwise(target(c)).cast(evolved(c).dataType).as(c)
     }
 
-    val rewritten = joined
-      .where(keepExpr)
-      .select(outCols: _*)
+    // generated columns are recomputed over the FINAL values, whatever
+    // the clause chain produced (insert without them, explicit set, ...)
+    // — the stored invariant survives every merge shape
+    val rewritten = DeltaLikeTable.regenerate(
+      joined.where(keepExpr).select(outCols: _*),
+      snap.generatedColumns)
 
     // phase 3: stage new files + atomic log commit (partition layout of
     // the table is preserved through the rewrite)

@@ -50,6 +50,21 @@ class ConvertSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("already"))
   }
 
+  test("hidden staging files are invisible to conversion, like plain Spark reads") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("convert_hidden").toString + "/data"
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(dir)
+    // an aborted job's leftovers: dot-dir and underscore-dir parquet
+    val stray = (11 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+    stray.write.parquet(s"$dir/.spark-staging-x")
+    stray.write.parquet(s"$dir/_tmp")
+
+    val t = DeltaLikeTable.convert(spark, dir)
+    assert(t.toDF.count() === 10,
+      "hidden-path parquet must not be registered as table data")
+  }
+
   test("partitioned layout converts with directory-derived partition values") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("convert_part").toString + "/data"

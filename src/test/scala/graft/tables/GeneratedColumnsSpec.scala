@@ -108,4 +108,67 @@ class GeneratedColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
       mode = "append", mergeSchema = true)
     assert(t.toDF.count() === 2)
   }
+
+  test("UPDATE and MERGE keep the generated invariant (recompute, not drift)") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("gen_rewrite").toString
+    DeltaLikeTable.write(
+      Seq((1L, 2L), (2L, 5L)).toDF("id", "v"), path,
+      generatedColumns = Map("doubled" -> "v * 2"))
+    val t = DeltaLikeTable.forPath(spark, path)
+
+    // UPDATE of an input recomputes the generated column
+    t.update(org.apache.spark.sql.functions.expr("id = 1"),
+      Map("v" -> org.apache.spark.sql.functions.lit(10L)))
+    assert(t.toDF.where("id = 1").select("doubled").head().getLong(0) === 20L)
+
+    // UPDATE directly on a generated column is rejected
+    assert(intercept[IllegalArgumentException] {
+      t.update(org.apache.spark.sql.functions.expr("id = 1"),
+        Map("doubled" -> org.apache.spark.sql.functions.lit(999L)))
+    }.getMessage.contains("recomputed"))
+
+    // MERGE insert omitting the generated column computes it; update
+    // clauses recompute it from the final input values
+    t.as("t").merge(
+      Seq((2L, 7L), (3L, 9L)).toDF("id", "v").as("s"), "t.id = s.id")
+      .whenMatchedUpdate(Map("v" -> org.apache.spark.sql.functions.expr("s.v")))
+      .whenNotMatchedInsert(Map(
+        "id" -> org.apache.spark.sql.functions.expr("s.id"),
+        "v" -> org.apache.spark.sql.functions.expr("s.v")))
+      .execute()
+    val out = t.toDF.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 20L, 2L -> 14L, 3L -> 18L),
+      "every row must satisfy doubled = v * 2 after the merge")
+  }
+
+  test("append omitting a NON-last generated column still lands in order") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("gen_order").toString
+    // create with columns (id, gen, v) — gen supplied, in the middle
+    DeltaLikeTable.write(
+      Seq((1L, 4L, 2L)).toDF("id", "gen", "v"), path,
+      generatedColumns = Map("gen" -> "v * 2"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.toDF.schema.fieldNames.toSeq === Seq("id", "gen", "v"))
+    // append WITHOUT gen: computed and reordered to the table layout
+    DeltaLikeTable.write(Seq((2L, 3L)).toDF("id", "v"), path, mode = "append")
+    assert(t.toDF.where("id = 2").select("gen").head().getLong(0) === 6L)
+    assert(t.toDF.schema.fieldNames.toSeq === Seq("id", "gen", "v"))
+  }
+
+  test("MERGE schema evolution rejects untyped NULL source columns fast") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("gen_nulltype").toString
+    DeltaLikeTable.write(Seq((1L, "a")).toDF("k", "v"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    val src = Seq((1L, "A")).toDF("k", "v")
+      .withColumn("tag", org.apache.spark.sql.functions.lit(null))
+    val e = intercept[IllegalArgumentException] {
+      t.as("t").merge(src.as("s"), "t.k = s.k")
+        .whenMatchedUpdateAll().withSchemaEvolution().execute()
+    }
+    assert(e.getMessage.contains("untyped NULL"))
+    assert(t.version === 0, "failed evolution must not commit")
+  }
 }
