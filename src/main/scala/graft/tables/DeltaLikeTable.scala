@@ -575,7 +575,15 @@ final class DeltaLikeTable private (
     * stops working (their log entries remain for history/audit).
     * Returns the deleted file names.
     */
-  def vacuum(retainVersions: Int = 1): Seq[String] = {
+  def vacuum(retainVersions: Int = 1): Seq[String] =
+    vacuum(retainVersions, dryRun = false)
+
+  /** `dryRun = true` returns the files vacuum WOULD delete without
+    * touching anything (Delta's `VACUUM ... DRY RUN`) — the operator's
+    * look-before-you-leap check, since reclamation is the one
+    * irreversible operation on a versioned table.
+    */
+  def vacuum(retainVersions: Int, dryRun: Boolean): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = log.latestVersion
     val cutoff = math.max(math.max(0L, log.minVersion),
@@ -593,7 +601,7 @@ final class DeltaLikeTable private (
     // (the source table's own vacuum does, by its own retention)
     val doomed = all.filterNot(referenced.contains)
       .filterNot(DeltaLog.isAbsolute)
-    doomed.foreach(p => log.io.delete(s"$path/$p"))
+    if (!dryRun) doomed.foreach(p => log.io.delete(s"$path/$p"))
     doomed
   }
 

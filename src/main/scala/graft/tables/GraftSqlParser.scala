@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DESCRIBE DETAIL deltalike.`/p`
   * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
   * CONVERT TO DELTALIKE parquet.`/dir` [PARTITIONED BY (k)]
-  * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS]
+  * VACUUM deltalike.`/p` [RETAIN 4 VERSIONS] [DRY RUN]
   * OPTIMIZE deltalike.`/p` [WHERE part_pred] [ZORDER BY (c1, c2)]
   * }}}
   */
@@ -69,7 +69,7 @@ object GraftSqlParser {
   private val ConvertToDeltalike =
     """(?is)\s*CONVERT\s+TO\s+DELTALIKE\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+deltalike\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+deltalike\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
 
@@ -97,9 +97,9 @@ object GraftSqlParser {
         Some(DeltalikeConvertCommand(path,
           Option(partCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)))
-      case Vacuum(path, retain) =>
+      case Vacuum(path, retain, dry) =>
         Some(DeltalikeVacuumCommand(path,
-          Option(retain).map(_.toInt).getOrElse(1)))
+          Option(retain).map(_.toInt).getOrElse(1), dry != null))
       case Optimize(path, where, zorder) =>
         Some(DeltalikeOptimizeCommand(path,
           Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -210,12 +210,20 @@ case class DeltalikeConvertCommand(path: String, partitionColumns: Seq[String])
   }
 }
 
-case class DeltalikeVacuumCommand(path: String, retainVersions: Int)
+case class DeltalikeVacuumCommand(
+    path: String,
+    retainVersions: Int,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
-    DeltaLikeTable.forPath(spark, path).vacuum(retainVersions)
-    Seq.empty
-  }
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    DeltaLikeTable.forPath(spark, path)
+      .vacuum(retainVersions, dryRun).map(Row(_))
 }
 
 case class DeltalikeOptimizeCommand(

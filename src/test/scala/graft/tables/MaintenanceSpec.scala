@@ -273,6 +273,24 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.version === 0)
   }
 
+  test("VACUUM DRY RUN lists reclaimable files without deleting them") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("vac_dry").toString
+    DeltaLikeTable.write((1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), path)
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.optimize() // old files become unreferenced by the head
+
+    val wouldDelete = spark.sql(s"VACUUM deltalike.`$path` RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(wouldDelete.nonEmpty)
+    assert(t.toDF(0).count() === 20, "dry run must not delete anything")
+
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted.sorted === wouldDelete.sorted,
+      "the real vacuum must reclaim exactly the dry-run list")
+    assert(t.toDF.count() === 20) // head still reads
+  }
+
   test("OPTIMIZE WHERE compacts only the matching partitions") {
     val sp = spark; import sp.implicits._
     val path = Files.createTempDirectory("opt_where").toString
