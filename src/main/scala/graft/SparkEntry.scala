@@ -129,6 +129,9 @@ object SparkEntry {
     "q65_quantize_int8" -> (Similarity.q65QuantizeInt8 _),
     // gap-based sessionization (batch twin of the streaming operator)
     "q66_sessionize" -> (graft.streaming.EventStream.q66Sessionize _),
+    // dedup clustering: similarity pairs → connected components →
+    // one kept representative per cluster
+    "q69_dedup_clusters" -> (graft.operators.Components.q69DedupClusters _),
     // training prep: reproducible shuffle order + pad-efficient batching
     "q67_shuffle" -> (graft.operators.CorpusOps.q67Shuffle _),
     "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
@@ -206,6 +209,7 @@ object SparkEntry {
     "q64_unigram_logprob" -> graft.operators.TextAnalysis.q64Sql,
     "q65_quantize_int8" -> Similarity.q65Sql,
     "q66_sessionize" -> graft.streaming.EventStream.q66Sql,
+    "q69_dedup_clusters" -> graft.operators.Components.q69Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);

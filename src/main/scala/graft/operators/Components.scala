@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Distributed connected components — the last stage of a dedup
+  * pipeline. The similarity joins ([[Dedup.jaccardSimilarityJoin]],
+  * [[NearDup.minHashVerifiedPairs]]) emit PAIRS; collapsing a corpus
+  * needs CLUSTERS: near-duplication is not transitive, but the keep-one
+  * policy every production pipeline applies is "one representative per
+  * connected component of the pair graph".
+  *
+  * Algorithm: min-label propagation with pointer jumping.  Each
+  * iteration every node pulls the smallest label in its neighborhood
+  * (one hash shuffle on the edge relation), then compresses paths by
+  * re-reading the label OF its label (a self-join on the label
+  * relation, which halves chain depth). Propagation alone needs
+  * O(diameter) rounds; the compression step makes the combination
+  * converge in O(log diameter) — a 200-node path closes in 7
+  * iterations (spec-pinned), and real dup clusters (near-cliques of
+  * copies) close in 2.
+  *
+  * Scale shape: state is one (node, comp) row per vertex — never
+  * materialized on the driver; every step is a hash shuffle on node
+  * id; each iteration ends in `localCheckpoint` so the loop's lineage
+  * stays O(1) deep instead of replaying the whole history per action
+  * (the same lineage trap the IVF build hit in round 2). Convergence
+  * is decided by one count per iteration — a scalar action, not a
+  * data-scale collect.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * @param edges  one row per edge; self-loops ignored, duplicates and
+    *               orientation don't matter
+    * @return (node, comp): every vertex that appears in an edge, with
+    *         the minimum node id of its component as the label.
+    *         Isolated vertices never appear in `edges` and so are not
+    *         emitted — callers union them back (their component is
+    *         themselves), as [[q69DedupClusters]] does.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    // symmetrize once; this relation is re-joined every iteration, so
+    // cut its lineage (at cluster scale: persist) up front
+    val sym = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // pull: smallest label among neighbors (labels only decrease,
+      // and only to values that are node ids, so comp is always a
+      // valid key into the label relation)
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("comp")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
+      val prop = labels
+        .join(nbrMin.select(col("u").as("node"), col("nbr_comp")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // compress: comp := comp(comp). comp(c) ≤ c always (c's own row
+      // started at c and only decreases), so `least` is belt-and-braces
+      val jumped = prop
+        .join(prop.select(col("node").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = jumped
+        .join(labels.select(col("node"), col("comp").as("old")), Seq("node"))
+        .where(col("comp") =!= col("old"))
+        .count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Declared q69: the full dedup-cluster assignment for the corpus.
+    * Exact Jaccard pairs at 0.6 (the q34 join) → connected components →
+    * every document labeled with its cluster representative (minimum
+    * doc_id in the component; singletons are their own cluster) and a
+    * keep flag a downstream filter applies.
+    */
+  def q69DedupClusters(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", threshold = 0.6)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col("doc_id"))
+      .join(cc.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Oracle: same pairs (q34's SQL shape), components via recursive
+    * transitive closure — fine at oracle scale (tens of edges), which
+    * is exactly why the engine side is the iterated min-propagation
+    * instead.
+    */
+  val q69Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+      |SELECT d.doc_id,
+      |  coalesce(c.cluster, d.doc_id) AS cluster_id,
+      |  d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+      |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+}

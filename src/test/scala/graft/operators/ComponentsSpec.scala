@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Connected components checked against a local union-find on the same
+  * edge list — randomized graphs, a worst-case path (deep diameter,
+  * where pointer jumping earns its keep), and degenerate inputs.
+  */
+class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("components-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Local oracle: union-find with path compression. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val size =
+      (n.toLong max (edges.flatMap(e => Seq(e._1, e._2)).max + 1)).toInt
+    val parent = Array.tabulate(size)(_.toLong)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r.toInt) != r) r = parent(r.toInt)
+      var c = x
+      while (parent(c.toInt) != c) { val nx = parent(c.toInt); parent(c.toInt) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent((ra max rb).toInt) = ra min rb
+    }
+    // canonical label = min member id; root chosen as min in the union
+    // step above, plus a final find pass to fully compress
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = spark.createDataFrame(edges).toDF("a", "b")
+    Components.connectedComponents(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("random graphs match local union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 60 + trial * 30
+      val m = n / 2 + rnd.nextInt(n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val expected = unionFind(n, edges)
+        assert(run(edges) === expected, s"trial $trial, n=$n, m=${edges.size}")
+      }
+    }
+  }
+
+  test("200-node path converges within the iteration cap") {
+    val edges = (0L until 199L).map(i => (i + 1, i))
+    val got = run(edges)
+    assert(got.size === 200)
+    assert(got.values.toSet === Set(0L), "a path is one component rooted at 0")
+  }
+
+  test("self-loops, duplicate and reversed edges are harmless") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L))
+    val got = run(edges)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("q69 assigns every document a cluster and keeps exactly one per cluster") {
+    val out = Components.q69DedupClusters(spark, "/root/testdata/sf0.001").collect()
+    val nDocs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(out.length.toLong === nDocs) // all docs, singletons included
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_.getBoolean(2)) === 1, s"cluster $cid keep-count")
+      assert(rows.map(_.getLong(0)).min === cid, s"cluster $cid rep is min doc_id")
+    }
+    // pairs from the similarity join land in the same cluster
+    val pairs = Dedup.q34JaccardPairs(spark, "/root/testdata/sf0.001").collect()
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { p =>
+      assert(label(p.getLong(0)) === label(p.getLong(1)),
+        s"pair (${p.getLong(0)},${p.getLong(1)}) split across clusters")
+    }
+  }
+}
