@@ -87,6 +87,7 @@ final class MergeBuilder private[tables] (
 
   private var matchedClauses: Vector[Clause] = Vector.empty
   private var notMatchedClauses: Vector[Clause] = Vector.empty
+  private var bySourceClauses: Vector[Clause] = Vector.empty
 
   def whenMatchedUpdateAll(): MergeBuilder = { matchedClauses :+= UpdateAll(None); this }
   def whenMatchedUpdateAll(condition: Column): MergeBuilder = {
@@ -111,6 +112,25 @@ final class MergeBuilder private[tables] (
   }
   def whenNotMatchedInsert(condition: Column, set: Map[String, Column]): MergeBuilder = {
     notMatchedClauses :+= InsertSet(Some(condition), set); this
+  }
+
+  /** Target rows with NO source match (Delta's `WHEN NOT MATCHED BY
+    * SOURCE`): update in place or delete — the sync-to-source merge
+    * shape (`MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE` makes
+    * the target an exact mirror). Conditions may reference target
+    * columns only — there is no source row to read.
+    */
+  def whenNotMatchedBySourceUpdate(set: Map[String, Column]): MergeBuilder = {
+    bySourceClauses :+= UpdateSet(None, set); this
+  }
+  def whenNotMatchedBySourceUpdate(condition: Column, set: Map[String, Column]): MergeBuilder = {
+    bySourceClauses :+= UpdateSet(Some(condition), set); this
+  }
+  def whenNotMatchedBySourceDelete(): MergeBuilder = {
+    bySourceClauses :+= Delete(None); this
+  }
+  def whenNotMatchedBySourceDelete(condition: Column): MergeBuilder = {
+    bySourceClauses :+= Delete(Some(condition)); this
   }
 
   private var evolveSchema = false
@@ -159,10 +179,23 @@ final class MergeBuilder private[tables] (
     val target = targetAlias.fold(targetBase)(targetBase.as(_))
     val src = source.withColumn(sPresent, lit(true))
 
-    // phase 1: touched files
-    val touchedAbs = target.join(src, condition, "left_semi")
+    def clauseGate(c: Clause): Column = c.cond.getOrElse(lit(true))
+
+    // phase 1: touched files — files with matched rows, plus (when
+    // by-source clauses exist) files with unmatched rows some by-source
+    // condition accepts. An unconditional by-source DELETE therefore
+    // touches every file containing an unmatched row — that rewrite
+    // footprint is inherent to the clause, not a pruning miss.
+    val matchedTouched = target.join(src, condition, "left_semi")
       .select(col(DeltaLikeTable.FileCol)).distinct()
       .collect().map(_.getString(0)).filter(_ != null).toSet
+    val bySourceTouched: Set[String] =
+      if (bySourceClauses.isEmpty) Set.empty
+      else target.join(src, condition, "left_anti")
+        .where(bySourceClauses.map(clauseGate).reduce(_ || _))
+        .select(col(DeltaLikeTable.FileCol)).distinct()
+        .collect().map(_.getString(0)).filter(_ != null).toSet
+    val touchedAbs = matchedTouched ++ bySourceTouched
     val touchedRel = MergeBuilder.resolveRelative(snap, touchedAbs)
 
     // rows that can possibly match live only in touched files
@@ -186,12 +219,14 @@ final class MergeBuilder private[tables] (
     val joined = touchedRows.join(src, condition, "full_outer")
     val isMatched = col(tPresent).isNotNull && col(sPresent).isNotNull
     val isSourceOnly = col(tPresent).isNull && col(sPresent).isNotNull
+    val isTargetOnly = col(tPresent).isNotNull && col(sPresent).isNull
 
-    def cc(c: Clause): Column = c.cond.getOrElse(lit(true))
+    def cc(c: Clause): Column = clauseGate(c)
     def chain(seed: Column)(f: (Column, Clause, Column) => Column): Column = {
       var e = seed
       matchedClauses.foreach(cl => e = f(e, cl, isMatched && cc(cl)))
       notMatchedClauses.foreach(cl => e = f(e, cl, isSourceOnly && cc(cl)))
+      bySourceClauses.foreach(cl => e = f(e, cl, isTargetOnly && cc(cl)))
       e
     }
 

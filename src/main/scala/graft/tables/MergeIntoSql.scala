@@ -18,6 +18,7 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
   * WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = e, ...
   * WHEN MATCHED [AND cond] THEN DELETE
   * WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)
+  * WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET c = e, ... | DELETE
   * }}}
   *
   * Spark's parser already produces [[MergeIntoTable]]; the injected
@@ -56,14 +57,12 @@ class DeltalikeMergeRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case MergeIntoTable(DeltalikeTarget(path, alias), source, cond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution) =>
-      if (notMatchedBySource.nonEmpty)
-        throw new UnsupportedOperationException(
-          "deltalike MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
       DeltalikeMergeCommand(
         path, alias, source, cond.sql,
         matched.map(MergeClauseSpec.from),
         notMatched.map(MergeClauseSpec.from),
-        withSchemaEvolution)
+        withSchemaEvolution,
+        notMatchedBySource.map(MergeClauseSpec.from))
 
     case DeleteFromTable(DeltalikeTarget(path, alias), condition) =>
       DeltalikeDeleteCommand(path, alias, Option(condition).map(_.sql))
@@ -235,7 +234,8 @@ case class DeltalikeMergeCommand(
     condSql: String,
     matched: Seq[MergeClauseSpec],
     notMatched: Seq[MergeClauseSpec],
-    schemaEvolution: Boolean = false)
+    schemaEvolution: Boolean = false,
+    notMatchedBySource: Seq[MergeClauseSpec] = Seq.empty)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -262,6 +262,20 @@ case class DeltalikeMergeCommand(
         case ("insert", Some(c)) =>
           builder.whenNotMatchedInsert(c, cl.assignments.map(kv => kv._1 -> expr(kv._2)).toMap)
         case (k, _) => throw new IllegalStateException(s"unknown clause kind $k")
+      }
+    }
+    notMatchedBySource.foreach { cl =>
+      builder = (cl.kind, cond(cl.condSql)) match {
+        case ("update", None) =>
+          builder.whenNotMatchedBySourceUpdate(
+            cl.assignments.map(kv => kv._1 -> expr(kv._2)).toMap)
+        case ("update", Some(c)) =>
+          builder.whenNotMatchedBySourceUpdate(
+            c, cl.assignments.map(kv => kv._1 -> expr(kv._2)).toMap)
+        case ("delete", None)    => builder.whenNotMatchedBySourceDelete()
+        case ("delete", Some(c)) => builder.whenNotMatchedBySourceDelete(c)
+        case (k, _) => throw new UnsupportedOperationException(
+          s"deltalike MERGE: NOT MATCHED BY SOURCE supports UPDATE SET/DELETE, not $k")
       }
     }
     builder.execute()

@@ -128,17 +128,62 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF(t.version - 1).count() === 2)
   }
 
-  test("unsupported clauses are rejected") {
+  test("MERGE ... NOT MATCHED BY SOURCE DELETE makes the target mirror the source") {
     val sp = spark; import sp.implicits._
-    val path = fresh()
-    Seq((1L, "x", 0)).toDF("k", "v", "n").createOrReplaceTempView("merge_src3")
-    val e = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO deltalike.`$path` AS t
-           |USING merge_src3 AS s ON t.k = s.k
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+    val path = fresh() // (1,a,10) (2,b,20) (3,c,30)
+    Seq((2L, "B", 200), (9L, "Z", 900)).toDF("k", "v", "n")
+      .createOrReplaceTempView("merge_src3")
+    spark.sql(
+      s"""MERGE INTO deltalike.`$path` AS t
+         |USING merge_src3 AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val out = DeltaLikeTable.forPath(spark, path).toDF
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out === Seq((2L, "B", 200), (9L, "Z", 900)))
+  }
+
+  test("MERGE ... NOT MATCHED BY SOURCE conditional UPDATE touches only accepted rows") {
+    val sp = spark; import sp.implicits._
+    val path = fresh() // (1,a,10) (2,b,20) (3,c,30)
+    Seq((1L, "A", 100)).toDF("k", "v", "n")
+      .createOrReplaceTempView("merge_src4")
+    spark.sql(
+      s"""MERGE INTO deltalike.`$path` AS t
+         |USING merge_src4 AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.n >= 30 THEN UPDATE SET v = 'stale'
+         |WHEN NOT MATCHED BY SOURCE AND t.n >= 20 THEN DELETE""".stripMargin)
+    val out = DeltaLikeTable.forPath(spark, path).toDF
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // k=1 matched-updated; k=2 deleted (second clause); k=3 marked stale
+    // (first clause wins in declaration order)
+    assert(out === Seq((1L, "A", 100), (3L, "stale", 30)))
+  }
+
+  test("by-source clauses prune: files with no accepted unmatched row survive") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("mergesql").toString
+    DeltaLikeTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), path)
+    DeltaLikeTable.write(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1), path, "append")
+    val t = DeltaLikeTable.forPath(spark, path)
+    val before = t.log.snapshot().files.map(_.path).toSet
+    assert(before.size === 2)
+    Seq((1L, "A")).toDF("k", "v").createOrReplaceTempView("merge_src5")
+    // unmatched rows are 2,3,4; only k=2 passes the by-source gate, so
+    // the appended file (3,4) must NOT be rewritten
+    spark.sql(
+      s"""MERGE INTO deltalike.`$path` AS t
+         |USING merge_src5 AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN DELETE""".stripMargin)
+    val after = t.log.snapshot().files.map(_.path).toSet
+    assert(after.intersect(before).size === 1, "untouched file must be retained")
+    val out = t.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "A"), (3L, "c"), (4L, "d")))
   }
 
   test("SQL DDL/maintenance: constraints, OPTIMIZE, VACUUM, RESTORE") {
