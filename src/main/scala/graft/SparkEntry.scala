@@ -142,6 +142,8 @@ object SparkEntry {
     "q41_bag_set_ops" -> (SqlSurface.q41BagSetOps _),
     "q42_correlated_subquery" -> (SqlSurface.q42CorrelatedSubquery _),
     "q43_pivot" -> (SqlSurface.q43Pivot _),
+    "q70_unpivot" -> (SqlSurface.q70Unpivot _),
+    "q71_exists" -> (SqlSurface.q71Exists _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +222,7 @@ object SparkEntry {
     "q41_bag_set_ops" -> SqlSurface.q41Sql,
     "q42_correlated_subquery" -> SqlSurface.q42Sql,
     "q43_pivot" -> SqlSurface.q43Sql,
+    "q70_unpivot" -> SqlSurface.q70Sql,
+    "q71_exists" -> SqlSurface.q71Sql,
   )
 }

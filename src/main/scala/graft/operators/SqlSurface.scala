@@ -141,4 +141,46 @@ object SqlSurface {
       |   THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS open_value
       |FROM orders
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): wide measure columns → long (key, metric, value)
+    * rows via the native `Dataset.unpivot` operator — a projection +
+    * generate, no shuffle, fully streamable at any scale. Oracle is the
+    * dialect-portable UNION ALL formulation.
+    */
+  def q70Unpivot(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$d/part.parquet")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), "metric", "value")
+  }
+
+  val q70Sql: String =
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""".stripMargin
+
+  /** Correlated EXISTS / NOT EXISTS predicates — Catalyst decorrelates
+    * both into semi/anti joins (RewritePredicateSubquery), so the plan
+    * is two hash joins, not a per-row subquery.
+    */
+  def q71Exists(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name FROM ${p(d, "customer")} c
+         |WHERE EXISTS (
+         |  SELECT 1 FROM ${p(d, "orders")} o
+         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         |AND NOT EXISTS (
+         |  SELECT 1 FROM ${p(d, "orders")} o
+         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin)
+
+  val q71Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      |AND NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
 }
