@@ -561,9 +561,13 @@ final class DeltaLikeTable private (
       }
     }
     val removes = cur.files.filterNot(f => targetPaths(f.path)).map(f => RemoveFile(f.path))
+    // identity watermarks never regress: the restored metadata keeps
+    // the CURRENT allocation state so ids assigned after the restore
+    // point are not handed out twice
     val meta =
-      if (target.toMetaData() == cur.toMetaData()) Seq.empty
-      else Seq(target.toMetaData())
+      if (target.toMetaData(identityColumns = cur.identityColumns) ==
+        cur.toMetaData()) Seq.empty
+      else Seq(target.toMetaData(identityColumns = cur.identityColumns))
     log.commit(cur.version + 1,
       meta ++ removes ++ readds :+
         CommitInfo(s"RESTORE VERSION AS OF $version", System.currentTimeMillis()))
@@ -673,6 +677,53 @@ object DeltaLikeTable {
     new DeltaLikeTable(spark, path, None)
   }
 
+  /** Identity-column declaration (Delta's `GENERATED ALWAYS AS
+    * IDENTITY (START WITH s INCREMENT BY p)`): a LongType column the
+    * engine populates with unique values `start, start+step, ...` on
+    * every write that omits it. `always = true` forbids user-supplied
+    * values; `always = false` (BY DEFAULT) allows them — such values
+    * do not advance the watermark and uniqueness against them is the
+    * caller's responsibility, as in Delta.
+    *
+    * Values are unique and monotonically allocated per commit, NOT
+    * gap-free or ordered within a batch: the log's high watermark only
+    * moves forward, including across overwrites (ids are never reused).
+    */
+  final case class IdentityColumn(
+      start: Long = 1L, step: Long = 1L, always: Boolean = true) {
+    require(step != 0L, "identity step must be nonzero")
+  }
+
+  /** Log encoding: "start:step:lastAssignedOrEmpty:always|default". */
+  private[tables] def encodeIdentity(
+      c: IdentityColumn, last: Option[Long]): String =
+    s"${c.start}:${c.step}:${last.map(_.toString).getOrElse("")}:" +
+      (if (c.always) "always" else "default")
+
+  private[tables] def decodeIdentity(s: String): (IdentityColumn, Option[Long]) =
+    s.split(":", -1) match {
+      case Array(st, sp, lastRaw, kind) =>
+        (IdentityColumn(st.toLong, sp.toLong, kind == "always"),
+          if (lastRaw.isEmpty) None else Some(lastRaw.toLong))
+      case _ => throw new IllegalArgumentException(s"bad identity encoding: $s")
+    }
+
+  /** Dense id assignment for one batch: RDD `zipWithIndex` (Spark's
+    * canonical distributed prefix-sum — per-partition counts in one
+    * narrow job, then offset + local index; no shuffle, no global
+    * sort, no driver data). Values are `next, next+step, ...` in
+    * partition-major order.
+    */
+  private def assignIdentity(
+      df: DataFrame, name: String, next: Long, step: Long): DataFrame = {
+    val out = StructType(df.schema.fields :+
+      StructField(name, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (next + step * i))
+    }
+    df.sparkSession.createDataFrame(rdd, out)
+  }
+
   def isDeltaLikeTable(path: String): Boolean = DeltaLog.forPath(path).exists
 
   /** Write `df` as a new version. `mode` ∈ {overwrite, append}; creates
@@ -705,10 +756,31 @@ object DeltaLikeTable {
       extraActions: Seq[Action] = Seq.empty,
       bloomFilterColumns: Seq[String] = Seq.empty,
       enableDeletionVectors: Boolean = false,
-      generatedColumns: Map[String, String] = Map.empty): DeltaLikeTable = {
+      generatedColumns: Map[String, String] = Map.empty,
+      identityColumns: Map[String, IdentityColumn] = Map.empty): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val log = DeltaLog.forPath(path)
     val prev = if (log.exists) Some(log.snapshot()) else None
+    // identity columns are sticky; the watermark survives overwrite so
+    // ids are never reused even after the data is replaced
+    val declaredIdentity = identityColumns.map { case (c, spec) =>
+      c -> encodeIdentity(spec, None)
+    }
+    val effectiveIdentity: Map[String, String] = prev match {
+      case Some(p) if mode == "append" =>
+        require(identityColumns.isEmpty,
+          s"append may not declare identity columns (table has ${p.identityColumns.keys})")
+        p.identityColumns
+      case Some(p) =>
+        if (identityColumns.isEmpty) p.identityColumns
+        else declaredIdentity.map { case (c, enc) =>
+          // a redeclared column keeps its old watermark (no id reuse)
+          c -> p.identityColumns.get(c).map { old =>
+            encodeIdentity(identityColumns(c), decodeIdentity(old)._2)
+          }.getOrElse(enc)
+        }
+      case None => declaredIdentity
+    }
     // generated columns (Delta's GENERATED ALWAYS AS): declared at
     // create/overwrite, sticky for appends. A write missing the column
     // gets it computed; a write supplying it is VALIDATED against the
@@ -736,11 +808,27 @@ object DeltaLikeTable {
           s"generated column '$c' references unknown column '$r'")
       }
     }
-    val (df1, provided) = effectiveGenerated.foldLeft((df, Seq.empty[String])) {
+    val (df1a, provided) = effectiveGenerated.foldLeft((df, Seq.empty[String])) {
       case ((d, prov), (c, sql)) =>
         if (d.columns.contains(c)) (d, prov :+ c)
         else (d.withColumn(c, expr(sql)), prov)
     }
+    // identity assignment: batches that omit the column get dense ids
+    // from the watermark; ALWAYS columns may never be supplied
+    val (df1, identityAssigned) =
+      effectiveIdentity.foldLeft((df1a, Map.empty[String, (Long, Long)])) {
+        case ((d, assigned), (c, enc)) =>
+          val (spec, last) = decodeIdentity(enc)
+          if (d.columns.exists(_.equalsIgnoreCase(c))) {
+            require(!spec.always,
+              s"identity column '$c' is GENERATED ALWAYS and cannot be supplied")
+            (d, assigned)
+          } else {
+            val next = last.map(_ + spec.step).getOrElse(spec.start)
+            (assignIdentity(d, c, next, spec.step),
+              assigned + (c -> (next, spec.step)))
+          }
+      }
     // withColumn appends computed columns at the END; an append against
     // an existing table must present them in the TABLE's column order
     // (schema compare is order-sensitive, deliberately)
@@ -770,7 +858,7 @@ object DeltaLikeTable {
     }
     writeResolved(df0, path, mode, operation, partitionBy, skipCommitIf,
       mergeSchema, extraActions, bloomFilterColumns, enableDeletionVectors,
-      effectiveGenerated, log, prev)
+      effectiveGenerated, effectiveIdentity, identityAssigned, log, prev)
   }
 
   private def writeResolved(
@@ -785,6 +873,8 @@ object DeltaLikeTable {
       bloomFilterColumns: Seq[String],
       enableDeletionVectors: Boolean,
       effectiveGenerated: Map[String, String],
+      effectiveIdentity: Map[String, String],
+      identityAssigned: Map[String, (Long, Long)],
       log: DeltaLog,
       prev: Option[Snapshot]): DeltaLikeTable = {
     partitionBy.foreach(c => require(df.columns.contains(c),
@@ -874,6 +964,21 @@ object DeltaLikeTable {
       }
     val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms,
       effectiveMapping)
+    // advance identity watermarks by the staged row count — no extra
+    // job: AddFile.numRecords is already known from the write
+    val nStaged = adds.map(_.numRecords).sum
+    val identityCommitted: Map[String, String] =
+      if (identityAssigned.isEmpty || nStaged == 0) effectiveIdentity
+      else effectiveIdentity.map { case (c, enc) =>
+        identityAssigned.get(c) match {
+          case Some((next, step)) =>
+            c -> encodeIdentity(decodeIdentity(enc)._1,
+              Some(next + step * (nStaged - 1)))
+          case None => c -> enc
+        }
+      }
+    val identityChanged =
+      identityCommitted != prev.map(_.identityColumns).getOrElse(Map.empty)
     val removes = mode match {
       case "overwrite" => prev.map(_.files.map(f => RemoveFile(f.path))).getOrElse(Seq.empty)
       case "append"    => Seq.empty
@@ -900,10 +1005,11 @@ object DeltaLikeTable {
         val version = log.latestVersion + 1
         val meta =
           if (version == 0 || mode == "overwrite" || schemaChanged ||
+            identityChanged ||
             (enableDeletionVectors && !prev.exists(_.deletionVectors)))
             Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms,
               effectiveConstraints, effectiveDv, effectiveMapping,
-              effectiveGenerated))
+              effectiveGenerated, identityCommitted))
           else Seq.empty
         try {
           log.commit(version,
@@ -926,6 +1032,13 @@ object DeltaLikeTable {
             require(head.partitionColumns == effectiveParts,
               s"append conflict: concurrent writer changed partitioning to " +
                 s"${head.partitionColumns} (append staged ${effectiveParts})")
+            // ids were assigned from the pre-conflict watermark; if a
+            // concurrent commit advanced it, a rebase would duplicate
+            // ids — this write must fail and be retried from the top
+            require(identityAssigned.isEmpty ||
+              head.identityColumns == prev.map(_.identityColumns).getOrElse(Map.empty),
+              "append conflict: concurrent identity assignment (ids were " +
+                "allocated from a stale watermark; retry the write)")
         }
       }
     } catch {

@@ -33,7 +33,8 @@ final case class MetaData(
     constraints: Map[String, String] = Map.empty,
     deletionVectors: Boolean = false,
     columnMapping: Map[String, String] = Map.empty,
-    generatedColumns: Map[String, String] = Map.empty)
+    generatedColumns: Map[String, String] = Map.empty,
+    identityColumns: Map[String, String] = Map.empty)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -90,7 +91,8 @@ final case class Snapshot(
     constraints: Map[String, String] = Map.empty,
     deletionVectors: Boolean = false,
     columnMapping: Map[String, String] = Map.empty,
-    generatedColumns: Map[String, String] = Map.empty) {
+    generatedColumns: Map[String, String] = Map.empty,
+    identityColumns: Map[String, String] = Map.empty) {
   def filePaths: Seq[String] =
     files.map(f => DeltaLog.resolvePath(tableRoot, f.path))
 
@@ -119,9 +121,10 @@ final case class Snapshot(
       constraints: Map[String, String] = constraints,
       deletionVectors: Boolean = deletionVectors,
       columnMapping: Map[String, String] = columnMapping,
-      generatedColumns: Map[String, String] = generatedColumns): MetaData =
+      generatedColumns: Map[String, String] = generatedColumns,
+      identityColumns: Map[String, String] = identityColumns): MetaData =
     MetaData(schemaDdl, partitionColumns, bloomFilterColumns, constraints,
-      deletionVectors, columnMapping, generatedColumns)
+      deletionVectors, columnMapping, generatedColumns, identityColumns)
 }
 
 /** Reader/writer for the JSON transaction log of one table.
@@ -180,6 +183,7 @@ final class DeltaLog(val tableRoot: String) {
     var dvEnabled = false
     var colMapping: Map[String, String] = Map.empty
     var genCols: Map[String, String] = Map.empty
+    var idCols: Map[String, String] = Map.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
@@ -187,7 +191,7 @@ final class DeltaLog(val tableRoot: String) {
         schemaDdl = m.schemaDdl; partCols = m.partitionColumns
         bloomCols = m.bloomFilterColumns; constraints = m.constraints
         dvEnabled = m.deletionVectors; colMapping = m.columnMapping
-        genCols = m.generatedColumns
+        genCols = m.generatedColumns; idCols = m.identityColumns
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -206,7 +210,7 @@ final class DeltaLog(val tableRoot: String) {
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
       partCols, txns.toMap, bloomCols, constraints, dvEnabled, colMapping,
-      genCols)
+      genCols, idCols)
   }
 
   /** Atomically publish `version`; throws if it was already committed.

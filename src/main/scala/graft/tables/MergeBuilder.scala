@@ -145,6 +145,18 @@ final class MergeBuilder private[tables] (
   def execute(): Unit = {
     val spark = table.spark
     val snap = table.log.snapshot()
+    // a GENERATED ALWAYS identity column can neither be supplied by the
+    // source (ALWAYS) nor omitted (insert needs every column) — MERGE
+    // inserts into such tables are rejected rather than silently
+    // breaking the uniqueness contract
+    val alwaysIdentity = snap.identityColumns.collect {
+      case (c, enc) if DeltaLikeTable.decodeIdentity(enc)._1.always => c
+    }
+    if (alwaysIdentity.nonEmpty && notMatchedClauses.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"MERGE INSERT into a table with GENERATED ALWAYS identity " +
+          s"column(s) ${alwaysIdentity.mkString(", ")} is not supported; " +
+          "append the new rows with write(mode=append) instead")
     // schema evolution: source-only columns append (nullable) to the
     // table schema; the target scan presents them as null so the
     // when-chain below needs no special cases
