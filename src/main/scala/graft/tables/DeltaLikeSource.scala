@@ -91,7 +91,21 @@ final class DeltaLikeSource
       mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
       bloomFilterColumns = parameters.get("bloomFilterColumns")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
-      enableDeletionVectors = parameters.get("enableDeletionVectors").exists(_.toBoolean))
+      enableDeletionVectors = parameters.get("enableDeletionVectors").exists(_.toBoolean),
+      // "id" or "id:start:step[:default]" — comma-separated declarations
+      identityColumns = parameters.get("identityColumn")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { decl =>
+          decl.split(":") match {
+            case Array(c)         => c -> DeltaLikeTable.IdentityColumn()
+            case Array(c, st, sp) =>
+              c -> DeltaLikeTable.IdentityColumn(st.toLong, sp.toLong)
+            case Array(c, st, sp, "default") =>
+              c -> DeltaLikeTable.IdentityColumn(st.toLong, sp.toLong, always = false)
+            case _ => throw new IllegalArgumentException(
+              s"deltalike: bad identityColumn declaration '$decl' " +
+                "(want name[:start:step[:default]])")
+          }
+        }.toMap).getOrElse(Map.empty))
     createRelation(sqlContext, parameters)
   }
 }

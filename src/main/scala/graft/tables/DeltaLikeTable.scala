@@ -661,6 +661,38 @@ final class DeltaLikeTable private (
           System.currentTimeMillis())))
     new DeltaLikeTable(spark, target, None)
   }
+
+  /** Deep clone: an independent copy of the table at its latest version
+    * — data files copied byte-for-byte under the target root (stats,
+    * bloom filters, and physical layout travel with them; no re-encode,
+    * no scan), sticky metadata (schema, partitioning, constraints,
+    * identity watermarks, ...) carried into the target's version 0.
+    * Unlike [[shallowCloneTo]] the result has no reference to the
+    * source: vacuuming either table cannot break the other. The copy
+    * is file-granular and parallelizable by the object store; the
+    * driver only iterates the file LIST (log metadata scale).
+    */
+  def deepCloneTo(target: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    val tlog = DeltaLog.forPath(target)
+    require(!tlog.exists, s"clone target is already a table: $target")
+    val tio = TableIO.forPath(target)
+    val copied = snap.files.map { f =>
+      // re-rooted under the same relative path (partition directories
+      // included); absolute refs from a shallow-cloned source collapse
+      // to their file name under the target root
+      val rel =
+        if (DeltaLog.isAbsolute(f.path)) f.path.substring(f.path.lastIndexOf('/') + 1)
+        else f.path
+      tio.copy(DeltaLog.resolvePath(path, f.path), s"$target/$rel")
+      f.copy(path = rel)
+    }
+    tlog.commit(0L,
+      snap.toMetaData() +: (copied :+
+        CommitInfo(s"DEEP CLONE FROM $path@v${snap.version}",
+          System.currentTimeMillis())))
+    new DeltaLikeTable(spark, target, None)
+  }
 }
 
 object DeltaLikeTable {

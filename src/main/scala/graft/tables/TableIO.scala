@@ -38,6 +38,8 @@ private[tables] trait TableIO {
   def delete(path: String): Boolean
   def deleteRecursively(path: String): Unit
   def size(path: String): Long
+  /** Byte-for-byte file copy; parent directories created as needed. */
+  def copy(src: String, dst: String): Unit
   /** Relative paths of all regular files under `dir` (recursive). */
   def walkFiles(dir: String): Seq[String]
 }
@@ -126,6 +128,12 @@ private[tables] object NioTableIO extends TableIO {
   }
 
   def size(path: String): Long = Files.size(Paths.get(path))
+
+  def copy(src: String, dst: String): Unit = {
+    val d = Paths.get(dst)
+    Files.createDirectories(d.getParent)
+    Files.copy(Paths.get(src), d, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   def walkFiles(dir: String): Seq[String] = {
     val root = Paths.get(dir)
@@ -223,6 +231,11 @@ private[tables] final class HadoopTableIO(anchor: HPath, conf: Configuration)
   }
 
   def size(path: String): Long = fs.getFileStatus(new HPath(path)).getLen
+
+  def copy(src: String, dst: String): Unit =
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new HPath(src), fs, new HPath(dst),
+      false /* deleteSource */, true /* overwrite */, conf): Unit
 
   def walkFiles(dir: String): Seq[String] = {
     val root = new HPath(dir)

@@ -100,6 +100,17 @@ class IdentityColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === Seq(1L, 4L), "new id allocated past the pre-restore range")
   }
 
+  test("writer option declares identity: format(deltalike).option(identityColumn,...)") {
+    val sp = spark; import sp.implicits._
+    val path = tmp()
+    Seq("a", "b").toDF("v").write.format("deltalike").mode("overwrite")
+      .option("identityColumn", "id:5:5").save(path)
+    Seq("c").toDF("v").write.format("deltalike").mode("append").save(path)
+    val ids = DeltaLikeTable.forPath(spark, path).toDF
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(5L, 10L, 15L))
+  }
+
   test("MERGE insert into an ALWAYS identity table is rejected; update-only works") {
     val sp = spark; import sp.implicits._
     val path = tmp()

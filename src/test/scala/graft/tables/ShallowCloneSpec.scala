@@ -112,4 +112,40 @@ class ShallowCloneSpec extends AnyFunSuite with BeforeAndAfterAll {
         .shallowCloneTo(Files.createTempDirectory("clone_part_dst").toString + "/t")
     }.getMessage.contains("partitioned"))
   }
+
+  test("deep clone is fully independent: vacuuming the source cannot break it") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("dclone_src").toString
+    val dst = Files.createTempDirectory("dclone_dst").toString + "/t"
+    DeltaLikeTable.write(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), src)
+    val srcT = DeltaLikeTable.forPath(spark, src)
+
+    val clone = srcT.deepCloneTo(dst)
+    assert(clone.toDF.count() === 100)
+    assert(parquetCount(dst) > 0, "deep clone must copy the data files")
+    assert(clone.log.snapshot().files.forall(f => !f.path.startsWith("/")),
+      "deep clone stores relative paths, not references")
+    // stats travel with the copy: skipping still works on the clone
+    assert(clone.log.snapshot().files.forall(_.minValues.nonEmpty))
+
+    // obliterate the source entirely; the clone must be unaffected
+    DeltaLikeTable.write(Seq((0L, "z")).toDF("id", "v"), src, "overwrite")
+    srcT.vacuum(1)
+    assert(clone.toDF.count() === 100)
+    assert(clone.toDF.where("v = 'v42'").count() === 1)
+  }
+
+  test("deep clone of a partitioned table keeps layout and pruning") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("dclone_psrc").toString
+    val dst = Files.createTempDirectory("dclone_pdst").toString + "/t"
+    DeltaLikeTable.write(
+      (1 to 30).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "p", "v"),
+      src, partitionBy = Seq("p"))
+    val clone = DeltaLikeTable.forPath(spark, src).deepCloneTo(dst)
+    assert(clone.log.snapshot().partitionColumns === Seq("p"))
+    assert(clone.toDF.where("p = 1").count() === 10)
+    assert(clone.toDF.count() === 30)
+  }
 }
