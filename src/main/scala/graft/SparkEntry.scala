@@ -132,6 +132,8 @@ object SparkEntry {
     // dedup clustering: similarity pairs → connected components →
     // one kept representative per cluster
     "q69_dedup_clusters" -> (graft.operators.Components.q69DedupClusters _),
+    // cross-document repeated-span (boilerplate) removal
+    "q73_strip_common" -> (TextAnalysis.q73StripCommon _),
     // training prep: reproducible shuffle order + pad-efficient batching
     "q67_shuffle" -> (graft.operators.CorpusOps.q67Shuffle _),
     "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
@@ -212,6 +214,7 @@ object SparkEntry {
     "q65_quantize_int8" -> Similarity.q65Sql,
     "q66_sessionize" -> graft.streaming.EventStream.q66Sql,
     "q69_dedup_clusters" -> graft.operators.Components.q69Sql,
+    "q73_strip_common" -> TextAnalysis.q73Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);

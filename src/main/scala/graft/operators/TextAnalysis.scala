@@ -498,4 +498,92 @@ object TextAnalysis {
       |  (max(CASE WHEN n = 2 THEN top_frac END) <= 0.2
       |    AND max(CASE WHEN n = 3 THEN dup_frac END) <= 0.3) AS keep
       |FROM p GROUP BY 1""".stripMargin
+
+  /** Positioned n-grams: element k of the result is the n-gram starting
+    * at token k (same slice/zip_with build as [[Dedup.shingles]] — each
+    * argument evaluated once, no interpreted higher-order lambda).
+    */
+  private def posNgrams(toks: Column, n: Int): Column = {
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Cross-document repeated-span removal (the C4/RefinedWeb
+    * boilerplate rule, token-level): drop every token covered by an
+    * `n`-gram that occurs in ≥ `minDocs` DISTINCT documents. Shared
+    * spans — navigation chrome, license blurbs, templated text — vanish
+    * from every document at once; unique content is untouched.
+    *
+    * Scale shape: positioned n-grams are a per-row projection
+    * (posexplode), the document-frequency aggregate is one hash
+    * shuffle, and the common-gram set (repeated across ≥ minDocs docs)
+    * is orders of magnitude smaller than the corpus — AQE broadcasts
+    * it back onto the gram stream. Coverage → anti-join → per-document
+    * re-assembly are hash shuffles on (doc, pos) / doc; nothing is
+    * quadratic and nothing driver-side.
+    *
+    * @return (idCol, clean_text, n_removed) — one row per input doc
+    */
+  def stripCommonNgrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), tokens(col(textCol)).as("toks"))
+    val grams = base.select(col("__id"),
+      posexplode(posNgrams(col("toks"), n)).as(Seq("gpos", "gram")))
+    val common = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("__id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("gram"))
+    val covered = grams.join(common, Seq("gram"))
+      .select(col("__id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("__id"),
+      posexplode(col("toks")).as(Seq("pos", "token")))
+    val kept = toks.join(covered, Seq("__id", "pos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("__id"), size(col("toks")).cast(LongType).as("n_toks"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Declared q73 over the documents fixture (n=5, minDocs=2 — the
+    * planted near-duplicates share long spans, so the rule has real
+    * work to do).
+    */
+  def q73StripCommon(spark: SparkSession, d: String): DataFrame =
+    stripCommonNgrams(Tables.documents(spark, d), "doc_id", "text")
+
+  val q73Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t),
+      |g AS (SELECT doc_id, i, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |        || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram FROM idx),
+      |common AS (SELECT gram FROM g GROUP BY gram
+      |           HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, g.i + u.o AS pos
+      |        FROM g JOIN common USING (gram),
+      |             unnest([0, 1, 2, 3, 4]) AS u(o)),
+      |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM t),
+      |tok2 AS (SELECT doc_id, pos, toks[pos] AS token FROM tok),
+      |kept AS (SELECT tok2.doc_id, tok2.pos, tok2.token FROM tok2
+      |         LEFT JOIN cov ON tok2.doc_id = cov.doc_id AND tok2.pos = cov.pos
+      |         WHERE cov.pos IS NULL)
+      |SELECT t.doc_id,
+      |  coalesce(string_agg(kept.token, ' ' ORDER BY kept.pos), '') AS clean_text,
+      |  len(t.toks) - count(kept.token) AS n_removed
+      |FROM t LEFT JOIN kept USING (doc_id)
+      |GROUP BY t.doc_id, len(t.toks)""".stripMargin
 }

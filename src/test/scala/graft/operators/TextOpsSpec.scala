@@ -68,4 +68,35 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(fp === fp2)
   }
+
+  test("stripCommonNgrams removes shared spans everywhere, leaves unique text alone") {
+    val sp = spark; import sp.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens → 2 5-grams
+    val docs = Seq(
+      (1L, s"one two three $shared four five"),
+      (2L, s"$shared six seven eight nine ten"),
+      (3L, "eleven twelve thirteen fourteen fifteen sixteen seventeen"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripCommonNgrams(docs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === ("one two three four five", 6L))
+    assert(out(2L) === ("six seven eight nine ten", 6L))
+    assert(out(3L) === ("eleven twelve thirteen fourteen fifteen sixteen seventeen", 0L))
+  }
+
+  test("stripCommonNgrams: doc shorter than n and fully-covered doc survive") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical 5-token docs
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.stripCommonNgrams(docs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === ("", 5L), "fully-shared doc is emptied, not dropped")
+    assert(out(2L) === ("", 5L))
+    assert(out(3L) === ("tiny doc", 0L))
+  }
 }
