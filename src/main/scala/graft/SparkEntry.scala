@@ -134,6 +134,8 @@ object SparkEntry {
     "q69_dedup_clusters" -> (graft.operators.Components.q69DedupClusters _),
     // cross-document repeated-span (boilerplate) removal
     "q73_strip_common" -> (TextAnalysis.q73StripCommon _),
+    // SemDeDup-style embedding clusters, planted-twin gate
+    "q72_semantic_clusters" -> (graft.operators.Components.q72SemanticClusters _),
     // training prep: reproducible shuffle order + pad-efficient batching
     "q67_shuffle" -> (graft.operators.CorpusOps.q67Shuffle _),
     "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
@@ -215,6 +217,7 @@ object SparkEntry {
     "q66_sessionize" -> graft.streaming.EventStream.q66Sql,
     "q69_dedup_clusters" -> graft.operators.Components.q69Sql,
     "q73_strip_common" -> TextAnalysis.q73Sql,
+    "q72_semantic_clusters" -> graft.operators.Components.q72Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);

@@ -112,6 +112,39 @@ object Components {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Declared q72: SEMANTIC dedup clusters — the SemDeDup shape.
+    * Hyperplane-LSH embedding pairs at cosine ≥ 0.95 (exact-verified
+    * candidates, [[NearDup.embeddingPairs]]) → connected components →
+    * cluster label per vector. Gated like q59/q37: five planted twin
+    * vectors (exact copies, which LSH buckets identically in every
+    * table) must land in their original's cluster — a bucketing, join,
+    * or clustering regression turns the static oracle red.
+    */
+  def q72SemanticClusters(spark: SparkSession, d: String): DataFrame = {
+    val e = graft.core.Tables.embeddings(spark, d)
+    val base = e.select(col("vec_id"), col("embedding"))
+    val twins = Similarity.twinQueries(e)
+    val corpus = base.unionByName(twins)
+    val pairs = NearDup.embeddingPairs(corpus, "vec_id", "embedding", 64,
+      threshold = 0.95)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+    val label = cc.select(col("node").as("vec_id"), col("comp"))
+    val twinIds = twins.select(col("vec_id").as("twin_id"),
+      (col("vec_id") - lit(10000L)).as("query_id"))
+    twinIds
+      .join(label.select(col("vec_id").as("twin_id"), col("comp").as("twin_comp")),
+        Seq("twin_id"), "left")
+      .join(label.select(col("vec_id").as("query_id"), col("comp").as("orig_comp")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        (col("twin_comp").isNotNull && col("orig_comp").isNotNull &&
+          col("twin_comp") === col("orig_comp")).as("same_cluster"))
+  }
+
+  val q72Sql: String =
+    """SELECT vec_id AS query_id, true AS same_cluster
+      |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
+
   /** Oracle: same pairs (q34's SQL shape), components via recursive
     * transitive closure — fine at oracle scale (tens of edges), which
     * is exactly why the engine side is the iterated min-propagation
