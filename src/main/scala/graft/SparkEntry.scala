@@ -148,6 +148,7 @@ object SparkEntry {
     "q43_pivot" -> (SqlSurface.q43Pivot _),
     "q70_unpivot" -> (SqlSurface.q70Unpivot _),
     "q71_exists" -> (SqlSurface.q71Exists _),
+    "q74_recursive_cte" -> (SqlSurface.q74RecursiveCte _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -230,5 +231,6 @@ object SparkEntry {
     "q43_pivot" -> SqlSurface.q43Sql,
     "q70_unpivot" -> SqlSurface.q70Sql,
     "q71_exists" -> SqlSurface.q71Sql,
+    "q74_recursive_cte" -> SqlSurface.q74Sql,
   )
 }

@@ -183,4 +183,29 @@ object SqlSurface {
       |AND NOT EXISTS (
       |  SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a generated date spine
+    * LEFT-joined against orders, so days with zero orders appear — the
+    * classic gap-filling shape a plain GROUP BY cannot produce. The
+    * recursion is driver-bounded (90 rows), the join fans out to the
+    * cluster; dialect-identical in DuckDB.
+    */
+  def q74RecursiveCte(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""WITH RECURSIVE days(d) AS (
+         |  SELECT DATE '1995-01-01'
+         |  UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1995-03-31')
+         |SELECT d AS day, count(o_orderkey) AS n_orders
+         |FROM days LEFT JOIN ${p(d, "orders")}
+         |  ON CAST(o_orderdate AS DATE) = d
+         |GROUP BY d""".stripMargin)
+
+  val q74Sql: String =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1995-03-31')
+      |SELECT d AS day, count(o_orderkey) AS n_orders
+      |FROM days LEFT JOIN orders
+      |  ON CAST(o_orderdate AS DATE) = d
+      |GROUP BY d""".stripMargin
 }
