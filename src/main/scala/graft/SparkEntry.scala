@@ -139,6 +139,8 @@ object SparkEntry {
     // training prep: reproducible shuffle order + pad-efficient batching
     "q67_shuffle" -> (graft.operators.CorpusOps.q67Shuffle _),
     "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
+    // deterministic weighted source mixture (upsample/downsample)
+    "q75_mixture" -> (graft.operators.CorpusOps.q75Mixture _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -221,6 +223,7 @@ object SparkEntry {
     "q72_semantic_clusters" -> graft.operators.Components.q72Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
+    "q75_mixture" -> graft.operators.CorpusOps.q75Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

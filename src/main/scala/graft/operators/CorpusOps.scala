@@ -380,4 +380,55 @@ object CorpusOps {
       |  len(toks[x.i * 24 + 1 : x.i * 24 + 32]) AS chunk_tokens
       |FROM c, LATERAL (
       |  SELECT unnest(generate_series(0, n_chunks - 1)) AS i) AS x""".stripMargin
+
+  /** Deterministic multi-source mixture (the Pile/Dolma training-mix
+    * step): each source contributes its rows weighted by `weight` —
+    * > 1 upsamples (whole copies plus a hash-sampled fractional copy),
+    * < 1 downsamples. Keep rule for copy k of a row: md5-uniform over
+    * (source, id, k) < weight − k, so membership is a pure per-row
+    * expression — reproducible across runs, engines, and partitionings;
+    * no RNG state, no shuffle. A 100 TB mix is a union of filtered
+    * scans.
+    *
+    * @return input columns plus (source, copy)
+    */
+  def mixSources(
+      sources: Seq[(String, DataFrame, Double)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixSources needs at least one source")
+    sources.map { case (name, df, w) =>
+      require(w > 0, s"weight for '$name' must be positive, got $w")
+      val copies = math.ceil(w).toInt
+      val u = conv(substring(md5(
+        concat_ws(":", lit(name), col(idCol).cast(StringType),
+          col("copy").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+      df.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .where(u < lit(w) - col("copy"))
+        .withColumn("source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Declared q75: upsample English 1.5×, downsample the rest to 0.5×
+    * — the canonical "more of the good stuff" rebalance.
+    */
+  def q75Mixture(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+    mixSources(Seq(
+      ("en", docs.where(col("lang") === "en"), 1.5),
+      ("rest", docs.where(col("lang") =!= "en"), 0.5)), "doc_id")
+      .select(col("doc_id"), col("lang"), col("copy"), col("source"))
+  }
+
+  val q75Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS source,
+      |    CASE WHEN lang = 'en' THEN 1.5 ELSE 0.5 END AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, source, w, unnest([0, 1]) AS copy FROM b)
+      |SELECT doc_id, lang, copy, source FROM c
+      |WHERE ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)
+      |    || ':' || CAST(copy AS VARCHAR)), 1, 15))::BIGINT
+      |   / 1152921504606846976.0 < w - copy""".stripMargin
 }

@@ -164,4 +164,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(out.map(_._1).distinct.length === 100)
   }
+
+  test("mixture: weights hit within tolerance, upsampling emits distinct copies, reruns agree") {
+    val sp = spark; import sp.implicits._
+    val n = 2000
+    val docs = (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "v")
+    val out = CorpusOps.mixSources(
+      Seq(("a", docs, 2.3), ("b", docs, 0.4)), "id")
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // E[a] = 2.3n (2 full copies + 0.3 sample), E[b] = 0.4n; sd ~ sqrt(n·p(1-p))
+    assert(math.abs(bySource("a") - 2.3 * n) < 4 * math.sqrt(n * 0.3 * 0.7),
+      s"source a emitted ${bySource("a")}, expected ~${2.3 * n}")
+    assert(math.abs(bySource("b") - 0.4 * n) < 4 * math.sqrt(n * 0.4 * 0.6),
+      s"source b emitted ${bySource("b")}, expected ~${0.4 * n}")
+    // copies of one row are distinct (copy index) and deterministic
+    val copies = out.where("source = 'a'").groupBy("id").count()
+      .collect().map(_.getLong(1))
+    assert(copies.forall(c => c == 2 || c == 3), "each row appears 2 or 3 times")
+    val rerun = CorpusOps.mixSources(Seq(("a", docs, 2.3), ("b", docs, 0.4)), "id")
+    assert(rerun.exceptAll(out).count() === 0 && out.exceptAll(rerun).count() === 0)
+  }
 }
