@@ -170,4 +170,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("partial_"),
       s"n-gram counting must map-side combine:\n$plan")
   }
+
+  test("q73 span stripping: hash joins only, partial-agg doc frequency, no cartesian") {
+    val plan = executedPlan(
+      graft.operators.TextAnalysis.q73StripCommon(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no product joins anywhere in the pipeline:\n$plan")
+    assert(plan.contains("partial_"),
+      s"gram document-frequency must map-side combine:\n$plan")
+  }
+
+  test("q69/q72 connected components: every iteration is hash joins over checkpointed state") {
+    val plan = executedPlan(
+      graft.operators.Components.q69DedupClusters(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"label propagation must stay hash-partitioned:\n$plan")
+    // the loop's state is localCheckpointed: the final plan reads
+    // cached/local state, not a replay of the whole iteration history
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("InMemory"),
+      s"labels must come from checkpointed state, not recomputed lineage:\n$plan")
+  }
+
+  test("q75 mixture is a union of filtered scans — no shuffle, no RNG nondeterminism") {
+    val plan = executedPlan(
+      graft.operators.CorpusOps.q75Mixture(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"membership is a per-row expression; nothing may shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("rand"),
+      s"sampling must be hash-deterministic, not RNG:\n$plan")
+  }
 }
