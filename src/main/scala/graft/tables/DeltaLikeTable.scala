@@ -587,7 +587,21 @@ final class DeltaLikeTable private (
     * look-before-you-leap check, since reclamation is the one
     * irreversible operation on a versioned table.
     */
-  def vacuum(retainVersions: Int, dryRun: Boolean): Seq[String] = {
+  def vacuum(retainVersions: Int, dryRun: Boolean): Seq[String] =
+    vacuum(retainVersions, dryRun, sweepUntrackedOlderThanMs = -1L)
+
+  /** `sweepUntrackedOlderThanMs ≥ 0` additionally reclaims files on disk
+    * the log never recorded — debris from a writer that crashed between
+    * staging and commit (the normal abort paths clean up after
+    * themselves; a killed JVM cannot). The age guard is the same race
+    * protection Delta's VACUUM uses: a LIVE writer's staged-but-not-yet-
+    * committed files are untracked too, so only files older than the
+    * threshold (default-off; production: hours) are swept.
+    */
+  def vacuum(
+      retainVersions: Int,
+      dryRun: Boolean,
+      sweepUntrackedOlderThanMs: Long): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = log.latestVersion
     val cutoff = math.max(math.max(0L, log.minVersion),
@@ -605,8 +619,21 @@ final class DeltaLikeTable private (
     // (the source table's own vacuum does, by its own retention)
     val doomed = all.filterNot(referenced.contains)
       .filterNot(DeltaLog.isAbsolute)
-    if (!dryRun) doomed.foreach(p => log.io.delete(s"$path/$p"))
-    doomed
+    val swept =
+      if (sweepUntrackedOlderThanMs < 0) Seq.empty
+      else {
+        val tracked = all.toSet
+        val now = System.currentTimeMillis()
+        log.io.walkFiles(path)
+          .filterNot(f => f.startsWith(DeltaLog.LogDirName) ||
+            f.startsWith("_symlink_format_manifest"))
+          .filterNot(tracked.contains)
+          .filter(f => now - log.io.modifiedTime(s"$path/$f") >=
+            sweepUntrackedOlderThanMs)
+      }
+    val victims = doomed ++ swept
+    if (!dryRun) victims.foreach(p => log.io.delete(s"$path/$p"))
+    victims
   }
 
   /** `generate("symlink_format_manifest")` — writes the latest snapshot's

@@ -38,6 +38,8 @@ private[tables] trait TableIO {
   def delete(path: String): Boolean
   def deleteRecursively(path: String): Unit
   def size(path: String): Long
+  /** Last-modified epoch millis. */
+  def modifiedTime(path: String): Long
   /** Byte-for-byte file copy; parent directories created as needed. */
   def copy(src: String, dst: String): Unit
   /** Relative paths of all regular files under `dir` (recursive). */
@@ -128,6 +130,9 @@ private[tables] object NioTableIO extends TableIO {
   }
 
   def size(path: String): Long = Files.size(Paths.get(path))
+
+  def modifiedTime(path: String): Long =
+    Files.getLastModifiedTime(Paths.get(path)).toMillis
 
   def copy(src: String, dst: String): Unit = {
     val d = Paths.get(dst)
@@ -231,6 +236,9 @@ private[tables] final class HadoopTableIO(anchor: HPath, conf: Configuration)
   }
 
   def size(path: String): Long = fs.getFileStatus(new HPath(path)).getLen
+
+  def modifiedTime(path: String): Long =
+    fs.getFileStatus(new HPath(path)).getModificationTime
 
   def copy(src: String, dst: String): Unit =
     org.apache.hadoop.fs.FileUtil.copy(

@@ -351,4 +351,39 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("deltalike")
       .option("timestampAsOf", "2999-01-01").load(path).count() === 3)
   }
+
+  test("vacuum sweep reclaims crash debris but never young or live files") {
+    val (path, t) = freshTable()
+    // simulate a writer killed between staging and commit: parquet-ish
+    // debris the log never heard of, in the root and in a subdirectory
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/part-orphan.parquet"), "junk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$path/p=1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/p=1/part-orphan2.parquet"), "junk")
+
+    val before = t.toDF.collect().toSet
+    // without sweep: untracked debris is untouched
+    t.vacuum(1, dryRun = false)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/part-orphan.parquet")))
+    // young files survive an age-guarded sweep (the live-writer race)
+    val keptYoung = t.vacuum(1, dryRun = false,
+      sweepUntrackedOlderThanMs = 60 * 60 * 1000L)
+    assert(!keptYoung.exists(_.contains("orphan")))
+    // age 0: debris goes (dry run first lists it without deleting)
+    val listed = t.vacuum(1, dryRun = true, sweepUntrackedOlderThanMs = 0L)
+    assert(listed.exists(_.endsWith("part-orphan.parquet")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/part-orphan.parquet")))
+    val swept = t.vacuum(1, dryRun = false, sweepUntrackedOlderThanMs = 0L)
+    assert(swept.exists(_.endsWith("part-orphan.parquet")))
+    assert(swept.exists(_.endsWith("part-orphan2.parquet")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/part-orphan.parquet")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/p=1/part-orphan2.parquet")))
+    // live data untouched throughout
+    assert(t.toDF.collect().toSet === before)
+  }
 }
