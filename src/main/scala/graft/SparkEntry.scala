@@ -134,6 +134,8 @@ object SparkEntry {
     "q69_dedup_clusters" -> (graft.operators.Components.q69DedupClusters _),
     // cross-document repeated-span (boilerplate) removal
     "q73_strip_common" -> (TextAnalysis.q73StripCommon _),
+    // feature-hashing TF vectors (embedding-free cosine on-ramp)
+    "q76_hashing_tf" -> (TextAnalysis.q76HashingTf _),
     // SemDeDup-style embedding clusters, planted-twin gate
     "q72_semantic_clusters" -> (graft.operators.Components.q72SemanticClusters _),
     // training prep: reproducible shuffle order + pad-efficient batching
@@ -220,6 +222,7 @@ object SparkEntry {
     "q66_sessionize" -> graft.streaming.EventStream.q66Sql,
     "q69_dedup_clusters" -> graft.operators.Components.q69Sql,
     "q73_strip_common" -> TextAnalysis.q73Sql,
+    "q76_hashing_tf" -> TextAnalysis.q76Sql,
     "q72_semantic_clusters" -> graft.operators.Components.q72Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,

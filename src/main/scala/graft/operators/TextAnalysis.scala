@@ -559,6 +559,63 @@ object TextAnalysis {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Feature-hashing TF vectorizer (the "hashing trick"): token →
+    * md5-derived bucket in [0, dim), per-document bucket counts,
+    * L2-normalized dense vector. Turns raw text into cosine-comparable
+    * vectors with NO trained model and NO vocabulary state — the
+    * embedding-free on-ramp to [[Similarity]] / [[NearDup]] /
+    * [[Components]]. md5 (not xxhash64) keeps the bucket assignment
+    * engine-portable, so the whole vector is oracle-checkable.
+    *
+    * Scale shape: explode → one (doc, bucket) hash aggregate →
+    * per-doc map assembly; vector width is a constant `dim`, so state
+    * per document is bounded and nothing is driver-side.
+    */
+  def hashingTfVectors(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast(LongType),
+      lit(dim.toLong)).cast(IntegerType)
+    val counts = docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__id"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val withMap = counts.groupBy(col("__id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("c")))).as("m"))
+    val dense = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(col("m"), i), lit(0L)).cast(DoubleType))
+    withMap
+      .withColumn("__dense", dense)
+      .withColumn("__norm",
+        sqrt(aggregate(col("__dense"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("__id").as(idCol),
+        transform(col("__dense"), x => x / col("__norm")).as("vec"))
+  }
+
+  /** Declared q76: 64-dim hashed TF vectors for every document. */
+  def q76HashingTf(spark: SparkSession, d: String): DataFrame =
+    hashingTfVectors(Tables.documents(spark, d), "doc_id", "text")
+
+  val q76Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS INT) AS bucket
+      |  FROM tok),
+      |m AS (SELECT doc_id, histogram(bucket) AS h FROM b GROUP BY doc_id),
+      |d AS (SELECT doc_id,
+      |        list_transform(range(0, 64),
+      |          i -> CAST(coalesce(map_extract(h, CAST(i AS INT))[1], 0) AS DOUBLE)) AS dense
+      |      FROM m),
+      |n AS (SELECT doc_id, dense,
+      |        sqrt(list_sum(list_transform(dense, x -> x * x))) AS nrm
+      |      FROM d)
+      |SELECT doc_id, list_transform(dense, x -> x / nrm) AS vec FROM n""".stripMargin
+
   /** Declared q73 over the documents fixture (n=5, minDocs=2 — the
     * planted near-duplicates share long spans, so the rule has real
     * work to do).
