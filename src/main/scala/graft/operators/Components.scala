@@ -92,6 +92,11 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    // with pointer jumping, `maxIter` covers diameters ~2^maxIter; not
+    // converging means something is deeply wrong — wrong labels would
+    // silently merge or split dedup clusters, so fail instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations")
     labels
   }
 
