@@ -92,6 +92,7 @@ final class DeltaLikeSource
       bloomFilterColumns = parameters.get("bloomFilterColumns")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       enableDeletionVectors = parameters.get("enableDeletionVectors").exists(_.toBoolean),
+      autoCompact = parameters.get("autoCompact").exists(_.toBoolean),
       // "id" or "id:start:step[:default]" — comma-separated declarations
       identityColumns = parameters.get("identityColumn")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { decl =>

@@ -370,6 +370,43 @@ final class DeltaLikeTable private (
     this
   }
 
+  /** Post-write auto-compaction (Delta's `autoCompact`): best-effort,
+    * scoped to the PARTITION DIRECTORIES this write just touched — an
+    * append to the hot ingest partition of a 100 TB table can only ever
+    * rewrite that partition's small files, never the cold ones. Fires
+    * when ≥ `minFiles` live small files (< `smallBytes`) sit in the
+    * written directories; losing the commit race to a concurrent writer
+    * abandons the compaction (the next write retries it naturally).
+    */
+  private[tables] def autoCompactIfNeeded(
+      writtenDirs: Set[String],
+      smallBytes: Long,
+      minFiles: Int): Unit = {
+    val snap = log.snapshot()
+    def dirOf(p: String): String = {
+      val i = p.lastIndexOf('/'); if (i < 0) "" else p.substring(0, i)
+    }
+    val candidates = snap.files.filter(f =>
+      f.sizeBytes < smallBytes && !DeltaLog.isAbsolute(f.path) &&
+        writtenDirs.contains(dirOf(f.path)))
+    if (candidates.size < minFiles) return
+    val target = math.max(1, math.ceil(
+      candidates.map(_.sizeBytes).sum.toDouble / smallBytes).toInt)
+    val compacted = DeltaLikeTable.readSnapshot(spark,
+      snap.copy(files = candidates)).repartition(target)
+    val adds = DeltaLikeTable.stageFiles(compacted, path,
+      snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
+    try log.commit(snap.version + 1,
+      candidates.map(f => RemoveFile(f.path)) ++ adds :+
+        CommitInfo("AUTO COMPACT", System.currentTimeMillis()))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        DeltaLikeTable.discardStaged(path, adds) // lost the race: skip
+      case e: Throwable =>
+        DeltaLikeTable.discardStaged(path, adds); throw e
+    }
+  }
+
   /** ADD a CHECK constraint (name → boolean SQL expression over the
     * table's columns), like Delta's `ALTER TABLE ... ADD CONSTRAINT`:
     * existing rows must already satisfy it (one validation scan), and
@@ -816,7 +853,8 @@ object DeltaLikeTable {
       bloomFilterColumns: Seq[String] = Seq.empty,
       enableDeletionVectors: Boolean = false,
       generatedColumns: Map[String, String] = Map.empty,
-      identityColumns: Map[String, IdentityColumn] = Map.empty): DeltaLikeTable = {
+      identityColumns: Map[String, IdentityColumn] = Map.empty,
+      autoCompact: Boolean = false): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val log = DeltaLog.forPath(path)
     val prev = if (log.exists) Some(log.snapshot()) else None
@@ -917,7 +955,8 @@ object DeltaLikeTable {
     }
     writeResolved(df0, path, mode, operation, partitionBy, skipCommitIf,
       mergeSchema, extraActions, bloomFilterColumns, enableDeletionVectors,
-      effectiveGenerated, effectiveIdentity, identityAssigned, log, prev)
+      effectiveGenerated, effectiveIdentity, identityAssigned, autoCompact,
+      log, prev)
   }
 
   private def writeResolved(
@@ -934,6 +973,7 @@ object DeltaLikeTable {
       effectiveGenerated: Map[String, String],
       effectiveIdentity: Map[String, String],
       identityAssigned: Map[String, (Long, Long)],
+      autoCompact: Boolean,
       log: DeltaLog,
       prev: Option[Snapshot]): DeltaLikeTable = {
     partitionBy.foreach(c => require(df.columns.contains(c),
@@ -1103,8 +1143,26 @@ object DeltaLikeTable {
     } catch {
       case e: Throwable => discardStaged(path, adds); throw e
     }
-    new DeltaLikeTable(df.sparkSession, path, None)
+    val table = new DeltaLikeTable(df.sparkSession, path, None)
+    if (autoCompact) {
+      def dirOf(p: String): String = {
+        val i = p.lastIndexOf('/'); if (i < 0) "" else p.substring(0, i)
+      }
+      table.autoCompactIfNeeded(adds.map(a => dirOf(a.path)).toSet,
+        AutoCompactSmallBytes, AutoCompactMinFiles)
+    }
+    table
   }
+
+  /** Auto-compaction thresholds (Delta's defaults scaled to this
+    * engine): files below `AutoCompactSmallBytes` count as small;
+    * `AutoCompactMinFiles` of them in the written partitions trigger a
+    * compaction commit. Overridable for tests via system properties.
+    */
+  private[tables] def AutoCompactSmallBytes: Long =
+    java.lang.Long.getLong("graft.autoCompact.smallBytes", 128L * 1024 * 1024)
+  private[tables] def AutoCompactMinFiles: Int =
+    Integer.getInteger("graft.autoCompact.minFiles", 8)
 
   /** Reject the batch if any row violates any CHECK constraint. One
     * action over the BATCH (not the table); reports the violated

@@ -386,4 +386,34 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // live data untouched throughout
     assert(t.toDF.collect().toSet === before)
   }
+
+  test("autoCompact collapses small-file buildup in the written partition only") {
+    val sp = spark; import sp.implicits._
+    val path = java.nio.file.Files.createTempDirectory("autocompact").toString
+    System.setProperty("graft.autoCompact.minFiles", "4")
+    try {
+      DeltaLikeTable.write(
+        Seq((1, 0, "a")).toDF("k", "p", "v").coalesce(1), path,
+        partitionBy = Seq("p"))
+      // cold partition p=1: written once, then never touched again
+      DeltaLikeTable.write(
+        Seq((100, 1, "cold")).toDF("k", "p", "v").coalesce(1), path, "append")
+      val t = DeltaLikeTable.forPath(spark, path)
+      val coldFiles = t.log.snapshot().files.filter(_.path.startsWith("p=1")).map(_.path)
+      assert(coldFiles.size === 1)
+      // hot partition p=0: small appends pile up until the threshold
+      (2 to 6).foreach { i =>
+        DeltaLikeTable.write(
+          Seq((i, 0, s"v$i")).toDF("k", "p", "v").coalesce(1), path, "append",
+          autoCompact = true)
+      }
+      val snap = t.log.snapshot()
+      val hot = snap.files.filter(_.path.startsWith("p=0"))
+      assert(hot.size < 4, s"hot partition still has ${hot.size} files")
+      assert(snap.files.filter(_.path.startsWith("p=1")).map(_.path) === coldFiles,
+        "cold partition files must be untouched")
+      assert(t.toDF.count() === 7)
+      assert(t.historyDF().collect().exists(_.getString(2) == "AUTO COMPACT"))
+    } finally System.clearProperty("graft.autoCompact.minFiles")
+  }
 }
