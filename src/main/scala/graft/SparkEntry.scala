@@ -136,6 +136,8 @@ object SparkEntry {
     "q73_strip_common" -> (TextAnalysis.q73StripCommon _),
     // feature-hashing TF vectors (embedding-free cosine on-ramp)
     "q76_hashing_tf" -> (TextAnalysis.q76HashingTf _),
+    // model-free document search: hashed vectors → cosine top-k
+    "q77_hashed_topk" -> (TextAnalysis.q77HashedDocTopK _),
     // SemDeDup-style embedding clusters, planted-twin gate
     "q72_semantic_clusters" -> (graft.operators.Components.q72SemanticClusters _),
     // training prep: reproducible shuffle order + pad-efficient batching
@@ -223,6 +225,7 @@ object SparkEntry {
     "q69_dedup_clusters" -> graft.operators.Components.q69Sql,
     "q73_strip_common" -> TextAnalysis.q73Sql,
     "q76_hashing_tf" -> TextAnalysis.q76Sql,
+    "q77_hashed_topk" -> TextAnalysis.q77Sql,
     "q72_semantic_clusters" -> graft.operators.Components.q72Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,

@@ -616,6 +616,46 @@ object TextAnalysis {
       |      FROM d)
       |SELECT doc_id, list_transform(dense, x -> x / nrm) AS vec FROM n""".stripMargin
 
+  /** Declared q77: document search with NO embedding model — hashed TF
+    * vectors ([[hashingTfVectors]]) fed straight into the brute-force
+    * cosine top-k ([[Similarity.bruteCosineTopK]], broadcast query
+    * side). Full oracle: DuckDB recomputes the identical md5-bucket
+    * vectors and ranking.
+    */
+  def q77HashedDocTopK(spark: SparkSession, d: String): DataFrame = {
+    val vecs = hashingTfVectors(Tables.documents(spark, d), "doc_id", "text")
+    Similarity.bruteCosineTopK(
+      vecs.where(col("doc_id") >= 5), vecs.where(col("doc_id") < 5),
+      "doc_id", "vec", k = 5)
+  }
+
+  val q77Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS INT) AS bucket
+      |  FROM tok),
+      |m AS (SELECT doc_id, histogram(bucket) AS h FROM b GROUP BY doc_id),
+      |dd AS (SELECT doc_id,
+      |        list_transform(range(0, 64),
+      |          i -> CAST(coalesce(map_extract(h, CAST(i AS INT))[1], 0) AS DOUBLE)) AS dense
+      |      FROM m),
+      |n AS (SELECT doc_id, dense,
+      |        sqrt(list_sum(list_transform(dense, x -> x * x))) AS nrm
+      |      FROM dd),
+      |v AS (SELECT doc_id, list_transform(dense, x -> x / nrm) AS vec FROM n)
+      |SELECT query_id, vec_id, cos_sim, rank FROM (
+      | SELECT q.doc_id AS query_id, c.doc_id AS vec_id,
+      |  list_dot_product(c.vec, q.vec) /
+      |    (sqrt(list_dot_product(c.vec, c.vec)) *
+      |     sqrt(list_dot_product(q.vec, q.vec))) AS cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY q.doc_id
+      |    ORDER BY cos_sim DESC, c.doc_id) AS INT) AS rank
+      | FROM (SELECT * FROM v WHERE doc_id >= 5) c
+      | CROSS JOIN (SELECT * FROM v WHERE doc_id < 5) q) t
+      |WHERE rank <= 5""".stripMargin
+
   /** Declared q73 over the documents fixture (n=5, minDocs=2 — the
     * planted near-duplicates share long spans, so the rule has real
     * work to do).
