@@ -93,6 +93,8 @@ final class DeltaLikeSource
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       enableDeletionVectors = parameters.get("enableDeletionVectors").exists(_.toBoolean),
       autoCompact = parameters.get("autoCompact").exists(_.toBoolean),
+      clusterBy = parameters.get("clusterBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       // "id" or "id:start:step[:default]" — comma-separated declarations
       identityColumns = parameters.get("identityColumn")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { decl =>

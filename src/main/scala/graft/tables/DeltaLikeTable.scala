@@ -323,7 +323,19 @@ final class DeltaLikeTable private (
       targetFiles: Int,
       zorderBy: Seq[String],
       where: Option[String]): DeltaLikeTable = {
-    val snap = log.snapshot()
+    val snap0 = log.snapshot()
+    // a clustered table keeps its clustering through compaction unless
+    // the caller explicitly re-clusters on other columns
+    val effectiveZorder =
+      if (zorderBy.nonEmpty) zorderBy else snap0.clusterBy
+    optimizeResolved(snap0, targetFiles, effectiveZorder, where)
+  }
+
+  private def optimizeResolved(
+      snap: Snapshot,
+      targetFiles: Int,
+      zorderBy: Seq[String],
+      where: Option[String]): DeltaLikeTable = {
     val selected = where match {
       case None => snap.files
       case Some(pred) =>
@@ -854,7 +866,8 @@ object DeltaLikeTable {
       enableDeletionVectors: Boolean = false,
       generatedColumns: Map[String, String] = Map.empty,
       identityColumns: Map[String, IdentityColumn] = Map.empty,
-      autoCompact: Boolean = false): DeltaLikeTable = {
+      autoCompact: Boolean = false,
+      clusterBy: Seq[String] = Seq.empty): DeltaLikeTable = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val log = DeltaLog.forPath(path)
     val prev = if (log.exists) Some(log.snapshot()) else None
@@ -956,7 +969,7 @@ object DeltaLikeTable {
     writeResolved(df0, path, mode, operation, partitionBy, skipCommitIf,
       mergeSchema, extraActions, bloomFilterColumns, enableDeletionVectors,
       effectiveGenerated, effectiveIdentity, identityAssigned, autoCompact,
-      log, prev)
+      clusterBy, log, prev)
   }
 
   private def writeResolved(
@@ -974,6 +987,7 @@ object DeltaLikeTable {
       effectiveIdentity: Map[String, String],
       identityAssigned: Map[String, (Long, Long)],
       autoCompact: Boolean,
+      clusterBy: Seq[String],
       log: DeltaLog,
       prev: Option[Snapshot]): DeltaLikeTable = {
     partitionBy.foreach(c => require(df.columns.contains(c),
@@ -1061,7 +1075,37 @@ object DeltaLikeTable {
             committedSchema.fieldNames.toSeq.filterNot(m.contains)
               .map(c => c -> DeltaLikeTable.freshPhysicalName(c))
       }
-    val adds = stageFiles(stagedDf, path, effectiveParts, effectiveBlooms,
+    // clustered writes (liquid-clustering-lite): a sticky CLUSTER BY
+    // z-orders every batch AT WRITE TIME, so multi-dimension data
+    // skipping works from the first commit without waiting for an
+    // OPTIMIZE ZORDER pass. Appends inherit; overwrite redeclares.
+    val effectiveCluster: Seq[String] =
+      if (mode == "append" && prev.nonEmpty) {
+        require(clusterBy.isEmpty || clusterBy == prev.get.clusterBy,
+          s"append with different clustering: table has " +
+            s"${prev.get.clusterBy}, write asked $clusterBy")
+        prev.get.clusterBy
+      } else clusterBy
+    effectiveCluster.foreach { c =>
+      require(committedSchema.fieldNames.contains(c),
+        s"cluster column '$c' not in schema")
+      require(!effectiveParts.contains(c),
+        s"cluster column '$c' is already a partition column")
+    }
+    val clusteredDf =
+      if (effectiveCluster.isEmpty) stagedDf
+      else {
+        val zc = "__graft_z"
+        val n = stagedDf.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt
+        // AQE coalesces the range exchange, so small batches still land
+        // in few (sorted) files
+        stagedDf.withColumn(zc, ZOrder.zvalue(stagedDf, effectiveCluster))
+          .repartitionByRange(n, col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc)
+      }
+    val adds = stageFiles(clusteredDf, path, effectiveParts, effectiveBlooms,
       effectiveMapping)
     // advance identity watermarks by the staged row count — no extra
     // job: AddFile.numRecords is already known from the write
@@ -1108,7 +1152,7 @@ object DeltaLikeTable {
             (enableDeletionVectors && !prev.exists(_.deletionVectors)))
             Seq(MetaData(committedSchema.toDDL, effectiveParts, effectiveBlooms,
               effectiveConstraints, effectiveDv, effectiveMapping,
-              effectiveGenerated, identityCommitted))
+              effectiveGenerated, identityCommitted, effectiveCluster))
           else Seq.empty
         try {
           log.commit(version,

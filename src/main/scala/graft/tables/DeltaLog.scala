@@ -34,7 +34,8 @@ final case class MetaData(
     deletionVectors: Boolean = false,
     columnMapping: Map[String, String] = Map.empty,
     generatedColumns: Map[String, String] = Map.empty,
-    identityColumns: Map[String, String] = Map.empty)
+    identityColumns: Map[String, String] = Map.empty,
+    clusterBy: Seq[String] = Seq.empty)
     extends Action
 
 /** A data file added to the table at this version. `path` is relative to
@@ -92,7 +93,8 @@ final case class Snapshot(
     deletionVectors: Boolean = false,
     columnMapping: Map[String, String] = Map.empty,
     generatedColumns: Map[String, String] = Map.empty,
-    identityColumns: Map[String, String] = Map.empty) {
+    identityColumns: Map[String, String] = Map.empty,
+    clusterBy: Seq[String] = Seq.empty) {
   def filePaths: Seq[String] =
     files.map(f => DeltaLog.resolvePath(tableRoot, f.path))
 
@@ -122,9 +124,11 @@ final case class Snapshot(
       deletionVectors: Boolean = deletionVectors,
       columnMapping: Map[String, String] = columnMapping,
       generatedColumns: Map[String, String] = generatedColumns,
-      identityColumns: Map[String, String] = identityColumns): MetaData =
+      identityColumns: Map[String, String] = identityColumns,
+      clusterBy: Seq[String] = clusterBy): MetaData =
     MetaData(schemaDdl, partitionColumns, bloomFilterColumns, constraints,
-      deletionVectors, columnMapping, generatedColumns, identityColumns)
+      deletionVectors, columnMapping, generatedColumns, identityColumns,
+      clusterBy)
 }
 
 /** Reader/writer for the JSON transaction log of one table.
@@ -184,6 +188,7 @@ final class DeltaLog(val tableRoot: String) {
     var colMapping: Map[String, String] = Map.empty
     var genCols: Map[String, String] = Map.empty
     var idCols: Map[String, String] = Map.empty
+    var clusterCols: Seq[String] = Seq.empty
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def apply(a: Action): Unit = a match {
@@ -192,6 +197,7 @@ final class DeltaLog(val tableRoot: String) {
         bloomCols = m.bloomFilterColumns; constraints = m.constraints
         dvEnabled = m.deletionVectors; colMapping = m.columnMapping
         genCols = m.generatedColumns; idCols = m.identityColumns
+        clusterCols = m.clusterBy
       case a: AddFile    => active(a.path) = a
       case r: RemoveFile => active.remove(r.path): Unit
       case t: Txn        => txns(t.appId) = math.max(t.txnVersion, txns.getOrElse(t.appId, Long.MinValue))
@@ -210,7 +216,7 @@ final class DeltaLog(val tableRoot: String) {
     require(schemaDdl != null, s"log for $tableRoot has no metadata action")
     Snapshot(v, StructType.fromDDL(schemaDdl), active.values.toSeq, tableRoot,
       partCols, txns.toMap, bloomCols, constraints, dvEnabled, colMapping,
-      genCols, idCols)
+      genCols, idCols, clusterCols)
   }
 
   /** Atomically publish `version`; throws if it was already committed.

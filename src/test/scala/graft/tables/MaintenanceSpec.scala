@@ -387,6 +387,42 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF.collect().toSet === before)
   }
 
+  test("clustered writes: CLUSTER BY z-orders every batch, sticky, OPTIMIZE preserves it") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val path = Files.createTempDirectory("clusterby").toString
+    val grid = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+      .repartition(8, org.apache.spark.sql.functions.xxhash64($"id"))
+    DeltaLikeTable.write(grid, path, clusterBy = Seq("x", "y"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    val snap0 = t.log.snapshot()
+    assert(snap0.clusterBy === Seq("x", "y"))
+    assert(snap0.files.size > 1, "need several files for pruning to mean anything")
+    // skipping works from the FIRST commit — no OPTIMIZE ZORDER needed
+    // (an unclustered write of this hash-shuffled grid prunes NOTHING:
+    // every file spans the full x range — see the zorder test above)
+    val kept = DataSkipping.prune(snap0, Seq(EqualTo("x", 10L))).size
+    assert(kept < snap0.files.size,
+      s"clustered write kept $kept of ${snap0.files.size} files for x=10")
+    // appends inherit the clustering; redeclaring differently is refused
+    DeltaLikeTable.write(
+      (4096 until 4160).map(i => (i.toLong, (i % 64).toLong, 64L)).toDF("id", "x", "y"),
+      path, "append")
+    assert(t.log.snapshot().clusterBy === Seq("x", "y"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLikeTable.write(Seq((9999L, 0L, 0L)).toDF("id", "x", "y"),
+        path, "append", clusterBy = Seq("y"))
+    }.getMessage.contains("different clustering"))
+    // OPTIMIZE without explicit zorder keeps the table clustered
+    t.optimize(targetFiles = 16)
+    val snap2 = t.log.snapshot()
+    val keptAfter = DataSkipping.prune(snap2, Seq(EqualTo("y", 10L))).size
+    assert(keptAfter * 2 <= snap2.files.size,
+      s"optimize lost the clustering: kept $keptAfter of ${snap2.files.size}")
+    assert(t.toDF.count() === 4160)
+  }
+
   test("autoCompact collapses small-file buildup in the written partition only") {
     val sp = spark; import sp.implicits._
     val path = java.nio.file.Files.createTempDirectory("autocompact").toString
