@@ -72,23 +72,22 @@ object Components {
       val nbrMin = sym
         .join(labels.select(col("node").as("v"), col("comp")), Seq("v"))
         .groupBy(col("u")).agg(min(col("comp")).as("nbr_comp"))
+      // the previous label rides along as `old`, so convergence needs
+      // no extra join against the prior state
       val prop = labels
         .join(nbrMin.select(col("u").as("node"), col("nbr_comp")), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // compress: comp := comp(comp). comp(c) ≤ c always (c's own row
       // started at c and only decreases), so `least` is belt-and-braces
       val jumped = prop
         .join(prop.select(col("node").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
-        .select(col("node"),
+        .select(col("node"), col("old"),
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = jumped
-        .join(labels.select(col("node"), col("comp").as("old")), Seq("node"))
-        .where(col("comp") =!= col("old"))
-        .count()
-      labels = jumped
+      val changed = jumped.where(col("comp") =!= col("old")).count()
+      labels = jumped.select(col("node"), col("comp"))
       converged = changed == 0
       iter += 1
     }
