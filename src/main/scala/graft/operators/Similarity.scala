@@ -160,27 +160,37 @@ object Similarity {
       idCol: String,
       embCol: String): DataFrame = {
     val xs = transform(col(embCol), x => x.cast(DoubleType))
-    val scale = array_max(transform(xs, x => abs(x))) / lit(127.0)
-    val q = when(scale === 0d,
-      transform(xs, _ => lit(0)))
-      .otherwise(transform(xs, x => round(x / scale).cast(IntegerType)))
-    val err = when(scale === 0d, lit(0d)).otherwise(
-      sqrt(aggregate(
-        zip_with(xs, q, (x, qi) => {
-          val d = x - qi.cast(DoubleType) * scale
-          d * d
-        }),
-        lit(0d), (acc, v) => acc + v) / size(col(embCol))))
+    // the max-abs reduction lands in aggregate's FINISH lambda so
+    // `scale` is a BOUND VALUE inside the per-element lambdas below —
+    // written as a sibling expression it would be inlined into each
+    // lambda body and the O(dim) fold would re-run per element
+    // (O(dim²) per row; see hashingTfVectors for the same trap)
+    val packed = aggregate(
+      xs, lit(0d), (acc, x) => greatest(acc, abs(x)),
+      mx => {
+        val scale = mx / lit(127.0)
+        val q = when(scale === 0d, transform(xs, _ => lit(0)))
+          .otherwise(transform(xs, x => round(x / scale).cast(IntegerType)))
+        val err = when(scale === 0d, lit(0d)).otherwise(
+          sqrt(aggregate(
+            zip_with(xs, q, (x, qi) => {
+              val d = x - qi.cast(DoubleType) * scale
+              d * d
+            }),
+            lit(0d), (acc, v) => acc + v) / size(col(embCol))))
+        // positional checksum pins every quantized VALUE in the oracle
+        // hash without emitting 64 columns
+        val checksum = aggregate(
+          zip_with(q, sequence(lit(1), size(col(embCol))),
+            (qi, i) => qi.cast(LongType) * i.cast(LongType)),
+          lit(0L), (acc, v) => acc + v)
+        struct(scale.as("scale"), err.as("rms_err"), checksum.as("q_checksum"))
+      })
     vecs.select(
       col(idCol),
-      scale.as("scale"),
-      err.as("rms_err"),
-      // positional checksum pins every quantized VALUE in the oracle
-      // hash without emitting 64 columns
-      aggregate(
-        zip_with(q, sequence(lit(1), size(col(embCol))),
-          (qi, i) => qi.cast(LongType) * i.cast(LongType)),
-        lit(0L), (acc, v) => acc + v).as("q_checksum"))
+      packed.getField("scale").as("scale"),
+      packed.getField("rms_err").as("rms_err"),
+      packed.getField("q_checksum").as("q_checksum"))
   }
 
   /** Declared q65 — SQ8 over the embeddings fixture. */
