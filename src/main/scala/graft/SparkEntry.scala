@@ -155,6 +155,8 @@ object SparkEntry {
     "q70_unpivot" -> (SqlSurface.q70Unpivot _),
     "q71_exists" -> (SqlSurface.q71Exists _),
     "q74_recursive_cte" -> (SqlSurface.q74RecursiveCte _),
+    "q78_range_frame" -> (SqlSurface.q78RangeFrame _),
+    "q79_median_mode" -> (SqlSurface.q79MedianMode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -241,5 +243,7 @@ object SparkEntry {
     "q70_unpivot" -> SqlSurface.q70Sql,
     "q71_exists" -> SqlSurface.q71Sql,
     "q74_recursive_cte" -> SqlSurface.q74Sql,
+    "q78_range_frame" -> SqlSurface.q78Sql,
+    "q79_median_mode" -> SqlSurface.q79Sql,
   )
 }

@@ -208,4 +208,46 @@ object SqlSurface {
       |FROM days LEFT JOIN orders
       |  ON CAST(o_orderdate AS DATE) = d
       |GROUP BY d""".stripMargin
+
+  /** RANGE frame over a temporal order key: per-customer trailing
+    * 30-day order count and spend — a VALUE-based window (all rows
+    * within the interval), not a row-count frame; E6 coverage the ROWS
+    * frames don't exercise.
+    */
+  def q78RangeFrame(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_custkey, o_orderkey,
+         | CAST(count(*) OVER w AS BIGINT) AS n_30d,
+         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DOUBLE) AS spend_30d
+         |FROM ${p(d, "orders")}
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+         |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""".stripMargin)
+
+  val q78Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | count(*) OVER w AS n_30d,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DOUBLE) AS spend_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+      |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** median / mode / exact percentile_cont aggregates per group (E1
+    * additions beyond q47's moments).
+    */
+  def q79MedianMode(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderpriority,
+         | CAST(median(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS median_price,
+         | mode(o_orderstatus) AS mode_status,
+         | CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS p90_price
+         |FROM ${p(d, "orders")}
+         |GROUP BY o_orderpriority""".stripMargin)
+
+  val q79Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(median(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS median_price,
+      | mode(o_orderstatus) AS mode_status,
+      | CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS p90_price
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
 }
