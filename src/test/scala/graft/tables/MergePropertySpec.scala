@@ -76,6 +76,45 @@ class MergePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("full sync merge = source, exactly (random target/source pairs)") {
+    val rnd = new scala.util.Random(5005)
+    (1 to Cases).foreach { i =>
+      val target = genRows(rnd, "t")
+      val source = genRows(rnd, "s")
+      val path = Files.createTempDirectory("prop_sync").toString
+      DeltaLikeTable.write(df(target), path)
+      val t = DeltaLikeTable.forPath(spark, path)
+      t.as("t").merge(df(source).as("s"), "t.k = s.k")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete().execute()
+      assert(collect(t.toDF) === source.toSet,
+        s"case $i: mirror must equal source; target=$target source=$source")
+      DeltaLikeTable.deleteRecursively(java.nio.file.Paths.get(path))
+    }
+  }
+
+  test("conditional by-source update = f(target − matched) (random pairs)") {
+    val rnd = new scala.util.Random(6006)
+    (1 to Cases).foreach { i =>
+      val target = genRows(rnd, "t")
+      val source = genRows(rnd, "s")
+      val path = Files.createTempDirectory("prop_bysrc").toString
+      DeltaLikeTable.write(df(target), path)
+      val t = DeltaLikeTable.forPath(spark, path)
+      t.as("t").merge(df(source).as("s"), "t.k = s.k")
+        .whenNotMatchedBySourceUpdate(
+          org.apache.spark.sql.functions.expr("t.k % 2 = 0"),
+          Map("v" -> org.apache.spark.sql.functions.lit("stale")))
+        .execute()
+      val srcKeys = source.map(_._1).toSet
+      val want = target.map { case (k, v) =>
+        if (!srcKeys.contains(k) && k % 2 == 0) (k, "stale") else (k, v)
+      }.toSet
+      assert(collect(t.toDF) === want, s"case $i: target=$target source=$source")
+      DeltaLikeTable.deleteRecursively(java.nio.file.Paths.get(path))
+    }
+  }
+
   test("time travel: read(v0) immutable under later append + merge") {
     val rnd = new scala.util.Random(3003)
     (1 to Cases).foreach { i =>
