@@ -408,9 +408,13 @@ final class DeltaLikeTable private (
       snap.copy(files = candidates)).repartition(target)
     val adds = DeltaLikeTable.stageFiles(compacted, path,
       snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
+    // operation name MUST start with "OPTIMIZE": the change feed, the
+    // incremental reader, and the streaming source all classify
+    // data-neutral rewrites by that prefix — a differently-named
+    // compaction would surface as spurious row-level changes
     try log.commit(snap.version + 1,
       candidates.map(f => RemoveFile(f.path)) ++ adds :+
-        CommitInfo("AUTO COMPACT", System.currentTimeMillis()))
+        CommitInfo("OPTIMIZE (AUTO COMPACT)", System.currentTimeMillis()))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         DeltaLikeTable.discardStaged(path, adds) // lost the race: skip

@@ -449,7 +449,13 @@ class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(snap.files.filter(_.path.startsWith("p=1")).map(_.path) === coldFiles,
         "cold partition files must be untouched")
       assert(t.toDF.count() === 7)
-      assert(t.historyDF().collect().exists(_.getString(2) == "AUTO COMPACT"))
+      assert(t.historyDF().collect().exists(_.getString(2) == "OPTIMIZE (AUTO COMPACT)"))
+      // auto-compaction is data-neutral: the change feed must deliver
+      // only the appended rows, never compaction rewrites
+      val changes = ChangeReader.changeFeed(spark, path, sinceVersion = 1)
+      assert(changes.where("_change_type = 'delete'").count() === 0,
+        "compaction must not surface as row deletes in the change feed")
+      assert(changes.where("_change_type = 'insert'").count() === 5)
     } finally System.clearProperty("graft.autoCompact.minFiles")
   }
 }
