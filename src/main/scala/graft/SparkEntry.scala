@@ -157,6 +157,8 @@ object SparkEntry {
     "q74_recursive_cte" -> (SqlSurface.q74RecursiveCte _),
     "q78_range_frame" -> (SqlSurface.q78RangeFrame _),
     "q79_median_mode" -> (SqlSurface.q79MedianMode _),
+    // A1-adjacent: schema-declared JSONL ingest, lossless round-trip
+    "q80_jsonl_roundtrip" -> (graft.sources.Sources.q80JsonlRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,5 +247,6 @@ object SparkEntry {
     "q74_recursive_cte" -> SqlSurface.q74Sql,
     "q78_range_frame" -> SqlSurface.q78Sql,
     "q79_median_mode" -> SqlSurface.q79Sql,
+    "q80_jsonl_roundtrip" -> graft.sources.Sources.q80Sql,
   )
 }

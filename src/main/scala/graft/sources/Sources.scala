@@ -37,4 +37,32 @@ object Sources {
   /** JSON-lines with a declared schema (no sampling pass). */
   def jsonLines(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(StructType.fromDDL(ddl)).json(path)
+
+  /** Declared q80: JSONL ingestion proven lossless end-to-end — the
+    * documents table is written as JSON lines, read back through the
+    * schema-declared [[jsonLines]] source (the web-scrape ingest
+    * format), and summarized per language with an md5-derived content
+    * checksum. The oracle computes the same summary from the parquet
+    * original, so any encode/decode corruption (escaping, unicode,
+    * type coercion) breaks the hash compare.
+    */
+  def q80JsonlRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    graft.core.Tables.documents(spark, d)
+      .write.mode("overwrite").json(tmp)
+    jsonLines(spark, tmp,
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+          .as("text_checksum"))
+  }
+
+  val q80Sql: String =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      | sum(('0x' || substring(md5(text), 1, 12))::BIGINT) AS text_checksum
+      |FROM documents GROUP BY lang""".stripMargin
 }
