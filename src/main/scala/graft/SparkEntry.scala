@@ -140,6 +140,8 @@ object SparkEntry {
     "q77_hashed_topk" -> (TextAnalysis.q77HashedDocTopK _),
     // SemDeDup-style embedding clusters, planted-twin gate
     "q72_semantic_clusters" -> (graft.operators.Components.q72SemanticClusters _),
+    // host-centrality (PageRank) over the interaction graph, full oracle
+    "q81_pagerank" -> (graft.operators.Components.q81PageRank _),
     // training prep: reproducible shuffle order + pad-efficient batching
     "q67_shuffle" -> (graft.operators.CorpusOps.q67Shuffle _),
     "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
@@ -231,6 +233,7 @@ object SparkEntry {
     "q76_hashing_tf" -> TextAnalysis.q76Sql,
     "q77_hashed_topk" -> TextAnalysis.q77Sql,
     "q72_semantic_clusters" -> graft.operators.Components.q72Sql,
+    "q81_pagerank" -> graft.operators.Components.q81Sql,
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     "q75_mixture" -> graft.operators.CorpusOps.q75Sql,

@@ -116,6 +116,96 @@ object Components {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** PageRank over an undirected graph — the host-centrality signal
+    * web-corpus curation uses (rank domains by their interaction
+    * structure; CommonCrawl-style host ranking). Symmetrized edges
+    * mean every node has out-degree ≥ 1, so there is no dangling-mass
+    * term and one iteration is exactly:
+    *
+    *   rank'(v) = (1−d)/N + d · Σ_{u∈N(v)} rank(u)/deg(u)
+    *
+    * Scale shape: the (edge ⋈ degree) relation is built once and
+    * localCheckpointed; each of the fixed `iterations` is one hash
+    * join on the rank relation plus one grouped sum — two shuffles of
+    * edge cardinality, state one row per node, lineage O(1) via
+    * per-iteration checkpoint. Fixed iteration count keeps the engine
+    * and the oracle bit-comparable (both compute the SAME truncated
+    * power iteration).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val symDeg = sym.join(deg, Seq("src")).localCheckpoint()
+    val n = symDeg.select(col("src")).distinct().count()
+    var ranks = symDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      ranks = symDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("in_rank"))
+        .select(col("dst").as("node"),
+          (lit((1 - damping)) / n + lit(damping) * col("in_rank")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Declared q81: centrality of the customer↔supplier interaction
+    * graph (high-value orders only), suppliers offset into a disjoint
+    * id space. Full oracle: DuckDB runs the identical 8 truncated
+    * power iterations as chained CTEs — float divergence is far below
+    * the compare's 1e-6 rounding.
+    */
+  def q81PageRank(spark: SparkSession, d: String): DataFrame = {
+    val o = graft.core.Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.core.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    pageRank(edges, "src", "dst", iterations = 8)
+  }
+
+  val q81Sql: String = {
+    val base =
+      """WITH edges0 AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_totalprice > 150000),
+        |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |pr0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+         |      CAST(0.85 AS DOUBLE) * sum(p.rank / d.deg) AS rank
+         |  FROM edges e
+         |  JOIN pr${i - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, rank FROM pr8"
+  }
+
   /** Declared q72: SEMANTIC dedup clusters — the SemDeDup shape.
     * Hyperplane-LSH embedding pairs at cosine ≥ 0.95 (exact-verified
     * candidates, [[NearDup.embeddingPairs]]) → connected components →

@@ -73,6 +73,43 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("pageRank matches local power iteration; star center dominates") {
+    // star: center 0 connected to 1..20
+    val star = (1L to 20L).map(i => (0L, i))
+    val got = {
+      val df = spark.createDataFrame(star).toDF("a", "b")
+      Components.pageRank(df, "a", "b", iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(got(0L) === got.values.max, "star center must rank highest")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks stay a distribution")
+
+    // random graph vs a local reference implementation
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val nodes = sym.map(_._1).distinct.sorted
+    val n = nodes.size
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 8).foreach { _ =>
+      rank = nodes.map { v =>
+        val in = sym.collect { case (u, d) if d == v => rank(u) / deg(u) }.sum
+        v -> (0.15 / n + 0.85 * in)
+      }.toMap
+    }
+    val gotR = {
+      val df = spark.createDataFrame(edges).toDF("a", "b")
+      Components.pageRank(df, "a", "b", iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    assert(gotR.keySet === rank.keySet)
+    rank.foreach { case (v, r) =>
+      assert(math.abs(gotR(v) - r) < 1e-9, s"node $v: ${gotR(v)} vs $r")
+    }
+  }
+
   test("q69 assigns every document a cluster and keeps exactly one per cluster") {
     val out = Components.q69DedupClusters(spark, "/root/testdata/sf0.001").collect()
     val nDocs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count()
