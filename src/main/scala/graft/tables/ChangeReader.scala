@@ -146,4 +146,23 @@ object ChangeReader {
 
   /** Current head version, for callers tracking their own offset. */
   def latestVersion(path: String): Long = DeltaLog.forPath(path).latestVersion
+
+  /** Net per-key row-count delta over versions (`sinceVersion`, latest]
+    * — the input an INCREMENTAL AGGREGATE maintainer merges into a
+    * downstream table (insert = +1, delete = −1; an updated row whose
+    * key did not change nets to 0 and drops out). Cost is bounded by
+    * the change footprint, never the table — the whole point of
+    * maintaining the aggregate incrementally.
+    */
+  def netChanges(
+      spark: SparkSession,
+      path: String,
+      sinceVersion: Long,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    changeFeed(spark, path, sinceVersion)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(when(col(ChangeTypeCol) === "insert", 1L).otherwise(-1L)).as("net"))
+      .where(col("net") =!= 0L)
+  }
 }

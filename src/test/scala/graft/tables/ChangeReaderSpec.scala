@@ -111,4 +111,55 @@ class ChangeReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
     df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("incremental aggregate maintenance: netChanges + MERGE tracks the full recompute") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Files.createTempDirectory("cdc_corpus").toString
+    val agg = Files.createTempDirectory("cdc_agg").toString + "/t"
+
+    // v0 corpus + initial aggregate
+    DeltaLikeTable.write(
+      Seq((1L, "en"), (2L, "en"), (3L, "fr"), (4L, "de")).toDF("doc_id", "lang"),
+      corpus)
+    val corpusT = DeltaLikeTable.forPath(spark, corpus)
+    DeltaLikeTable.write(
+      corpusT.toDF.groupBy("lang").agg(count(lit(1)).as("n")), agg)
+    val aggT = DeltaLikeTable.forPath(spark, agg)
+    var offset = corpusT.version
+
+    def applyChanges(): Unit = {
+      val net = ChangeReader.netChanges(spark, corpus, offset, Seq("lang"))
+      aggT.as("t").merge(net.as("s"), "t.lang = s.lang")
+        .whenMatchedDelete(expr("t.n + s.net <= 0"))
+        .whenMatchedUpdate(Map("n" -> expr("t.n + s.net")))
+        .whenNotMatchedInsert(Map("lang" -> col("s.lang"), "n" -> col("s.net")))
+        .execute()
+      offset = corpusT.version
+    }
+    def full(): Set[(String, Long)] =
+      corpusT.toDF.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def maintained(): Set[(String, Long)] =
+      aggT.toDF.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // appends, a delete emptying a group, a merge rewriting a row, a
+    // new group — after each batch the maintained aggregate must equal
+    // the full recompute
+    DeltaLikeTable.write(Seq((5L, "en"), (6L, "zh")).toDF("doc_id", "lang"),
+      corpus, "append")
+    applyChanges()
+    assert(maintained() === full())
+
+    corpusT.delete(expr("lang = 'fr'"))
+    applyChanges()
+    assert(maintained() === full())
+    assert(!maintained().exists(_._1 == "fr"), "emptied group must be deleted")
+
+    corpusT.as("t").merge(
+      Seq((2L, "de")).toDF("doc_id", "lang").as("s"), "t.doc_id = s.doc_id")
+      .whenMatchedUpdateAll().execute() // en -> de: net -1 en, +1 de
+    applyChanges()
+    assert(maintained() === full())
+  }
 }
