@@ -546,11 +546,13 @@ final class DeltaLikeTable private (
       snap.constraints.keys.toSeq.sorted,
       snap.deletionVectors,
       snap.columnMapping.nonEmpty,
-      snap.generatedColumns.keys.toSeq.sorted))
+      snap.generatedColumns.keys.toSeq.sorted,
+      snap.identityColumns.keys.toSeq.sorted,
+      snap.clusterBy))
       .toDF("format", "location", "version", "num_files", "size_bytes",
         "num_records", "partition_columns", "bloom_filter_columns",
         "constraints", "deletion_vectors", "column_mapping",
-        "generated_columns")
+        "generated_columns", "identity_columns", "cluster_by")
   }
 
   /** Identity mapping for every current column on first use; the

@@ -172,7 +172,9 @@ case class DeltalikeDescribeDetailCommand(path: String)
     AttributeReference("constraints", ArrayType(StringType), nullable = true)(),
     AttributeReference("deletion_vectors", BooleanType, nullable = false)(),
     AttributeReference("column_mapping", BooleanType, nullable = false)(),
-    AttributeReference("generated_columns", ArrayType(StringType), nullable = true)())
+    AttributeReference("generated_columns", ArrayType(StringType), nullable = true)(),
+    AttributeReference("identity_columns", ArrayType(StringType), nullable = true)(),
+    AttributeReference("cluster_by", ArrayType(StringType), nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] =
     DeltaLikeTable.forPath(spark, path).detail().collect().toSeq

@@ -111,6 +111,17 @@ class IdentityColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids === Seq(5L, 10L, 15L))
   }
 
+  test("DESCRIBE DETAIL surfaces identity and clustering properties") {
+    val sp = spark; import sp.implicits._
+    val path = tmp()
+    DeltaLikeTable.write(Seq((1L, 2L, "a")).toDF("x", "y", "v"), path,
+      identityColumns = Map("id" -> IdentityColumn()),
+      clusterBy = Seq("x", "y"))
+    val det = DeltaLikeTable.forPath(spark, path).detail().collect().head
+    assert(det.getAs[Seq[String]]("identity_columns") === Seq("id"))
+    assert(det.getAs[Seq[String]]("cluster_by") === Seq("x", "y"))
+  }
+
   test("MERGE insert into an ALWAYS identity table is rejected; update-only works") {
     val sp = spark; import sp.implicits._
     val path = tmp()
