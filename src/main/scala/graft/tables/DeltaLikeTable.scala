@@ -443,6 +443,30 @@ final class DeltaLikeTable private (
     this
   }
 
+  /** ADD COLUMN as a metadata-only commit: the schema gains a nullable
+    * column, existing files read it as null (schema-on-read), no data
+    * is touched. Under column mapping the new logical name gets a
+    * fresh physical name so it can never resurrect a dropped column's
+    * bytes.
+    */
+  def addColumn(name: String, typeDdl: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists")
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(typeDdl)
+    val newSchema = StructType(snap.schema.fields :+
+      StructField(name, dt, nullable = true))
+    val mapping =
+      if (snap.columnMapping.isEmpty) snap.columnMapping
+      else snap.columnMapping +
+        (name -> DeltaLikeTable.freshPhysicalName(name))
+    log.commit(snap.version + 1, Seq(
+      snap.toMetaData(schemaDdl = newSchema.toDDL, columnMapping = mapping),
+      CommitInfo(s"ADD COLUMN $name", System.currentTimeMillis())))
+    this
+  }
+
   def dropConstraint(name: String): DeltaLikeTable = {
     val snap = log.snapshot()
     require(snap.constraints.contains(name), s"no such constraint '$name'")

@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE deltalike.`/p` DROP CONSTRAINT positive
   * ALTER TABLE deltalike.`/p` RENAME COLUMN a TO b
   * ALTER TABLE deltalike.`/p` DROP COLUMN a
+  * ALTER TABLE deltalike.`/p` ADD COLUMN c BIGINT
   * DESCRIBE HISTORY deltalike.`/p`
   * DESCRIBE DETAIL deltalike.`/p`
   * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
@@ -60,6 +61,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val DropColumn =
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val AddColumn =
+    """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val DescribeDetail =
@@ -87,6 +90,8 @@ object GraftSqlParser {
         Some(DeltalikeRenameColumnCommand(path, from, to))
       case DropColumn(path, name) =>
         Some(DeltalikeDropColumnCommand(path, name))
+      case AddColumn(path, name, typeDdl) =>
+        Some(DeltalikeAddColumnCommand(path, name, typeDdl))
       case DescribeHistory(path) =>
         Some(DeltalikeDescribeHistoryCommand(path))
       case DescribeDetail(path) =>
@@ -151,6 +156,14 @@ case class DeltalikeDropColumnCommand(path: String, column: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaLikeTable.forPath(spark, path).dropColumn(column)
+    Seq.empty
+  }
+}
+
+case class DeltalikeAddColumnCommand(path: String, column: String, typeDdl: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).addColumn(column, typeDdl)
     Seq.empty
   }
 }

@@ -223,16 +223,29 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cols = spark.sql(s"SELECT * FROM deltalike.`$path`").schema.fieldNames.toSeq
     assert(cols === Seq("k", "label"))
 
+    // ADD COLUMN: metadata-only; old rows read null; appends may fill it
+    spark.sql(s"ALTER TABLE deltalike.`$path` ADD COLUMN score DOUBLE")
+    val withScore = spark.sql(s"SELECT * FROM deltalike.`$path`")
+    assert(withScore.schema.fieldNames.toSeq === Seq("k", "label", "score"))
+    assert(withScore.where("score IS NOT NULL").count() === 0)
+    // under the active column mapping the new column got a fresh
+    // physical name (no resurrection of dropped bytes)
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.log.snapshot().physicalName("score") !== "score")
+    assert(intercept[IllegalArgumentException] {
+      t.addColumn("score", "INT")
+    }.getMessage.contains("already exists"))
+
     val hist = spark.sql(s"DESCRIBE HISTORY deltalike.`$path`").collect()
-    assert(hist.length === 3) // write, rename, drop — newest first
-    assert(hist.head.getAs[String]("operation") === "DROP COLUMN n")
+    assert(hist.length === 4) // write, rename, drop, add — newest first
+    assert(hist.head.getAs[String]("operation") === "ADD COLUMN score")
     assert(hist.last.getAs[Long]("version") === 0L)
     assert(hist.map(_.getAs[String]("operation"))
       .contains("RENAME COLUMN v TO label"))
 
     val det = spark.sql(s"DESCRIBE DETAIL deltalike.`$path`").collect()
     assert(det.length === 1)
-    assert(det.head.getAs[Long]("version") === 2L)
+    assert(det.head.getAs[Long]("version") === 3L)
     assert(det.head.getAs[Long]("num_records") === 3L)
     assert(det.head.getAs[Boolean]("column_mapping") === true)
   }
