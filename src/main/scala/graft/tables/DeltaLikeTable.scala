@@ -908,8 +908,15 @@ object DeltaLikeTable {
     }
     val effectiveIdentity: Map[String, String] = prev match {
       case Some(p) if mode == "append" =>
-        require(identityColumns.isEmpty,
-          s"append may not declare identity columns (table has ${p.identityColumns.keys})")
+        // an append may RE-declare the table's identity spec verbatim
+        // (a writer option applies to every batch) but never change it
+        require(identityColumns.isEmpty ||
+          (identityColumns.keySet == p.identityColumns.keySet &&
+            identityColumns.forall { case (c, spec) =>
+              p.identityColumns.get(c).exists(decodeIdentity(_)._1 == spec)
+            }),
+          s"append with different identity columns: table has " +
+            s"${p.identityColumns}, write asked $identityColumns")
         p.identityColumns
       case Some(p) =>
         if (identityColumns.isEmpty) p.identityColumns

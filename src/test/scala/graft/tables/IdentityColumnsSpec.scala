@@ -105,10 +105,17 @@ class IdentityColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val path = tmp()
     Seq("a", "b").toDF("v").write.format("deltalike").mode("overwrite")
       .option("identityColumn", "id:5:5").save(path)
-    Seq("c").toDF("v").write.format("deltalike").mode("append").save(path)
+    // a writer option repeats on every batch — identical re-declaration
+    // must be accepted on append, a changed one refused
+    Seq("c").toDF("v").write.format("deltalike").mode("append")
+      .option("identityColumn", "id:5:5").save(path)
     val ids = DeltaLikeTable.forPath(spark, path).toDF
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids === Seq(5L, 10L, 15L))
+    assert(intercept[IllegalArgumentException] {
+      Seq("d").toDF("v").write.format("deltalike").mode("append")
+        .option("identityColumn", "id:1:1").save(path)
+    }.getMessage.contains("different identity"))
   }
 
   test("DESCRIBE DETAIL surfaces identity and clustering properties") {
