@@ -467,6 +467,30 @@ final class DeltaLikeTable private (
     this
   }
 
+  /** ALTER COLUMN TYPE as a metadata-only commit — the same widening
+    * promotions the mergeSchema write path accepts (byte/short/int→long
+    * chain, float→double); existing files are promoted at scan time,
+    * narrowing is rejected.
+    */
+  def alterColumnType(name: String, typeDdl: String): DeltaLikeTable = {
+    val snap = log.snapshot()
+    val field = snap.schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(s"no such column '$name'"))
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(typeDdl)
+    require(DeltaLikeTable.canWiden(field.dataType, dt),
+      s"cannot change '$name' from ${field.dataType.catalogString} to " +
+        s"${dt.catalogString} (only widening promotions: byte/short/int→long " +
+        "chain, float→double)")
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = dt) else f))
+    log.commit(snap.version + 1, Seq(
+      snap.toMetaData(schemaDdl = newSchema.toDDL),
+      CommitInfo(s"ALTER COLUMN $name TYPE ${dt.catalogString}",
+        System.currentTimeMillis())))
+    this
+  }
+
   def dropConstraint(name: String): DeltaLikeTable = {
     val snap = log.snapshot()
     require(snap.constraints.contains(name), s"no such constraint '$name'")

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * ALTER TABLE deltalike.`/p` RENAME COLUMN a TO b
   * ALTER TABLE deltalike.`/p` DROP COLUMN a
   * ALTER TABLE deltalike.`/p` ADD COLUMN c BIGINT
+  * ALTER TABLE deltalike.`/p` ALTER COLUMN c TYPE BIGINT
   * DESCRIBE HISTORY deltalike.`/p`
   * DESCRIBE DETAIL deltalike.`/p`
   * CREATE TABLE deltalike.`/clone` SHALLOW CLONE deltalike.`/p`
@@ -63,6 +64,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val AddColumn =
     """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*;?\s*""".r
+  private val AlterColumnType =
+    """(?is)\s*ALTER\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*;?\s*""".r
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val DescribeDetail =
@@ -92,6 +95,8 @@ object GraftSqlParser {
         Some(DeltalikeDropColumnCommand(path, name))
       case AddColumn(path, name, typeDdl) =>
         Some(DeltalikeAddColumnCommand(path, name, typeDdl))
+      case AlterColumnType(path, name, typeDdl) =>
+        Some(DeltalikeAlterColumnTypeCommand(path, name, typeDdl))
       case DescribeHistory(path) =>
         Some(DeltalikeDescribeHistoryCommand(path))
       case DescribeDetail(path) =>
@@ -164,6 +169,15 @@ case class DeltalikeAddColumnCommand(path: String, column: String, typeDdl: Stri
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaLikeTable.forPath(spark, path).addColumn(column, typeDdl)
+    Seq.empty
+  }
+}
+
+case class DeltalikeAlterColumnTypeCommand(
+    path: String, column: String, typeDdl: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaLikeTable.forPath(spark, path).alterColumnType(column, typeDdl)
     Seq.empty
   }
 }

@@ -250,6 +250,27 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(det.head.getAs[Boolean]("column_mapping") === true)
   }
 
+  test("SQL ALTER COLUMN TYPE widens metadata-only; old files promote at scan") {
+    val path = fresh() // n is INT
+    spark.sql(s"ALTER TABLE deltalike.`$path` ALTER COLUMN n TYPE BIGINT")
+    val t = DeltaLikeTable.forPath(spark, path)
+    val widened = spark.sql(s"SELECT n FROM deltalike.`$path` WHERE k = 2")
+    assert(widened.schema.head.dataType === org.apache.spark.sql.types.LongType)
+    assert(widened.head().getLong(0) === 20L)
+    // appends write the wide type; pre-widen files still read
+    val sp = spark; import sp.implicits._
+    DeltaLikeTable.write(
+      Seq((9L, "z", 3000000000L)).toDF("k", "v", "n"), path, "append")
+    assert(t.toDF.where("n > 2000000000").count() === 1)
+    assert(t.toDF.count() === 4)
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE deltalike.`$path` ALTER COLUMN n TYPE INT")
+    }.getMessage.contains("widening"))
+    assert(intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE deltalike.`$path` ALTER COLUMN v TYPE BIGINT")
+    }.getMessage.contains("widening"))
+  }
+
   test("SQL change-feed reads and MERGE WITH SCHEMA EVOLUTION") {
     val sp = spark; import sp.implicits._
     val path = fresh() // v0: (1,a,10) (2,b,20) (3,c,30)
