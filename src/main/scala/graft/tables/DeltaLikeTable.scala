@@ -630,6 +630,10 @@ final class DeltaLikeTable private (
           s"cannot $op column '$column': generated column '$gname' is " +
             s"computed from it ($sql)")
     }
+    require(!snap.clusterBy.exists(_.equalsIgnoreCase(column)),
+      s"cannot $op cluster column '$column' (re-declare CLUSTER BY via overwrite first)")
+    require(!snap.identityColumns.keys.exists(_.equalsIgnoreCase(column)),
+      s"cannot $op identity column '$column'")
   }
 
   /** RESTORE the table to the state of `version` as a NEW commit

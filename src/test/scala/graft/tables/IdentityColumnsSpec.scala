@@ -118,6 +118,23 @@ class IdentityColumnsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("different identity"))
   }
 
+  test("identity and cluster columns cannot be renamed or dropped") {
+    val sp = spark; import sp.implicits._
+    val path = tmp()
+    DeltaLikeTable.write(Seq((1L, 2L, "a")).toDF("x", "y", "v"), path,
+      identityColumns = Map("id" -> IdentityColumn()),
+      clusterBy = Seq("x"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(intercept[IllegalArgumentException] {
+      t.dropColumn("id")
+    }.getMessage.contains("identity"))
+    assert(intercept[IllegalArgumentException] {
+      t.renameColumn("x", "x2")
+    }.getMessage.contains("cluster"))
+    t.renameColumn("v", "label") // unreferenced columns still rename
+    assert(t.toDF.columns.contains("label"))
+  }
+
   test("DESCRIBE DETAIL surfaces identity and clustering properties") {
     val sp = spark; import sp.implicits._
     val path = tmp()
