@@ -147,6 +147,8 @@ object SparkEntry {
     "q68_length_batches" -> (graft.operators.CorpusOps.q68LengthBatches _),
     // deterministic weighted source mixture (upsample/downsample)
     "q75_mixture" -> (graft.operators.CorpusOps.q75Mixture _),
+    // order-invariant corpus content digest (dataset lineage)
+    "q82_corpus_digest" -> (graft.operators.CorpusOps.q82CorpusDigest _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -237,6 +239,7 @@ object SparkEntry {
     "q67_shuffle" -> graft.operators.CorpusOps.q67Sql,
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     "q75_mixture" -> graft.operators.CorpusOps.q75Sql,
+    "q82_corpus_digest" -> graft.operators.CorpusOps.q82Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

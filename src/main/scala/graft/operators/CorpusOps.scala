@@ -381,6 +381,45 @@ object CorpusOps {
       |FROM c, LATERAL (
       |  SELECT unnest(generate_series(0, n_chunks - 1)) AS i) AS x""".stripMargin
 
+  /** Order-invariant corpus content digest (declared q82): per source,
+    * a fingerprint of the document CONTENTS that any engine, any
+    * partitioning, and any row order reproduce bit-for-bit — XOR and
+    * sum of md5-derived per-doc words plus the doc count. The
+    * dataset-versioning primitive: two pipelines producing the same
+    * digest hold the same corpus, a changed digest pinpoints the
+    * source that drifted. One projection + one hash aggregate; both
+    * combiners are commutative/associative, so map-side partial
+    * aggregation applies at any scale.
+    */
+  def corpusDigest(
+      docs: DataFrame,
+      groupCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    val word = conv(substring(md5(
+      concat_ws("", contentCols.map(col): _*)), 1, 12), 16, 10)
+      .cast(LongType)
+    docs.select(col(groupCol), word.as("__w"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bit_xor(col("__w")).as("digest_xor"),
+        sum(col("__w")).as("digest_sum"))
+  }
+
+  def q82CorpusDigest(spark: SparkSession, d: String): DataFrame =
+    corpusDigest(Tables.documents(spark, d), "source",
+      Seq("doc_id", "text", "lang"))
+
+  val q82Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      | bit_xor(w) AS digest_xor, sum(w) AS digest_sum
+      |FROM (
+      |  SELECT source,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text
+      |      || chr(1) || lang), 1, 12))::BIGINT AS w
+      |  FROM documents)
+      |GROUP BY source""".stripMargin
+
   /** Deterministic multi-source mixture (the Pile/Dolma training-mix
     * step): each source contributes its rows weighted by `weight` —
     * > 1 upsamples (whole copies plus a hash-sampled fractional copy),

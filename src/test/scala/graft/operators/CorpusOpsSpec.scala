@@ -165,6 +165,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._1).distinct.length === 100)
   }
 
+  test("corpus digest: order/partitioning-invariant, content-sensitive") {
+    val sp = spark; import sp.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"text $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "text", "src")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.corpusDigest(df, "src", Seq("id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val base = digest(docs)
+    // any partitioning / row order produces the identical digest
+    assert(digest(docs.repartition(7).orderBy(org.apache.spark.sql.functions.rand(1))) === base)
+    // one changed character in one doc flips exactly that source's digest
+    val mutated = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"id" === 42L,
+        org.apache.spark.sql.functions.lit("text 42!")).otherwise($"text"))
+    val changed = digest(mutated)
+    assert(changed("a") !== base("a"))
+    assert(changed("b") === base("b"))
+  }
+
   test("mixture: weights hit within tolerance, upsampling emits distinct copies, reruns agree") {
     val sp = spark; import sp.implicits._
     val n = 2000
