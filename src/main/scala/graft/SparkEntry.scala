@@ -149,6 +149,8 @@ object SparkEntry {
     "q75_mixture" -> (graft.operators.CorpusOps.q75Mixture _),
     // order-invariant corpus content digest (dataset lineage)
     "q82_corpus_digest" -> (graft.operators.CorpusOps.q82CorpusDigest _),
+    "q83_pack" -> (graft.operators.CorpusOps.q83Pack _),
+    "q84_source_kl" -> (graft.operators.CorpusOps.q84SourceKl _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -240,6 +242,8 @@ object SparkEntry {
     "q68_length_batches" -> graft.operators.CorpusOps.q68Sql,
     "q75_mixture" -> graft.operators.CorpusOps.q75Sql,
     "q82_corpus_digest" -> graft.operators.CorpusOps.q82Sql,
+    "q83_pack" -> graft.operators.CorpusOps.q83Sql,
+    "q84_source_kl" -> graft.operators.CorpusOps.q84Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -470,4 +470,164 @@ object CorpusOps {
       |WHERE ('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)
       |    || ':' || CAST(copy AS VARCHAR)), 1, 15))::BIGINT
       |   / 1152921504606846976.0 < w - copy""".stripMargin
+
+  /** Greedy next-fit sequence packing — the step that turns a cleaned
+    * corpus into fixed-token-budget training sequences: documents are
+    * hash-sharded, each shard is walked in deterministic order, and a
+    * document opens a new pack whenever it would overflow the current
+    * one (a document longer than the budget gets a pack of its own).
+    * This is the packing rule the big pretraining pipelines use
+    * (next-fit, not best-fit: one pass, no lookahead, stable under
+    * streaming) — chunking (q63) splits docs, length-bucketing (q68)
+    * batches them, THIS assembles them into sequences.
+    *
+    * Packing is inherently sequential, so the parallelism unit is the
+    * shard: an md5-derived hash spreads documents uniformly, one
+    * shuffle groups each shard, and the greedy walk runs inside a
+    * bounded `aggregate` lambda over the shard's sorted doc list. The
+    * caller sizes `numShards` so shards stay a few hundred docs — at
+    * 100 TB that means more shards, never bigger ones; there is no
+    * global sort, no driver state, and no cross-shard dependency.
+    *
+    * @return (shard, idCol, tokens, pack_id) — pack_id is 1-based and
+    *         scoped to its shard
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      numShards: Int): DataFrame = {
+    require(budget > 0 && numShards > 0, "budget and numShards must be positive")
+    val idType = docs.schema(idCol).dataType
+    val elemType = ArrayType(StructType(Seq(
+      StructField("id", idType),
+      StructField("tokens", LongType),
+      StructField("pack", LongType))))
+    val tokens = size(split(col(textCol), " ")).cast(LongType)
+    val shard = pmod(
+      conv(substring(md5(concat_ws("|", lit("pack"),
+        col(idCol).cast(StringType))), 1, 6), 16, 10).cast(LongType),
+      lit(numShards.toLong))
+    val base = docs.select(shard.as("shard"), col(idCol).as("id"),
+      tokens.as("tokens"))
+    // fill starts past the budget so the first document always opens
+    // pack 1; an oversized document overflows whatever is open AND
+    // leaves fill > budget, so the next document opens a fresh pack too
+    val zero = struct(
+      lit(0L).as("pack"), lit(budget.toLong + 1L).as("fill"),
+      array().cast(elemType).as("out"))
+    val b = lit(budget.toLong)
+    base.groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(col("id"), col("tokens")))).as("ds"))
+      .select(col("shard"), explode(aggregate(col("ds"), zero,
+        (acc, x) => {
+          val over = acc.getField("fill") + x.getField("tokens") > b
+          val pack = when(over, acc.getField("pack") + 1L)
+            .otherwise(acc.getField("pack"))
+          struct(
+            pack.as("pack"),
+            when(over, x.getField("tokens"))
+              .otherwise(acc.getField("fill") + x.getField("tokens"))
+              .as("fill"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("id").as("id"),
+              x.getField("tokens").as("tokens"),
+              pack.as("pack")))).as("out"))
+        },
+        acc => acc.getField("out"))).as("e"))
+      .select(col("shard"), col("e.id").as(idCol),
+        col("e.tokens").as("tokens"), col("e.pack").as("pack_id"))
+  }
+
+  /** Declared q83: 256-token packs over 16 shards. */
+  def q83Pack(spark: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(spark, d), "doc_id", "text", 256, 16)
+
+  val q83Sql: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5('pack' || '|' || CAST(doc_id AS VARCHAR)),
+      |      1, 6))::BIGINT % 16 AS shard,
+      |    len(string_split(text, ' ')) AS tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, tokens,
+      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |  FROM base),
+      |walk AS (
+      |  SELECT doc_id, shard, tokens, rn, 1::BIGINT AS pack_id, tokens AS fill
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.doc_id, o.shard, o.tokens, o.rn,
+      |    CASE WHEN w.fill + o.tokens > 256 THEN w.pack_id + 1
+      |         ELSE w.pack_id END,
+      |    CASE WHEN w.fill + o.tokens > 256 THEN o.tokens
+      |         ELSE w.fill + o.tokens END
+      |  FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1)
+      |SELECT shard, doc_id, tokens, pack_id FROM walk""".stripMargin
+
+  /** Per-source token-distribution KL divergence against the corpus —
+    * the mixture-drift signal: how far each source's unigram
+    * distribution sits from the overall mix. Used to pick mixture
+    * weights (q75), catch a source whose content shifted between
+    * crawls, and rank sources by distinctiveness. KL(p_s ‖ p_corpus)
+    * = Σ_t p_s(t)·ln(p_s(t)/p(t)); every term is well-defined because
+    * each source's tokens are part of the corpus total (q ≥ p/N > 0).
+    *
+    * Shape at scale: ONE explode over the corpus builds the
+    * (source, token, count) relation; the per-source totals, the
+    * corpus-wide token counts, and the grand total all derive from it
+    * (no second pass). The only data-scale shuffle is vocabulary-keyed;
+    * the grand total is a broadcast one-row aggregate (the TF-IDF
+    * pattern), and source totals broadcast too (sources are few).
+    *
+    * @return (source, n_tokens, kl)
+    */
+  def sourceDivergence(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String): DataFrame = {
+    // the explicit non-null filter on BOTH grouping keys matters: the three
+    // downstream joins would otherwise push different isnotnull() filters
+    // into their copy of this subtree, the subtrees would stop being
+    // identical, and ReuseExchange could no longer collapse them — the
+    // corpus would be exploded once per consumer instead of once
+    // (PlanShapeSpec pins the single-explode shape)
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("source").isNotNull && col("tok").isNotNull)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val perSource = st.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val perToken = st.groupBy(col("tok")).agg(sum(col("c")).as("c_t"))
+    val total = perSource.agg(sum(col("n_s")).as("n"))
+    val p = col("c").cast(DoubleType) / col("n_s")
+    val q = col("c_t").cast(DoubleType) / col("n")
+    st.join(broadcast(perSource), Seq("source"))
+      .join(perToken, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_s").as("n_tokens"))
+      .agg(sum(p * log(p / q)).as("kl"))
+  }
+
+  /** Declared q84: source-vs-corpus unigram KL over the documents
+    * fixture.
+    */
+  def q84SourceKl(spark: SparkSession, d: String): DataFrame =
+    sourceDivergence(Tables.documents(spark, d), "source", "text")
+
+  val q84Sql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |t AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st)
+      |SELECT st.source, s.n_s AS n_tokens,
+      |  sum((c / n_s) * ln((c / n_s) / (c_t / n.n))) AS kl
+      |FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -204,4 +204,69 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rerun = CorpusOps.mixSources(Seq(("a", docs, 2.3), ("b", docs, 0.4)), "id")
     assert(rerun.exceptAll(out).count() === 0 && out.exceptAll(rerun).count() === 0)
   }
+
+  test("packSequences: every doc packed once, packs respect the budget, order deterministic") {
+    val sp = spark; import sp.implicits._
+    // controlled token counts: "t" * k → k tokens; id 40 is oversized (12 > budget 10)
+    val docs = Seq(
+      (1L, 4), (2L, 4), (3L, 4), (4L, 3), (5L, 7),
+      (40L, 12), (41L, 2), (42L, 9), (43L, 1), (44L, 10))
+      .map { case (id, k) => (id, Seq.fill(k)("t").mkString(" ")) }
+      .toDF("id", "text")
+    val out = CorpusOps.packSequences(docs, "id", "text", budget = 10, numShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L, 40L, 41L, 42L, 43L, 44L), "every doc exactly once")
+    // within a (shard, pack): total ≤ budget unless it is a single oversized doc
+    out.groupBy(t => (t._1, t._4)).foreach { case (_, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= 10 || rows.length == 1,
+        s"pack over budget with ${rows.length} docs, $tot tokens")
+    }
+    // pack ids are contiguous from 1 and non-decreasing in id order per shard
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_._2)
+      assert(byId.map(_._4).toSeq === byId.map(_._4).sorted.toSeq,
+        "pack id non-decreasing along the walk")
+      assert(byId.map(_._4).distinct.toSeq === (1L to byId.map(_._4).max).toSeq,
+        "pack ids contiguous from 1")
+    }
+    // next-fit, not first-fit: a doc that does not fit NEVER lands in an
+    // earlier pack, so ids in pack p all precede ids in pack p+1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.map(_._2).max)
+        .sliding(2).foreach {
+          case Seq(a, b) => assert(a < b)
+          case _ =>
+        }
+    }
+    // physical partitioning must not leak into the result
+    val single = CorpusOps.packSequences(
+      docs.coalesce(1), "id", "text", budget = 10, numShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(single.sorted.toSeq === out.sorted.toSeq)
+  }
+
+  test("sourceDivergence: zero for an identical-mix source, positive for a skewed one") {
+    val sp = spark; import sp.implicits._
+    // two sources with the SAME distribution → both KL ≈ 0 (each equals the mix)
+    val same = Seq(
+      ("a", "x x y"), ("a", "x y y"),
+      ("b", "x x y"), ("b", "x y y")).toDF("src", "text")
+    val klSame = CorpusOps.sourceDivergence(same, "src", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(klSame.values.forall(v => math.abs(v) < 1e-12), s"expected 0, got $klSame")
+
+    // a source disjoint from the rest diverges; KL is never negative
+    val skew = Seq(
+      ("a", "x x x x"), ("b", "y y y y"), ("b", "x y y y")).toDF("src", "text")
+    val got = CorpusOps.sourceDivergence(skew, "src", "text")
+    val rows = got.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("a")._2 > 0.5, "disjoint-heavy source should diverge strongly")
+    assert(rows.values.forall(_._2 >= -1e-12), "KL(p‖mix) is non-negative")
+    assert(rows.values.map(_._1).sum ===
+      skew.select(sum(size(split(col("text"), " ")))).head().getLong(0),
+      "per-source token totals conserve the corpus total")
+  }
 }

@@ -199,4 +199,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("rand"),
       s"sampling must be hash-deterministic, not RNG:\n$plan")
   }
+
+  test("q83 packing: ONE shard-key shuffle, greedy walk stays inside the aggregate") {
+    val plan = executedPlan(graft.operators.CorpusOps.q83Pack(spark, sfDir))
+    // the packing walk is sequential per shard by definition; the plan must
+    // pay exactly one shuffle (group by shard) — a second exchange would
+    // mean a global sort or a re-partition leaked in
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"expected exactly one shard-key exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Sort "), // sort_array is in-row, not a Sort operator
+      s"packing order comes from sort_array inside the shard, not a global sort:\n$plan")
+  }
+
+  test("q84 source KL: one corpus explode feeds all aggregates, totals broadcast") {
+    val plan = executedPlan(graft.operators.CorpusOps.q84SourceKl(spark, sfDir))
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes === 1,
+      s"per-source, per-token and total counts must derive from ONE explode, got $explodes:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"source totals and the grand total are broadcast-scale:\n$plan")
+  }
 }
