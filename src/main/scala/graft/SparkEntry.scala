@@ -151,6 +151,8 @@ object SparkEntry {
     "q82_corpus_digest" -> (graft.operators.CorpusOps.q82CorpusDigest _),
     "q83_pack" -> (graft.operators.CorpusOps.q83Pack _),
     "q84_source_kl" -> (graft.operators.CorpusOps.q84SourceKl _),
+    "q85_hard_negatives" -> (graft.operators.Similarity.q85HardNegatives _),
+    "q86_importance_sample" -> (graft.operators.CorpusOps.q86ImportanceSample _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -244,6 +246,8 @@ object SparkEntry {
     "q82_corpus_digest" -> graft.operators.CorpusOps.q82Sql,
     "q83_pack" -> graft.operators.CorpusOps.q83Sql,
     "q84_source_kl" -> graft.operators.CorpusOps.q84Sql,
+    "q85_hard_negatives" -> graft.operators.Similarity.q85Sql,
+    "q86_importance_sample" -> graft.operators.CorpusOps.q86Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -630,4 +630,54 @@ object CorpusOps {
       |  sum((c / n_s) * ln((c / n_s) / (c_t / n.n))) AS kl
       |FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n
       |GROUP BY 1, 2""".stripMargin
+
+  /** Quality-proportional importance resampling (the FineWeb/DSIR-style
+    * step after hard filtering): each document is kept with probability
+    * equal to a per-document weight in [0, 1], using the same
+    * md5-derived uniform as [[mixSources]] — reproducible across runs,
+    * engines, and partitionings, no RNG state, no shuffle. Documents
+    * the weight likes are kept (almost) always; low-weight documents
+    * survive at their weight's rate instead of being cliff-dropped,
+    * which preserves distributional coverage a hard threshold destroys.
+    *
+    * The weight is caller-supplied as a Column so any signal plugs in
+    * (model score, lexical diversity, source prior). A 100 TB corpus
+    * passes through as ONE filtered scan: keep/drop is a pure per-row
+    * expression.
+    *
+    * @return kept rows: (idCol, weight, u) — emitting the uniform makes
+    *         the keep decision auditable downstream
+    */
+  def importanceSample(
+      docs: DataFrame,
+      idCol: String,
+      weight: Column,
+      salt: String = "imp"): DataFrame = {
+    val u = conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    docs.select(col(idCol), weight.as("weight"), u.as("u"))
+      .where(col("u") < col("weight"))
+  }
+
+  /** Declared q86: resample by lexical diversity (distinct-token ratio —
+    * token-soup repetition scores low, varied text scores high). The
+    * ratio is a per-row array expression: no explode, no shuffle.
+    */
+  def q86ImportanceSample(spark: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val diversity = size(array_distinct(toks)).cast(DoubleType) /
+      size(toks).cast(DoubleType)
+    importanceSample(Tables.documents(spark, d), "doc_id", diversity)
+  }
+
+  val q86Sql: String =
+    """SELECT doc_id, weight, u FROM (
+      |  SELECT doc_id,
+      |    len(list_distinct(string_split(text, ' ')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+      |    ('0x' || substring(md5('imp' || '|' || CAST(doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT / 1152921504606846976.0 AS u
+      |  FROM documents)
+      |WHERE u < weight""".stripMargin
 }

@@ -142,6 +142,70 @@ object Similarity {
     """SELECT vec_id + 10000 AS query_id, true AS twin_at_rank_1
       |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query (anchor), the top-k most-similar candidates whose cosine sits
+    * BELOW `positiveCeiling` — similar enough to be hard, not so similar
+    * they are the positive itself (or a near-duplicate of it, which
+    * would poison the loss as a false negative). The ceiling filter runs
+    * before the rank window, so positives never occupy top-k slots.
+    *
+    * Scale shape is the brute-force one: anchors broadcast, the corpus
+    * side streams through one scan, ranking is per-anchor with
+    * WindowGroupLimit pushdown. For corpus-scale anchor sets, run the
+    * same ceiling + rank over [[annCosineTopK]] candidates instead.
+    */
+  def hardNegatives(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10,
+      positiveCeiling: Double = 0.8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("qe"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(embCol).as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.GraftFunctions
+          .cosineSimilarity(col("ce"), col("qe")).as("cos_sim"))
+      .where(col("cos_sim") < positiveCeiling)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Declared q85: hard negatives for the twin anchors. Each twin's
+    * exact duplicate (cosine 1.0) sits in the candidate set; the 0.8
+    * ceiling must evict it, so every returned row is a genuine
+    * below-ceiling neighbor — rank 1 is the hardest usable negative,
+    * not the positive.
+    */
+  def q85HardNegatives(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    hardNegatives(e.where(col("vec_id") >= 5), twinQueries(e),
+      "vec_id", "embedding", k = 5)
+  }
+
+  val q85Sql: String =
+    """SELECT query_id, vec_id, cos_sim, rank FROM (
+      | SELECT query_id, vec_id, cos_sim,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      | FROM (
+      |  SELECT q.vec_id + 10000 AS query_id, c.vec_id AS vec_id,
+      |   list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                    list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+      |    / (sqrt(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                             list_transform(c.embedding, x -> CAST(x AS DOUBLE))))
+      |     * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+      |                             list_transform(q.embedding, x -> CAST(x AS DOUBLE))))) AS cos_sim
+      |  FROM (SELECT * FROM embeddings WHERE vec_id >= 5) c
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id BETWEEN 5 AND 9) q
+      |  WHERE c.vec_id <> q.vec_id + 10000) s
+      | WHERE cos_sim < 0.8) t
+      |WHERE rank <= 5""".stripMargin
+
   /** Int8 scalar quantization of an embedding column — the 4× memory
     * shrink every ANN index at 100 TB scale applies before anything else
     * (FAISS's SQ8). Per vector: symmetric scale = max|x| / 127, each

@@ -247,6 +247,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.sorted.toSeq === out.sorted.toSeq)
   }
 
+  test("importanceSample: deterministic, extreme weights honored, rate tracks the weight") {
+    val sp = spark; import sp.implicits._
+    val n = 4000
+    val docs = (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "text")
+    // weight 1 keeps everything, weight 0 drops everything
+    assert(CorpusOps.importanceSample(docs, "id", lit(1.0)).count() === n)
+    assert(CorpusOps.importanceSample(docs, "id", lit(0.0)).count() === 0)
+    // keep rate tracks an intermediate weight (binomial ±4σ)
+    val kept = CorpusOps.importanceSample(docs, "id", lit(0.3)).count()
+    assert(math.abs(kept - 0.3 * n) < 4 * math.sqrt(n * 0.3 * 0.7),
+      s"kept $kept of $n at weight 0.3")
+    // reruns and physical partitioning do not change membership
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.importanceSample(df, "id", lit(0.3))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(docs) === ids(docs.coalesce(1)))
+    // different salts decorrelate the draws (same weight, different members)
+    val a = CorpusOps.importanceSample(docs, "id", lit(0.3), salt = "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = CorpusOps.importanceSample(docs, "id", lit(0.3), salt = "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((a -- b).nonEmpty && (b -- a).nonEmpty)
+  }
+
   test("sourceDivergence: zero for an identical-mix source, positive for a skewed one") {
     val sp = spark; import sp.implicits._
     // two sources with the SAME distribution → both KL ≈ 0 (each equals the mix)

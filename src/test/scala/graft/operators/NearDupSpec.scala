@@ -164,4 +164,44 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hit = queries.count { case (qid, _) => got.get(qid).contains(qid - 1000L) }
     assert(hit >= 18, s"ANN top-1 recall $hit/20")
   }
+
+  test("hard negatives: the positive is evicted by the ceiling, ranks stay dense") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 100).map(i => (i.toLong, vec()))
+    // each anchor is an exact copy of a corpus vector (cosine 1.0 with it)
+    val anchors = (0 until 5).map { i => (1000L + i, corpus(i)._2) }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    def toDF(s: Seq[(Long, Array[Float])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(s.map { case (id, v) => Row(id, v.toSeq) }, 2),
+        schema)
+
+    val out = Similarity.hardNegatives(
+      toDF(corpus), toDF(anchors), "vec_id", "embedding",
+      k = 5, positiveCeiling = 0.8).collect()
+    val byAnchor = out.groupBy(_.getLong(0))
+    assert(byAnchor.keySet === anchors.map(_._1).toSet, "every anchor mined")
+    byAnchor.foreach { case (qid, rows) =>
+      assert(rows.forall(_.getDouble(2) < 0.8), "all below the ceiling")
+      assert(!rows.exists(_.getLong(1) === qid - 1000L),
+        "the exact duplicate (the positive) must never be returned")
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length),
+        "ranks dense from 1 after the eviction, no gap where the positive was")
+      assert(rows.length === 5, "k hard negatives per anchor")
+    }
+    // the mined negatives are the hardest legal ones: rank-1 cosine is the
+    // max over the full below-ceiling candidate set
+    val brute = Similarity.bruteCosineTopK(
+      toDF(corpus), toDF(anchors), "vec_id", "embedding", k = 100)
+      .where(col("cos_sim") < 0.8)
+      .collect().groupBy(_.getLong(0))
+    byAnchor.foreach { case (qid, rows) =>
+      val bestLegal = brute(qid).map(_.getDouble(2)).max
+      val minedBest = rows.filter(_.getInt(3) == 1).head.getDouble(2)
+      assert(math.abs(minedBest - bestLegal) < 1e-12)
+    }
+  }
 }
