@@ -153,6 +153,7 @@ object SparkEntry {
     "q84_source_kl" -> (graft.operators.CorpusOps.q84SourceKl _),
     "q85_hard_negatives" -> (graft.operators.Similarity.q85HardNegatives _),
     "q86_importance_sample" -> (graft.operators.CorpusOps.q86ImportanceSample _),
+    "q87_cluster_split" -> (graft.operators.Components.q87ClusterSplit _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -248,6 +249,7 @@ object SparkEntry {
     "q84_source_kl" -> graft.operators.CorpusOps.q84Sql,
     "q85_hard_negatives" -> graft.operators.Similarity.q85Sql,
     "q86_importance_sample" -> graft.operators.CorpusOps.q86Sql,
+    "q87_cluster_split" -> graft.operators.Components.q87Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

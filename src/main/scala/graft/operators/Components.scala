@@ -239,6 +239,45 @@ object Components {
     """SELECT vec_id AS query_id, true AS same_cluster
       |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
 
+  /** Declared q87: leakage-free split over the q69 dedup clusters —
+    * every member of a near-dup cluster draws the SAME train/val/test
+    * assignment (the split hash reads the cluster label, not the doc
+    * id), so no test document has a near-copy in train.
+    */
+  def q87ClusterSplit(spark: SparkSession, d: String): DataFrame =
+    CorpusOps.clusterSplit(
+      q69DedupClusters(spark, d).select(col("doc_id"), col("cluster_id")),
+      "cluster_id")
+
+  val q87Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN un < 0.8 THEN 'train'
+      |       WHEN un < 0.9 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT d.doc_id,
+      |    coalesce(c.cluster, d.doc_id) AS cluster_id,
+      |    ('0x' || substring(md5('split' || '|' ||
+      |      CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 AS un
+      |  FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin
+
   /** Oracle: same pairs (q34's SQL shape), components via recursive
     * transitive closure — fine at oracle scale (tens of edges), which
     * is exactly why the engine side is the iterated min-propagation

@@ -680,4 +680,33 @@ object CorpusOps {
       |      1, 15))::BIGINT / 1152921504606846976.0 AS u
       |  FROM documents)
       |WHERE u < weight""".stripMargin
+
+  /** Leakage-free train/val/test split: the split is drawn per CLUSTER,
+    * not per document, so a group of near-duplicates can never straddle
+    * the boundary — the classic eval-contamination bug where the test
+    * set "generalizes" to near-copies of training docs. Input is any
+    * (row → cluster label) assignment (exact-dup fingerprints, Jaccard
+    * components, semantic clusters); singletons are their own cluster.
+    * The draw is the same md5 uniform as [[mixSources]]: deterministic,
+    * partitioning-invariant, a pure per-row expression over the cluster
+    * label — at 100 TB the split is a map-only pass over the
+    * already-clustered corpus.
+    */
+  def clusterSplit(
+      assignments: DataFrame,
+      clusterCol: String,
+      trainFrac: Double = 0.8,
+      valFrac: Double = 0.1,
+      salt: String = "split"): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1; " +
+        s"got $trainFrac/$valFrac")
+    val u = conv(substring(md5(concat_ws("|", lit(salt),
+      col(clusterCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    assignments.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
 }

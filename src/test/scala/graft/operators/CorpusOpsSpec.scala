@@ -271,6 +271,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((a -- b).nonEmpty && (b -- a).nonEmpty)
   }
 
+  test("clusterSplit: a cluster never straddles splits, fractions track, bad fracs rejected") {
+    val sp = spark; import sp.implicits._
+    // 1000 clusters of 3 members each
+    val rows = (0 until 1000).flatMap(c => (0 until 3).map(m => (c * 10L + m, c.toLong)))
+    val df = rows.toDF("id", "cluster")
+    val out = CorpusOps.clusterSplit(df, "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 3000)
+    // leakage-freedom: every cluster maps to exactly one split
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $c straddles splits: ${members.map(_._3).distinct.toSeq}")
+    }
+    // fractions at the CLUSTER level (±4σ binomial on 1000 draws)
+    val perCluster = out.groupBy(_._2).map(_._2.head._3).toSeq
+    val train = perCluster.count(_ == "train")
+    val vl = perCluster.count(_ == "val")
+    assert(math.abs(train - 800) < 4 * math.sqrt(1000 * 0.8 * 0.2), s"train=$train")
+    assert(math.abs(vl - 100) < 4 * math.sqrt(1000 * 0.1 * 0.9), s"val=$vl")
+    // deterministic across partitionings
+    val again = CorpusOps.clusterSplit(df.coalesce(1), "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+    // degenerate fractions are refused
+    intercept[IllegalArgumentException] {
+      CorpusOps.clusterSplit(df, "cluster", trainFrac = 0.9, valFrac = 0.2)
+    }
+  }
+
   test("sourceDivergence: zero for an identical-mix source, positive for a skewed one") {
     val sp = spark; import sp.implicits._
     // two sources with the SAME distribution → both KL ≈ 0 (each equals the mix)
