@@ -154,6 +154,7 @@ object SparkEntry {
     "q85_hard_negatives" -> (graft.operators.Similarity.q85HardNegatives _),
     "q86_importance_sample" -> (graft.operators.CorpusOps.q86ImportanceSample _),
     "q87_cluster_split" -> (graft.operators.Components.q87ClusterSplit _),
+    "q88_centroid_drift" -> (graft.operators.Similarity.q88CentroidDrift _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -250,6 +251,7 @@ object SparkEntry {
     "q85_hard_negatives" -> graft.operators.Similarity.q85Sql,
     "q86_importance_sample" -> graft.operators.CorpusOps.q86Sql,
     "q87_cluster_split" -> graft.operators.Components.q87Sql,
+    "q88_centroid_drift" -> graft.operators.Similarity.q88Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -206,6 +206,61 @@ object Similarity {
       | WHERE cos_sim < 0.8) t
       |WHERE rank <= 5""".stripMargin
 
+  /** Per-group embedding centroid vs the corpus centroid — the
+    * embedding-space drift monitor: a label (source, language, crawl
+    * snapshot) whose centroid swings away from the corpus mean signals
+    * distribution shift the token-level KL (q84) can't see. Centroids
+    * come from the typed [[graft.functions.VectorAvg]] aggregator
+    * (map-side partial merge, one shuffle of per-partition sums —
+    * dim doubles per group, not per row); the corpus centroid is a
+    * broadcast one-row aggregate.
+    *
+    * Oracle comparability: VectorAvg sums in double and truncates the
+    * finished mean to float32; the oracle replicates the truncation
+    * (`CAST(avg AS REAL)`) so both engines feed bit-identical floats
+    * into the double cosine — which uses the same `dot / sqrt(na·nb)`
+    * form as [[graft.functions.CosineSimilarity]].
+    */
+  def centroidDrift(
+      vecs: DataFrame,
+      groupCol: String,
+      embCol: String,
+      dim: Int): DataFrame = {
+    val per = vecs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.VectorAvg.of(dim)(col(embCol)).as("__c"))
+    val corpus = vecs.agg(
+      graft.functions.VectorAvg.of(dim)(col(embCol)).as("__all"))
+    per.crossJoin(broadcast(corpus))
+      .select(col(groupCol), col("n_vecs"),
+        graft.functions.GraftFunctions
+          .cosineSimilarity(col("__c"), col("__all")).as("centroid_cos"))
+  }
+
+  /** Declared q88: label-level centroid drift over the embeddings
+    * fixture — the first driver-visible oracle exercising the VectorAvg
+    * UDAF end-to-end.
+    */
+  def q88CentroidDrift(spark: SparkSession, d: String): DataFrame =
+    centroidDrift(Tables.embeddings(spark, d), "label", "embedding", 64)
+
+  val q88Sql: String =
+    """WITH ex AS (
+      |  SELECT label, i,
+      |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      |  FROM embeddings, range(1, 65) r(i)),
+      |per AS (SELECT label, i, CAST(avg(v) AS REAL) AS c FROM ex GROUP BY 1, 2),
+      |tot AS (SELECT i, CAST(avg(v) AS REAL) AS c FROM ex GROUP BY 1),
+      |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+      |dots AS (
+      |  SELECT per.label,
+      |    sum(CAST(per.c AS DOUBLE) * CAST(tot.c AS DOUBLE)) AS ab,
+      |    sum(CAST(per.c AS DOUBLE) * CAST(per.c AS DOUBLE)) AS aa,
+      |    sum(CAST(tot.c AS DOUBLE) * CAST(tot.c AS DOUBLE)) AS bb
+      |  FROM per JOIN tot USING (i) GROUP BY per.label)
+      |SELECT n.label, n.n_vecs, ab / sqrt(aa * bb) AS centroid_cos
+      |FROM dots JOIN n USING (label)""".stripMargin
+
   /** Int8 scalar quantization of an embedding column — the 4× memory
     * shrink every ANN index at 100 TB scale applies before anything else
     * (FAISS's SQ8). Per vector: symmetric scale = max|x| / 127, each

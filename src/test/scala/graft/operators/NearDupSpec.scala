@@ -165,6 +165,30 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit >= 18, s"ANN top-1 recall $hit/20")
   }
 
+  test("centroid drift: per-label centroids vs corpus centroid, exact on a known geometry") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    // label 0 points along x, label 1 along y → corpus centroid (.5, .5);
+    // both labels sit at cos 1/√2 from it
+    val rows = Seq(
+      Row(1L, 0, Seq(1.0f, 0.0f)), Row(2L, 0, Seq(1.0f, 0.0f)),
+      Row(3L, 1, Seq(0.0f, 1.0f)), Row(4L, 1, Seq(0.0f, 1.0f)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Similarity.centroidDrift(df, "label", "embedding", 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0)._1 === 2L && got(1)._1 === 2L)
+    assert(math.abs(got(0)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(got(1)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    // a label aligned with the corpus mean scores higher than one askew
+    val rows2 = rows :+ Row(5L, 2, Seq(1.0f, 1.0f))
+    val df2 = spark.createDataFrame(spark.sparkContext.parallelize(rows2, 2), schema)
+    val got2 = Similarity.centroidDrift(df2, "label", "embedding", 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got2(2) > got2(0) && got2(2) > got2(1),
+      "the centroid-aligned label must show the least drift (highest cosine)")
+  }
+
   test("hard negatives: the positive is evicted by the ceiling, ranks stay dense") {
     val dim = 16
     val rnd = new scala.util.Random(7)
