@@ -212,6 +212,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"packing order comes from sort_array inside the shard, not a global sort:\n$plan")
   }
 
+  test("q88 centroid drift: UDAF partial-aggregates map-side, corpus centroid broadcast") {
+    val plan = executedPlan(
+      graft.operators.Similarity.q88CentroidDrift(spark, sfDir))
+    // the typed Aggregator must partial-aggregate before the exchange —
+    // per-partition dim-double sums travel, not rows
+    assert(plan.contains("partial_vectoravg") ||
+      plan.toLowerCase.contains("partial_vectoravg$"),
+      s"VectorAvg must run map-side partial aggregation:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the one-row corpus centroid must broadcast, never shuffle the labels:\n$plan")
+  }
+
   test("q84 source KL: one corpus explode feeds all aggregates, totals broadcast") {
     val plan = executedPlan(graft.operators.CorpusOps.q84SourceKl(spark, sfDir))
     val explodes = plan.linesIterator.count(_.contains("Generate explode"))
