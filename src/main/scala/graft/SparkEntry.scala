@@ -155,6 +155,8 @@ object SparkEntry {
     "q86_importance_sample" -> (graft.operators.CorpusOps.q86ImportanceSample _),
     "q87_cluster_split" -> (graft.operators.Components.q87ClusterSplit _),
     "q88_centroid_drift" -> (graft.operators.Similarity.q88CentroidDrift _),
+    "q89_dataset_card" -> (graft.operators.CorpusOps.q89DatasetCard _),
+    "q90_bigram_logprob" -> (graft.operators.TextAnalysis.q90BigramLogProb _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -252,6 +254,8 @@ object SparkEntry {
     "q86_importance_sample" -> graft.operators.CorpusOps.q86Sql,
     "q87_cluster_split" -> graft.operators.Components.q87Sql,
     "q88_centroid_drift" -> graft.operators.Similarity.q88Sql,
+    "q89_dataset_card" -> graft.operators.CorpusOps.q89Sql,
+    "q90_bigram_logprob" -> graft.operators.TextAnalysis.q90Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

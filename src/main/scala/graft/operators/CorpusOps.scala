@@ -681,6 +681,55 @@ object CorpusOps {
       |  FROM documents)
       |WHERE u < weight""".stripMargin
 
+  /** Per-source dataset card — the governance summary every corpus
+    * release ships: doc and token volume, language purity, exact-dup
+    * rate, lexical diversity, and the token-length median, one row per
+    * source. This is the composition layer over the pipeline's
+    * signals: the numbers a mixture designer (q75), a contamination
+    * reviewer (q56), or a release auditor reads first.
+    *
+    * Shape at scale: ONE grouped pass — every signal is a per-row
+    * expression aggregated in the same groupBy (the exact-distinct
+    * fingerprint count rides the same shuffle via Expand); no joins,
+    * no second scan, no driver math.
+    */
+  def datasetCard(
+      docs: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(sourceCol).as("source"),
+      size(toks).cast(LongType).as("__nt"),
+      (col(langCol) === "en").cast(DoubleType).as("__en"),
+      md5(col(textCol)).as("__fp"),
+      (size(array_distinct(toks)).cast(DoubleType) /
+        size(toks).cast(DoubleType)).as("__div"))
+    base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).as("total_tokens"),
+      avg(col("__en")).as("pct_en"),
+      (lit(1.0) - countDistinct(col("__fp")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("dup_rate"),
+      avg(col("__div")).as("mean_diversity"),
+      expr("median(CAST(__nt AS DOUBLE))").cast(DoubleType).as("median_tokens"))
+  }
+
+  /** Declared q89: the dataset card of the documents fixture. */
+  def q89DatasetCard(spark: SparkSession, d: String): DataFrame =
+    datasetCard(Tables.documents(spark, d), "source", "text", "lang")
+
+  val q89Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS pct_en,
+      |  1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE) AS dup_rate,
+      |  avg(len(list_distinct(string_split(text, ' ')))
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS mean_diversity,
+      |  CAST(median(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS DOUBLE)
+      |    AS median_tokens
+      |FROM documents GROUP BY source""".stripMargin
+
   /** Leakage-free train/val/test split: the split is drawn per CLUSTER,
     * not per document, so a group of near-duplicates can never straddle
     * the boundary — the classic eval-contamination bug where the test

@@ -470,6 +470,68 @@ object TextAnalysis {
       |FROM occ JOIN c USING (tok) CROSS JOIN t
       |GROUP BY occ.doc_id""".stripMargin
 
+  /** Add-1-smoothed bigram LM scoring — one Markov order past
+    * [[unigramLogProb]], and a long step toward the n-gram-LM
+    * (CCNet/KenLM) perplexity filter real pipelines run: a document of
+    * individually common tokens in nonsense ORDER scores fine under a
+    * unigram model and terribly here. Smoothing uses add-1 over the
+    * context-token vocabulary, so unseen transitions are finite-scored:
+    * P(b|a) = (c(a,b) + 1) / (c(a) + V).
+    *
+    * Shape at scale: ONE bigram explode feeds everything — transition
+    * counts, context totals (derived from the transition counts, no
+    * second pass), and V (a broadcast one-row aggregate) — then one
+    * bigram-keyed hash join scores the occurrences and one per-doc
+    * mean reduces. Explicit non-null filters on the join keys keep the
+    * exploded subtree identical across its consumers (the q84 reuse
+    * lesson).
+    */
+  def bigramLogProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bg = docs
+      .where(size(toks) >= 2)
+      .select(col(idCol).as("__id"),
+        explode(transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("a"),
+            element_at(toks, i + 1).as("b")))).as("__bg"))
+      .select(col("__id"), col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val cc = bc.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val v = bc.agg(countDistinct(col("a")).as("v"))
+    bg.join(bc, Seq("a", "b"))
+      .join(cc, Seq("a"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(log((col("c_ab") + 1).cast(DoubleType) /
+          (col("c_a") + col("v")).cast(DoubleType))).as("mean_logprob"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("mean_logprob"))
+  }
+
+  /** Declared q90 — self-scored smoothed bigram log-probs. */
+  def q90BigramLogProb(spark: SparkSession, d: String): DataFrame =
+    bigramLogProb(Tables.documents(spark, d), "doc_id", "text")
+
+  val q90Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[x.i] AS a, toks[x.i + 1] AS b
+      |  FROM t, LATERAL (
+      |    SELECT unnest(generate_series(1, len(toks) - 1)) AS i) AS x
+      |  WHERE len(toks) >= 2),
+      |bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT a) AS v FROM bc)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |  avg(ln((c_ab + 1) / CAST(c_a + v.v AS DOUBLE))) AS mean_logprob
+      |FROM bg JOIN bc USING (a, b) JOIN cc USING (a) CROSS JOIN v
+      |GROUP BY bg.doc_id""".stripMargin
+
   /** Declared q61 — [[repetitionSignals]] over the documents fixture. */
   def q61Repetition(spark: SparkSession, d: String): DataFrame =
     repetitionSignals(Tables.documents(spark, d), "doc_id", "text")

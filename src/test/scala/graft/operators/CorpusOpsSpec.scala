@@ -271,6 +271,39 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((a -- b).nonEmpty && (b -- a).nonEmpty)
   }
 
+  test("packSequences: randomized invariants hold across budgets and shard counts") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(123)
+    for (trial <- 0 until 3) {
+      val budget = Seq(8, 25, 64)(trial)
+      val shards = Seq(1, 4, 7)(trial)
+      val docs = (0 until 300).map { i =>
+        // token counts 1..(1.5*budget): some oversized docs guaranteed
+        (i.toLong, Seq.fill(1 + rnd.nextInt(budget * 3 / 2))("t").mkString(" "))
+      }.toDF("id", "text")
+      val out = CorpusOps.packSequences(docs, "id", "text", budget, shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.map(_._2).sorted.toSeq === (0L until 300L), s"trial $trial: bijection")
+      out.groupBy(t => (t._1, t._4)).foreach { case ((s, p), rows) =>
+        assert(rows.map(_._3).sum <= budget || rows.length == 1,
+          s"trial $trial shard $s pack $p: over budget with ${rows.length} docs")
+      }
+      // greedy tightness: consecutive packs cannot be merged — the first
+      // doc of pack p+1 did NOT fit into pack p (that is what next-fit means)
+      out.groupBy(_._1).foreach { case (s, rows) =>
+        val packs = rows.groupBy(_._4).toSeq.sortBy(_._1)
+        packs.sliding(2).foreach {
+          case Seq((_, a), (_, b)) =>
+            val fillA = a.map(_._3).sum
+            val firstB = b.minBy(_._2)._3
+            assert(fillA + firstB > budget,
+              s"trial $trial shard $s: next-fit would have continued the pack")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("clusterSplit: a cluster never straddles splits, fractions track, bad fracs rejected") {
     val sp = spark; import sp.implicits._
     // 1000 clusters of 3 members each

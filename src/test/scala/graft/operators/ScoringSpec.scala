@@ -46,6 +46,31 @@ class ScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(11L) - math.log(0.25)) < 1e-9)
   }
 
+  test("bigram scoring: word ORDER matters, smoothing keeps unseen transitions finite") {
+    val sp = spark; import sp.implicits._
+    // corpus dominated by the transition "the cat"; its reversal never occurs
+    val docs = (
+      (1 to 30).map(i => (i.toLong, "the cat sat")) ++ Seq(
+        (100L, "the cat sat"),   // all high-frequency transitions
+        (101L, "cat the sat"))   // same unigrams, unseen transitions
+      ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(byId(100L) > byId(101L),
+      "a doc of common transitions must outscore its shuffled twin " +
+        s"(${byId(100L)} vs ${byId(101L)}) — unigram scoring cannot see this")
+    assert(out.forall(_._3 < 0.0), "log-probs are negative")
+    assert(out.forall(t => !t._3.isNegInfinity),
+      "add-1 smoothing: unseen transitions score finite")
+    // exact values on the planted data (self-scored, so doc 101's own
+    // transitions are in the counts): c(the,cat)=c(cat,sat)=31,
+    // c(cat,the)=c(the,sat)=1, c(the)=c(cat)=32, V=|{the,cat}|=2
+    assert(math.abs(byId(100L) - math.log(32.0 / 34.0)) < 1e-12)
+    assert(math.abs(byId(101L) - math.log(2.0 / 34.0)) < 1e-12)
+    assert(out.forall(_._2 === 2L), "three tokens → two bigrams")
+  }
+
   test("int8 quantization: error bounded by scale/2 per element, zero vector safe") {
     val sp = spark; import sp.implicits._
     val vecs = Seq(
