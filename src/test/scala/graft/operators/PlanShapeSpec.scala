@@ -224,6 +224,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the one-row corpus centroid must broadcast, never shuffle the labels:\n$plan")
   }
 
+  test("q90 bigrams build via zip_with, not a per-element indexing lambda") {
+    val plan = executedPlan(
+      graft.operators.TextAnalysis.q90BigramLogProb(spark, sfDir))
+    // an element_at(toks, i) lambda body gets split() inlined per element
+    // (O(len²)/row — measured 4.3 s vs 0.8 s at sf0.1); the generator must
+    // carry the zip_with form
+    val gen = plan.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(gen.contains("zip_with"),
+      s"bigram generator must be the zip_with form:\n$gen")
+    assert(!gen.contains("element_at"),
+      s"per-element array indexing re-tokenizes per bigram:\n$gen")
+  }
+
   test("q84 source KL: one corpus explode feeds all aggregates, totals broadcast") {
     val plan = executedPlan(graft.operators.CorpusOps.q84SourceKl(spark, sfDir))
     val explodes = plan.linesIterator.count(_.contains("Generate explode"))
