@@ -333,6 +333,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("importanceSample is streaming-safe: stream membership equals batch membership") {
+    // the keep rule is a stateless per-row expression (md5 uniform vs
+    // weight) — the SAME curation step must run incrementally over a
+    // document stream with no state store and no re-scoring drift
+    val dir = java.nio.file.Files.createTempDirectory("corpstream").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val toks = split(col("text"), " ")
+    val weight = size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = CorpusOps.importanceSample(stream, "doc_id", weight)
+      .writeStream.format("memory").queryName("imp_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("imp_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val want = CorpusOps.importanceSample(
+        spark.read.schema(schema).parquet(dir), "doc_id", weight)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === want, "stream and batch must keep the same documents")
+      assert(got.nonEmpty && got.length < 500, "a nontrivial subset is kept")
+    } finally q.stop()
+  }
+
   test("sourceDivergence: zero for an identical-mix source, positive for a skewed one") {
     val sp = spark; import sp.implicits._
     // two sources with the SAME distribution → both KL ≈ 0 (each equals the mix)
