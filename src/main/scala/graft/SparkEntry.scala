@@ -157,6 +157,7 @@ object SparkEntry {
     "q88_centroid_drift" -> (graft.operators.Similarity.q88CentroidDrift _),
     "q89_dataset_card" -> (graft.operators.CorpusOps.q89DatasetCard _),
     "q90_bigram_logprob" -> (graft.operators.TextAnalysis.q90BigramLogProb _),
+    "q91_quality_calibration" -> (graft.operators.CorpusOps.q91QualityCalibration _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "q88_centroid_drift" -> graft.operators.Similarity.q88Sql,
     "q89_dataset_card" -> graft.operators.CorpusOps.q89Sql,
     "q90_bigram_logprob" -> graft.operators.TextAnalysis.q90Sql,
+    "q91_quality_calibration" -> graft.operators.CorpusOps.q91Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

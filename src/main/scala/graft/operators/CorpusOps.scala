@@ -730,6 +730,50 @@ object CorpusOps {
       |    AS median_tokens
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Per-source quality calibration: the percent-rank of a quality
+    * score WITHIN its source — the normalization step that makes
+    * scores comparable across sources before a global keep-threshold
+    * or mixture weight is applied (a raw score cliff that keeps 80% of
+    * curated text would annihilate a noisier crawl; percentiles keep
+    * the same fraction of each source's own distribution). Ties break
+    * on the id so the rank is total and engine-reproducible.
+    *
+    * Shape at scale: one shuffle on the source key; the rank window
+    * sorts within each source partition only — no global sort. Sources
+    * are the partition unit, so a giant source dominates its partition:
+    * at 100 TB, pre-split hot sources by a salt column if one source is
+    * most of the corpus (the quality signal is i.i.d. within a source,
+    * so salted percentiles converge to the same calibration).
+    */
+  def calibrateQuality(
+      docs: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(score.asc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol).as("source"),
+      score.as("score"), percent_rank().over(w).as("pct_in_source"))
+  }
+
+  /** Declared q91: lexical-diversity calibration per source. */
+  def q91QualityCalibration(spark: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    calibrateQuality(Tables.documents(spark, d), "doc_id", "source",
+      size(array_distinct(toks)).cast(DoubleType) /
+        size(toks).cast(DoubleType))
+  }
+
+  val q91Sql: String =
+    """SELECT doc_id, source, score,
+      |  percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id)
+      |    AS pct_in_source
+      |FROM (
+      |  SELECT doc_id, source,
+      |    len(list_distinct(string_split(text, ' ')))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      |  FROM documents)""".stripMargin
+
   /** Leakage-free train/val/test split: the split is drawn per CLUSTER,
     * not per document, so a group of near-duplicates can never straddle
     * the boundary — the classic eval-contamination bug where the test

@@ -333,6 +333,27 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("calibrateQuality: per-source percentiles are scale-free and span [0,1]") {
+    val sp = spark; import sp.implicits._
+    // source a scores in [0.9, 1.0]; source b in [0.0, 0.1]: raw-score
+    // thresholding would drop ALL of b — calibration must not
+    val docs = ((1 to 100).map(i => (i.toLong, "a", 0.9 + i / 1000.0)) ++
+      (1 to 100).map(i => (1000L + i, "b", i / 1000.0)))
+      .toDF("id", "src", "s")
+    val out = CorpusOps.calibrateQuality(docs, "id", "src", col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val bySrc = out.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val ps = rows.map(_._3)
+      assert(math.abs(ps.min) < 1e-12 && math.abs(ps.max - 1.0) < 1e-12,
+        s"source $src percentiles must span [0,1]")
+    }
+    // the same keep-fraction applies to each source under one threshold
+    val keptA = bySrc("a").count(_._3 >= 0.8)
+    val keptB = bySrc("b").count(_._3 >= 0.8)
+    assert(keptA === keptB, "calibration equalizes the kept fraction per source")
+  }
+
   test("importanceSample is streaming-safe: stream membership equals batch membership") {
     // the keep rule is a stateless per-row expression (md5 uniform vs
     // weight) — the SAME curation step must run incrementally over a
