@@ -109,4 +109,76 @@ object Versioned {
       | (CAST(9000001 AS BIGINT), 111.1, 'insert', CAST(1 AS BIGINT)),
       | (CAST(9000002 AS BIGINT), 222.2, 'insert', CAST(1 AS BIGINT)))
       | t(c_custkey, c_acctbal, change_type, commit_version)""".stripMargin
+
+  /** Population-stability index between two table VERSIONS — the drift
+    * monitor a production corpus feed runs after every ingest: write
+    * the corpus as v0, append a batch (v1), and compare each source's
+    * document-length distribution between `versionAsOf 0` and the
+    * latest snapshot. PSI = Σ_buckets (p1−p0)·ln(p1/p0) over
+    * Laplace-smoothed bucket shares (smoothing keeps buckets that
+    * exist in only one version finite; the bucket set is the union of
+    * both versions per source, so the metric is symmetric in support).
+    * This composes the table layer (time travel) with the analytics
+    * layer — the question it answers ("did the append shift the
+    * distribution?") cannot be asked without versioning.
+    *
+    * Shape at scale: two snapshot scans reduce IMMEDIATELY to
+    * (source × bucket) count relations — tiny — and everything after
+    * (full outer join, totals, PSI) is metadata-sized. Appending 1%
+    * to a 100 TB table costs two aggregates, not a diff of rows.
+    */
+  def q92VersionDrift(spark: SparkSession, d: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_drift").toString
+    val base = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    DeltaLikeTable.write(base.where(col("doc_id") % 5 < 3), path, "overwrite")
+    DeltaLikeTable.write(base.where(col("doc_id") % 5 >= 3), path, "append")
+    def dist(df: DataFrame, cn: String) = df
+      .select(col("source"),
+        floor(col("n_chars") / 50).cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as(cn))
+    val d0 = dist(spark.read.format("deltalike")
+      .option("versionAsOf", "0").load(path), "c0")
+    val d1 = dist(spark.read.format("deltalike").load(path), "c1")
+    val j = d0.join(d1, Seq("source", "bucket"), "full_outer")
+      .select(col("source"), col("bucket"),
+        coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+    val t = j.groupBy(col("source")).agg(
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      count(lit(1)).as("b"))
+    val p0 = (col("c0") + 1).cast("double") / (col("n0") + col("b")).cast("double")
+    val p1 = (col("c1") + 1).cast("double") / (col("n1") + col("b")).cast("double")
+    j.join(t, Seq("source"))
+      .groupBy(col("source"), col("b").as("n_buckets"))
+      .agg(sum((p1 - p0) * log(p1 / p0)).as("psi"))
+  }
+
+  /** Oracle: v0 is the deterministic 60% slice, v1 the whole fixture —
+    * DuckDB recomputes both distributions from the parquet directly.
+    */
+  val q92Sql: String =
+    """WITH v0 AS (
+      |  SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket
+      |  FROM documents WHERE doc_id % 5 < 3),
+      |v1 AS (
+      |  SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket
+      |  FROM documents),
+      |d0 AS (SELECT source, bucket, count(*) AS c0 FROM v0 GROUP BY 1, 2),
+      |d1 AS (SELECT source, bucket, count(*) AS c1 FROM v1 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT coalesce(d0.source, d1.source) AS source,
+      |    coalesce(d0.bucket, d1.bucket) AS bucket,
+      |    coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+      |  FROM d0 FULL OUTER JOIN d1
+      |    ON d0.source = d1.source AND d0.bucket = d1.bucket),
+      |t AS (
+      |  SELECT source, CAST(sum(c0) AS BIGINT) AS n0,
+      |    CAST(sum(c1) AS BIGINT) AS n1, count(*) AS b
+      |  FROM j GROUP BY 1)
+      |SELECT j.source, t.b AS n_buckets,
+      |  sum(((c1 + 1) / CAST(n1 + b AS DOUBLE) - (c0 + 1) / CAST(n0 + b AS DOUBLE))
+      |    * ln(((c1 + 1) / CAST(n1 + b AS DOUBLE))
+      |        / ((c0 + 1) / CAST(n0 + b AS DOUBLE)))) AS psi
+      |FROM j JOIN t USING (source) GROUP BY 1, 2""".stripMargin
 }
