@@ -159,6 +159,7 @@ object SparkEntry {
     "q90_bigram_logprob" -> (graft.operators.TextAnalysis.q90BigramLogProb _),
     "q91_quality_calibration" -> (graft.operators.CorpusOps.q91QualityCalibration _),
     "q92_version_drift" -> (Versioned.q92VersionDrift _),
+    "q93_sql_time_travel" -> (Versioned.q93SqlTimeTravel _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -260,6 +261,7 @@ object SparkEntry {
     "q90_bigram_logprob" -> graft.operators.TextAnalysis.q90Sql,
     "q91_quality_calibration" -> graft.operators.CorpusOps.q91Sql,
     "q92_version_drift" -> Versioned.q92Sql,
+    "q93_sql_time_travel" -> Versioned.q93Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

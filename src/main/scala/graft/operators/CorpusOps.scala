@@ -154,7 +154,7 @@ object CorpusOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
       | FROM t)
       |SELECT CAST(floor(prior / 2000.0) AS BIGINT) AS shard_id,
-      | count(*) AS n_docs, sum(tok) AS total_tokens
+      | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
       |FROM c GROUP BY 1""".stripMargin
 
   /** Deterministic stratified sampling: keep a document iff its
@@ -396,7 +396,7 @@ object CorpusOps {
       groupCol: String,
       contentCols: Seq[String]): DataFrame = {
     val word = conv(substring(md5(
-      concat_ws("", contentCols.map(col): _*)), 1, 12), 16, 10)
+      concat_ws("\u0001", contentCols.map(col): _*)), 1, 12), 16, 10)
       .cast(LongType)
     docs.select(col(groupCol), word.as("__w"))
       .groupBy(col(groupCol))
@@ -412,7 +412,7 @@ object CorpusOps {
 
   val q82Sql: String =
     """SELECT source, count(*) AS n_docs,
-      | bit_xor(w) AS digest_xor, sum(w) AS digest_sum
+      | bit_xor(w) AS digest_xor, CAST(sum(w) AS BIGINT) AS digest_sum
       |FROM (
       |  SELECT source,
       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text

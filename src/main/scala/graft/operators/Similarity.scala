@@ -337,7 +337,7 @@ object Similarity {
       |       ELSE sqrt(list_sum(list_transform(generate_series(1, n),
       |              i -> (xs[i] - qs[i] * scale) * (xs[i] - qs[i] * scale))) / n)
       |  END AS rms_err,
-      |  list_sum(list_transform(generate_series(1, n),
-      |    i -> CAST(qs[i] AS BIGINT) * i)) AS q_checksum
+      |  CAST(list_sum(list_transform(generate_series(1, n),
+      |    i -> CAST(qs[i] AS BIGINT) * i)) AS BIGINT) AS q_checksum
       |FROM q""".stripMargin
 }

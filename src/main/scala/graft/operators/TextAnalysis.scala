@@ -668,9 +668,16 @@ object TextAnalysis {
           acc => transform(col("__dense"), x => x / sqrt(acc))).as("vec"))
   }
 
-  /** Declared q76: 64-dim hashed TF vectors for every document. */
+  /** Declared q76: 64-dim hashed TF vectors for every document,
+    * exploded to one (doc_id, i, component) row per vector slot — the
+    * driver harness canonicalizes results through a pandas sort that
+    * cannot order raw array cells, so declared outputs must be scalar
+    * columns (the full-vector compare is preserved: every component is
+    * its own hashed row).
+    */
   def q76HashingTf(spark: SparkSession, d: String): DataFrame =
     hashingTfVectors(Tables.documents(spark, d), "doc_id", "text")
+      .select(col("doc_id"), posexplode(col("vec")).as(Seq("i", "component")))
 
   val q76Sql: String =
     """WITH tok AS (
@@ -687,7 +694,8 @@ object TextAnalysis {
       |n AS (SELECT doc_id, dense,
       |        sqrt(list_sum(list_transform(dense, x -> x * x))) AS nrm
       |      FROM d)
-      |SELECT doc_id, list_transform(dense, x -> x / nrm) AS vec FROM n""".stripMargin
+      |SELECT doc_id, CAST(x.i AS INT) AS i, dense[x.i + 1] / nrm AS component
+      |FROM n, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) AS x""".stripMargin
 
   /** Declared q77: document search with NO embedding model — hashed TF
     * vectors ([[hashingTfVectors]]) fed straight into the brute-force

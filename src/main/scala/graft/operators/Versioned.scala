@@ -110,6 +110,26 @@ object Versioned {
       | (CAST(9000002 AS BIGINT), 222.2, 'insert', CAST(1 AS BIGINT)))
       | t(c_custkey, c_acctbal, change_type, commit_version)""".stripMargin
 
+  /** Same overwrite+MERGE as q27, but the v0 read is PURE SQL through
+    * Spark's own temporal grammar (`VERSION AS OF`), resolved by
+    * [[graft.tables.DeltalikeMergeRule]] — the SQL-first spelling of
+    * time travel a read-only user types first (B5 over the SQL
+    * surface, not the DataFrame API).
+    */
+  def q93SqlTimeTravel(spark: SparkSession, d: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_sqltt").toString
+    DeltaLikeTable.write(Tables.customer(spark, d), path, "overwrite")
+    val t = DeltaLikeTable.forPath(spark, path)
+    t.as("old").merge(mergeSource(spark, d).as("new"),
+        "old.c_custkey = new.c_custkey")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    spark.sql(s"SELECT * FROM deltalike.`$path` VERSION AS OF 0")
+  }
+
+  val q93Sql: String = "SELECT * FROM customer"
+
   /** Population-stability index between two table VERSIONS — the drift
     * monitor a production corpus feed runs after every ingest: write
     * the corpus as v0, append a batch (v1), and compare each source's

@@ -62,7 +62,7 @@ object Sources {
   }
 
   val q80Sql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-      | sum(('0x' || substring(md5(text), 1, 12))::BIGINT) AS text_checksum
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      | CAST(sum(('0x' || substring(md5(text), 1, 12))::BIGINT) AS BIGINT) AS text_checksum
       |FROM documents GROUP BY lang""".stripMargin
 }

@@ -79,6 +79,20 @@ class DeltalikeMergeRule extends Rule[LogicalPlan] {
           "deltalike INSERT: partition specs / column lists are not supported")
       DeltalikeInsertCommand(path, query, overwrite, byName)
 
+    // time-travel reads with Spark's own temporal grammar:
+    // SELECT ... FROM deltalike.`path` VERSION AS OF 3
+    // SELECT ... FROM deltalike.`path` TIMESTAMP AS OF '2026-08-12T10:00:00Z'
+    case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+        UnresolvedRelation(Seq("deltalike", raw), _, _), ts, ver) =>
+      val (path, suffixV) = splitVersion(raw)
+      val version = ver.map(_.toLong).getOrElse(suffixV)
+      val timestamp = ts.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
+        case other => throw new UnsupportedOperationException(
+          s"deltalike TIMESTAMP AS OF requires a literal, got $other")
+      }
+      DeltalikeResolvedRead(path, version, timestamp)
+
     // bare reads: SELECT ... FROM deltalike.`path[@vN]`
     case UnresolvedRelation(Seq("deltalike", raw), _, _) =>
       val (path, version) = splitVersion(raw)
@@ -100,7 +114,10 @@ class DeltalikeMergeRule extends Rule[LogicalPlan] {
   * Split in two phases because building the scan needs the active
   * SparkSession, which hint-batch rules should not assume.
   */
-case class DeltalikeResolvedRead(path: String, version: Long)
+case class DeltalikeResolvedRead(
+    path: String,
+    version: Long,
+    timestamp: Option[String] = None)
     extends LeafNode {
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq.empty
@@ -121,8 +138,11 @@ case class DeltalikeResolvedChanges(path: String, sinceVersion: Long)
 /** Resolution-batch rule: [[DeltalikeResolvedRead]] → actual scan plan. */
 class DeltalikeReadResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case DeltalikeResolvedRead(path, version) =>
-      DeltaLikeTable.forPath(spark, path).toDF(version).queryExecution.logical
+    case DeltalikeResolvedRead(path, version, timestamp) =>
+      val t = DeltaLikeTable.forPath(spark, path)
+      val v = timestamp.fold(version)(ts =>
+        t.log.versionAtTimestamp(DeltaLikeSource.parseTimestamp(ts)))
+      t.toDF(v).queryExecution.logical
     case DeltalikeResolvedChanges(path, since) =>
       ChangeReader.changeFeed(spark, path, since).queryExecution.logical
   }

@@ -91,6 +91,29 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg === 30)
   }
 
+  test("SQL reads: VERSION AS OF / TIMESTAMP AS OF temporal grammar") {
+    val sp = spark; import sp.implicits._
+    val path = fresh()
+    Seq((9L, "z", 90)).toDF("k", "v", "n")
+      .write.format("deltalike").mode("append").save(path)
+    // VERSION AS OF matches the versionAsOf API read
+    val sqlV0 = spark.sql(s"SELECT * FROM deltalike.`$path` VERSION AS OF 0")
+      .orderBy("k").collect().toSeq
+    val apiV0 = spark.read.format("deltalike").option("versionAsOf", "0")
+      .load(path).orderBy("k").collect().toSeq
+    assert(sqlV0 === apiV0 && sqlV0.size === 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM deltalike.`$path` VERSION AS OF 1")
+      .head().getLong(0) === 4)
+    // TIMESTAMP AS OF at v1's commit time sees v1
+    val t = DeltaLikeTable.forPath(spark, path)
+    val ts1Ms = t.log.history()
+      .collectFirst { case (1L, Some(ci)) => ci.timestampMs }.get
+    val ts1 = java.time.Instant.ofEpochMilli(ts1Ms).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM deltalike.`$path` TIMESTAMP AS OF '$ts1'")
+      .head().getLong(0) === 4)
+  }
+
   test("SQL INSERT INTO appends; INSERT OVERWRITE replaces") {
     val path = fresh()
     spark.sql(s"INSERT INTO deltalike.`$path` VALUES (10, 'j', 100)")

@@ -7,6 +7,16 @@ Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
 matching SQL from oracle_sql.json in DuckDB with views named after the
 fixture tables. Canonicalizes both sides (columns sorted by name, rows
 sorted, floats rounded to 1e-6, timestamps to µs UTC) and diffs.
+
+Also LINTS result dtypes for shapes the DRIVER harness cannot
+canonicalize even when values match (round-3 post-mortem):
+  * DuckDB HUGEINT/DECIMAL oracle columns — the driver's pandas layer
+    renders them float64 (dtype drift vs Spark's int64, and outright
+    value corruption above 2^53). Fix: CAST(... AS BIGINT) in the SQL.
+  * array/map/struct columns on EITHER side — the driver's pandas
+    sort_values throws "unhashable type: numpy.ndarray". Fix: declare
+    sortable scalar shapes (explode, or positional checksums).
+A dtype-lint hit is a FAIL even if the value compare passes.
 """
 import json
 import math
@@ -44,6 +54,26 @@ def canon(rows, cols):
     return sorted(tuple(cv(r[i]) for i in order) for r in rows)
 
 
+ORACLE_BAD = ("HUGEINT", "UHUGEINT", "DECIMAL")
+UNSORTABLE = ("[]", "MAP(", "STRUCT(", "UNION(")
+
+
+def dtype_lint(name, rel, side):
+    """Driver-harness canonicalization hazards; returns list of msgs."""
+    msgs = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if side == "oracle" and any(t.startswith(b) for b in ORACLE_BAD):
+            msgs.append(
+                f"oracle column {col} is {t} — pandas renders float64 "
+                f"(dtype drift, >2^53 corruption); CAST(... AS BIGINT/DOUBLE)")
+        if any(m in t for m in UNSORTABLE):
+            msgs.append(
+                f"{side} column {col} is {t} — driver pandas sort crashes "
+                f"on array/map/struct cells; emit sortable scalars")
+    return msgs
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -64,7 +94,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
-        if sorted(got_cols) != sorted(exp_cols):
+        lint = dtype_lint(name, got_rel, "spark") + dtype_lint(name, exp_rel, "oracle")
+        if lint:
+            n_fail += 1
+            print(f"FAIL {name}: dtype lint")
+            for m in lint:
+                print(f"  {m}")
+        elif sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
             n_fail += 1
         elif got != exp:
