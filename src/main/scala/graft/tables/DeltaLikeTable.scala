@@ -109,9 +109,10 @@ final class DeltaLikeTable private (
     }
     // a file whose last live row died is simply removed
     val live = updated.filter(_.numRecords > 0)
-    log.commit(snap.version + 1,
+    DeltaLikeTable.commitRewrite(log, snap.version,
       touched.map(f => RemoveFile(f.path)) ++ live :+
-        CommitInfo("DELETE", System.currentTimeMillis()))
+        CommitInfo("DELETE", System.currentTimeMillis()),
+      touched.map(_.path).toSet)
     Some(matched.length.toLong)
   }
 
@@ -204,9 +205,10 @@ final class DeltaLikeTable private (
         nullCounts = Map.empty,
         deletedRows = (f.deletedRows ++ add).sorted)
     }.filter(_.numRecords > 0)
-    try log.commit(snap.version + 1,
+    try DeltaLikeTable.commitRewrite(log, snap.version,
       touched.map(f => RemoveFile(f.path)) ++ dvAdds ++ newAdds :+
-        CommitInfo("UPDATE", System.currentTimeMillis()))
+        CommitInfo("UPDATE", System.currentTimeMillis()),
+      touched.map(_.path).toSet)
     catch {
       case e: Throwable => DeltaLikeTable.discardStaged(path, newAdds); throw e
     }
@@ -276,9 +278,10 @@ final class DeltaLikeTable private (
       DeltaLikeTable.enforceConstraints(rewritten, snap.constraints)
     val adds = DeltaLikeTable.stageFiles(rewritten, snap.tableRoot,
       snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
-    try log.commit(snap.version + 1,
+    try DeltaLikeTable.commitRewrite(log, snap.version,
       touchedRel.map(RemoveFile(_)) ++ adds :+
-        CommitInfo(operation, System.currentTimeMillis()))
+        CommitInfo(operation, System.currentTimeMillis()),
+      relSet)
     catch {
       case e: Throwable => DeltaLikeTable.discardStaged(path, adds); throw e
     }
@@ -1195,8 +1198,9 @@ object DeltaLikeTable {
     // concurrent writer. An APPEND commutes with any other commit (no
     // removes; data files are already uniquely named), so it rebases to
     // the new head and retries — after re-checking the schema, which a
-    // concurrent overwrite could have changed. Overwrites (and merges,
-    // via their own commit path) are genuine conflicts and fail fast.
+    // concurrent overwrite could have changed. Overwrites are genuine
+    // conflicts and fail fast; merges/deletes/updates rebase iff the
+    // concurrent commit touched disjoint files ([[commitRewrite]]).
     // Any abandoned commit — skipCommitIf, a lost overwrite race, an
     // exhausted/failed rebase — deletes its staged files: they were
     // never logged as AddFile, so nothing else (vacuum included) would
@@ -1312,6 +1316,68 @@ object DeltaLikeTable {
       val name = bad.head.getString(0)
       throw new IllegalArgumentException(
         s"CHECK constraint '$name' violated by write: ${constraints(name)}")
+    }
+  }
+
+  /** One-shot test seam: invoked (and cleared) immediately before a
+    * rewriting transaction's first commit attempt, so specs can inject
+    * a concurrent commit deterministically — the only way to pin the
+    * interleaving without a racy multi-threaded test.
+    */
+  @volatile private[tables] var preRewriteCommitHook: () => Unit = () => ()
+
+  /** Commit a REWRITING transaction (MERGE / DELETE / UPDATE) with
+    * file-disjoint rebase — Delta's WriteSerializable default. The
+    * transaction was built against `baseVersion`; if another writer
+    * committed first, it retries onto the new head iff every concurrent
+    * commit is data-disjoint:
+    *
+    *   - no concurrent `MetaData` action (a schema / partitioning /
+    *     constraint change invalidates the staged rewrite wholesale), and
+    *   - no concurrent `RemoveFile` of a file this transaction touched
+    *     (the rewrite read those rows and re-removes those files — a
+    *     write-write conflict on the same data).
+    *
+    * Concurrent `AddFile`s never intersect the touched set (they are
+    * fresh names by construction), so a concurrent append — or a
+    * rewrite of OTHER files, e.g. two MERGEs on disjoint partitions —
+    * rebases cleanly and the result equals some serial order. Like
+    * Delta under WriteSerializable, a concurrent append whose rows
+    * WOULD have matched this transaction's predicate is not a conflict:
+    * the rewrite serializes before it. Schema-evolving merges carry a
+    * MetaData action of their own and fail fast (`rebaseable=false`).
+    */
+  private[tables] def commitRewrite(
+      log: DeltaLog,
+      baseVersion: Long,
+      actions: Seq[Action],
+      touchedRel: Set[String],
+      rebaseable: Boolean = true,
+      maxAttempts: Int = 20): Unit = {
+    val hook = preRewriteCommitHook
+    preRewriteCommitHook = () => ()
+    hook()
+    var version = baseVersion + 1
+    var attempt = 0
+    while (true) {
+      try { log.commit(version, actions); return }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (!rebaseable || attempt > maxAttempts) throw e
+          val head = log.latestVersion
+          val conflict = (version to head).flatMap(log.actions).collectFirst {
+            case _: MetaData => "a metadata change"
+            case RemoveFile(p) if touchedRel.contains(p) =>
+              s"removal of touched file $p"
+          }
+          conflict.foreach { why =>
+            throw new java.util.ConcurrentModificationException(
+              s"rewrite built at version $baseVersion cannot rebase over " +
+                s"concurrent commit(s) $version..$head: $why")
+          }
+          version = head + 1
+      }
     }
   }
 

@@ -285,9 +285,12 @@ final class MergeBuilder private[tables] (
       if (newFields.isEmpty) Seq.empty
       else Seq(snap.toMetaData(schemaDdl = evolved.toDDL,
         columnMapping = mergedMapping))
-    try table.log.commit(snap.version + 1,
+    // schema-evolving merges commit MetaData and cannot rebase; plain
+    // merges rebase over concurrent commits that touch disjoint files
+    try DeltaLikeTable.commitRewrite(table.log, snap.version,
       meta ++ touchedRel.map(RemoveFile(_)) ++ adds :+
-        CommitInfo("MERGE", System.currentTimeMillis()))
+        CommitInfo("MERGE", System.currentTimeMillis()),
+      touchedRel.toSet, rebaseable = meta.isEmpty)
     catch {
       case e: Throwable =>
         DeltaLikeTable.discardStaged(snap.tableRoot, adds); throw e

@@ -80,8 +80,14 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # subset Verify runs (SPARK_GRAFT_ONLY) dump only some queries;
+        # compare what's there instead of erroring on the rest
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -113,7 +119,8 @@ def main(sf_dir, out_dir):
         else:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
-    print(f"== {n_pass} pass, {n_fail} fail")
+    print(f"== {n_pass} pass, {n_fail} fail"
+          + (f", {n_skip} not dumped (skipped)" if n_skip else ""))
     return 1 if n_fail else 0
 
 
