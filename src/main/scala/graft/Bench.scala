@@ -18,6 +18,14 @@ object Bench {
     // happens to run first (~6s of pure startup attributed to one query)
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // one untimed ITERATIVE query too: the loop path (per-iteration
+    // localCheckpoint + driver-scheduled convergence jobs) JIT-compiles
+    // separately from the one-shot plans above, and its first run costs
+    // 2-3x its steady state — without this, that JIT lands inside the
+    // first timed run of whichever iterative query (q45/q69/q72/q81)
+    // comes up first
+    try SparkEntry.queries("q69_dedup_clusters")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
     // median of 3 runs per query: single-shot timing under machine load
     // has shown ~2.7x variance on this box, which is larger than any
     // engine-side regression we'd want to detect

@@ -191,6 +191,48 @@ object CorpusOps {
       |   / 1152921504606846976.0
       |  < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""".stripMargin
 
+  /** Deterministic QUOTA sampling: exactly min(quota, |stratum|)
+    * documents per stratum, chosen by md5-hash order — the eval-set /
+    * human-review-batch construction step where a FIXED count per
+    * language/source matters (rate-based [[stratifiedSample]] only
+    * hits a count in expectation). The hash order is a pure function
+    * of (stratum, id): stable across runs, engines, and partitionings,
+    * and adding documents to a stratum can only displace the
+    * hash-largest picks — no RNG state, no global sort.
+    *
+    * Scale shape: one hash shuffle on the stratum key; the windowed
+    * rank with the filter directly above it compiles to
+    * WindowGroupLimit, so each partition retains only `quota` rows per
+    * stratum during the shuffle read.
+    *
+    * @return input columns plus `sample_rank` (1-based within stratum)
+    */
+  def quotaSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      quota: Int): DataFrame = {
+    val u = md5(concat_ws("|", col(stratumCol), col(idCol).cast(StringType)))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(u, col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= quota)
+  }
+
+  /** Declared q95: exactly 30 docs per language (or the whole stratum
+    * when smaller).
+    */
+  def q95QuotaSample(spark: SparkSession, d: String): DataFrame =
+    quotaSample(Tables.documents(spark, d), "doc_id", "lang", quota = 30)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+
+  val q95Sql: String =
+    """SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(lang || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 30""".stripMargin
+
   /** Per-domain document caps — the web-corpus balancing step that stops
     * a handful of giant domains from dominating the training mix
     * (RefinedWeb/C4 keep per-host quotas; same idea here, keyed on any

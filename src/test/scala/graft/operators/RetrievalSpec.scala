@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** BM25 retrieval ([[Retrieval.bm25TopK]]) on planted geometry, and
+  * quota sampling ([[CorpusOps.quotaSample]]) count/determinism
+  * properties.
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("retrieval-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("BM25: a document saturated with the query's rare term ranks first") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (10L, "zebra zebra zebra common common"),
+      (11L, "zebra common common common common"),
+      (12L, "common common common common common"),
+      (13L, "other words entirely here now")).toDF("doc_id", "text")
+    val queries = Seq((1L, "zebra")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, queries, "doc_id", "text", k = 3)
+      .orderBy("rank").collect()
+    // only the two zebra docs match; tf 3 > tf 1 at equal length
+    assert(out.map(_.getLong(2)).toSeq === Seq(10L, 11L))
+    assert(out.map(_.getInt(1)).toSeq === Seq(1, 2))
+    assert(out(0).getDouble(3) > out(1).getDouble(3))
+  }
+
+  test("BM25: length normalization — same tf, shorter document wins") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (20L, "needle filler"),
+      (21L, "needle filler filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "needle")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, queries, "doc_id", "text", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(20L, 21L))
+  }
+
+  test("BM25: multi-term scores are additive over matched terms only") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (30L, "alpha beta gap gap"),
+      (31L, "alpha gap gap gap"),
+      (32L, "gap gap gap gap")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta missingterm")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, queries, "doc_id", "text", k = 3)
+      .orderBy("rank").collect()
+    // two matched terms beat one; no-match docs are absent entirely
+    assert(out.map(_.getLong(2)).toSeq === Seq(30L, 31L))
+  }
+
+  test("quota sample: exact counts, rank span, determinism, stability") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i <= 70) "big" else "small"))
+      .toDF("doc_id", "stratum")
+    val s1 = CorpusOps.quotaSample(docs, "doc_id", "stratum", quota = 10)
+    val counts = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 10L, "small" -> 10L))
+    assert(s1.agg(org.apache.spark.sql.functions.max("sample_rank"))
+      .head().getInt(0) === 10)
+    // quota above the stratum size keeps the whole stratum
+    val s2 = CorpusOps.quotaSample(docs, "doc_id", "stratum", quota = 50)
+    assert(s2.where(col("stratum") === "small").count() === 30)
+    // same input, same picks (pure function of (stratum, id))
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids1b = CorpusOps.quotaSample(docs, "doc_id", "stratum", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids1b)
+    // growing a stratum never invents new hash order among survivors:
+    // picks from the 100-doc corpus that survive in the 150-doc corpus
+    // keep their relative rank order
+    val grown = (1L to 150L).map(i => (i, if (i <= 120) "big" else "small"))
+      .toDF("doc_id", "stratum")
+    val s3 = CorpusOps.quotaSample(grown, "doc_id", "stratum", 10)
+      .select("doc_id", "sample_rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val common = s1.select("doc_id", "sample_rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .filter { case (id, _) => s3.contains(id) }
+    val reRanked = common.sortBy(_._2).map { case (id, _) => s3(id) }
+    assert(reRanked.toSeq === reRanked.sorted.toSeq)
+  }
+}

@@ -85,6 +85,27 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ("eleven twelve thirteen fourteen fifteen sixteen seventeen", 0L))
   }
 
+  test("hashedTfComponents ≡ posexplode(hashingTfVectors) — the codegen" +
+    " join shape and the array HOF shape agree value-for-value") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma gamma gamma"),
+      (2L, "delta"),
+      (3L, "epsilon zeta eta theta iota kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    val viaArray = TextAnalysis.hashingTfVectors(docs, "doc_id", "text", dim = 16)
+      .select(col("doc_id"), posexplode(col("vec")).as(Seq("i", "component")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaJoin = TextAnalysis.hashedTfComponents(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaJoin.keySet === viaArray.keySet)
+    assert(viaJoin.size === 3 * 16)
+    viaJoin.foreach { case (k, v) =>
+      assert(math.abs(v - viaArray(k)) < 1e-12, s"slot $k: $v vs ${viaArray(k)}")
+    }
+  }
+
   test("stripCommonNgrams: doc shorter than n and fully-covered doc survive") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
