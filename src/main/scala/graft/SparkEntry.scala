@@ -162,6 +162,7 @@ object SparkEntry {
     "q93_sql_time_travel" -> (Versioned.q93SqlTimeTravel _),
     "q94_bm25_topk" -> (graft.operators.Retrieval.q94Bm25TopK _),
     "q95_quota_sample" -> (graft.operators.CorpusOps.q95QuotaSample _),
+    "q96_incremental_neardup" -> (graft.operators.NearDup.q96IncrementalNearDup _),
     // SQL-text surface: grouping sets, ntile/first/last, bag set ops,
     // correlated subqueries, pivot
     "q39_grouping_sets" -> (SqlSurface.q39GroupingSets _),
@@ -266,6 +267,7 @@ object SparkEntry {
     "q93_sql_time_travel" -> Versioned.q93Sql,
     "q94_bm25_topk" -> graft.operators.Retrieval.q94Sql,
     "q95_quota_sample" -> graft.operators.CorpusOps.q95Sql,
+    "q96_incremental_neardup" -> graft.operators.NearDup.q96Sql,
     // q35 is LSH-candidates + exact verification (all-pairs oracle);
     // q37/q44 are recall gates (oracle pins the exact side + a recall
     // boolean); specs additionally measure raw recall.

@@ -160,6 +160,137 @@ object NearDup {
       | ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.6""".stripMargin
 
+  /** Incremental near-dup ingest — the production shape of MinHash
+    * dedup: a NEW batch arrives, and each batch document is checked for
+    * a near-duplicate (exact shingle Jaccard ≥ `threshold`) against the
+    * already-ingested CORPUS and against earlier (smaller-id) documents
+    * of the same batch. Corpus documents are never compared with each
+    * other: the bucket join keeps only pairs with a batch side, so a
+    * 100 TB corpus contributes signatures to the index but no
+    * corpus×corpus candidate ever materializes — per-ingest cost scales
+    * with the batch, not the corpus. Candidates are exact-verified
+    * (precision 1), same contract as [[minHashVerifiedPairs]].
+    *
+    * `dup_in_batch` flags a match with ANY smaller-id batch doc
+    * (whether or not that doc is itself kept) — the conservative
+    * one-pass rule ingest pipelines use; transitive-group
+    * representative selection is [[Components.connectedComponents]]'s
+    * job when needed.
+    *
+    * @return one row per batch document: (idCol, dup_of_corpus,
+    *         dup_in_batch, keep)
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.6,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    def side(df: DataFrame, isBatch: Boolean) = df.select(
+      col(idCol).as("__id"), col(textCol).as("__text"),
+      lit(isBatch).as("__is_batch"))
+    val tagged = side(corpus, isBatch = false)
+      .unionByName(side(batch, isBatch = true))
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+
+    val sets = tagged
+      .select(col("__id"), col("__is_batch"), shingleSet(col("__text")).as("__sh"))
+      .where(size(col("__sh")) > 0)
+    val sigs = sets
+      .select(col("__id"), col("__is_batch"), explode(col("__sh")).as("__s"))
+      .select(col("__id"), col("__is_batch"),
+        pmod(xxhash64(col("__s")), lit(P)).as("__x"))
+      .groupBy(col("__id"), col("__is_batch"))
+      .agg(graft.functions.MinHashAgg.of(numHashes, seed)(col("__x")).as("__sig"))
+    val withBands = sigs.select(
+      col("__id"), col("__is_batch"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bh")
+
+    val left = withBands.select(col("__id").as("id_a"),
+      col("__is_batch").as("__batch_a"), col("__band"), col("__bh"))
+    val right = withBands
+      .where(col("__is_batch"))
+      .select(col("__id").as("id_b"), col("__band"), col("__bh"))
+    // candidate gate: the right side is always batch; the left side is
+    // corpus, or an earlier batch doc — corpus×corpus never survives
+    val candidates = left.join(right, Seq("__band", "__bh"))
+      .where(!col("__batch_a") || col("id_a") < col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("__batch_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val verified = candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .where((size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType) /
+        (size(col("__sh_a")) + size(col("__sh_b")) -
+          size(array_intersect(col("__sh_a"), col("__sh_b"))))) >= threshold)
+      .groupBy(col("id_b"))
+      .agg(
+        max(when(!col("__batch_a"), true).otherwise(false)).as("__dup_corpus"),
+        max(when(col("__batch_a"), true).otherwise(false)).as("__dup_batch"))
+
+    batch.select(col(idCol))
+      .join(verified.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dup_corpus"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__dup_batch"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("__dup_corpus"), lit(false)) &&
+          !coalesce(col("__dup_batch"), lit(false))).as("keep"))
+  }
+
+  /** Declared q96: ingest doc_id < 100 as the new batch against the
+    * doc_id ≥ 100 corpus.
+    */
+  def q96IncrementalNearDup(
+      spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = graft.core.Tables.documents(spark, d)
+    incrementalNearDup(
+      docs.where(col("doc_id") < 100), docs.where(col("doc_id") >= 100),
+      "doc_id", "text")
+  }
+
+  /** Oracle: exact all-pairs Jaccard on both pair classes (batch×corpus
+    * and intra-batch ordered pairs) — safe at oracle scale, and exactly
+    * the relation the engine's LSH+verify must reproduce (precision 1;
+    * recall 1 whenever every true pair collides in ≥1 band, the same
+    * deterministic gate q35 is held to).
+    */
+  val q96Sql: String =
+    """WITH sh AS (
+      | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      | FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      | WHERE len(t) >= 3),
+      |b AS (SELECT * FROM sh WHERE doc_id < 100),
+      |c AS (SELECT * FROM sh WHERE doc_id >= 100),
+      |pc AS (
+      | SELECT b.doc_id FROM b JOIN c ON
+      |  CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+      |   (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.6
+      | GROUP BY 1),
+      |pb AS (
+      | SELECT b2.doc_id FROM b b2 JOIN b b1 ON b1.doc_id < b2.doc_id AND
+      |  CAST(len(list_intersect(b1.sh, b2.sh)) AS DOUBLE) /
+      |   (len(b1.sh) + len(b2.sh) - len(list_intersect(b1.sh, b2.sh))) >= 0.6
+      | GROUP BY 1)
+      |SELECT d.doc_id,
+      | pc.doc_id IS NOT NULL AS dup_of_corpus,
+      | pb.doc_id IS NOT NULL AS dup_in_batch,
+      | pc.doc_id IS NULL AND pb.doc_id IS NULL AS keep
+      |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      |LEFT JOIN pc USING (doc_id)
+      |LEFT JOIN pb USING (doc_id)""".stripMargin
+
   /** Portable 60-bit hash: the first 15 hex digits of md5, read
     * big-endian — one `conv` expression instead of the historical 15×
     * substring/ascii/case packing, and reproducible in any engine with

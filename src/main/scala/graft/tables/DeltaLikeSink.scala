@@ -30,6 +30,13 @@ object DeltaLikeSink {
     if (!log.exists) -1L
     else log.snapshot().txns.getOrElse(queryId, -1L)
 
+  /** Public form of [[lastCommittedBatch]] for composed sinks (e.g.
+    * [[graft.streaming.IngestDedup]]) that must decide replay-skip
+    * BEFORE doing per-batch work.
+    */
+  def lastCommittedBatchIn(path: String, queryId: String): Long =
+    lastCommittedBatch(DeltaLog.forPath(path), queryId)
+
   /** The foreachBatch function: append `batch` to `path` unless this
     * (query, batch) was already committed.
     *

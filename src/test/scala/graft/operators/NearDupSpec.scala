@@ -228,4 +228,50 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(minedBest - bestLegal) < 1e-12)
     }
   }
+
+  test("incremental near-dup: corpus hit, intra-batch hit, unique doc kept") {
+    val sp = spark; import sp.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (100L, base),                                   // original in the corpus
+      (101L, base),                                   // corpus-internal exact dup
+      (102L, "wholly different corpus text about ships and harbors and tides"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base + " phi"),                            // near-copy of corpus 100/101
+      (2L, "completely novel batch document with fresh vocabulary entirely"),
+      (3L, "completely novel batch document with fresh vocabulary entirely too"))
+      .toDF("doc_id", "text")                         // 3 near-copies 2 (earlier id)
+    val out = NearDup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(1L) === ((true, false, false)), "corpus near-copy flagged")
+    assert(out(2L) === ((false, false, true)),
+      "unique doc kept — corpus-internal dups (100 vs 101) must produce no " +
+        "candidate pairs and never affect batch verdicts")
+    assert(out(3L) === ((false, true, false)), "intra-batch later id flagged")
+  }
+
+  test("incremental near-dup matches the exact batch-vs-corpus relation on the fixture") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val batch = docs.where(col("doc_id") < 100)
+    val corpus = docs.where(col("doc_id") >= 100)
+    val got = NearDup.incrementalNearDup(batch, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    // exact reference: all verified pairs over the whole table, classified
+    val exact = NearDup.minHashVerifiedPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expCorpus = exact.collect {
+      case (a, b) if a < 100 && b >= 100 => a
+      case (a, b) if b < 100 && a >= 100 => b
+    }.toSet
+    val expBatch = exact.collect {
+      case (a, b) if a < 100 && b < 100 => math.max(a, b)
+    }.toSet
+    got.foreach { case (id, (dupC, dupB)) =>
+      assert(dupC === expCorpus.contains(id), s"dup_of_corpus for $id")
+      assert(dupB === expBatch.contains(id), s"dup_in_batch for $id")
+    }
+  }
 }

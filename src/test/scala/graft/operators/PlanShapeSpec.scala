@@ -245,4 +245,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"source totals and the grand total are broadcast-scale:\n$plan")
   }
+
+  test("q94 BM25: query terms broadcast into the postings join, top-k is WindowGroupLimit") {
+    val plan = executedPlan(graft.operators.Retrieval.q94Bm25TopK(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term side must broadcast — the corpus postings must never reshuffle per query:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push into the per-query window:\n$plan")
+    // the corpus postings relation must stay on the streamed side
+    val broadcastSubtrees = plan.split("BroadcastExchange").drop(1)
+    assert(!broadcastSubtrees.exists(t =>
+      t.takeWhile(_ != '\n').contains("documents") && !t.contains("doc_id < 5")),
+      s"only the query side may broadcast:\n$plan")
+  }
+
+  test("q95 quota sample carries WindowGroupLimit (no full stratum lists)") {
+    val plan = executedPlan(graft.operators.CorpusOps.q95QuotaSample(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"sample_rank<=quota must push into the window:\n$plan")
+  }
+
+  test("q76 hashed-TF components run fully inside codegen (no HOF lambdas, no map assembly)") {
+    val plan = executedPlan(graft.operators.TextAnalysis.q76HashingTf(spark, sfDir))
+    // the array-then-explode form costs ~7x: ObjectHashAggregate map
+    // assembly + interpreted aggregate/transform lambdas per row
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"per-component output must not assemble a map/array first:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"no interpreted higher-order lambdas in the per-component path:\n$plan")
+  }
 }

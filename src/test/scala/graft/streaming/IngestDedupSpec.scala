@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+import graft.tables.DeltaLikeTable
+
+/** End-to-end streaming ingest-dedup pipeline: document stream →
+  * per-batch near-dup filtering against the GROWING corpus table →
+  * exactly-once append ([[IngestDedup]]). Proves the three pieces
+  * (MinHash+verify dedup, deltalike transactions, structured
+  * streaming) compose into the production corpus feed.
+  */
+class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("ingest-dedup-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val baseA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val novelB = "entirely different prose concerning rivers bridges " +
+    "ferries locks barges tides estuaries deltas floodplains meanders"
+  private val novelC = "third topic covering kilns glazes wheels slips " +
+    "bisque stoneware porcelain earthenware saggars ash"
+
+  test("stream batches dedup against seed corpus, earlier batches, and replays") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tablePath = Files.createTempDirectory("ingest_tbl").toString
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+
+    // seed corpus: one doc
+    DeltaLikeTable.write(
+      Seq((1L, baseA)).toDF("doc_id", "text"), tablePath)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = IngestDedup.writeStream(
+        stream.toDS().toDF("doc_id", "text").writeStream
+          .option("checkpointLocation", ckpt),
+        tablePath, "ingest-spec", "doc_id", "text")
+      .start()
+    try {
+      // batch 0: near-copy of the seed (dropped), novel doc (kept), and
+      // an intra-batch near-copy of the novel doc (dropped: larger id)
+      stream.addData((10L, baseA + " phi"), (11L, novelB), (12L, novelB + " extra"))
+      q.processAllAvailable()
+      // batch 1: near-copy of a doc INGESTED BY BATCH 0 (dropped — the
+      // corpus read resolves the latest snapshot), plus a novel doc
+      stream.addData((20L, novelB + " postscript"), (21L, novelC))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t = DeltaLikeTable.forPath(spark, tablePath)
+    val ids = t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 11L, 21L),
+      s"kept = seed + one novel per batch, got $ids")
+    assert(t.version === 2) // seed v0 + two micro-batch appends
+
+    // replaying an already-committed batch is a no-op (Txn watermark),
+    // even though its documents now near-match the corpus (themselves)
+    IngestDedup.appendDeduped(tablePath, "ingest-spec", "doc_id", "text")(
+      Seq((11L, novelB)).toDF("doc_id", "text"), 0L)
+    assert(t.toDF.count() === 3)
+    assert(t.version === 2)
+
+    // a genuinely new batch from a restarted query id still dedups
+    // against everything ingested so far
+    IngestDedup.appendDeduped(tablePath, "other-query", "doc_id", "text")(
+      Seq((30L, novelC + " coda"), (31L, "wholly new words about astronomy " +
+        "telescopes mirrors apertures eyepieces mounts")).toDF("doc_id", "text"), 0L)
+    val finalIds = t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds === Set(1L, 11L, 21L, 31L))
+  }
+}
