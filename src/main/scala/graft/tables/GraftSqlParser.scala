@@ -34,7 +34,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseGraftStatement(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    parseGraftStatement(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
@@ -72,6 +72,8 @@ object GraftSqlParser {
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+deltalike\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+deltalike\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val CreateTableAs =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?deltalike\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val ConvertToDeltalike =
     """(?is)\s*CONVERT\s+TO\s+DELTALIKE\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Vacuum =
@@ -79,8 +81,18 @@ object GraftSqlParser {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+deltalike\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
 
-  private[tables] def parseGraftStatement(sql: String): Option[LogicalPlan] =
+  private[tables] def parseGraftStatement(
+      sql: String, delegate: ParserInterface): Option[LogicalPlan] =
     sql match {
+      // mutually exclusive with ShallowClone ("AS <query>" vs
+      // "SHALLOW CLONE"); the CTAS source query is parsed by the
+      // session's own parser so deltalike reads / CTEs / joins work
+      case CreateTableAs(ifNotExists, path, partCols, query) =>
+        Some(DeltalikeCreateTableAsCommand(path,
+          delegate.parseQuery(query),
+          Option(partCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty),
+          ifNotExists != null))
       case RestoreVersion(path, v) =>
         Some(DeltalikeRestoreCommand(path, Some(v.toLong), None))
       case RestoreTimestamp(path, ts) =>
@@ -227,6 +239,32 @@ case class DeltalikeShallowCloneCommand(source: String, target: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     DeltaLikeTable.forPath(spark, source).shallowCloneTo(target)
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE [IF NOT EXISTS] deltalike.`/p` [PARTITIONED BY (k)]
+  * AS <query>` — the SQL-first way a table is born. The query plan is
+  * parsed by the session's own parser (so deltalike reads, CTEs, joins
+  * all work as the source) and committed as v0 through the normal
+  * write path (footer stats, partitioned layout).
+  */
+case class DeltalikeCreateTableAsCommand(
+    path: String,
+    query: LogicalPlan,
+    partitionColumns: Seq[String],
+    ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = DeltaLog.forPath(path)
+    if (log.exists) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalStateException(
+        s"deltalike table already exists at $path (use IF NOT EXISTS)")
+    }
+    val df = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, query)
+    DeltaLikeTable.write(df, path, "overwrite", operation = "CREATE TABLE AS SELECT",
+      partitionBy = partitionColumns)
     Seq.empty
   }
 }

@@ -114,6 +114,33 @@ class MergeIntoSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0) === 4)
   }
 
+  test("CREATE TABLE ... AS SELECT: plain, partitioned, from deltalike, IF NOT EXISTS") {
+    val path = fresh()
+    val ctas = Files.createTempDirectory("ctas").toString + "/t"
+    spark.sql(s"CREATE TABLE deltalike.`$ctas` AS " +
+      s"SELECT k, v, n * 10 AS n10 FROM deltalike.`$path` WHERE k <= 2")
+    val t = DeltaLikeTable.forPath(spark, ctas)
+    assert(t.version === 0)
+    assert(t.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      === Seq((1L, 100), (2L, 200)))
+    // duplicate create refused; IF NOT EXISTS is a no-op
+    intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE deltalike.`$ctas` AS SELECT 1 AS x")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS deltalike.`$ctas` AS SELECT 1 AS x")
+    assert(t.toDF.count() === 2)
+
+    // partitioned CTAS lays out partition directories
+    val part = Files.createTempDirectory("ctasp").toString + "/t"
+    spark.sql(s"CREATE TABLE deltalike.`$part` PARTITIONED BY (v) AS " +
+      s"SELECT k, v, n FROM deltalike.`$path`")
+    val tp = DeltaLikeTable.forPath(spark, part)
+    assert(tp.log.snapshot().partitionColumns === Seq("v"))
+    assert(tp.toDF.count() === 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM deltalike.`$part` WHERE v = 'a'")
+      .head().getLong(0) === 1)
+  }
+
   test("SQL INSERT INTO appends; INSERT OVERWRITE replaces") {
     val path = fresh()
     spark.sql(s"INSERT INTO deltalike.`$path` VALUES (10, 'j', 100)")
