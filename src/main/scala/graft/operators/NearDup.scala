@@ -395,37 +395,38 @@ object NearDup {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
-  /** Declared q59 — embedding near-dup as a driver-visible recall gate:
+  /** Declared q59 — embedding near-dup with a FULL structural oracle:
     * plant five identical twins (vec_id + 10000, the [[Similarity]]
-    * twin device), run the full hyperplane-LSH + exact-verify pipeline
-    * over corpus ∪ twins, and assert each planted pair comes back.
-    * Deterministic: an identical vector lands in identical buckets in
-    * EVERY table (same sign bits), so the pair is always a candidate,
-    * and its verified cosine is 1 up to one ulp — the gate allows
-    * ≥ 0.999999. A bucketing, join, or verification regression turns
-    * the static oracle red.
+    * twin device), run the hyperplane-LSH + exact-verify pipeline over
+    * corpus ∪ twins, and emit every pair at cosine ≥ 0.95 — DuckDB
+    * recomputes the exact all-pairs relation, so any bucketing, join,
+    * or verification divergence is a hash mismatch on real pairs (same
+    * upgrade q72 got; no constant-true gate). Deterministic: an
+    * identical vector lands in identical buckets in EVERY table (same
+    * sign bits) so twin recall is 1, and the fixture's max non-twin
+    * cosine is ~0.6 (verified at sf0.01/sf0.1), so the ≥ 0.95 pair set
+    * is exactly the twins on both sides — no threshold boundary risk.
     */
   def q59EmbeddingDedupGate(
       spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val e = graft.core.Tables.embeddings(spark, d)
     val base = e.select(col("vec_id"), col("embedding"))
     val corpus = base.unionByName(Similarity.twinQueries(e))
-    val pairs = embeddingPairs(corpus, "vec_id", "embedding", 64, threshold = 0.95)
-    val expected = Similarity.twinQueries(e)
-      .select((col("vec_id") - lit(10000L)).as("query_id"))
-    expected
-      .join(pairs,
-        expected("query_id") === pairs("id_a") &&
-          pairs("id_b") === expected("query_id") + lit(10000L),
-        "left")
-      .select(col("query_id"),
-        col("id_b").isNotNull.as("twin_pair_found"),
-        (coalesce(col("cos_sim"), lit(0.0)) >= 0.999999).as("cos_at_1"))
+    embeddingPairs(corpus, "vec_id", "embedding", 64, threshold = 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
   val q59Sql: String =
-    """SELECT vec_id AS query_id, true AS twin_pair_found, true AS cos_at_1
-      |FROM embeddings WHERE vec_id BETWEEN 5 AND 9""".stripMargin
+    """WITH corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |  FROM embeddings WHERE vec_id BETWEEN 5 AND 9)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.e, b.e) >= 0.95""".stripMargin
 
   /** Cosine of two double-array columns, computed as one sequential fold
     * (deterministic, cross-engine reproducible).
