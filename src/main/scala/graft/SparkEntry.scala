@@ -175,8 +175,9 @@ object SparkEntry {
     "q74_recursive_cte" -> (SqlSurface.q74RecursiveCte _),
     "q78_range_frame" -> (SqlSurface.q78RangeFrame _),
     "q79_median_mode" -> (SqlSurface.q79MedianMode _),
-    // A1-adjacent: schema-declared JSONL ingest, lossless round-trip
+    // A1-adjacent: schema-declared JSONL/ORC ingest, lossless round-trips
     "q80_jsonl_roundtrip" -> (graft.sources.Sources.q80JsonlRoundtrip _),
+    "q97_orc_roundtrip" -> (graft.sources.Sources.q97OrcRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,5 +283,6 @@ object SparkEntry {
     "q78_range_frame" -> SqlSurface.q78Sql,
     "q79_median_mode" -> SqlSurface.q79Sql,
     "q80_jsonl_roundtrip" -> graft.sources.Sources.q80Sql,
+    "q97_orc_roundtrip" -> graft.sources.Sources.q97Sql,
   )
 }

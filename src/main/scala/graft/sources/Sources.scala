@@ -65,4 +65,33 @@ object Sources {
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       | CAST(sum(('0x' || substring(md5(text), 1, 12))::BIGINT) AS BIGINT) AS text_checksum
       |FROM documents GROUP BY lang""".stripMargin
+
+  /** ORC with a declared schema — same contract as [[parquet]]. */
+  def orc(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddl)).orc(path)
+
+  /** Declared q97: ORC ingestion proven lossless end-to-end, the same
+    * round-trip oracle as q80 (JSONL) — the documents table is written
+    * as ORC, read back through the schema-declared [[orc]] source, and
+    * summarized per language with an md5 content checksum the oracle
+    * recomputes from the parquet original. DuckDB cannot read ORC, so
+    * the checksum-against-original design is what makes a second
+    * columnar format oracle-checkable at all.
+    */
+  def q97OrcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    graft.core.Tables.documents(spark, d)
+      .write.mode("overwrite").orc(tmp)
+    orc(spark, tmp,
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+          .as("text_checksum"))
+  }
+
+  val q97Sql: String = q80Sql
 }

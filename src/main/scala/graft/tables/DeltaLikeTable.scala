@@ -373,12 +373,16 @@ final class DeltaLikeTable private (
       }
     val adds = DeltaLikeTable.stageFiles(compacted, path,
       snap.partitionColumns, snap.bloomFilterColumns, snap.columnMapping)
-    try log.commit(snap.version + 1,
+    // compaction is a rewrite like any other: rebase over concurrent
+    // commits that touched disjoint files (an OPTIMIZE WHERE on the hot
+    // partition must not lose to a MERGE on a cold one)
+    try DeltaLikeTable.commitRewrite(log, snap.version,
       selected.map(f => RemoveFile(f.path)) ++ adds :+
         CommitInfo((if (zorderBy.isEmpty) "OPTIMIZE"
           else s"OPTIMIZE ZORDER BY (${zorderBy.mkString(",")})") +
           where.fold("")(w => s" WHERE $w"),
-          System.currentTimeMillis()))
+          System.currentTimeMillis()),
+      selected.map(_.path).toSet)
     catch {
       case e: Throwable => DeltaLikeTable.discardStaged(path, adds); throw e
     }

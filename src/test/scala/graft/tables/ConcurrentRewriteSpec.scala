@@ -111,6 +111,29 @@ class ConcurrentRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(path) === Seq((1, 1L, 10), (1, 2L, 200), (2, 3L, 30), (2, 4L, 40)))
   }
 
+  test("OPTIMIZE WHERE rebases over a partition-disjoint concurrent MERGE") {
+    val path = fresh()
+    // split k=1 into two files so the compaction has work to do
+    mergeN(path, 1L, 100) // v1 rewrites the k=1 file
+    DeltaLikeTable.preRewriteCommitHook = () => mergeN(path, 3L, 300)
+    DeltaLikeTable.forPath(spark, path)
+      .optimize(targetFiles = 1, zorderBy = Seq.empty, where = Some("k = 1"))
+    val t = DeltaLikeTable.forPath(spark, path)
+    assert(t.version === 3) // v1 merge, v2 concurrent merge, v3 compaction
+    assert(state(path) === Seq((1, 1L, 100), (1, 2L, 20), (2, 3L, 300), (2, 4L, 40)))
+    assert(t.history().map(_._2).count(_.startsWith("OPTIMIZE")) === 1)
+  }
+
+  test("OPTIMIZE conflicts when the concurrent commit rewrote a selected file") {
+    val path = fresh()
+    DeltaLikeTable.preRewriteCommitHook = () => mergeN(path, 1L, 100)
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaLikeTable.forPath(spark, path)
+        .optimize(targetFiles = 1, zorderBy = Seq.empty, where = Some("k = 1"))
+    }
+    assert(state(path) === Seq((1, 1L, 100), (1, 2L, 20), (2, 3L, 30), (2, 4L, 40)))
+  }
+
   test("schema-evolving MERGE fails fast on any concurrent commit") {
     val sp = spark; import sp.implicits._
     val path = fresh()
