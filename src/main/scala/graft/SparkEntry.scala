@@ -178,6 +178,10 @@ object SparkEntry {
     // A1-adjacent: schema-declared JSONL/ORC ingest, lossless round-trips
     "q80_jsonl_roundtrip" -> (graft.sources.Sources.q80JsonlRoundtrip _),
     "q97_orc_roundtrip" -> (graft.sources.Sources.q97OrcRoundtrip _),
+    // graph family beside PageRank/CC: bounded-depth seed BFS
+    "q98_bfs_reach" -> (graft.operators.Components.q98BfsReach _),
+    // typo-level entity resolution: deletion-neighborhood edit join
+    "q99_edit_pairs" -> (graft.operators.NearDup.q99EditPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,5 +288,7 @@ object SparkEntry {
     "q79_median_mode" -> SqlSurface.q79Sql,
     "q80_jsonl_roundtrip" -> graft.sources.Sources.q80Sql,
     "q97_orc_roundtrip" -> graft.sources.Sources.q97Sql,
+    "q98_bfs_reach" -> graft.operators.Components.q98Sql,
+    "q99_edit_pairs" -> graft.operators.NearDup.q99Sql,
   )
 }

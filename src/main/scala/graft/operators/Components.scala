@@ -215,6 +215,96 @@ object Components {
     s"$base,\n$iters\nSELECT node, rank FROM pr8"
   }
 
+  /** Minimum-hop distance from a seed set via frontier BFS — the
+    * "link distance from trusted seeds" signal web-corpus curation
+    * uses for seed-based crawl scoping / quality propagation. Each hop
+    * is one hash join of the CURRENT FRONTIER (exactly the nodes at
+    * distance h−1, usually far smaller than the graph) against the
+    * symmetrized edge relation plus one anti-join against the visited
+    * set; the edge relation is built once, hash-partitioned on `src`,
+    * and localCheckpointed, so every hop reuses its partitioning and
+    * shuffles only frontier-sized data. Visited state is one row per
+    * reached node with O(1) lineage (checkpoint per hop). The loop
+    * exits on the first empty frontier (a driver-side scalar) or at
+    * `maxHops` — the bounded-depth form keeps the oracle an equivalent
+    * fixed-depth recursion.
+    */
+  def bfsHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var visited = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("hops"))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next.select(col("node"))
+        hop += 1
+      }
+    }
+    visited
+  }
+
+  /** Declared q98: hop distance from the low-key seed customers over
+    * the q81 interaction graph (customers ↔ suppliers offset into a
+    * disjoint id space, high-value orders only), bounded at 6 hops.
+    * Oracle: bounded recursive closure + min() per node — any
+    * frontier, dedup, or termination divergence between the engine's
+    * BFS and true minimum hop counts is a hash mismatch on real
+    * distances.
+    */
+  def q98BfsReach(spark: SparkSession, d: String): DataFrame = {
+    val o = graft.core.Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.core.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val seeds = edges.select(col("src").as("node"))
+      .where(col("node") < 50)
+    bfsHops(edges, "src", "dst", seeds, maxHops = 6)
+      .select(col("node"), col("hops").cast("int").as("hops"))
+  }
+
+  val q98Sql: String =
+    """WITH RECURSIVE edges0 AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_totalprice > 150000),
+      |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+      |seeds AS (SELECT DISTINCT src AS node FROM edges0 WHERE src < 50),
+      |reach(node, d) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.d < 6)
+      |SELECT node, CAST(min(d) AS INT) AS hops FROM reach GROUP BY node""".stripMargin
+
   /** Declared q72: SEMANTIC dedup clusters — the SemDeDup shape.
     * Hyperplane-LSH embedding pairs at cosine ≥ 0.95 (exact-verified
     * candidates, [[NearDup.embeddingPairs]]) → connected components →

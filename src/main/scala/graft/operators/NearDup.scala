@@ -482,4 +482,96 @@ object NearDup {
           .cosineSimilarity(col("__e_a"), col("__e_b")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** Edit-distance ≤ 1 join via single-deletion neighborhoods (the
+    * FastSS/SymSpell blocking). Every string generates its length+1
+    * deletion variants (position 0 = the string itself); two strings at
+    * Levenshtein distance ≤ 1 provably share at least one variant —
+    * equal strings share themselves, an indel pair shares the shorter
+    * string, a substitution pair shares the deletion at the edited
+    * position — so the variant-key self-join is a COMPLETE candidate
+    * generator with LINEAR output (len+1 keys per row), no all-pairs
+    * step anywhere. Candidates are verified with the codegen
+    * `levenshtein` (precision 1), so the declared result is exact.
+    * Scale shape: one generator, one shuffle on the variant key,
+    * per-candidate verification — the same bucket-join discipline as
+    * MinHash/SimHash, applied to typo-level string identity (entity
+    * resolution over names/titles, OCR noise, near-identical URLs).
+    */
+  def editDistanceJoin(
+      docs: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val named = docs.select(col(idCol).as("id"), col(nameCol).as("name"))
+    // identical-string mass never enters the candidate space: candidate
+    // generation runs on DISTINCT names (real corpora have heavy
+    // duplication — one hot name must not cost cluster² candidates ×
+    // variants), and id pairs are expanded back only as final output
+    val dn = named.select(col("name")).distinct()
+    val keyed = dn
+      .select(col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("pos"))
+      .select(col("name"),
+        when(col("pos") === 0, col("name"))
+          .otherwise(concat(
+            col("name").substr(lit(1), col("pos") - 1),
+            col("name").substr(col("pos") + 1,
+              length(col("name")) - col("pos"))))
+          .as("variant"))
+    val namePairs = keyed
+      .select(col("name").as("a_name"), col("variant"))
+      .join(keyed.select(col("name").as("b_name"), col("variant")),
+        Seq("variant"))
+      .where(col("a_name") <= col("b_name"))
+      .dropDuplicates("a_name", "b_name")
+      .select(col("a_name"), col("b_name"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .where(col("dist") <= 1)
+    // expand name pairs to id pairs; a same-name pair carries its whole
+    // id cluster (kept once via a_id < b_id), cross-name pairs are
+    // normalized to (least, greatest) — disjoint id sets, no dedup needed
+    namePairs
+      .join(named.select(col("id").as("a_id"), col("name").as("a_name")),
+        Seq("a_name"))
+      .join(named.select(col("id").as("b_id"), col("name").as("b_name")),
+        Seq("b_name"))
+      .where(col("a_name") =!= col("b_name") || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("dist"))
+  }
+
+  /** Declared q99: typo-level entity resolution over part names —
+    * every 10th part re-issued with ONE character deleted at a
+    * position derived from its key (a deterministic typo generator
+    * both engines replay exactly, the q72 planted-twin pattern), then
+    * [[editDistanceJoin]] finds every pair within Levenshtein 1.
+    * Oracle: all-pairs levenshtein in DuckDB — any completeness gap in
+    * the deletion-neighborhood blocking is a missing row, any
+    * verification gap an extra one.
+    */
+  def q99EditPairs(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val p = graft.core.Tables.part(spark, d)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val m = (col("id") % length(col("name"))).cast("int")
+    val typos = p.where(col("id") % 10 === 0)
+      .select((col("id") + lit(10000000L)).as("id"),
+        concat(
+          col("name").substr(lit(1), m),
+          col("name").substr(m + 2, length(col("name")))).as("name"))
+    editDistanceJoin(p.unionByName(typos), "id", "name")
+      .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
+  }
+
+  val q99Sql: String =
+    """WITH corpus AS (
+      |  SELECT p_partkey AS id, p_name AS name FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 10000000,
+      |    substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||
+      |    substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2,
+      |      length(p_name))
+      |  FROM part WHERE p_partkey % 10 = 0)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM corpus a JOIN corpus b ON a.id < b.id
+      |WHERE abs(length(a.name) - length(b.name)) <= 1
+      |  AND levenshtein(a.name, b.name) <= 1""".stripMargin
 }

@@ -73,6 +73,25 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("bfsHops: exact distances on a path, early exit, unreachable absent") {
+    val sp = spark; import sp.implicits._
+    // path 1-2-3-4-5-6-7-8 plus isolated pair 100-101
+    val edges = ((1L to 7L).map(i => (i, i + 1)) :+ (100L, 101L)).toDF("s", "t")
+    val seeds = Seq(1L).toDF("node")
+    val got = Components.bfsHops(edges, "s", "t", seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // maxHops beyond the diameter: loop must early-exit, all reached
+    val all = Components.bfsHops(edges, "s", "t", seeds, maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(all === (1L to 8L).map(i => i -> (i - 1).toInt).toMap)
+    // two seeds: min distance wins; symmetric edges walk both ways
+    val two = Components.bfsHops(edges, "s", "t", Seq(4L, 101L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two === Map(4L -> 0, 101L -> 0, 3L -> 1, 5L -> 1, 100L -> 1,
+      2L -> 2, 6L -> 2))
+  }
+
   test("pageRank matches local power iteration; star center dominates") {
     // star: center 0 connected to 1..20
     val star = (1L to 20L).map(i => (0L, i))

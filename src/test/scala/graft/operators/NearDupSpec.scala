@@ -274,4 +274,59 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(dupB === expBatch.contains(id), s"dup_in_batch for $id")
     }
   }
+
+  test("editDistanceJoin: planted edit classes found, distance-2 excluded") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      1L -> "spark", 2L -> "spark", // equal
+      3L -> "sparks", // insertion vs 1/2
+      4L -> "spank", // substitution vs 1/2
+      5L -> "spak", // deletion vs 1/2 AND vs 4 (substitution+shift? no: ed(spak,spank)=1 insert)
+      6L -> "flink" // far from everything
+    ).toDF("id", "name")
+    val got = NearDup.editDistanceJoin(docs, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      a <- 1L to 6L; b <- (a + 1) to 6L
+    } yield (a, b)).toSet
+    val names = Map(1L -> "spark", 2L -> "spark", 3L -> "sparks",
+      4L -> "spank", 5L -> "spak", 6L -> "flink")
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val want = brute.flatMap { case (a, b) =>
+      val dd = lev(names(a), names(b))
+      if (dd <= 1) Some((a, b, dd)) else None
+    }
+    assert(got === want)
+  }
+
+  test("editDistanceJoin is complete vs brute-force levenshtein on fixture part names") {
+    import org.apache.spark.sql.functions._
+    val p = graft.core.Tables.part(spark, "/root/testdata/sf0.001")
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    val got = NearDup.q99EditPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same corpus (originals + derived typos)
+    val m = (col("id") % length(col("name"))).cast("int")
+    val corpus = p.unionByName(p.where(col("id") % 10 === 0)
+      .select((col("id") + lit(10000000L)).as("id"),
+        concat(col("name").substr(lit(1), m),
+          col("name").substr(m + 2, length(col("name")))).as("name")))
+    val a = corpus.select(col("id").as("a_id"), col("name").as("a_name"))
+    val b = corpus.select(col("id").as("b_id"), col("name").as("b_name"))
+    val brute = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_name"), col("b_name")).cast("int").as("dist"))
+      .where(col("dist") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture must yield at least the planted typo pairs")
+    assert(got === brute)
+  }
 }

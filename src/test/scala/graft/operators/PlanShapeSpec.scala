@@ -265,6 +265,46 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sample_rank<=quota must push into the window:\n$plan")
   }
 
+  test("runtime bloom filter: selective dim predicate prunes the fact side pre-shuffle") {
+    // the 100 TB shape: a shuffle join where the build side carries a
+    // selective filter must inject bloom_filter_might_contain on the
+    // probe side, so fact rows are dropped BEFORE the exchange instead
+    // of being shuffled and discarded by the join. Broadcast joins are
+    // excluded (the hash relation already prunes), so force a shuffle
+    // join; the application-side size gate assumes multi-GB scans, so
+    // zero it for the sf0.01 fixture.
+    val sqlConf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> sqlConf.getOption(k))
+    try {
+      sqlConf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sqlConf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      sqlConf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      sqlConf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = graft.core.Tables.orders(spark, sfDir)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val l = graft.core.Tables.lineitem(spark, sfDir)
+      val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.sum(l("l_quantity")).as("qty"))
+      val plan = executedPlan(q)
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the probe side:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom build aggregate on the creation side:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"test premise broken — join must be a shuffle join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => sqlConf.set(k, v)
+      case (k, None) => sqlConf.unset(k)
+    }
+  }
+
   test("q76 hashed-TF components run fully inside codegen (no HOF lambdas, no map assembly)") {
     val plan = executedPlan(graft.operators.TextAnalysis.q76HashingTf(spark, sfDir))
     // the array-then-explode form costs ~7x: ObjectHashAggregate map
