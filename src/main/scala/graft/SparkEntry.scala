@@ -182,6 +182,8 @@ object SparkEntry {
     "q98_bfs_reach" -> (graft.operators.Components.q98BfsReach _),
     // typo-level entity resolution: deletion-neighborhood edit join
     "q99_edit_pairs" -> (graft.operators.NearDup.q99EditPairs _),
+    // hybrid retrieval: BM25 + dense cosine fused with RRF
+    "q100_hybrid_rrf" -> (graft.operators.Retrieval.q100HybridRrf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,5 +292,6 @@ object SparkEntry {
     "q97_orc_roundtrip" -> graft.sources.Sources.q97Sql,
     "q98_bfs_reach" -> graft.operators.Components.q98Sql,
     "q99_edit_pairs" -> graft.operators.NearDup.q99Sql,
+    "q100_hybrid_rrf" -> graft.operators.Retrieval.q100Sql,
   )
 }

@@ -117,4 +117,96 @@ object Retrieval {
       |  FROM sc)
       |SELECT qid AS query_id, CAST(rank AS INT) AS rank, doc_id, score
       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    * the lexical BM25 top-10 and the dense cosine top-10 for the same
+    * query set fuse as score(d) = Σ_systems 1/(60 + rank_s(d)). Rank
+    * lists come from the already-verified [[bm25TopK]] and
+    * [[Similarity.bruteCosineTopK]] legs; fusion is a full-outer join
+    * on (query, doc). Scale shape: both inputs are k-bounded PER QUERY
+    * regardless of corpus size, so fusion cost is O(queries·k) — the
+    * heavy lifting stays inside the two retrieval legs, which keep
+    * their own broadcast-query/never-reshuffle-corpus plans. RRF
+    * scores are rationals of integer ranks (identical on both
+    * engines), rounded to 1e-6 and tie-broken by doc_id like every
+    * ranking in the suite.
+    */
+  def q100HybridRrf(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    val lex = bm25TopK(docs.where(col("doc_id") >= 5),
+        docs.where(col("doc_id") < 5), "doc_id", "text", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = Similarity.bruteCosineTopK(emb.where(col("vec_id") >= 5),
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+  }
+
+  /** Oracle: both legs replayed in full (q94's BM25 SQL at k=10, q32's
+    * exact cosine SQL), fused with the same RRF arithmetic.
+    */
+  val q100Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id >= 5),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM corpus) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM corpus),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+      |       FROM corpus),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT qid AS query_id, doc_id, lex_rank FROM (
+      |    SELECT qid, doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rank
+      |    FROM sc) WHERE lex_rank <= 10),
+      |dsc AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |    list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                     list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+      |     / (sqrt(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                              list_transform(c.embedding, x -> CAST(x AS DOUBLE))))
+      |      * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+      |                              list_transform(q.embedding, x -> CAST(x AS DOUBLE))))) AS cos_sim
+      |  FROM (SELECT * FROM embeddings WHERE vec_id >= 5) c
+      |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q),
+      |dense AS (
+      |  SELECT query_id, doc_id, dense_rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS dense_rank
+      |    FROM dsc) WHERE dense_rank <= 10),
+      |fused AS (
+      |  SELECT coalesce(l.query_id, de.query_id) AS query_id,
+      |         coalesce(l.doc_id, de.doc_id) AS doc_id,
+      |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0) +
+      |               coalesce(CAST(1.0 AS DOUBLE) / (60 + de.dense_rank), 0), 6) AS rrf_score
+      |  FROM lex l FULL OUTER JOIN dense de
+      |    ON l.query_id = de.query_id AND l.doc_id = de.doc_id)
+      |SELECT query_id, rank, doc_id, rrf_score FROM (
+      |  SELECT query_id, doc_id, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      |  FROM fused) WHERE rank <= 10""".stripMargin
 }

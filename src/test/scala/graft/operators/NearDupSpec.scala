@@ -307,6 +307,36 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("editDistanceJoin property: equals brute force on random 3-letter-alphabet corpora") {
+    // adversarial alphabet: tiny {a,b,c} over short lengths maximizes
+    // accidental near-misses, duplicate strings, and shared deletion
+    // variants between NON-matching pairs (candidate ≠ match)
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(4242)
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    (1 to 4).foreach { c =>
+      val strs = (1L to 60L).map { id =>
+        id -> (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val got = NearDup.editDistanceJoin(strs.toDF("id", "name"), "id", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val m = strs.toMap
+      val want = (for {
+        a <- 1L to 60L; b <- (a + 1) to 60L
+        dd = lev(m(a), m(b)) if dd <= 1
+      } yield (a, b, dd)).toSet
+      assert(got === want, s"case $c")
+    }
+  }
+
   test("editDistanceJoin is complete vs brute-force levenshtein on fixture part names") {
     import org.apache.spark.sql.functions._
     val p = graft.core.Tables.part(spark, "/root/testdata/sf0.001")

@@ -305,6 +305,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q99 edit join: no product joins; candidates build on distinct names") {
+    val plan = executedPlan(NearDup.q99EditPairs(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"deletion-neighborhood blocking must never degrade to all-pairs:\n$plan")
+    // the variant self-join must be fed by an aggregate (the distinct-
+    // name collapse) — duplicate-name mass stays out of the candidate space
+    assert(plan.contains("HashAggregate"),
+      s"distinct-name collapse missing before candidate generation:\n$plan")
+  }
+
   test("q76 hashed-TF components run fully inside codegen (no HOF lambdas, no map assembly)") {
     val plan = executedPlan(graft.operators.TextAnalysis.q76HashingTf(spark, sfDir))
     // the array-then-explode form costs ~7x: ObjectHashAggregate map

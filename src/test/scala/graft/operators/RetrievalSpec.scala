@@ -93,4 +93,33 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reRanked = common.sortBy(_._2).map { case (id, _) => s3(id) }
     assert(reRanked.toSeq === reRanked.sorted.toSeq)
   }
+
+  test("RRF fusion: both-list docs beat single-list docs; scores are exact rank sums") {
+    val out = Retrieval.q100HybridRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      // ranks are 1..n dense within each query, descending by score
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rows.length).toSeq, s"query $q ranks")
+      assert(sorted.map(-_._4).toSeq === sorted.map(-_._4).toSeq.sorted, s"query $q order")
+      // every rrf score must be one of the representable rank sums:
+      // 1/(60+i), or 1/(60+i) + 1/(60+j), for i,j in 1..10 (rounded 1e-6)
+      val single = (1 to 10).map(i => BigDecimal(1.0 / (60 + i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSet
+      val both = (for { i <- 1 to 10; j <- 1 to 10 } yield
+        BigDecimal(1.0 / (60 + i) + 1.0 / (60 + j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSet
+      rows.foreach { case (_, _, doc, s) =>
+        assert(single.contains(s) || both.contains(s), s"query $q doc $doc score $s")
+      }
+      // any doc appearing in both legs must outrank every single-leg doc:
+      // min both-list score 2/70 > max single-list score 1/61
+      val (dual, mono) = rows.partition(r => both.contains(r._4) && !single.contains(r._4))
+      if (dual.nonEmpty && mono.nonEmpty)
+        assert(dual.map(_._2).max < mono.map(_._2).min, s"query $q fusion order")
+    }
+  }
 }
