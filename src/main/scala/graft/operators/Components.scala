@@ -245,26 +245,34 @@ object Components {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
-    var visited = seeds.select(col("node")).distinct()
+    val seed = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("hops"))
       .localCheckpoint()
-    var frontier = visited.select(col("node"))
+    // undirected invariant (edges are symmetrized above): a neighbor of
+    // a distance-(h−1) node sits at distance h−2, h−1, or h, so the
+    // dedup anti-join needs only the LAST TWO frontiers — the full
+    // visited set is never re-materialized per hop, just unioned once
+    // at the end from the per-hop checkpoints
+    var acc = List(seed)
+    var frontier = seed.select(col("node"))
+    var prevFrontier = frontier.limit(0)
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
       val next = frontier.join(sym, frontier("node") === sym("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(frontier.unionByName(prevFrontier), Seq("node"), "left_anti")
         .select(col("node"), lit(hop).as("hops"))
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        acc = next :: acc
+        prevFrontier = frontier
         frontier = next.select(col("node"))
         hop += 1
       }
     }
-    visited
+    acc.reduce(_ unionByName _)
   }
 
   /** Declared q98: hop distance from the low-key seed customers over
