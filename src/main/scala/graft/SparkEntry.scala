@@ -184,6 +184,9 @@ object SparkEntry {
     "q99_edit_pairs" -> (graft.operators.NearDup.q99EditPairs _),
     // hybrid retrieval: BM25 + dense cosine fused with RRF
     "q100_hybrid_rrf" -> (graft.operators.Retrieval.q100HybridRrf _),
+    // behavioral analytics over events: funnel + cohort retention
+    "q101_funnel" -> (graft.operators.EventAnalytics.q101Funnel _),
+    "q102_cohort_retention" -> (graft.operators.EventAnalytics.q102CohortRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -293,5 +296,7 @@ object SparkEntry {
     "q98_bfs_reach" -> graft.operators.Components.q98Sql,
     "q99_edit_pairs" -> graft.operators.NearDup.q99Sql,
     "q100_hybrid_rrf" -> graft.operators.Retrieval.q100Sql,
+    "q101_funnel" -> graft.operators.EventAnalytics.q101Sql,
+    "q102_cohort_retention" -> graft.operators.EventAnalytics.q102Sql,
   )
 }

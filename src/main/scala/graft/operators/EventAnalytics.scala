@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Behavioral analytics over the event stream (the batch side of the
+  * E16 family): ordered funnel conversion and weekly cohort retention —
+  * the two queries every product-event warehouse runs daily.
+  *
+  * Both reduce to hash aggregations and equi-joins keyed on `user_id`,
+  * so one user-key partitioning serves every stage; nothing is
+  * windowed over the full event history and no per-user event list is
+  * ever materialized (the funnel is conditional-min chaining, not a
+  * sort of each user's timeline). Time arithmetic is integer epoch
+  * MICROSECONDS (`unix_micros` / DuckDB `epoch_us`) — exact on both
+  * engines, no calendar or timezone semantics to diverge.
+  */
+object EventAnalytics {
+
+  /** Per-user event relation with integer event time. */
+  private def ev(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  /** Declared q101: strictly-ordered funnel view → click → purchase.
+    * A user converts at stage n+1 only with an event STRICTLY AFTER
+    * their stage-n conversion time; each stage is min-after-previous,
+    * i.e. a conditional aggregate chained through an equi-join — per
+    * user state is one timestamp per stage, never an event list.
+    * Output: one row per stage with the surviving user count.
+    */
+  def q101Funnel(spark: SparkSession, d: String): DataFrame =
+    funnel(ev(spark, d), Seq("view", "click", "purchase"))
+
+  /** Strictly-ordered n-stage funnel over (user_id, event_type, us). */
+  def funnel(e: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    // chain conditional mins: stage i keeps users with a stage-i event
+    // strictly after their stage-(i−1) conversion time
+    val survivors = stages.tail.scanLeft(
+      e.where(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t"))) {
+      case (prev, stage) =>
+        e.where(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+          .where(col("us") > col("pt"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    }
+    survivors.zip(stages).zipWithIndex.map { case ((s, name), i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+
+  val q101Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS vt FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(us) AS ct FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > vt GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS pt FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > ct GROUP BY 1)
+      |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+      |UNION ALL SELECT CAST(2 AS INT), 'click', count(*) FROM c
+      |UNION ALL SELECT CAST(3 AS INT), 'purchase', count(*) FROM p""".stripMargin
+
+  /** Declared q102: weekly cohort retention. Cohort = the user's first
+    * active epoch-week; retention row (cohort, k) counts the cohort's
+    * users active in week cohort+k, k ≤ 3. Active weeks deduplicate
+    * per (user, week) BEFORE the cohort join, so the join and final
+    * aggregate see at most users×weeks rows, not raw events.
+    */
+  def q102CohortRetention(spark: SparkSession, d: String): DataFrame =
+    cohortRetention(ev(spark, d), maxOffset = 3)
+
+  /** Weekly cohort retention over (user_id, us). */
+  def cohortRetention(e: DataFrame, maxOffset: Int): DataFrame = {
+    val weekly = e
+      .select(col("user_id"), expr("us div 604800000000").as("w"))
+      .distinct()
+    val cohorts = weekly.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    weekly.join(cohorts, Seq("user_id"))
+      .where(col("w") - col("cw") <= maxOffset)
+      .groupBy(col("cw").as("cohort_week"),
+        (col("w") - col("cw")).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val q102Sql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+      |coh AS (SELECT user_id, min(w) AS cw FROM weekly GROUP BY 1)
+      |SELECT cw AS cohort_week, CAST(w - cw AS INT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM weekly JOIN coh USING (user_id)
+      |WHERE w - cw <= 3
+      |GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Funnel ordering semantics and cohort week arithmetic on planted
+  * timelines — the cases a naive "has all three event types" count gets
+  * wrong (out-of-order stages, equal timestamps, repeat events).
+  */
+class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("event-analytics-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("funnel: strict ordering, equal-timestamp rejection, repeats harmless") {
+    val sp = spark; import sp.implicits._
+    val e = Seq(
+      // user 1: clean conversion v(10) c(20) p(30)
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE click — stops at click
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // user 3: click at the SAME instant as view — strict > rejects
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: repeats; earliest valid chain v(5) c(6) p(7) wins
+      (4L, "view", 5L), (4L, "view", 50L), (4L, "click", 6L),
+      (4L, "click", 60L), (4L, "purchase", 7L),
+      // user 5: click only, never viewed — not even in stage 1
+      (5L, "click", 99L)
+    ).toDF("user_id", "event_type", "us")
+    val got = EventAnalytics.funnel(e, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1, "view", 4L), (2, "click", 3L), (3, "purchase", 2L)))
+  }
+
+  test("cohort retention: offsets count distinct users, capped at maxOffset") {
+    val sp = spark; import sp.implicits._
+    val wk = 604800000000L
+    val e = Seq(
+      // users 1,2 start week 0; 1 returns weeks 1 and 2; 2 only week 0
+      (1L, 0L * wk), (1L, 1L * wk + 5), (1L, 2L * wk), (1L, 2L * wk + 7),
+      (2L, 0L * wk + 1),
+      // user 3 starts week 1, returns week 5 — outside maxOffset=3
+      (3L, 1L * wk), (3L, 5L * wk)
+    ).toDF("user_id", "us")
+    val got = EventAnalytics.cohortRetention(e, maxOffset = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L), (1L, 0, 1L)))
+  }
+}
