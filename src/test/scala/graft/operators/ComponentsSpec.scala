@@ -92,6 +92,32 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> 2, 6L -> 2))
   }
 
+  test("bfsHops property: equals local BFS on random graphs and seed sets") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7788)
+    (1 to 4).foreach { c =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n * 2).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val seeds = (1 to (1 + rnd.nextInt(3))).map(_ => rnd.nextInt(n).toLong).distinct
+      val maxHops = 1 + rnd.nextInt(5)
+      // local BFS over the symmetrized simple graph
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      (1 to maxHops).foreach { h =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist = dist ++ frontier.map(_ -> h)
+      }
+      val got = Components.bfsHops(
+        edges.toDF("s", "t"), "s", "t", seeds.toDF("node"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === dist, s"case $c: n=$n seeds=$seeds maxHops=$maxHops")
+    }
+  }
+
   test("pageRank matches local power iteration; star center dominates") {
     // star: center 0 connected to 1..20
     val star = (1L to 20L).map(i => (0L, i))
