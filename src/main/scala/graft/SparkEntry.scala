@@ -187,6 +187,7 @@ object SparkEntry {
     // behavioral analytics over events: funnel + cohort retention
     "q101_funnel" -> (graft.operators.EventAnalytics.q101Funnel _),
     "q102_cohort_retention" -> (graft.operators.EventAnalytics.q102CohortRetention _),
+    "q103_gapfill" -> (graft.operators.EventAnalytics.q103Gapfill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,5 +299,6 @@ object SparkEntry {
     "q100_hybrid_rrf" -> graft.operators.Retrieval.q100Sql,
     "q101_funnel" -> graft.operators.EventAnalytics.q101Sql,
     "q102_cohort_retention" -> graft.operators.EventAnalytics.q102Sql,
+    "q103_gapfill" -> graft.operators.EventAnalytics.q103Sql,
   )
 }

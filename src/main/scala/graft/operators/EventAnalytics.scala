@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -100,4 +101,52 @@ object EventAnalytics {
       |FROM weekly JOIN coh USING (user_id)
       |WHERE w - cw <= 3
       |GROUP BY 1, 2""".stripMargin
+
+  /** Declared q103: time-series regularization — the dense
+    * 15-minute-bucket frame per event type over the corpus span, with
+    * empty buckets zero-filled and the per-bucket average value
+    * carried forward (LOCF) across gaps. The dense frame is
+    * span-bounded metadata (types × buckets, independent of event
+    * count) built from one broadcast min/max row; observed buckets
+    * reduce out of the raw events with one hash aggregate; the fill
+    * is a per-type running `last(ignoreNulls)` window over the dense
+    * frame — never over raw events. Averages go through DECIMAL so
+    * both engines sum exactly (the q33 discipline); LOCF then copies
+    * those exact values, so no float-order divergence exists to
+    * round away.
+    */
+  def q103Gapfill(spark: SparkSession, d: String): DataFrame = {
+    val bucketUs = 900000000L // 15 minutes
+    val e = Tables.events(spark, d).select(col("event_type"),
+      expr(s"unix_micros(ts) div $bucketUs").as("bucket"), col("value"))
+    val observed = e.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("value").cast("decimal(12,4)")).cast("double").as("avg_v"))
+    val span = e.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+    val frame = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        span.select(explode(sequence(col("b0"), col("b1"))).as("bucket"))))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame.join(observed, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("avg_v"), ignoreNulls = true).over(w).as("filled_avg"))
+  }
+
+  val q103Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 900000000 AS bucket, value FROM events),
+      |c AS (SELECT event_type, bucket, count(*) AS n,
+      |        CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS avg_v
+      |      FROM e GROUP BY 1, 2),
+      |span AS (SELECT min(bucket) AS b0, max(bucket) AS b1 FROM e),
+      |frame AS (SELECT t.event_type, h.bucket
+      |          FROM (SELECT DISTINCT event_type FROM e) t
+      |          CROSS JOIN (SELECT unnest(range(b0, b1 + 1)) AS bucket FROM span) h)
+      |SELECT f.event_type, f.bucket, coalesce(c.n, 0) AS n_events,
+      |  last_value(c.avg_v IGNORE NULLS) OVER (
+      |    PARTITION BY f.event_type ORDER BY f.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+      |FROM frame f LEFT JOIN c USING (event_type, bucket)""".stripMargin
 }

@@ -39,6 +39,30 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((1, "view", 4L), (2, "click", 3L), (3, "purchase", 2L)))
   }
 
+  test("gapfill: dense frame, zero-filled gaps, LOCF carries the last observed avg") {
+    val out = EventAnalytics.q103Gapfill(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val types = out.map(_._1).distinct
+    val buckets = out.map(_._2).distinct.sorted
+    // dense: every (type, bucket) cell exactly once over the full span
+    assert(out.length === types.length * buckets.length)
+    assert(buckets === (buckets.min to buckets.max))
+    // the fixture is sparse at 15-min grain: real gaps must exist and be zero
+    val gaps = out.filter(_._3 == 0L)
+    assert(gaps.nonEmpty, "no empty buckets — gap-fill untested")
+    // LOCF: within a type, filled_avg changes only on observed buckets
+    // and gap rows repeat the previous value (null before first obs)
+    out.groupBy(_._1).foreach { case (t, rows) =>
+      var lastSeen: Option[Double] = None
+      rows.sortBy(_._2).foreach { case (_, b, n, filled) =>
+        if (n == 0L) assert(filled === lastSeen, s"$t bucket $b LOCF broken")
+        else { assert(filled.isDefined, s"$t bucket $b observed but null"); lastSeen = filled }
+      }
+    }
+  }
+
   test("cohort retention: offsets count distinct users, capped at maxOffset") {
     val sp = spark; import sp.implicits._
     val wk = 604800000000L
