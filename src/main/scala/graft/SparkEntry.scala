@@ -188,6 +188,8 @@ object SparkEntry {
     "q101_funnel" -> (graft.operators.EventAnalytics.q101Funnel _),
     "q102_cohort_retention" -> (graft.operators.EventAnalytics.q102CohortRetention _),
     "q103_gapfill" -> (graft.operators.EventAnalytics.q103Gapfill _),
+    // seed-biased trust propagation (TrustRank) over the q81 graph
+    "q104_trustrank" -> (graft.operators.Components.q104TrustRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -300,5 +302,6 @@ object SparkEntry {
     "q101_funnel" -> graft.operators.EventAnalytics.q101Sql,
     "q102_cohort_retention" -> graft.operators.EventAnalytics.q102Sql,
     "q103_gapfill" -> graft.operators.EventAnalytics.q103Sql,
+    "q104_trustrank" -> graft.operators.Components.q104Sql,
   )
 }

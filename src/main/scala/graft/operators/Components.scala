@@ -215,6 +215,108 @@ object Components {
     s"$base,\n$iters\nSELECT node, rank FROM pr8"
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): biased
+    * PageRank whose teleport mass goes ONLY to a trusted seed set, so
+    * scores measure "how reachable from trust" — the classic
+    * quality-propagation signal for web-corpus curation (seed trusted
+    * domains, damp trust through the link graph, downweight pages no
+    * trust flows to). Same power-iteration scale shape as [[pageRank]]:
+    * the (edge ⋈ degree) relation builds once, hash-partitioned on
+    * `src` and checkpointed; per iteration one node-sized join and one
+    * grouped sum; the teleport vector is one row per node, checkpointed
+    * once. Fixed iteration count keeps engine and oracle
+    * bit-comparable.
+    */
+  def trustRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iterations: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val symDeg = sym.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val seedSet = seeds.select(col("node")).distinct()
+    val ns = seedSet.count()
+    require(ns > 0, "trustRank needs at least one seed")
+    val teleport = symDeg.select(col("src").as("node")).distinct()
+      .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)).as("tp"))
+      .localCheckpoint()
+    var trust = teleport.select(col("node"), col("tp").as("trust"))
+    (1 to iterations).foreach { i =>
+      val next = symDeg
+        .join(trust.select(col("node").as("src"), col("trust")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("trust") / col("deg")).as("in_t"))
+        .select(col("dst").as("node"), col("in_t"))
+        .join(teleport, Seq("node"))
+        .select(col("node"),
+          (lit(1 - damping) * col("tp") + lit(damping) * col("in_t")).as("trust"))
+      trust =
+        if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
+    }
+    trust
+  }
+
+  /** Declared q104: trust propagation from the q98 seed customers over
+    * the q81 interaction graph — 8 biased power iterations. Oracle:
+    * the identical truncated iteration as chained CTEs (the q81
+    * pattern, teleport restricted to seeds).
+    */
+  def q104TrustRank(spark: SparkSession, d: String): DataFrame = {
+    val o = graft.core.Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.core.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val seeds = edges.select(col("src").as("node")).where(col("node") < 50)
+    trustRank(edges, "src", "dst", seeds, iterations = 8)
+  }
+
+  val q104Sql: String = {
+    val base =
+      """WITH edges0 AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_totalprice > 150000),
+        |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE node < 50),
+        |tp AS (SELECT node,
+        |  CASE WHEN node < 50 THEN CAST(1.0 AS DOUBLE) / (SELECT ns FROM ns)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS tp FROM nodes),
+        |tr0 AS (SELECT node, tp AS trust FROM tp)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      s"""tr$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(0.15 AS DOUBLE) * max(t.tp) +
+         |      CAST(0.85 AS DOUBLE) * sum(p.trust / d.deg) AS trust
+         |  FROM edges e
+         |  JOIN tr${i - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  JOIN tp t ON t.node = e.dst
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters\nSELECT node, trust FROM tr8"
+  }
+
   /** Minimum-hop distance from a seed set via frontier BFS — the
     * "link distance from trusted seeds" signal web-corpus curation
     * uses for seed-based crawl scoping / quality propagation. Each hop

@@ -118,6 +118,45 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("trustRank matches local biased iteration; trust decays with seed distance") {
+    // path 1-2-3-4-5-6, seed {1}: the seed holds the most trust and the
+    // far endpoint the least (strict per-hop decay does NOT hold near
+    // the far end — its degree-1 neighbor reflects all its mass inward)
+    val path = (1L to 5L).map(i => (i, i + 1))
+    val sp = spark; import sp.implicits._
+    val gotPath = Components.trustRank(
+      path.toDF("a", "b"), "a", "b", Seq(1L).toDF("node"), iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotPath(1L) === gotPath.values.max, s"seed must hold max trust: $gotPath")
+    assert(gotPath(6L) === gotPath.values.min, s"far endpoint must hold min: $gotPath")
+    assert(gotPath.values.forall(_ > 0), s"trust reaches the whole component: $gotPath")
+
+    // random graph + random seeds vs a local reference implementation
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val nodes = sym.map(_._1).distinct.sorted
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val seeds = nodes.filter(_ < 6)
+    val tp = nodes.map(v =>
+      v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+    var trust = tp
+    (1 to 8).foreach { _ =>
+      trust = nodes.map { v =>
+        val in = sym.collect { case (u, d) if d == v => trust(u) / deg(u) }.sum
+        v -> ((1 - 0.85) * tp(v) + 0.85 * in)
+      }.toMap
+    }
+    val got = Components.trustRank(
+      edges.toDF("a", "b"), "a", "b", seeds.toDF("node"), iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === trust.keySet)
+    trust.foreach { case (v, t) =>
+      assert(math.abs(got(v) - t) < 1e-9, s"node $v: ${got(v)} vs $t")
+    }
+  }
+
   test("pageRank matches local power iteration; star center dominates") {
     // star: center 0 connected to 1..20
     val star = (1L to 20L).map(i => (0L, i))
