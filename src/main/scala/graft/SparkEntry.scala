@@ -190,6 +190,8 @@ object SparkEntry {
     "q103_gapfill" -> (graft.operators.EventAnalytics.q103Gapfill _),
     // seed-biased trust propagation (TrustRank) over the q81 graph
     "q104_trustrank" -> (graft.operators.Components.q104TrustRank _),
+    // first-order Markov next-event transition matrix
+    "q105_transitions" -> (graft.operators.EventAnalytics.q105Transitions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -303,5 +305,6 @@ object SparkEntry {
     "q102_cohort_retention" -> graft.operators.EventAnalytics.q102Sql,
     "q103_gapfill" -> graft.operators.EventAnalytics.q103Sql,
     "q104_trustrank" -> graft.operators.Components.q104Sql,
+    "q105_transitions" -> graft.operators.EventAnalytics.q105Sql,
   )
 }

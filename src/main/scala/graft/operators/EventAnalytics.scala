@@ -149,4 +149,51 @@ object EventAnalytics {
       |    PARTITION BY f.event_type ORDER BY f.bucket
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
       |FROM frame f LEFT JOIN c USING (event_type, bucket)""".stripMargin
+
+  /** Declared q105: first-order Markov transition matrix over the
+    * event stream — for each (from_type, to_type) pair of CONSECUTIVE
+    * events of the same user, the transition count and the row-
+    * normalized probability P(to | from). This is the "what do users
+    * do next" model behind next-action prediction and anomalous-flow
+    * detection.
+    *
+    * Ordering within a user is (event time, event_id) — the id
+    * tiebreak makes the successor total and engine-reproducible under
+    * equal timestamps. Shape at scale: ONE shuffle on `user_id` feeds
+    * the lead() window (each user's timeline sorts within its own
+    * partition — no global sort), the pair aggregate reuses nothing
+    * bigger than types×types rows, and the normalizing window runs
+    * over that tiny aggregate, not the events.
+    */
+  def q105Transitions(spark: SparkSession, d: String): DataFrame =
+    transitions(Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")))
+
+  /** Transition matrix over (user_id, event_type, us, event_id). */
+  def transitions(e: DataFrame): DataFrame = {
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = e
+      .withColumn("to_type", lead(col("event_type"), 1).over(timeline))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val perFrom = Window.partitionBy(col("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+      (col("n").cast("double") /
+        sum(col("n")).over(perFrom).cast("double")).as("p"))
+  }
+
+  val q105Sql: String =
+    """WITH o AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM t""".stripMargin
 }
