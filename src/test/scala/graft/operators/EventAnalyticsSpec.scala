@@ -63,6 +63,32 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transitions: per-user chains, id tiebreak on equal ts, rows sum to 1") {
+    val sp = spark; import sp.implicits._
+    val e = Seq(
+      // user 1: a(10)->b(20)->a(30); user 2: a(10)->c(20)
+      (1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "a", 30L, 102L),
+      (2L, "a", 10L, 200L), (2L, "c", 20L, 201L),
+      // user 3: equal timestamps — event_id orders b(5,id=2) after a(5,id=1)
+      (3L, "a", 5L, 1L), (3L, "b", 5L, 2L),
+      // user 4: single event — contributes no transition
+      (4L, "z", 7L, 300L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = EventAnalytics.transitions(e)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byPair = got.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // no cross-user pair (user 1 ends 'a', user 2 starts 'a' — never a->a)
+    assert(byPair.keySet === Set(("a", "b"), ("b", "a"), ("a", "c")))
+    assert(byPair(("a", "b"))._1 === 2L && byPair(("a", "c"))._1 === 1L)
+    // P(to|from) normalizes within from_type
+    assert(math.abs(byPair(("a", "b"))._2 - 2.0 / 3) < 1e-9)
+    assert(math.abs(byPair(("a", "c"))._2 - 1.0 / 3) < 1e-9)
+    assert(byPair(("b", "a"))._2 === 1.0)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("cohort retention: offsets count distinct users, capped at maxOffset") {
     val sp = spark; import sp.implicits._
     val wk = 604800000000L
