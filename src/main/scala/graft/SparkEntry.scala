@@ -192,6 +192,12 @@ object SparkEntry {
     "q104_trustrank" -> (graft.operators.Components.q104TrustRank _),
     // first-order Markov next-event transition matrix
     "q105_transitions" -> (graft.operators.EventAnalytics.q105Transitions _),
+    // 3-step path mining within 30-min-gap sessions
+    "q106_session_paths" -> (graft.operators.EventAnalytics.q106SessionPaths _),
+    // per-node triangle counts, degree-ordered orientation
+    "q107_triangles" -> (graft.operators.Components.q107Triangles _),
+    // rolling z-score anomaly flags over hourly event volumes
+    "q108_anomaly" -> (graft.operators.EventAnalytics.q108Anomaly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -306,5 +312,8 @@ object SparkEntry {
     "q103_gapfill" -> graft.operators.EventAnalytics.q103Sql,
     "q104_trustrank" -> graft.operators.Components.q104Sql,
     "q105_transitions" -> graft.operators.EventAnalytics.q105Sql,
+    "q106_session_paths" -> graft.operators.EventAnalytics.q106Sql,
+    "q107_triangles" -> graft.operators.Components.q107Sql,
+    "q108_anomaly" -> graft.operators.EventAnalytics.q108Sql,
   )
 }

@@ -526,4 +526,101 @@ object Components {
       |  coalesce(c.cluster, d.doc_id) AS cluster_id,
       |  d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+
+  /** Per-node triangle counts of an undirected graph — the clustering
+    * / community-density signal (local clustering coefficient's
+    * numerator, spam-farm detection, graph health checks).
+    *
+    * Algorithm: DEGREE-ORDERED edge orientation (Chiba–Nishizeki /
+    * Schank's forward algorithm). Every canonical edge {u,v} is
+    * directed from the endpoint that is SMALLER in the total order
+    * (degree, id) to the larger; a triangle {a,b,c} then materializes
+    * exactly once, as the wedge b←a→c (a the order-minimum) closed by
+    * the oriented edge b→c. Orienting by degree bounds every node's
+    * out-degree by O(√m), so the wedge relation — the only
+    * super-linear intermediate — is O(m^1.5) worst-case instead of the
+    * Θ(Σ deg²) a star graph inflicts on id-ordering: at web scale one
+    * celebrity hub with 10M neighbors would otherwise emit 10¹⁴
+    * wedges from a single key. Per-node counts are
+    * orientation-invariant (each triangle contributes one to each of
+    * its three corners), so the oracle can use plain id-ordering.
+    *
+    * Scale shape: two hash joins on node keys build the orientation,
+    * one self-join of out-edges on their source builds wedges, one
+    * hash join closes them against the oriented edges, and the
+    * per-corner count is an explode of triangle rows (3× triangle
+    * count) into a hash aggregate. No driver state, no all-pairs.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edges {lo, hi}, self-loops dropped
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient from (deg, id)-smaller to larger; carry the head's rank
+    // key so the wedge join can order its two legs without re-joining
+    val oriented = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            col("dv").as("ddst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+            col("du").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddst").as("ddst"))
+      .localCheckpoint()
+    // wedges b←a→c with b strictly before c in the (deg, id) order
+    val left = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val right = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = left.join(right, Seq("src"))
+      .where(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Declared q107: per-node triangle counts of the part co-purchase
+    * graph — parts are adjacent when some order contains both
+    * (co-occurrence bounded per order by TPC-H's ≤7 lineitems, so the
+    * edge build is linear in lineitem count at any scale).
+    */
+  def q107Triangles(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.join(
+      li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    triangleCounts(co, "src", "dst")
+  }
+
+  val q107Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |t AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (
+      |  SELECT a AS node FROM t
+      |  UNION ALL SELECT b FROM t
+      |  UNION ALL SELECT c FROM t)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      |FROM n GROUP BY node""".stripMargin
 }

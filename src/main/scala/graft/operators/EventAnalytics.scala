@@ -196,4 +196,125 @@ object EventAnalytics {
       |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM t""".stripMargin
+
+  /** Declared q106: 3-step session path mining — the count of each
+    * consecutive event-type trigram WITHIN a 30-minute-gap session
+    * (the "common user journeys" report). Builds on the q66
+    * sessionization trick, but everything — the lag that opens
+    * sessions, the cumulative session id, and both leads — runs over
+    * the SAME user_id partitioning, so the whole query is one shuffle
+    * of the events plus a trigram-sized hash aggregate. Session
+    * boundaries are enforced by leading the session id alongside the
+    * event type and requiring all three to agree; no (user, session)
+    * re-partitioning ever happens.
+    */
+  def q106SessionPaths(spark: SparkSession, d: String): DataFrame =
+    sessionPaths(Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")),
+      gapUs = 30L * 60 * 1000 * 1000)
+
+  /** Consecutive event-type trigrams within gap-based sessions, over
+    * (user_id, event_type, us, event_id).
+    */
+  def sessionPaths(e: DataFrame, gapUs: Long): DataFrame = {
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val run = timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e
+      .withColumn("__prev", lag(col("us"), 1).over(timeline))
+      .withColumn("__ns",
+        when(col("__prev").isNull || col("us") - col("__prev") >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__ns")).over(run))
+      .withColumn("s2", lead(col("event_type"), 1).over(timeline))
+      .withColumn("s3", lead(col("event_type"), 2).over(timeline))
+      .withColumn("__sid3", lead(col("__sid"), 2).over(timeline))
+      // sid is nondecreasing along the timeline, so sid3 == sid pins
+      // the middle event's session too
+      .where(col("__sid3") === col("__sid"))
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q106Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |    lag(epoch_us(ts)) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |    sum(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l),
+      |p AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3,
+      |    sid,
+      |    lead(sid, 2) OVER w AS sid3
+      |  FROM s
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+      |FROM p WHERE sid3 = sid GROUP BY 1, 2, 3""".stripMargin
+
+  /** Declared q108: rolling z-score anomaly detection over hourly
+    * event volumes — for each (event_type, hour bucket), the count,
+    * the trailing-24-bucket mean/stddev (current bucket EXCLUDED so a
+    * spike can't mask itself), the z-score, and an anomaly flag at
+    * |z| > 2. Buckets with fewer than 12 trailing observations or
+    * zero variance are suppressed (cold start / constant series).
+    *
+    * Scale shape: the events collapse to a (types × hours) aggregate
+    * FIRST — one small shuffle — and every window runs over that
+    * aggregate, partitioned by event_type; nothing windows over raw
+    * events. At 100 TB the aggregate is still only types × hours rows.
+    */
+  def q108Anomaly(spark: SparkSession, d: String): DataFrame =
+    anomalyZscore(Tables.events(spark, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")),
+      bucketUs = 3600L * 1000 * 1000, trail = 24, minObs = 12, thresh = 2.0)
+
+  /** Rolling z-score over bucketed counts of (event_type, us). */
+  def anomalyZscore(e: DataFrame, bucketUs: Long, trail: Int,
+      minObs: Int, thresh: Double): DataFrame = {
+    val counts = e
+      .groupBy(col("event_type"),
+        (col("us") - pmod(col("us"), lit(bucketUs))).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(-trail, -1)
+    counts
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("n_obs", count(col("n")).over(w))
+      .where(col("n_obs") >= minObs && col("sd") > 0)
+      .select(col("event_type"), col("bucket"), col("n"), col("mu"),
+        col("sd"),
+        ((col("n") - col("mu")) / col("sd")).as("z"),
+        (abs((col("n") - col("mu")) / col("sd")) > thresh).as("is_anomaly"))
+  }
+
+  val q108Sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, bucket, n,
+      |    avg(n) OVER w AS mu,
+      |    stddev_samp(n) OVER w AS sd,
+      |    count(n) OVER w AS n_obs
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+      |  CAST(mu AS DOUBLE) AS mu, CAST(sd AS DOUBLE) AS sd,
+      |  CAST((n - mu) / sd AS DOUBLE) AS z,
+      |  abs((n - mu) / sd) > 2 AS is_anomaly
+      |FROM r WHERE n_obs >= 12 AND sd > 0""".stripMargin
 }

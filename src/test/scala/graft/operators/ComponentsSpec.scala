@@ -194,6 +194,36 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangleCounts: planted cliques, star has none, matches brute force") {
+    val sp = spark; import sp.implicits._
+    def count(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Components.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 on {1,2,3,4}: each node sits in C(3,2)=3 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(count(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star center 0 with 10 leaves: no triangle; duplicate/reversed
+    // edges and a self-loop must not invent any
+    val star = (1L to 10L).map(0L -> _) ++ Seq((5L, 0L), (7L, 7L), (0L, 3L))
+    assert(count(star) === Map.empty)
+    // triangle + pendant: pendant node absent from output
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // random graph vs brute-force enumeration
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(count(edges) === brute)
+  }
+
   test("q69 assigns every document a cluster and keeps exactly one per cluster") {
     val out = Components.q69DedupClusters(spark, "/root/testdata/sf0.001").collect()
     val nDocs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count()

@@ -89,6 +89,54 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sessionPaths: trigrams never straddle a session gap or a user") {
+    val sp = spark; import sp.implicits._
+    val gap = 100L
+    val e = Seq(
+      // user 1: a b c d in one session → trigrams abc, bcd
+      (1L, "a", 0L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L), (1L, "d", 30L, 4L),
+      // user 2: a b | (gap) | c d e — abc/bcd straddle, only cde counts
+      (2L, "a", 0L, 1L), (2L, "b", 10L, 2L),
+      (2L, "c", 200L, 3L), (2L, "d", 210L, 4L), (2L, "e", 220L, 5L),
+      // user 3: two events only — no trigram
+      (3L, "a", 0L, 1L), (3L, "b", 10L, 2L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = EventAnalytics.sessionPaths(e, gapUs = gap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got === Map(("a", "b", "c") -> 1L, ("b", "c", "d") -> 1L,
+      ("c", "d", "e") -> 1L))
+  }
+
+  test("anomalyZscore: spike flagged, cold start and zero-variance suppressed") {
+    val sp = spark; import sp.implicits._
+    // type "x": buckets 0..29 alternate 9/11 events (noisy baseline),
+    // except bucket 25 spikes to 60.
+    // type "y": constant 10 per bucket — sd=0, must never appear.
+    val rows = (0 until 30).flatMap { b =>
+      val n = if (b == 25) 60 else if (b % 2 == 0) 9 else 11
+      (0 until n).map(i => ("x", b * 100L + i % 100)) ++
+        (0 until 10).map(i => ("y", b * 100L + i % 100))
+    }
+    val e = rows.toDF("event_type", "us")
+    val all = EventAnalytics.anomalyZscore(e, bucketUs = 100L,
+      trail = 24, minObs = 12, thresh = 2.0).collect()
+    assert(!all.exists(_.getString(0) == "y"), "constant series leaked")
+    val out = all.filter(_.getString(0) == "x")
+      .map(r => r.getLong(1) / 100 -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(5), r.getBoolean(6))).toMap
+    // cold start: buckets 0..11 have <12 trailing observations
+    assert(out.keySet.min === 12L && out.keySet.max === 29L)
+    // spike bucket: baseline is buckets 1..24 (12 nines, 12 elevens)
+    val (n25, mu25, z25, flag25) = out(25L)
+    assert(n25 === 60L && mu25 === 10.0 && z25 > 2.0 && flag25)
+    // the spike is in bucket 26's trailing window → its mean jumps,
+    // but 26 itself is normal and must not be flagged
+    assert(out(26L)._2 > 11.0 && !out(26L)._4)
+    // every bucket except the spike is unflagged
+    assert(out.filter(_._1 != 25L).values.forall(!_._4))
+  }
+
   test("cohort retention: offsets count distinct users, capped at maxOffset") {
     val sp = spark; import sp.implicits._
     val wk = 604800000000L
