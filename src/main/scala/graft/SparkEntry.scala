@@ -198,6 +198,12 @@ object SparkEntry {
     "q107_triangles" -> (graft.operators.Components.q107Triangles _),
     // rolling z-score anomaly flags over hourly event volumes
     "q108_anomaly" -> (graft.operators.EventAnalytics.q108Anomaly _),
+    // Efraimidis-Spirakis weighted sample without replacement, exact k
+    "q109_weighted_sample" -> (graft.operators.CorpusOps.q109WeightedSample _),
+    // blocked fuzzy entity-resolution join on native jaro_winkler
+    "q110_jaro_winkler" -> (graft.operators.NearDup.q110JaroWinkler _),
+    // chi-squared contingency: nation x market segment independence
+    "q111_chi_squared" -> (graft.operators.Relational.q111ChiSquared _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -315,5 +321,8 @@ object SparkEntry {
     "q106_session_paths" -> graft.operators.EventAnalytics.q106Sql,
     "q107_triangles" -> graft.operators.Components.q107Sql,
     "q108_anomaly" -> graft.operators.EventAnalytics.q108Sql,
+    "q109_weighted_sample" -> graft.operators.CorpusOps.q109Sql,
+    "q110_jaro_winkler" -> graft.operators.NearDup.q110Sql,
+    "q111_chi_squared" -> graft.operators.Relational.q111Sql,
   )
 }

@@ -38,6 +38,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[JaroWinkler].getName, null, "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity of two strings",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"jaro_winkler expects 2 arguments, got ${children.length}")
+        JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(
         classOf[HyperplaneBuckets].getName, null, "hyperplane_buckets",

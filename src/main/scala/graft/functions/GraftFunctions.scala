@@ -24,4 +24,11 @@ object GraftFunctions {
     */
   def hyperplaneBuckets(e: Column, dim: Int, tables: Int, bits: Int, seed: Long): Column =
     call_function("hyperplane_buckets", e, lit(dim), lit(tables), lit(bits), lit(seed))
+
+  /** Codegen'd Jaro–Winkler similarity of two string columns (see
+    * [[JaroWinkler]]; semantics pinned to DuckDB's
+    * `jaro_winkler_similarity`).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity kernel, shared by the interpreted and
+  * codegen paths of [[JaroWinkler]]. Semantics are pinned to DuckDB's
+  * `jaro_winkler_similarity` (the oracle for q110), verified value-for-
+  * value against it:
+  *
+  *   - match window = max(|a|,|b|)/2 − 1 (floor, min 0) — so "ab"/"ba"
+  *     is 0.0, not a transposition;
+  *   - transpositions = half the positions where the two matched
+  *     subsequences disagree;
+  *   - Winkler boost only when jaro > 0.7: jw = j + ℓ·0.1·(1−j) with ℓ
+  *     the common prefix capped at 4;
+  *   - any empty input → 0.0 (DuckDB returns 0 even for ""/"").
+  */
+object JaroWinklerImpl {
+
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(0, math.max(n, m) / 2 - 1)
+    val sMatch = new Array[Boolean](n)
+    val tMatch = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+          sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var half = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (sMatch(i)) {
+        while (!tMatch(k)) k += 1
+        if (s.charAt(i) != t.charAt(k)) half += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = matches.toDouble
+    val jaro = (mm / n + mm / m + (mm - half / 2.0) / mm) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val cap = math.min(4, math.min(n, m))
+    while (prefix < cap && s.charAt(prefix) == t.charAt(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
+}
+
+/** `jaro_winkler(a, b)` — native codegen'd Jaro–Winkler similarity of
+  * two strings (SURVEY.md §2.E17 extension point; fuzzy entity-
+  * resolution joins, q110). The generated code is a single static call
+  * into [[JaroWinklerImpl]] — the same pattern Spark's own
+  * `levenshtein` uses (the kernel is branchy scratch-array code that
+  * gains nothing from inlining into the stage body, but participating
+  * in WholeStageCodegen keeps the surrounding filter/join stage fused).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerImpl.sim($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}

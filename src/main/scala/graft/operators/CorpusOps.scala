@@ -844,4 +844,57 @@ object CorpusOps {
         .when(u < trainFrac + valFrac, "val")
         .otherwise("test"))
   }
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * exponential races: each row gets key = ln(u)/w (u the md5-derived
+    * uniform, w its weight) and the global top-k by key IS an exact
+    * weighted sample without replacement. Unlike [[importanceSample]]
+    * (independent keep/drop, random output size), this returns EXACTLY
+    * k rows, the contract a "sample 10k docs for eval, bigger docs
+    * proportionally more often" request carries.
+    *
+    * Scale shape: the key is a pure per-row expression and the top-k is
+    * TakeOrderedAndProject — per-partition heaps of k rows merged on
+    * the driver, never a global sort, no shuffle of the corpus. Like
+    * every sampler here the draw is md5-derived: reproducible across
+    * runs, engines, and partitionings, which is what makes the DuckDB
+    * oracle replay exact.
+    */
+  def weightedSample(
+      docs: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "wsample"): DataFrame = {
+    val u = conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    // filter BEFORE the key projection: ANSI mode makes ln(u)/0 an
+    // error, not an infinity, so zero-weight rows must never reach it
+    docs.where(weight.cast(DoubleType) > 0)
+      .select(col(idCol), weight.cast(DoubleType).as("weight"),
+        (log(u) / weight.cast(DoubleType)).as("key"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Declared q109: 200 documents drawn without replacement with
+    * probability proportional to token count (the "sample an eval set,
+    * long docs proportionally more" draw).
+    */
+  def q109WeightedSample(spark: SparkSession, d: String): DataFrame =
+    weightedSample(Tables.documents(spark, d), "doc_id",
+      size(split(col("text"), " ")), k = 200)
+
+  val q109Sql: String =
+    """SELECT doc_id, weight, key FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS weight,
+      |    ln(('0x' || substring(md5('wsample' || '|' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      / 1152921504606846976.0)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS key
+      |  FROM documents)
+      |WHERE weight > 0
+      |ORDER BY key DESC, doc_id LIMIT 200""".stripMargin
 }

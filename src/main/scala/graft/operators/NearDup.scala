@@ -574,4 +574,59 @@ object NearDup {
       |FROM corpus a JOIN corpus b ON a.id < b.id
       |WHERE abs(length(a.name) - length(b.name)) <= 1
       |  AND levenshtein(a.name, b.name) <= 1""".stripMargin
+
+  /** Blocked Jaro–Winkler similarity join — the fuzzy entity-resolution
+    * primitive (customer/vendor/product record matching). Candidate
+    * pairs come ONLY from equality on a caller-supplied blocking key
+    * (sort-neighborhood keys, phonetic codes, first tokens…): the join
+    * is a plain hash equi-join on the block, so at 100 TB the cost is
+    * Σ per-block pairs — the blocking designer's knob — never n². The
+    * similarity itself is the native codegen'd
+    * [[graft.functions.JaroWinkler]] expression evaluated inside the
+    * join's filter stage.
+    *
+    * @return (a_id, b_id, jw) for distinct within-block pairs with
+    *         jw ≥ threshold, each pair once (a_id < b_id)
+    */
+  def jaroWinklerJoin(
+      records: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockCol: Column,
+      threshold: Double): DataFrame = {
+    val a = records.select(col(idCol).as("a_id"), col(strCol).as("a_str"),
+      blockCol.as("block"))
+    val b = records.select(col(idCol).as("b_id"), col(strCol).as("b_str"),
+      blockCol.as("block"))
+    val jw = graft.functions.GraftFunctions.jaroWinkler(col("a_str"), col("b_str"))
+    a.join(b, Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jw.as("jw"))
+      .where(col("jw") >= threshold)
+  }
+
+  /** Declared q110: fuzzy part-name matching — pairs of parts whose
+    * names agree at Jaro–Winkler ≥ 0.92, blocked on the name's first
+    * token (TPC-H part names share a small color vocabulary, the
+    * classic sorted-neighborhood blocking shape). Oracle replays with
+    * DuckDB's own `jaro_winkler_similarity`, so every match-window,
+    * transposition, boost-threshold, and prefix-cap detail of the
+    * native expression is value-checked on real data.
+    */
+  def q110JaroWinkler(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val p = graft.core.Tables.part(spark, d)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    jaroWinklerJoin(p, "id", "name",
+      substring_index(col("name"), " ", 1), threshold = 0.92)
+  }
+
+  val q110Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey AS id, p_name AS name,
+      |    string_split(p_name, ' ')[1] AS block
+      |  FROM part)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  jaro_winkler_similarity(a.name, b.name) AS jw
+      |FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
+      |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.92""".stripMargin
 }

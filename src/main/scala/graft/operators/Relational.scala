@@ -585,6 +585,67 @@ object Relational {
       | quantile_cont(l_extendedprice, 0.5) AS median_exact
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Chi-squared contingency analysis of two categorical columns — the
+    * "are these associated" screen (A/B segment checks, feature/label
+    * dependence, corpus source×language audits). Output is the full
+    * contingency relation: per cell the observed count, the
+    * independence-expected count (row·col/N), the cell's χ² contribution,
+    * and the table-wide χ² statistic with its degrees of freedom.
+    *
+    * Scale shape: the raw table collapses to the cells×1 aggregate in
+    * ONE shuffle; row totals, column totals, N, the χ² sum, and the
+    * distinct-level counts behind dof are windows over that tiny
+    * aggregate — nothing but the first groupBy ever touches raw rows.
+    */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val all = Window.partitionBy()
+    val byA = Window.partitionBy(col("a"))
+    val byB = Window.partitionBy(col("b"))
+    cells
+      .withColumn("exp",
+        sum(col("obs")).over(byA).cast(DoubleType) *
+          sum(col("obs")).over(byB).cast(DoubleType) /
+          sum(col("obs")).over(all).cast(DoubleType))
+      .withColumn("contrib",
+        (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+      .withColumn("chi2", sum(col("contrib")).over(all))
+      .withColumn("dof",
+        ((size(collect_set(col("a")).over(all)) - 1) *
+          (size(collect_set(col("b")).over(all)) - 1)).cast(LongType))
+  }
+
+  /** Declared q111: nation × market-segment independence over customers
+    * (observed cells are all 25×5 pairs on this data, so the dense
+    * contingency relation is the interesting output, not its holes).
+    */
+  def q111ChiSquared(spark: SparkSession, d: String): DataFrame =
+    chiSquared(Tables.customer(spark, d), "c_nationkey", "c_mktsegment")
+      .select(col("a").as("nation"), col("b").as("segment"), col("obs"),
+        col("exp"), col("contrib"), col("chi2"), col("dof"))
+
+  val q111Sql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    count(*) AS obs
+      |  FROM customer GROUP BY 1, 2),
+      |e AS (
+      |  SELECT nation, segment, obs,
+      |    CAST(sum(obs) OVER (PARTITION BY nation) AS DOUBLE) *
+      |    CAST(sum(obs) OVER (PARTITION BY segment) AS DOUBLE) /
+      |    CAST(sum(obs) OVER () AS DOUBLE) AS exp
+      |  FROM cells),
+      |c AS (
+      |  SELECT nation, segment, obs, exp,
+      |    (obs - exp) * (obs - exp) / exp AS contrib
+      |  FROM e)
+      |SELECT nation, segment, CAST(obs AS BIGINT) AS obs, exp, contrib,
+      |  sum(contrib) OVER () AS chi2,
+      |  CAST((count(DISTINCT nation) OVER () - 1) *
+      |       (count(DISTINCT segment) OVER () - 1) AS BIGINT) AS dof
+      |FROM c""".stripMargin
+
   // ---------------------------------- reference ops replayed on fixtures (§2.A)
 
   /** A3: SQL-string IN-list filter (reference `titanic_example_delta.py:28`). */

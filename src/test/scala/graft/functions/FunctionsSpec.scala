@@ -146,4 +146,57 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("jaro_winkler matches DuckDB-pinned reference values exactly") {
+    val sp = spark; import sp.implicits._
+    // values taken verbatim from duckdb jaro_winkler_similarity — the
+    // q110 oracle; covers transpositions, the 0.7 boost threshold (0.6
+    // case gets NO boost despite a 4-char prefix), the 4-char prefix
+    // cap, window-excluded swaps, and empty strings
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),
+      ("ab", "abcdefghijklmnop", 0.7666666666666667),
+      ("hello", "hello ", 0.9666666666666667),
+      ("aaapple", "apple", 0.9142857142857143),
+      ("ab", "ba", 0.0),
+      ("abc", "xyz", 0.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "a", 1.0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)")).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g === want, s"jaro_winkler('$a','$b')")
+    }
+    // null propagates
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("jaro_winkler participates in whole-stage codegen and agrees with eval") {
+    val p = Tables.part(spark, sfDir).limit(200)
+      .select(col("p_name").as("a"), reverse(col("p_name")).as("b"))
+    val plan = p.select(expr("jaro_winkler(a, b)").as("s"))
+      .queryExecution.executedPlan
+    val codegenStages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.exists(_.toString.contains("jaro_winkler")),
+      s"jaro_winkler not inside codegen stage:\n$plan")
+    // codegen result == interpreted kernel on real strings
+    val got = p.select(col("a"), col("b"),
+      expr("jaro_winkler(a, b)").as("s")).collect()
+    got.foreach { r =>
+      val want = JaroWinklerImpl.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+      assert(r.getDouble(2) === want,
+        s"codegen/eval divergence on ('${r.getString(0)}','${r.getString(1)}')")
+    }
+  }
 }

@@ -17,6 +17,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("weightedSample: exact k, deterministic, heavier rows favored, zero-weight excluded") {
+    val sp = spark; import sp.implicits._
+    // 200 light rows (w=1) vs 200 heavy rows (w=50) vs zero-weight rows
+    val docs = ((1L to 200L).map(i => (i, 1.0)) ++
+      (201L to 400L).map(i => (i, 50.0)) ++
+      (401L to 410L).map(i => (i, 0.0))).toDF("id", "w")
+    val out = CorpusOps.weightedSample(docs, "id", col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === 100)
+    assert(out.map(_._1).distinct.length === 100, "replacement happened")
+    assert(!out.exists(_._1 > 400L), "zero-weight row sampled")
+    // E-S keys make P(heavy) = 50/51 per slot; 100 draws from this pool
+    // put >85 heavy rows in the sample except with vanishing probability
+    assert(out.count(_._2 == 50.0) > 85, s"heavy count ${out.count(_._2 == 50.0)}")
+    // md5-derived keys: a re-run is identical
+    val again = CorpusOps.weightedSample(docs, "id", col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("decontaminate flags a corpus doc embedding a benchmark doc verbatim") {
     val sp = spark; import sp.implicits._
     val benchmark = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

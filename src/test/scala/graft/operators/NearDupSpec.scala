@@ -359,4 +359,31 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.nonEmpty, "fixture must yield at least the planted typo pairs")
     assert(got === brute)
   }
+
+  test("jaroWinklerJoin: pairs only within a block, once each, threshold applied") {
+    val sp = spark; import sp.implicits._
+    val recs = Seq(
+      (1L, "jonathan smith", "j"), (2L, "jonathon smith", "j"),
+      (3L, "jon smithers", "j"),
+      (4L, "jonathan smith", "k"), // identical name, different block
+      (5L, "zzz unrelated", "j")
+    ).toDF("id", "name", "blk")
+    val got = NearDup.jaroWinklerJoin(recs, "id", "name", col("blk"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // 1-2 match (one substitution), 4 is blocked away, 5 is below threshold
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "cross-block pair")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "sub-threshold pair")
+    assert(got.forall(t => t._1 < t._2 && t._3 >= 0.9))
+    // values agree with the kernel
+    got.foreach { case (a, b, jw) =>
+      val names = Map(1L -> "jonathan smith", 2L -> "jonathon smith",
+        3L -> "jon smithers", 5L -> "zzz unrelated")
+      val want = graft.functions.JaroWinklerImpl.sim(
+        org.apache.spark.unsafe.types.UTF8String.fromString(names(a)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(names(b)))
+      assert(jw === want)
+    }
+  }
 }
