@@ -204,6 +204,12 @@ object SparkEntry {
     "q110_jaro_winkler" -> (graft.operators.NearDup.q110JaroWinkler _),
     // chi-squared contingency: nation x market segment independence
     "q111_chi_squared" -> (graft.operators.Relational.q111ChiSquared _),
+    // per-group 2-D pareto frontier via one sort+window sweep
+    "q112_skyline" -> (graft.operators.Relational.q112Skyline _),
+    // 7-day rolling distinct active users via bounded 7x expansion
+    "q113_rolling_dau" -> (graft.operators.EventAnalytics.q113RollingDau _),
+    // two-sample Kolmogorov-Smirnov over distributed prefix-sum CDFs
+    "q114_ks_test" -> (graft.operators.Relational.q114KsTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -324,5 +330,8 @@ object SparkEntry {
     "q109_weighted_sample" -> graft.operators.CorpusOps.q109Sql,
     "q110_jaro_winkler" -> graft.operators.NearDup.q110Sql,
     "q111_chi_squared" -> graft.operators.Relational.q111Sql,
+    "q112_skyline" -> graft.operators.Relational.q112Sql,
+    "q113_rolling_dau" -> graft.operators.EventAnalytics.q113Sql,
+    "q114_ks_test" -> graft.operators.Relational.q114Sql,
   )
 }

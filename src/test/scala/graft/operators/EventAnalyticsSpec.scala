@@ -137,6 +137,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 != 25L).values.forall(!_._4))
   }
 
+  test("rollingDistinctUsers: 7-day window, no phantom days, dedup within day") {
+    val sp = spark; import sp.implicits._
+    val day = 86400L * 1000 * 1000
+    // u1 active days 0 and 3 (twice on day 3 — must not double count),
+    // u2 day 0, u3 day 8; days 1,2,4..7 unobserved → absent from output
+    val e = Seq(
+      (1L, 0L * day + 5L), (1L, 3L * day), (1L, 3L * day + 99L),
+      (2L, 0L * day), (3L, 8L * day)).toDF("user_id", "us")
+    val out = EventAnalytics.rollingDistinctUsers(e, windowDays = 7)
+      .collect().map(r => (r.getLong(0) / day, r.getLong(1))).toMap
+    // day 0 window [-6,0]: u1,u2 → 2; day 3 window [-3,3]: u1,u2,u1 → 2;
+    // day 8 window [2,8]: u1 (day 3), u3 → 2
+    assert(out === Map(0L -> 2L, 3L -> 2L, 8L -> 2L))
+    // widen the window so day 8 also sees day 0 activity
+    val wide = EventAnalytics.rollingDistinctUsers(e, windowDays = 9)
+      .collect().map(r => (r.getLong(0) / day, r.getLong(1))).toMap
+    assert(wide === Map(0L -> 2L, 3L -> 2L, 8L -> 3L))
+  }
+
   test("cohort retention: offsets count distinct users, capped at maxOffset") {
     val sp = spark; import sp.implicits._
     val wk = 604800000000L

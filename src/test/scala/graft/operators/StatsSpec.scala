@@ -47,4 +47,37 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(6) === 2L)
     }
   }
+
+  test("skyline2D: frontier per group, dominated rows dropped, ties on one axis") {
+    val sp = spark; import sp.implicits._
+    val pts = Seq(
+      // group g1: frontier is (10,3) and (8,1); (10,5) loses to (10,3)
+      // on the tie-broken axis, (9,4) and (7,2) are strictly dominated
+      ("g1", 10.0, 5L), ("g1", 10.0, 3L), ("g1", 9.0, 4L),
+      ("g1", 8.0, 1L), ("g1", 7.0, 2L),
+      // group g2: a single row is always on its frontier
+      ("g2", 1.0, 9L)).toDF("g", "mx", "mn")
+    val out = Relational.skyline2D(pts, "g", "mx", "mn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(out === Set(("g1", 10.0, 3L), ("g1", 8.0, 1L), ("g2", 1.0, 9L)))
+    // rows coincident on BOTH axes collapse to one representative
+    val dup = Seq(("g", 5.0, 2L), ("g", 5.0, 2L)).toDF("g", "mx", "mn")
+    assert(Relational.skyline2D(dup, "g", "mx", "mn").count() === 1L)
+  }
+
+  test("ksStatistic: known shifted samples, identical samples give 0") {
+    val sp = spark; import sp.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: |CDF_A - CDF_B| peaks at 0.5
+    val df = (Seq(1, 2, 3, 4).map(v => (v.toDouble, "a")) ++
+      Seq(3, 4, 5, 6).map(v => (v.toDouble, "b"))).toDF("v", "c")
+    val r = Relational.ksStatistic(df, "v", "c", "a", "b").collect().head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L)
+    // identical distributions → KS = 0, other cohorts ignored
+    val same = (Seq(1, 2, 3).flatMap(v => Seq((v.toDouble, "a"), (v.toDouble, "b"))) ++
+      Seq((99.0, "zz"))).toDF("v", "c")
+    val r2 = Relational.ksStatistic(same, "v", "c", "a", "b").collect().head
+    assert(math.abs(r2.getDouble(0)) < 1e-12)
+    assert(r2.getLong(1) === 3L && r2.getLong(2) === 3L)
+  }
 }
