@@ -210,6 +210,12 @@ object SparkEntry {
     "q113_rolling_dau" -> (graft.operators.EventAnalytics.q113RollingDau _),
     // two-sample Kolmogorov-Smirnov over distributed prefix-sum CDFs
     "q114_ks_test" -> (graft.operators.Relational.q114KsTest _),
+    // ANALYZE-style per-column profile in one scan (stacked aggregates)
+    "q115_profile" -> (graft.operators.Profiling.q115Profile _),
+    // market-basket association rules with support/confidence/lift
+    "q116_assoc_rules" -> (graft.operators.Association.q116AssocRules _),
+    // per-supplier OLS trend from one-pass sufficient statistics
+    "q117_regression" -> (graft.operators.Relational.q117Regression _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -333,5 +339,8 @@ object SparkEntry {
     "q112_skyline" -> graft.operators.Relational.q112Sql,
     "q113_rolling_dau" -> graft.operators.EventAnalytics.q113Sql,
     "q114_ks_test" -> graft.operators.Relational.q114Sql,
+    "q115_profile" -> graft.operators.Profiling.q115Sql,
+    "q116_assoc_rules" -> graft.operators.Association.q116Sql,
+    "q117_regression" -> graft.operators.Relational.q117Sql,
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+
+/** Schema-driven column profiling — the `ANALYZE TABLE` / data-quality
+  * sweep a pipeline runs before trusting a new 100 TB drop: per column,
+  * row count, null count, exact distinct count, and type-appropriate
+  * min/max (numerics as doubles, timestamps formatted, everything else
+  * as strings).
+  *
+  * Scale shape: ONE aggregate job over the table produces a single
+  * row holding every per-column statistic (count/min/max are plain
+  * partial aggregates; the distinct counts share one Expand-based
+  * multi-distinct aggregate), and the per-column output rows are an
+  * `inline` of a literal-sized array built FROM that row — the table
+  * is scanned once, no per-column passes, nothing wide ever shuffles.
+  * At 100 TB the same plan holds; if exact distinct counts are not
+  * worth the Expand multiplier there, [[profileColumns]] takes
+  * `approxDistinct = true` and swaps in mergeable HLL sketches
+  * (`approx_count_distinct`) with no other plan change.
+  */
+object Profiling {
+
+  /** One profile row per column of `df`:
+    * (col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+    * min_str, max_str) — numeric min/max in `*_num`, formatted
+    * timestamp / raw string min/max in `*_str`, the other pair null.
+    */
+  def profileColumns(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val nRows = count(lit(1)).as("__n")
+    val perCol = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val nd =
+        if (approxDistinct) approx_count_distinct(c)
+        else countDistinct(c)
+      val (mnN, mxN, mnS, mxS) = f.dataType match {
+        case _: NumericType =>
+          (min(c).cast(DoubleType), max(c).cast(DoubleType),
+            lit(null).cast(StringType), lit(null).cast(StringType))
+        case TimestampType | DateType =>
+          (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
+            date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        case _ =>
+          (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
+            min(c).cast(StringType), max(c).cast(StringType))
+      }
+      Seq(count(c).as(s"__cnt_${f.name}"), nd.as(s"__nd_${f.name}"),
+        mnN.as(s"__mnn_${f.name}"), mxN.as(s"__mxn_${f.name}"),
+        mnS.as(s"__mns_${f.name}"), mxS.as(s"__mxs_${f.name}"))
+    }
+    val one = df.agg(nRows, perCol.toIndexedSeq: _*)
+    val rows: Column = array(df.schema.fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_${f.name}")).as("n_nulls"),
+        col(s"__nd_${f.name}").as("n_distinct"),
+        col(s"__mnn_${f.name}").as("min_num"),
+        col(s"__mxn_${f.name}").as("max_num"),
+        col(s"__mns_${f.name}").as("min_str"),
+        col(s"__mxs_${f.name}").as("max_str"))
+    }.toIndexedSeq: _*)
+    one.select(inline(rows))
+  }
+
+  /** Declared q115: full profile of the `orders` table. */
+  def q115Profile(spark: SparkSession, d: String): DataFrame =
+    profileColumns(Tables.orders(spark, d))
+
+  val q115Sql: String = {
+    def row(name: String, kind: String): String = {
+      val (mnN, mxN, mnS, mxS) = kind match {
+        case "num" =>
+          (s"CAST(min($name) AS DOUBLE)", s"CAST(max($name) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"strftime(min($name), '%Y-%m-%d %H:%M:%S')",
+            s"strftime(max($name), '%Y-%m-%d %H:%M:%S')")
+        case _ =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"CAST(min($name) AS VARCHAR)", s"CAST(max($name) AS VARCHAR)")
+      }
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($name) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  $mnN AS min_num, $mxN AS max_num,
+         |  $mnS AS min_str, $mxS AS max_str FROM orders""".stripMargin
+    }
+    Seq(
+      row("o_orderkey", "num"), row("o_custkey", "num"),
+      row("o_orderstatus", "str"), row("o_totalprice", "num"),
+      row("o_orderdate", "ts"), row("o_orderpriority", "str"))
+      .mkString("\nUNION ALL\n")
+  }
+}

@@ -741,6 +741,59 @@ object Relational {
       |  CAST((SELECT sum(nb) FROM s) AS BIGINT) AS n_b
       |FROM c""".stripMargin
 
+  /** Per-group simple linear regression (OLS closed form) — slope,
+    * intercept, and r² of y on x from the five classic sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²). Trend-per-entity queries
+    * (price-vs-quantity slope per supplier, quality-vs-length drift
+    * per source) at any scale: the sufficient statistics are plain
+    * map-side-combined sums, so the whole operator is ONE hash
+    * aggregate over the group key; the closed-form algebra runs on the
+    * groups×1 aggregate. The oracle replays the identical formulas (not
+    * DuckDB's `regr_*`) so both sides share one floating-point story.
+    */
+  def olsRegression(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"), sum(x).as("sx"),
+        sum(y).as("sy"), sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        sum(y * y).as("syy"))
+      .where(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0)
+      .select(col(groupCol), col("n").cast("long").as("n_obs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"), col("n"))
+      .select(col(groupCol), col("n_obs"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  /** Declared q117: extended-price-vs-quantity trend per supplier. */
+  def q117Regression(spark: SparkSession, d: String): DataFrame =
+    olsRegression(Tables.lineitem(spark, d), "l_suppkey",
+      "l_quantity", "l_extendedprice")
+
+  val q117Sql: String =
+    """WITH s AS (
+      |  SELECT l_suppkey,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+      |    sum(l_quantity * l_extendedprice) AS sxy,
+      |    sum(l_quantity * l_quantity) AS sxx,
+      |    sum(l_extendedprice * l_extendedprice) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_suppkey, CAST(n AS BIGINT) AS n_obs,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      |    AS intercept,
+      |  ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin
+
   val q111Sql: String =
     """WITH cells AS (
       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,

@@ -80,4 +80,32 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2.getDouble(0)) < 1e-12)
     assert(r2.getLong(1) === 3L && r2.getLong(2) === 3L)
   }
+
+  test("olsRegression: exact line recovered, noisy r2 < 1, degenerate x dropped") {
+    val sp = spark; import sp.implicits._
+    // group p: y = 3x + 2 exactly → slope 3, intercept 2, r2 = 1
+    // group q: one point off the line → 0 < r2 < 1
+    // group z: constant x → zero variance, excluded
+    val df = (Seq((1.0, 5.0), (2.0, 8.0), (3.0, 11.0), (4.0, 14.0))
+      .map { case (x, y) => ("p", x, y) } ++
+      Seq(("q", 1.0, 1.0), ("q", 2.0, 2.0), ("q", 3.0, 4.0)) ++
+      Seq(("z", 5.0, 1.0), ("z", 5.0, 2.0))).toDF("g", "x", "y")
+    val out = Relational.olsRegression(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set("p", "q"), "zero-variance group excluded")
+    val (np, sp_, ip, r2p) = out("p")
+    assert(np === 4L)
+    assert(math.abs(sp_ - 3.0) < 1e-12 && math.abs(ip - 2.0) < 1e-12)
+    assert(math.abs(r2p - 1.0) < 1e-12)
+    // group q by hand: slope = 1.5, intercept = 1/3 - ... compute from
+    // sums: n=3 sx=6 sy=7 sxy=17 sxx=14 syy=21 →
+    // slope = (51-42)/(42-36) = 1.5; intercept = (7-9)/3; r2 = 81/(6*14)
+    val (nq, sq, iq, r2q) = out("q")
+    assert(nq === 3L)
+    assert(math.abs(sq - 1.5) < 1e-12)
+    assert(math.abs(iq - (7.0 - 1.5 * 6.0) / 3.0) < 1e-12)
+    assert(math.abs(r2q - 81.0 / (6.0 * 14.0)) < 1e-12)
+    assert(r2q > 0 && r2q < 1)
+  }
 }
