@@ -216,6 +216,12 @@ object SparkEntry {
     "q116_assoc_rules" -> (graft.operators.Association.q116AssocRules _),
     // per-supplier OLS trend from one-pass sufficient statistics
     "q117_regression" -> (graft.operators.Relational.q117Regression _),
+    // PMI collocation mining over map-side token bigrams
+    "q118_collocations" -> (graft.operators.TextAnalysis.q118Collocations _),
+    // per-document token Shannon entropy (information-density signal)
+    "q119_entropy" -> (graft.operators.TextAnalysis.q119Entropy _),
+    // Benford first-digit audit of order totals
+    "q120_benford" -> (graft.operators.Profiling.q120Benford _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -342,5 +348,8 @@ object SparkEntry {
     "q115_profile" -> graft.operators.Profiling.q115Sql,
     "q116_assoc_rules" -> graft.operators.Association.q116Sql,
     "q117_regression" -> graft.operators.Relational.q117Sql,
+    "q118_collocations" -> graft.operators.TextAnalysis.q118Sql,
+    "q119_entropy" -> graft.operators.TextAnalysis.q119Sql,
+    "q120_benford" -> graft.operators.Profiling.q120Sql,
   )
 }

@@ -68,6 +68,47 @@ object Profiling {
     one.select(inline(rows))
   }
 
+  /** Benford first-significant-digit audit — fabricated or truncated
+    * numeric columns drift from the log-law digit distribution
+    * (P(d) = log10(1 + 1/d)), a standard forensic data-quality check.
+    * One hash aggregate collapses the column to 9 digit counts; the
+    * share/deviation algebra is a window over that 9-row relation
+    * (metadata-scale by construction). Non-positive values are out of
+    * Benford's domain and excluded.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast(LongType)
+    val counts = df.where(v > 0.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val frac = col("n").cast(DoubleType) / sum(col("n")).over(w)
+    val benford = log10(lit(1.0) + lit(1.0) / col("digit"))
+    counts.select(col("digit"), col("n"), frac.as("frac"),
+      benford.as("benford_frac"), abs(frac - benford).as("abs_dev"))
+  }
+
+  /** Declared q120: Benford audit of order totals. */
+  def q120Benford(spark: SparkSession, d: String): DataFrame =
+    benfordDigits(Tables.orders(spark, d), "o_totalprice")
+
+  val q120Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice /
+      |      power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit,
+      |    count(*) AS n
+      |  FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER () AS frac,
+      |  log10(1 + 1.0 / digit) AS benford_frac,
+      |  abs(CAST(n AS DOUBLE) / sum(n) OVER () - log10(1 + 1.0 / digit))
+      |    AS abs_dev
+      |FROM c""".stripMargin
+
   /** Declared q115: full profile of the `orders` table. */
   def q115Profile(spark: SparkSession, d: String): DataFrame =
     profileColumns(Tables.orders(spark, d))

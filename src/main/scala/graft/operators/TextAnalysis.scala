@@ -775,6 +775,104 @@ object TextAnalysis {
   def q73StripCommon(spark: SparkSession, d: String): DataFrame =
     stripCommonNgrams(Tables.documents(spark, d), "doc_id", "text")
 
+  /** PMI collocation mining — token bigrams whose co-occurrence beats
+    * chance by pointwise mutual information, the classic phrase-mining
+    * signal ("new york" scores high, "of the" scores ~0). PMI =
+    * log2(p(ab) / (p(a)·p(b))) with p(ab) over bigram occurrences and
+    * p(·) over unigram occurrences.
+    *
+    * Scale shape: bigrams pair up MAP-SIDE inside each document's token
+    * array (`zip_with` against its own tail — no window over exploded
+    * tokens, no shuffle before counting); bigram and unigram counts are
+    * vocabulary-bounded aggregates; the min-count gate prunes the
+    * bigram relation before its two unigram joins (AQE broadcasts the
+    * vocab side when small); the only driver values are the two scalar
+    * totals.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("a"))
+    val uni = toks.select(explode(col("a")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bi = toks
+      .select(explode(zip_with(col("a"),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .where(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val totalUni = uni.agg(sum(col("n"))).collect().head.getLong(0).toDouble
+    val totalBi = toks
+      .agg(sum(greatest(size(col("a")) - 1, lit(0))))
+      .collect().head.getLong(0).toDouble
+    bi
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        log2((col("n_ab").cast("double") / lit(totalBi)) /
+          ((col("n_a").cast("double") / lit(totalUni)) *
+            (col("n_b").cast("double") / lit(totalUni)))).as("pmi"))
+  }
+
+  /** Declared q118: corpus-wide collocations seen ≥ 5 times. */
+  def q118Collocations(spark: SparkSession, d: String): DataFrame =
+    pmiCollocations(Tables.documents(spark, d), "text", minCount = 5L)
+
+  val q118Sql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+      |occ AS (SELECT unnest(a) AS w FROM t),
+      |uni AS (SELECT w, count(*) AS n FROM occ GROUP BY 1),
+      |tu AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+      |bp AS (SELECT unnest(list_zip(a, a[2:])) AS p FROM t),
+      |bi AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_ab
+      |       FROM bp WHERE p[2] IS NOT NULL
+      |       GROUP BY 1, 2 HAVING count(*) >= 5),
+      |tb AS (SELECT CAST(sum(greatest(len(a) - 1, 0)) AS DOUBLE) AS t FROM t)
+      |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+      |  log2((CAST(n_ab AS DOUBLE) / tb.t) /
+      |    ((CAST(ua.n AS DOUBLE) / tu.t) * (CAST(ub.n AS DOUBLE) / tu.t)))
+      |    AS pmi
+      |FROM bi
+      |JOIN uni ua ON bi.w1 = ua.w
+      |JOIN uni ub ON bi.w2 = ub.w
+      |CROSS JOIN tu CROSS JOIN tb""".stripMargin
+
+  /** Per-document token Shannon entropy — the information-density twin
+    * of the q61 repetition signals: keyword-stuffed or boilerplate text
+    * concentrates mass on few tokens (low entropy), natural prose
+    * spreads it. Occurrences collapse to (doc, token) counts in one
+    * shuffle; per-doc totals are a window over that vocabulary-bounded
+    * count relation (partitioned by doc — never over raw tokens), and
+    * the entropy sum is a second pass over the same partitioning.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val cnt = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("t", sum(col("c")).over(w))
+    val p = col("c").cast("double") / col("t")
+    cnt.groupBy(col(idCol))
+      .agg(min(col("t")).as("n_tokens"),
+        (-sum(p * log2(p))).as("entropy"))
+  }
+
+  /** Declared q119 over the documents fixture. */
+  def q119Entropy(spark: SparkSession, d: String): DataFrame =
+    tokenEntropy(Tables.documents(spark, d), "doc_id", "text")
+
+  val q119Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+      |t AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS t FROM c)
+      |SELECT doc_id, CAST(min(t) AS BIGINT) AS n_tokens,
+      |  -sum((CAST(c AS DOUBLE) / t) * log2(CAST(c AS DOUBLE) / t)) AS entropy
+      |FROM t GROUP BY 1""".stripMargin
+
   val q73Sql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t),

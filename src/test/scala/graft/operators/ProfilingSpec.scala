@@ -55,4 +55,18 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // HLL at default rsd 5%: the estimate lands near 1000, not at it
     assert(nd > 900L && nd < 1100L)
   }
+
+  test("benfordDigits: leading digit across magnitudes, non-positives excluded") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(1.0, 19.5, 123.0, 2.5, 900.0, 0.0, -55.0).toDF("v")
+    val out = Profiling.benfordDigits(df, "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 9L), "zero and negatives excluded")
+    val (n1, f1, b1) = out(1L)
+    assert(n1 === 3L, "1.0, 19.5, 123.0 all lead with 1")
+    assert(math.abs(f1 - 0.6) < 1e-12, "3 of 5 positive values")
+    assert(math.abs(b1 - math.log10(2.0)) < 1e-12)
+    assert(out(2L)._1 === 1L && out(9L)._1 === 1L)
+  }
 }

@@ -120,4 +120,35 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === ("", 5L))
     assert(out(3L) === ("tiny doc", 0L))
   }
+
+  test("pmiCollocations: hand-computed PMI, min-count gate, bigrams stay in-doc") {
+    val sp = spark; import sp.implicits._
+    // unigrams: a=3 b=3 c=1 (T=7); bigrams: doc1 (a,b)(b,a)(a,b),
+    // doc2 (a,b)(b,c) (B=5); only (a,b) hits minCount=2
+    val docs = Seq("a b a b", "a b c").toDF("text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", minCount = 2L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === ("a", "b"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 3L, 3L)))
+    val expected = math.log((3.0 / 5.0) / ((3.0 / 7.0) * (3.0 / 7.0))) / math.log(2.0)
+    assert(math.abs(r.getDouble(5) - expected) < 1e-12)
+    // a doc boundary is never crossed: "x y" + "y x" has no (y,y) bigram
+    val two = Seq("x y", "y x").toDF("text")
+    val pairs = TextAnalysis.pmiCollocations(two, "text", minCount = 1L)
+      .collect().map(r2 => (r2.getString(0), r2.getString(1))).toSet
+    assert(pairs === Set(("x", "y"), ("y", "x")))
+  }
+
+  test("tokenEntropy: uniform=log2(k), constant=0, skewed by hand") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a b c d"), (3L, "a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 4L && math.abs(out(1L)._2) < 1e-12)
+    assert(out(2L)._1 === 4L && math.abs(out(2L)._2 - 2.0) < 1e-12)
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2.0)
+    assert(out(3L)._1 === 3L && math.abs(out(3L)._2 - h3) < 1e-12)
+  }
 }
