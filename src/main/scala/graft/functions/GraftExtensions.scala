@@ -49,6 +49,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_gte"),
+      new ExpressionInfo(
+        classOf[JaroWinklerGte].getName, null, "jaro_winkler_gte",
+        "jaro_winkler_gte(a, b, theta) - exact jaro_winkler(a,b) >= theta " +
+          "with a histogram admission bound before the kernel",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"jaro_winkler_gte expects 3 arguments, got ${children.length}")
+        val theta = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null =>
+            v.toString.toDouble
+          case other => throw new IllegalArgumentException(
+            s"jaro_winkler_gte threshold must be a literal, got $other")
+        }
+        JaroWinklerGte(children.head, children(1), theta)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(
         classOf[HyperplaneBuckets].getName, null, "hyperplane_buckets",

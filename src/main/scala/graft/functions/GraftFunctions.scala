@@ -31,4 +31,11 @@ object GraftFunctions {
     */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+
+  /** Exact `jaroWinkler(a, b) >= theta` with an O(|a|+|b|) histogram
+    * admission bound ahead of the quadratic kernel — use in the filter
+    * position of fuzzy joins ([[graft.operators.NearDup.jaroWinklerJoin]]).
+    */
+  def jaroWinklerGte(a: Column, b: Column, theta: Double): Column =
+    call_function("jaro_winkler_gte", a, b, lit(theta))
 }

@@ -67,6 +67,76 @@ object JaroWinklerImpl {
   }
 }
 
+object JaroWinklerGateImpl {
+
+  /** Exact `jaro_winkler(a,b) >= theta`, with an O(|a|+|b|) character-
+    * histogram admission bound run BEFORE the O(|a|·window) kernel.
+    *
+    * Soundness: `jw >= θ` forces `jaro >= (θ-0.4)/0.6` (the Winkler
+    * prefix boost adds at most `0.4·(1-j)`), and the kernel's matched
+    * count `m` can never exceed the byte-multiset intersection H of
+    * the two strings (window-constrained 1:1 matching is a sub-
+    * multiset of the unconstrained intersection), while
+    * `jaro <= (m/n + m/m' + 1)/3`. So
+    * `H·(n+m') < (3·j_min − 1)·n·m'` proves the pair cannot reach θ
+    * and the kernel is skipped — NO false negatives, and survivors
+    * always run the exact kernel, so no false positives either. The
+    * byte histogram equals the char histogram only for ASCII, so
+    * non-ASCII inputs skip the bound and go straight to the kernel.
+    *
+    * On blocked entity-resolution joins the bound rejects the vast
+    * majority of candidate pairs at ~1/40 the kernel's cost — this
+    * gate is why the fuzzy join's cost is the PAIR COUNT, not the
+    * kernel count.
+    */
+  def atLeast(a: UTF8String, b: UTF8String, theta: Double): Boolean = {
+    val n = a.numBytes
+    val m = b.numBytes
+    if (n == 0 || m == 0) return false // sim() is 0.0 for empty inputs
+    val jMin = (theta - 0.4) / 0.6
+    if (jMin > 0.0 && 3.0 * jMin - 1.0 > 0.0) {
+      val ha = new Array[Int](32)
+      val hb = new Array[Int](32)
+      var ascii = true
+      var i = 0
+      while (i < n && ascii) {
+        val c = a.getByte(i)
+        if (c < 0) ascii = false
+        else ha(lane(c)) += 1
+        i += 1
+      }
+      i = 0
+      while (i < m && ascii) {
+        val c = b.getByte(i)
+        if (c < 0) ascii = false
+        else hb(lane(c)) += 1
+        i += 1
+      }
+      if (ascii) {
+        var inter = 0
+        i = 0
+        while (i < 32) {
+          inter += math.min(ha(i), hb(i))
+          i += 1
+        }
+        if (inter.toLong * (n + m) < (3.0 * jMin - 1.0) * n * m)
+          return false
+      }
+    }
+    JaroWinklerImpl.sim(a, b) >= theta
+  }
+
+  /** 'a'..'z' → 0..25, digits → 26..29 (mod 4), everything else → 30;
+    * merging symbols into one lane only OVERcounts the intersection,
+    * which keeps the bound an upper bound (safe).
+    */
+  @inline private def lane(c: Byte): Int = {
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= '0' && c <= '9') 26 + (c & 3)
+    else 30
+  }
+}
+
 /** `jaro_winkler(a, b)` — native codegen'd Jaro–Winkler similarity of
   * two strings (SURVEY.md §2.E17 extension point; fuzzy entity-
   * resolution joins, q110). The generated code is a single static call
@@ -98,5 +168,39 @@ case class JaroWinkler(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `jaro_winkler_gte(a, b, θ)` — exact `jaro_winkler(a,b) >= θ` as one
+  * boolean expression, so the histogram admission bound in
+  * [[JaroWinklerGateImpl]] can reject a candidate pair BEFORE the
+  * quadratic kernel runs. Semantically identical to
+  * `JaroWinkler(a,b) >= lit(θ)` (spec-pinned); meant for the filter
+  * position of fuzzy joins, where it turns kernel cost into pair cost.
+  */
+case class JaroWinklerGte(left: Expression, right: Expression, theta: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "jaro_winkler_gte"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerGateImpl.atLeast(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], theta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinklerGateImpl.atLeast($a, $b, $theta)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerGte =
     copy(left = newLeft, right = newRight)
 }

@@ -599,10 +599,24 @@ object NearDup {
     val b = records.select(col(idCol).as("b_id"), col(strCol).as("b_str"),
       blockCol.as("block"))
     val jw = graft.functions.GraftFunctions.jaroWinkler(col("a_str"), col("b_str"))
+    // provable length gate: jw ≥ θ forces jaro ≥ (θ−0.4)/0.6 (prefix
+    // boost adds at most 0.4·(1−j)), and jaro ≤ (min/max + 2)/3, so
+    // min(|a|,|b|)/max(|a|,|b|) ≥ 5θ−4 — a three-instruction filter
+    // that drops pairs BEFORE the O(n·window) kernel, no false negatives
+    val lenGate =
+      if (threshold > 0.8)
+        least(length(col("a_str")), length(col("b_str"))).cast("double") >=
+          lit(5.0 * threshold - 4.0) *
+            greatest(length(col("a_str")), length(col("b_str")))
+      else lit(true)
+    // jaro_winkler_gte runs the histogram admission bound per pair and
+    // the exact kernel only on survivors; the final projection then
+    // recomputes jw for the (few) emitted rows
     a.join(b, Seq("block"))
-      .where(col("a_id") < col("b_id"))
+      .where(col("a_id") < col("b_id") && lenGate &&
+        graft.functions.GraftFunctions.jaroWinklerGte(
+          col("a_str"), col("b_str"), threshold))
       .select(col("a_id"), col("b_id"), jw.as("jw"))
-      .where(col("jw") >= threshold)
   }
 
   /** Declared q110: fuzzy part-name matching — pairs of parts whose

@@ -199,4 +199,42 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"codegen/eval divergence on ('${r.getString(0)}','${r.getString(1)}')")
     }
   }
+
+  test("jaro_winkler_gte ≡ jaro_winkler >= θ — admission bound never flips a verdict") {
+    val sp = spark; import sp.implicits._
+    // adversarial mix: near-misses around several thresholds, shared
+    // letter bags with low positional agreement (the bound's weak
+    // spot), anagrams, non-ASCII (bound must stand aside), empties,
+    // and real fixture names against shuffled variants
+    val words = Seq("almond", "antique", "rose", "metallic", "misty",
+      "thistle", "burnished", "cornsilk")
+    val synth = for {
+      a <- words; b <- words
+    } yield (a + " " + b, b + " " + a)
+    val pairs = (synth ++ Seq(
+      ("MARTHA", "MARHTA"), ("CRATE", "TRACE"), ("ab", "ba"),
+      ("café au lait", "cafe au lait"), ("żółć", "zolc"),
+      ("", "x"), ("", ""), ("same string", "same string"),
+      ("listen", "silent"), ("dusty rose metallic", "rose dusty metallic")))
+      .toDF("a", "b")
+    for (theta <- Seq(0.7, 0.85, 0.92, 0.99)) {
+      val rows = pairs.select(col("a"), col("b"),
+        expr(s"jaro_winkler_gte(a, b, $theta)").as("g"),
+        (expr("jaro_winkler(a, b)") >= theta).as("want")).collect()
+      rows.foreach { r =>
+        assert(r.getBoolean(2) === r.getBoolean(3),
+          s"gate mismatch at θ=$theta on ('${r.getString(0)}','${r.getString(1)}')")
+      }
+    }
+    // fixture sweep: every blocked pair's gate verdict matches the
+    // plain-expression comparison (the q110 join path end-to-end)
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_name").as("n"), substring_index(col("p_name"), " ", 1).as("blk"))
+    val joined = p.join(p.select(col("n").as("n2"), col("blk")), Seq("blk"))
+      .limit(20000)
+      .select(expr("jaro_winkler_gte(n, n2, 0.92)").as("g"),
+        (expr("jaro_winkler(n, n2)") >= 0.92).as("want"))
+      .where(col("g") =!= col("want"))
+    assert(joined.count() === 0L)
+  }
 }
