@@ -30,21 +30,30 @@ object Association {
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
       .localCheckpoint()
-    val nBaskets = bi.select(col("bk")).distinct().count()
+    // double codegen explode + filter, NOT a higher-order `filter`
+    // lambda inside the explode: interpreted lambdas cost ~7x per
+    // element and baskets are tiny, so k² generated rows are cheaper
+    // than k·(k−1)/2 interpreted ones
     val pairs = bi.groupBy(col("bk")).agg(collect_set(col("it")).as("is"))
       .select(explode(col("is")).as("a"), col("is"))
-      .select(col("a"), explode(filter(col("is"), i => i =!= col("a"))).as("b"))
+      .select(col("a"), explode(col("is")).as("b"))
+      .where(col("a") =!= col("b"))
     val nAb = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
     val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    // the basket total rides the SAME execution as a broadcast scalar
+    // instead of a separate driver action
+    val totals = bi.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("__nb"))
     nAb
       .join(itemN.select(col("it").as("a"), col("n").as("n_a")), Seq("a"))
       .join(itemN.select(col("it").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
-        (col("n_ab").cast("double") / lit(nBaskets)).as("support"),
+        (col("n_ab").cast("double") / col("__nb")).as("support"),
         (col("n_ab").cast("double") / col("n_a")).as("confidence"),
-        (col("n_ab").cast("double") / col("n_a") * lit(nBaskets) / col("n_b"))
+        (col("n_ab").cast("double") / col("n_a") * col("__nb") / col("n_b"))
           .as("lift"))
   }
 
