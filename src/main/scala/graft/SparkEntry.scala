@@ -222,6 +222,14 @@ object SparkEntry {
     "q119_entropy" -> (graft.operators.TextAnalysis.q119Entropy _),
     // Benford first-digit audit of order totals
     "q120_benford" -> (graft.operators.Profiling.q120Benford _),
+    // pairwise Pearson correlations in one table scan
+    "q121_correlations" -> (graft.operators.Profiling.q121Correlations _),
+    // exact 20-bin equi-width histogram (bounds ride as broadcast)
+    "q122_histogram" -> (graft.operators.Profiling.q122Histogram _),
+    // Mann-Whitney U with midrank ties over distributed prefix sums
+    "q123_mann_whitney" -> (graft.operators.Relational.q123MannWhitney _),
+    // two-proportion z-test on a deterministic A/B user split
+    "q124_ab_test" -> (graft.operators.Relational.q124AbTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -351,5 +359,9 @@ object SparkEntry {
     "q118_collocations" -> graft.operators.TextAnalysis.q118Sql,
     "q119_entropy" -> graft.operators.TextAnalysis.q119Sql,
     "q120_benford" -> graft.operators.Profiling.q120Sql,
+    "q121_correlations" -> graft.operators.Profiling.q121Sql,
+    "q122_histogram" -> graft.operators.Profiling.q122Sql,
+    "q123_mann_whitney" -> graft.operators.Relational.q123Sql,
+    "q124_ab_test" -> graft.operators.Relational.q124Sql,
   )
 }

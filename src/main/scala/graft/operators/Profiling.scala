@@ -76,6 +76,102 @@ object Profiling {
     one.select(inline(rows))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * profiling sweep's second moment: collinear feature detection,
+    * redundant-signal pruning before model training. ONE map-side-
+    * combined aggregate computes every per-column and per-pair
+    * sufficient statistic (n, Σx, Σx², Σxy for all C(k,2) pairs), and
+    * the closed-form correlations are an `inline` over that single
+    * row — the table is scanned once no matter how many columns, the
+    * same shape as [[profileColumns]]. The oracle replays the
+    * identical formula (not DuckDB's `corr`) so both sides share one
+    * floating-point story.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = count(lit(1)).cast(DoubleType).as("__n")
+    val moments = cols.flatMap { c =>
+      val x = col(c).cast(DoubleType)
+      Seq(sum(x).as(s"__s_$c"), sum(x * x).as(s"__ss_$c"))
+    }
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      sum(col(a).cast(DoubleType) * col(b).cast(DoubleType)).as(s"__sp_${a}_$b")
+    }
+    val one = df.agg(n, (moments ++ pairs).toIndexedSeq: _*)
+    val rows = array(cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val cov = col("__n") * col(s"__sp_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = col("__n") * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        (cov / sqrt(va * vb)).as("corr"))
+    }: _*)
+    one.select(inline(rows))
+  }
+
+  /** Declared q121: correlation matrix of the lineitem measures. */
+  def q121Correlations(spark: SparkSession, d: String): DataFrame =
+    correlationMatrix(Tables.lineitem(spark, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  val q121Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val moments = cols.flatMap(c =>
+      Seq(s"sum($c) AS s_$c", s"sum($c * $c) AS ss_$c"))
+    val prods = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"sum($a * $b) AS sp_${a}_$b"
+    }
+    val agg = (Seq("CAST(count(*) AS DOUBLE) AS n") ++ moments ++ prods)
+      .mkString(", ")
+    val rows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y,
+         |  (n * sp_${a}_$b - s_$a * s_$b) /
+         |    sqrt((n * ss_$a - s_$a * s_$a) * (n * ss_$b - s_$b * s_$b))
+         |    AS corr FROM m""".stripMargin
+    }
+    s"WITH m AS (SELECT $agg FROM lineitem)\n" + rows.mkString("\nUNION ALL\n")
+  }
+
+  /** Exact equi-width histogram — `bins` buckets spanning [min, max],
+    * the profiling/drift primitive behind distribution dashboards.
+    * Two aggregate passes over the column (global min/max, then the
+    * bin counts), with the bounds riding the second pass as a
+    * broadcast scalar row — never a driver action between them; empty
+    * bins are absent (sparse output).
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val bounds = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    val w = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val idx = least(floor((v - col("__lo")) / w), lit(bins - 1L)).cast(LongType)
+    df.select(v.as(valueCol))
+      .crossJoin(broadcast(bounds))
+      .select(idx.as("bin"), col("__lo"), w.as("__w"))
+      .groupBy(col("bin"), col("__lo"), col("__w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("__lo") + col("bin") * col("__w")).as("lo"),
+        (col("__lo") + (col("bin") + lit(1L)) * col("__w")).as("hi"),
+        col("n"))
+  }
+
+  /** Declared q122: 20-bin histogram of extended prices. */
+  def q122Histogram(spark: SparkSession, d: String): DataFrame =
+    equiWidthHistogram(Tables.lineitem(spark, d), "l_extendedprice", bins = 20)
+
+  val q122Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |    (CAST(max(l_extendedprice) AS DOUBLE) -
+      |     CAST(min(l_extendedprice) AS DOUBLE)) / 20.0 AS w
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT CAST(least(floor((l_extendedprice - b.lo) / b.w), 19) AS BIGINT)
+      |      AS bin,
+      |    b.lo AS blo, b.w AS bw, count(*) AS n
+      |  FROM lineitem, b GROUP BY 1, 2, 3)
+      |SELECT bin, blo + bin * bw AS lo, blo + (bin + 1) * bw AS hi,
+      |  CAST(n AS BIGINT) AS n
+      |FROM c""".stripMargin
+
   /** Benford first-significant-digit audit — fabricated or truncated
     * numeric columns drift from the log-law digit distribution
     * (P(d) = log10(1 + 1/d)), a standard forensic data-quality check.

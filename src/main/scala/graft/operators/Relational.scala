@@ -794,6 +794,157 @@ object Relational {
       |    ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
       |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin
 
+  /** Two-sample Mann–Whitney U — the rank-based drift test that, unlike
+    * [[ksStatistic]]'s max-gap, weighs the WHOLE distribution shift
+    * (and unlike a t-test assumes nothing about normality). Midranks
+    * handle ties exactly.
+    *
+    * Scale shape: identical to the KS plan — rows collapse to a
+    * (value → per-cohort counts) support relation in one shuffle, and
+    * the global midranks need only a prefix sum over that relation:
+    * range-partition by value, per-partition totals to the driver (one
+    * row each), exclusive offsets broadcast back, windows partitioned
+    * per range. No single-partition window at any size.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String, cohortCol: String,
+      cohortA: String, cohortB: String): DataFrame = {
+    val spark = df.sparkSession
+    val support = df
+      .where(col(cohortCol) === cohortA || col(cohortCol) === cohortB)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L)).as("na"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L)).as("nb"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = support.groupBy(col("__pid"))
+      .agg(sum(col("na") + col("nb")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
+      val o = pid -> acc; acc += t; o
+    }.toMap
+    val off = element_at(typedLit(offsets), col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // rank block for value v: [before+1, before+cnt]; midrank is the
+    // block average — classic tie handling, exact in doubles since the
+    // numerator stays integral
+    val cnt = col("na") + col("nb")
+    val ranked = support
+      .withColumn("__cum", off + sum(cnt).over(w))
+      .withColumn("__mid",
+        (col("__cum") - cnt).cast("double") + (cnt.cast("double") + 1.0) / 2.0)
+    ranked
+      .agg(sum(col("__mid") * col("na")).as("ra"),
+        sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+      .select(
+        (col("ra") - col("n_a").cast("double") *
+          (col("n_a").cast("double") + 1.0) / 2.0).as("u_a"),
+        (col("n_a").cast("double") * col("n_b").cast("double") -
+          (col("ra") - col("n_a").cast("double") *
+            (col("n_a").cast("double") + 1.0) / 2.0)).as("u_b"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Declared q123: rank-based price drift, returned vs delivered. */
+  def q123MannWhitney(spark: SparkSession, d: String): DataFrame =
+    mannWhitneyU(Tables.lineitem(spark, d), "l_extendedprice",
+      "l_returnflag", "R", "N")
+
+  val q123Sql: String =
+    """WITH s AS (
+      |  SELECT l_extendedprice AS v,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS na,
+      |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS nb
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      |r AS (
+      |  SELECT na, nb,
+      |    CAST(sum(na + nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      - (na + nb) AS DOUBLE) + (CAST(na + nb AS DOUBLE) + 1.0) / 2.0
+      |      AS mid
+      |  FROM s),
+      |t AS (SELECT sum(mid * na) AS ra, sum(na) AS n_a, sum(nb) AS n_b FROM r)
+      |SELECT
+      |  ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+      |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) -
+      |    (ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0) AS u_b,
+      |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+      |FROM t""".stripMargin
+
+  /** Two-proportion z-test — the A/B-test significance primitive:
+    * compare conversion rates between two user cohorts under the
+    * pooled-variance normal approximation. Everything reduces to two
+    * hash aggregates over (user → converted) — metadata-scale algebra
+    * after one shuffle on the user key.
+    */
+  def twoProportionZ(users: DataFrame, variantCol: String,
+      convCol: String): DataFrame = {
+    val cells = users
+      .select(col(variantCol).as("variant"), col(convCol).as("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val w = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // two variant rows → one output row; the window is over a 2-row
+    // aggregate, metadata-scale by construction
+    cells
+      .withColumn("__ntot", sum(col("n")).over(w))
+      .withColumn("__ktot", sum(col("k")).over(w))
+      .where(col("variant") === 0L)
+      .select(
+        (col("k").cast("double") / col("n")).as("p_a"),
+        ((col("__ktot") - col("k")).cast("double") /
+          (col("__ntot") - col("n"))).as("p_b"),
+        col("n").as("n_a"), (col("__ntot") - col("n")).as("n_b"),
+        ((col("k").cast("double") / col("n") -
+          (col("__ktot") - col("k")).cast("double") / (col("__ntot") - col("n"))) /
+          sqrt((col("__ktot").cast("double") / col("__ntot")) *
+            (lit(1.0) - col("__ktot").cast("double") / col("__ntot")) *
+            (lit(1.0) / col("n") + lit(1.0) / (col("__ntot") - col("n")))))
+          .as("z"))
+  }
+
+  /** Declared q124: heavy-purchaser rate (≥ 14 purchase events) between
+    * the even/odd user-id split of the events fixture — a deterministic
+    * synthetic A/B assignment with a conversion definition that
+    * actually splits the fixture's users (every user has ≥ 1 purchase,
+    * so "any purchase" would degenerate to p=1 on both arms).
+    */
+  def q124AbTest(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+        when(col("np") >= 14L, 1L).otherwise(0L).as("conv"))
+    twoProportionZ(users, "variant", "conv")
+  }
+
+  val q124Sql: String =
+    """WITH pc AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      |  FROM events GROUP BY user_id),
+      |u AS (
+      |  SELECT user_id % 2 AS variant,
+      |    CASE WHEN np >= 14 THEN 1 ELSE 0 END AS conv
+      |  FROM pc),
+      |c AS (SELECT variant, count(*) AS n, sum(conv) AS k FROM u GROUP BY 1),
+      |t AS (
+      |  SELECT
+      |    (SELECT CAST(k AS DOUBLE) FROM c WHERE variant = 0) AS ka,
+      |    (SELECT CAST(n AS DOUBLE) FROM c WHERE variant = 0) AS na,
+      |    (SELECT CAST(k AS DOUBLE) FROM c WHERE variant = 1) AS kb,
+      |    (SELECT CAST(n AS DOUBLE) FROM c WHERE variant = 1) AS nb)
+      |SELECT ka / na AS p_a, kb / nb AS p_b,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  (ka / na - kb / nb) /
+      |    sqrt(((ka + kb) / (na + nb)) * (1.0 - (ka + kb) / (na + nb)) *
+      |      (1.0 / na + 1.0 / nb)) AS z
+      |FROM t""".stripMargin
+
   val q111Sql: String =
     """WITH cells AS (
       |  SELECT c_nationkey AS nation, c_mktsegment AS segment,

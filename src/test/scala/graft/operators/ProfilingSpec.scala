@@ -69,4 +69,39 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(b1 - math.log10(2.0)) < 1e-12)
     assert(out(2L)._1 === 1L && out(9L)._1 === 1L)
   }
+
+  test("correlationMatrix: perfect, inverse, and hand-computed partial correlation") {
+    val sp = spark; import sp.implicits._
+    // y = 2x (corr 1), z permutes x (hand: 0.5), w = -x (corr -1)
+    val df = Seq((1.0, 2.0, 1.0, -1.0), (2.0, 4.0, 3.0, -2.0),
+      (3.0, 6.0, 2.0, -3.0)).toDF("x", "y", "z", "w")
+    val out = Profiling.correlationMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out.size === 6, "C(4,2) pairs")
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "w")) + 1.0) < 1e-12)
+    assert(math.abs(out(("y", "w")) + 1.0) < 1e-12)
+    assert(math.abs(out(("x", "z")) - 0.5) < 1e-12)
+    assert(math.abs(out(("y", "z")) - 0.5) < 1e-12)
+    assert(math.abs(out(("z", "w")) + 0.5) < 1e-12)
+  }
+
+  test("equiWidthHistogram: bin edges, max lands in last bin, sparse bins absent") {
+    val sp = spark; import sp.implicits._
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val out = Profiling.equiWidthHistogram(df, "v", bins = 5).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // width 2: bins [0,2) [2,4) [4,6) [6,8) [8,10]; v=10 folds into bin 4
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    (0L to 3L).foreach(b => assert(out(b)._3 === 2L))
+    assert(out(4L)._3 === 3L, "8, 9 and the max 10")
+    assert(out(0L)._1 === 0.0 && out(0L)._2 === 2.0)
+    assert(out(4L)._1 === 8.0 && out(4L)._2 === 10.0)
+    // a gap leaves its bin absent rather than zero
+    val sparse = Seq(0.0, 10.0).toDF("v")
+    val s = Profiling.equiWidthHistogram(sparse, "v", bins = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(s === Set(0L, 4L))
+  }
 }

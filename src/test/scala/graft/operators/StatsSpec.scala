@@ -108,4 +108,39 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r2q - 81.0 / (6.0 * 14.0)) < 1e-12)
     assert(r2q > 0 && r2q < 1)
   }
+
+  test("mannWhitneyU: clean separation, midrank ties, U_a + U_b = n_a*n_b") {
+    val sp = spark; import sp.implicits._
+    // disjoint samples: every A below every B → U_a = 0, U_b = 4
+    val clean = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")).toDF("v", "c")
+    val r = Relational.mannWhitneyU(clean, "v", "c", "a", "b").collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 4.0) < 1e-12)
+    // ties: A={1,2,2}, B={2,3}; the three 2s share midrank 3 →
+    // RA = 1+3+3 = 7, U_a = 7 − 3·4/2 = 1, U_b = 6 − 1 = 5
+    // (pair count check: only the two (2,2) ties contribute 0.5 each)
+    val tied = Seq((1.0, "a"), (2.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"))
+      .toDF("v", "c")
+    val t = Relational.mannWhitneyU(tied, "v", "c", "a", "b").collect().head
+    assert(math.abs(t.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(t.getDouble(1) - 5.0) < 1e-12)
+    assert(t.getLong(2) === 3L && t.getLong(3) === 2L)
+  }
+
+  test("twoProportionZ: hand-computed pooled z, symmetric flip negates") {
+    val sp = spark; import sp.implicits._
+    // arm 0: 2/4 convert; arm 1: 1/4 → phat = 3/8,
+    // z = 0.25 / sqrt(0.375·0.625·0.5)
+    val users = Seq((0L, 1L), (0L, 1L), (0L, 0L), (0L, 0L),
+      (1L, 1L), (1L, 0L), (1L, 0L), (1L, 0L)).toDF("variant", "conv")
+    val r = Relational.twoProportionZ(users, "variant", "conv").collect().head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.25) < 1e-12)
+    assert(r.getLong(2) === 4L && r.getLong(3) === 4L)
+    val want = 0.25 / math.sqrt(0.375 * 0.625 * 0.5)
+    assert(math.abs(r.getDouble(4) - want) < 1e-12)
+    // swapping the arms flips the sign, same magnitude
+    val flipped = users.select((lit(1L) - col("variant")).as("variant"), col("conv"))
+    val f = Relational.twoProportionZ(flipped, "variant", "conv").collect().head
+    assert(math.abs(f.getDouble(4) + want) < 1e-12)
+  }
 }
