@@ -230,6 +230,12 @@ object SparkEntry {
     "q123_mann_whitney" -> (graft.operators.Relational.q123MannWhitney _),
     // two-proportion z-test on a deterministic A/B user split
     "q124_ab_test" -> (graft.operators.Relational.q124AbTest _),
+    // entity resolution: fuzzy pairs -> clusters -> golden records
+    "q125_golden_records" -> (graft.operators.NearDup.q125GoldenRecords _),
+    // exact phrase search over a positional inverted index
+    "q126_phrase_search" -> (graft.operators.Retrieval.q126PhraseSearch _),
+    // last-touch attribution with a 7-day lookback
+    "q127_attribution" -> (graft.operators.EventAnalytics.q127Attribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -363,5 +369,8 @@ object SparkEntry {
     "q122_histogram" -> graft.operators.Profiling.q122Sql,
     "q123_mann_whitney" -> graft.operators.Relational.q123Sql,
     "q124_ab_test" -> graft.operators.Relational.q124Sql,
+    "q125_golden_records" -> graft.operators.NearDup.q125Sql,
+    "q126_phrase_search" -> graft.operators.Retrieval.q126Sql,
+    "q127_attribution" -> graft.operators.EventAnalytics.q127Sql,
   )
 }

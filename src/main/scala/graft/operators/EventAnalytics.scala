@@ -334,6 +334,58 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** Last-touch attribution — for every conversion event, the most
+    * recent qualifying touch (same user, strictly earlier, within the
+    * lookback window): the marketing-analytics primitive behind
+    * "which click gets credit for this purchase".
+    *
+    * Scale shape: ONE shuffle on the user key; within each user
+    * partition a running `max` over (touch-events only, rows strictly
+    * before the current one) carries the latest touch timestamp to
+    * every row — no self-join, no per-conversion rescan of the
+    * trailing window. Ordering ties break on event_id (the q105
+    * discipline) so equal-timestamp touch/conversion rows resolve
+    * deterministically.
+    */
+  def lastTouchAttribution(events: DataFrame, touchType: String,
+      convType: String, lookbackUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__touch_us",
+        max(when(col("event_type") === touchType, col("us"))).over(w))
+      .where(col("event_type") === convType)
+      .select(col("user_id"), col("event_id"), col("us").as("conv_us"),
+        when(col("__touch_us") >= col("us") - lit(lookbackUs),
+          col("__touch_us")).as("touch_us"))
+  }
+
+  /** Declared q127: purchases attributed to the latest click in the
+    * preceding 7 days.
+    */
+  def q127Attribution(spark: SparkSession, d: String): DataFrame =
+    lastTouchAttribution(
+      Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")),
+      touchType = "click", convType = "purchase",
+      lookbackUs = 7L * 86400L * 1000 * 1000)
+
+  val q127Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |t AS (
+      |  SELECT *,
+      |    max(CASE WHEN event_type = 'click' THEN us END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM e)
+      |SELECT user_id, event_id, us AS conv_us,
+      |  CASE WHEN touch >= us - 604800000000 THEN touch END AS touch_us
+      |FROM t WHERE event_type = 'purchase'""".stripMargin
+
   val q113Sql: String =
     """WITH pairs AS (
       |  SELECT DISTINCT user_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -633,6 +634,83 @@ object NearDup {
     jaroWinklerJoin(p, "id", "name",
       substring_index(col("name"), " ", 1), threshold = 0.92)
   }
+
+  /** End-to-end entity resolution: blocked fuzzy join → connected
+    * components → one GOLDEN RECORD per entity cluster (longest name,
+    * ties to the smallest id) — the "dedupe a vendor list" workflow
+    * composed from the engine's own primitives. Scale shape inherits
+    * from its parts: candidate pairs are Σ per-block (never n²) with
+    * the q110 histogram admission gate, clustering is the O(log d)
+    * pointer-jumping CC, and canonical selection is one row_number
+    * window over cluster-keyed records. Singletons are their own
+    * golden record.
+    */
+  def goldenRecords(records: DataFrame, idCol: String, nameCol: String,
+      blockCol: Column, threshold: Double): DataFrame = {
+    val pairs = jaroWinklerJoin(records, idCol, nameCol, blockCol, threshold)
+    val cc = Components.connectedComponents(pairs, "a_id", "b_id")
+    val labeled = records
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
+      .join(cc.select(col("node").as("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("comp"), col("id")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(length(col("name")).desc, col("id").asc)
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_records"),
+        max(when(col("__rn") === 1, col("id"))).as("canonical_id"),
+        max(when(col("__rn") === 1, col("name"))).as("canonical_name"))
+  }
+
+  /** Declared q125 over a deterministically PERTURBED vendor list: the
+    * fixture's part names carry only 64 distinct values (pure
+    * duplicates — jw is 1.0 or far below any threshold), so each
+    * record appends a version tag derived from its key
+    * (`name + " rev" + partkey % 3`). Same-name records then agree at
+    * jw ≈ 0.97–1.0 through genuinely fuzzy matches (one trailing
+    * character apart), and the resolved clusters recover the 64 base
+    * entities through transitive closure, not string equality. The
+    * oracle replays the identical perturbation, pair relation,
+    * recursive closure, and argmax.
+    */
+  def q125GoldenRecords(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val p = graft.core.Tables.part(spark, d)
+      .select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit(" rev"),
+          pmod(col("p_partkey"), lit(3L)).cast("string")).as("name"))
+    goldenRecords(p, "id", "name",
+      substring_index(col("name"), " ", 1), threshold = 0.95)
+  }
+
+  val q125Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT p_partkey AS id,
+      |    p_name || ' rev' || CAST(p_partkey % 3 AS VARCHAR) AS name
+      |  FROM part),
+      |b AS (SELECT id, name, string_split(name, ' ')[1] AS blk FROM p),
+      |pairs AS (
+      |  SELECT x.id AS u, y.id AS v
+      |  FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+      |  WHERE jaro_winkler_similarity(x.name, y.name) >= 0.95),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |comp AS (SELECT u AS id, least(u, min(v)) AS cluster_id
+      |         FROM reach GROUP BY u),
+      |lab AS (
+      |  SELECT p.id, p.name, coalesce(c.cluster_id, p.id) AS cluster_id
+      |  FROM p LEFT JOIN comp c USING (id)),
+      |rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY length(name) DESC, id ASC) AS rn FROM lab)
+      |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records,
+      |  CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS canonical_id,
+      |  max(CASE WHEN rn = 1 THEN name END) AS canonical_name
+      |FROM rn GROUP BY cluster_id""".stripMargin
 
   val q110Sql: String =
     """WITH p AS (

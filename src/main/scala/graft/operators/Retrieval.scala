@@ -209,4 +209,49 @@ object Retrieval {
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
       |  FROM fused) WHERE rank <= 10""".stripMargin
+
+  /** Exact phrase search via a POSITIONAL INVERTED INDEX — the way a
+    * search engine answers quoted queries, and the scale-correct
+    * alternative to scanning every document with a substring match:
+    * the corpus explodes once to (doc, pos, token), each phrase token
+    * selects only ITS posting list (rows = that token's corpus
+    * frequency, not corpus size), and the lists join on
+    * (doc, pos − offset). Overlapping occurrences count separately;
+    * cost is driven by the RAREST token's frequency once the join
+    * order puts it first.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val toks = phrase.split(" ")
+    require(toks.nonEmpty, "empty phrase")
+    val idx = docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val first = idx.where(col("tok") === toks.head)
+      .select(col("doc"), col("pos"))
+    val matches = toks.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        idx.where(col("tok") === t)
+          .select(col("doc"), (col("pos") - i).as("pos")),
+        Seq("doc", "pos"))
+    }
+    matches.groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Declared q126: a three-token phrase over the documents corpus. */
+  def q126PhraseSearch(spark: SparkSession, d: String): DataFrame =
+    phraseSearch(Tables.documents(spark, d), "doc_id", "text",
+      "slow hash batch")
+
+  val q126Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |pos AS (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i FROM t)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+      |FROM pos
+      |WHERE i + 2 <= len(a)
+      |  AND a[CAST(i AS INT)] = 'slow'
+      |  AND a[CAST(i AS INT) + 1] = 'hash'
+      |  AND a[CAST(i AS INT) + 2] = 'batch'
+      |GROUP BY doc_id""".stripMargin
 }

@@ -156,6 +156,27 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wide === Map(0L -> 2L, 3L -> 2L, 8L -> 3L))
   }
 
+  test("lastTouchAttribution: latest touch wins, lookback expires, ties on event_id") {
+    val sp = spark; import sp.implicits._
+    val day = 86400L * 1000 * 1000
+    val e = Seq(
+      // u1: two clicks before the purchase — the LATER one gets credit
+      (1L, 1L, "click", 1L * day), (2L, 1L, "click", 2L * day),
+      (3L, 1L, "purchase", 3L * day),
+      // u1 second purchase 10 days after the last click — outside 7d
+      (4L, 1L, "purchase", 12L * day),
+      // u2: click AFTER the purchase only → unattributed
+      (5L, 2L, "purchase", 1L * day), (6L, 2L, "click", 2L * day),
+      // u3: click at the SAME instant, smaller event_id → counts
+      (7L, 3L, "click", 5L * day), (8L, 3L, "purchase", 5L * day))
+      .toDF("event_id", "user_id", "event_type", "us")
+    val out = EventAnalytics.lastTouchAttribution(e, "click", "purchase",
+      7L * day).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) -1L else r.getLong(3) / day))
+      .toMap
+    assert(out === Map(3L -> 2L, 4L -> -1L, 5L -> -1L, 8L -> 5L))
+  }
+
   test("cohort retention: offsets count distinct users, capped at maxOffset") {
     val sp = spark; import sp.implicits._
     val wk = 604800000000L

@@ -386,4 +386,29 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(jw === want)
     }
   }
+
+  test("goldenRecords: duplicates + typos collapse, transitive chain, singleton kept") {
+    val sp = spark; import sp.implicits._
+    // {1,2,3}: exact dup + trailing typo, all pairwise >= 0.97;
+    // {5,6,7}: 5-6 and 6-7 pass 0.97 but 5-7 alone scores 0.9636 —
+    // only transitive closure puts them in one cluster;
+    // {9}: no candidate at all
+    val recs = Seq(
+      (1L, "alpha industries"), (2L, "alpha industries"),
+      (3L, "alpha industriez"),
+      (5L, "beta corp"), (6L, "beta corpx"), (7L, "beta corpxy"),
+      (9L, "gamma llc")).toDF("id", "name")
+    val out = NearDup.goldenRecords(recs, "id", "name",
+      org.apache.spark.sql.functions.substring_index(
+        org.apache.spark.sql.functions.col("name"), " ", 1), threshold = 0.97)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out.keySet === Set(1L, 5L, 9L))
+    assert(out(1L) === ((3L, 1L, "alpha industries")),
+      "16-char tie broken to the smallest id")
+    assert(out(5L) === ((3L, 7L, "beta corpxy")),
+      "longest name wins the canonical slot")
+    assert(out(9L) === ((1L, 9L, "gamma llc")))
+  }
 }

@@ -122,4 +122,23 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(dual.map(_._2).max < mono.map(_._2).min, s"query $q fusion order")
     }
   }
+
+  test("phraseSearch: overlaps count, order matters, no cross-token false hits") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c x a b c"), // two clean occurrences
+      (2L, "a a a a"), // overlapping starts of "a a": 3
+      (3L, "c b a"), // reversed order — no hit
+      (4L, "a b"), // truncated phrase — no hit for "a b c"
+      (5L, "x a b c y")).toDF("doc_id", "text")
+    val abc = Retrieval.phraseSearch(docs, "doc_id", "text", "a b c")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc === Map(1L -> 2L, 5L -> 1L))
+    val aa = Retrieval.phraseSearch(docs, "doc_id", "text", "a a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa === Map(2L -> 3L), "overlapping occurrences each count")
+    val single = Retrieval.phraseSearch(docs, "doc_id", "text", "c")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single === Map(1L -> 2L, 3L -> 1L, 5L -> 1L))
+  }
 }
