@@ -236,6 +236,12 @@ object SparkEntry {
     "q126_phrase_search" -> (graft.operators.Retrieval.q126PhraseSearch _),
     // last-touch attribution with a 7-day lookback
     "q127_attribution" -> (graft.operators.EventAnalytics.q127Attribution _),
+    // gap-based sessionization into a per-session table
+    "q128_sessionize" -> (graft.operators.EventAnalytics.q128Sessionize _),
+    // keep-latest-per-key compaction (CDC snapshot as one hash aggregate)
+    "q129_latest_snapshot" -> (graft.operators.Dedup.q129LatestSnapshot _),
+    // winsorized robust mean, clamped at exact per-group percentiles
+    "q130_winsorize" -> (graft.operators.Profiling.q130Winsorize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,5 +378,8 @@ object SparkEntry {
     "q125_golden_records" -> graft.operators.NearDup.q125Sql,
     "q126_phrase_search" -> graft.operators.Retrieval.q126Sql,
     "q127_attribution" -> graft.operators.EventAnalytics.q127Sql,
+    "q128_sessionize" -> graft.operators.EventAnalytics.q128Sql,
+    "q129_latest_snapshot" -> graft.operators.Dedup.q129Sql,
+    "q130_winsorize" -> graft.operators.Profiling.q130Sql,
   )
 }

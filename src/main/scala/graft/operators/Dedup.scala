@@ -269,4 +269,51 @@ object Dedup {
       |       WHERE len(t) >= 3) b
       | ON a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.6""".stripMargin
+
+  /** Declared q129: keep-latest-per-key compaction — collapse an
+    * append-only change stream to its current snapshot (the batch twin
+    * of the CDC MERGE: every key keeps only its most recent row).
+    * Shaped as ONE aggregate (`max_by` over the ordering tuple), not a
+    * `row_number`-over-window filter: the aggregate partially combines
+    * map-side, so each task forwards one candidate row per key and the
+    * exchange moves keys, not history — while the window form must
+    * shuffle the ENTIRE event history and sort it per partition. (The
+    * struct-ordered buffer makes this a SortAggregate — each map task
+    * sorts only its own partition, spillable, no different from the
+    * sort every shuffle map task already does; the win is the shuffle
+    * volume.) At 100 TB of changes with a bounded key space, that's a
+    * metadata-scale exchange instead of a full-data one.
+    */
+  def q129LatestSnapshot(spark: SparkSession, d: String): DataFrame =
+    latestSnapshot(
+      Tables.events(spark, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("value")),
+      keys = Seq("user_id", "event_type"),
+      ordering = Seq("us", "event_id"),
+      payload = Seq("value"))
+
+  /** The row with the max `ordering` tuple per `keys` group, keeping
+    * `ordering` and `payload` columns. `ordering` must be unique per
+    * group (ties would be nondeterministic); here (us, event_id) is.
+    */
+  def latestSnapshot(
+      e: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val carried = ordering ++ payload
+    e.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(carried.map(col): _*),
+        struct(ordering.map(col): _*)).as("__latest"))
+      .select(keys.map(col) ++ carried.map(c => col(s"__latest.$c")): _*)
+  }
+
+  val q129Sql: String =
+    """SELECT user_id, event_type, us, event_id, value FROM (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
 }

@@ -400,6 +400,63 @@ object EventAnalytics {
       |WHERE day IN (SELECT day FROM observed)
       |GROUP BY day""".stripMargin
 
+  /** Declared q128: the session TABLE behind q106's paths — one row
+    * per gap-delimited session with its span and event count (the
+    * relation every downstream engagement metric joins against).
+    * Same single user-key shuffle as q106: the gap lag, the cumulative
+    * session ordinal, and the per-session rollup all ride one
+    * `user_id` partitioning; the final groupBy keys on
+    * (user_id, session_id), so its exchange moves only map-side
+    * combined session rows — session cardinality, not event
+    * cardinality. Nothing here is a full-history window or a per-user
+    * event list, so the plan is unchanged at 100 TB.
+    */
+  def q128Sessionize(spark: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")),
+      gapUs = 30L * 60 * 1000 * 1000)
+
+  /** Gap-based sessionization over (user_id, us, event_id): one row
+    * per session with start/end/duration/event count.
+    */
+  def sessionize(e: DataFrame, gapUs: Long): DataFrame = {
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val run = timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e
+      .withColumn("__prev", lag(col("us"), 1).over(timeline))
+      .withColumn("__ns",
+        when(col("__prev").isNull || col("us") - col("__prev") >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__ns")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  val q128Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    lag(epoch_us(ts)) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM l)
+      |SELECT user_id, session_id,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  max(us) - min(us) AS duration_us
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   val q108Sql: String =
     """WITH c AS (
       |  SELECT event_type,

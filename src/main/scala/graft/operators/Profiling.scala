@@ -213,6 +213,59 @@ object Profiling {
       |    AS abs_dev
       |FROM c""".stripMargin
 
+  /** Winsorized per-group statistics — the robust-mean primitive for
+    * metric pipelines where a handful of extreme rows (bot traffic,
+    * unit-error telemetry) would otherwise own the average. Values are
+    * clamped to the group's [loQ, hiQ] exact percentiles, then
+    * re-aggregated. Two passes over the data by necessity (the clamp
+    * bound IS a distribution statistic): pass 1 computes per-group
+    * percentiles, which come back as a BROADCAST group-cardinality
+    * relation; pass 2 is one hash aggregate over the clamped value.
+    * Exact `percentile` keeps a per-group value buffer — correct for
+    * the oracle check; at 100 TB swap in the `approx_percentile`
+    * sketch (constant memory), the same substitution q05 documents
+    * for distinct counts.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      loQ: Double,
+      hiQ: Double): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val pcts = df.groupBy(col(keyCol))
+      .agg(percentile(v, lit(loQ)).as("p_lo"),
+        percentile(v, lit(hiQ)).as("p_hi"))
+    df.select(col(keyCol), v.as("__v"))
+      .join(broadcast(pcts), Seq(keyCol))
+      .groupBy(col(keyCol), col("p_lo"), col("p_hi"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("__v")).as("raw_avg"),
+        avg(least(greatest(col("__v"), col("p_lo")), col("p_hi")))
+          .as("wins_avg"))
+      .select(col(keyCol), col("n"), col("raw_avg"),
+        col("p_lo"), col("p_hi"), col("wins_avg"))
+  }
+
+  /** Declared q130: winsorized mean of event values per event type,
+    * clamped at the exact [p05, p95].
+    */
+  def q130Winsorize(spark: SparkSession, d: String): DataFrame =
+    winsorizedStats(Tables.events(spark, d), "event_type", "value",
+      loQ = 0.05, hiQ = 0.95)
+
+  val q130Sql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |    CAST(quantile_cont(value, 0.05) AS DOUBLE) AS p_lo,
+      |    CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p_hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  avg(e.value) AS raw_avg, p.p_lo, p.p_hi,
+      |  avg(least(greatest(e.value, p.p_lo), p.p_hi)) AS wins_avg
+      |FROM events e JOIN p USING (event_type)
+      |GROUP BY e.event_type, p.p_lo, p.p_hi""".stripMargin
+
   /** Declared q115: full profile of the `orders` table. */
   def q115Profile(spark: SparkSession, d: String): DataFrame =
     profileColumns(Tables.orders(spark, d))

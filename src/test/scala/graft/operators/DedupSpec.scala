@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Keep-latest compaction semantics on planted change streams — the
+  * cases a naive max(ts) join gets wrong (payload from a DIFFERENT row
+  * than the winning timestamp, timestamp ties).
+  */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("dedup-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("latestSnapshot: latest row wins whole, ties break on the ordering tail") {
+    val sp = spark; import sp.implicits._
+    val e = Seq(
+      // key (1, a): three versions; us=30 wins and carries ITS payload
+      (1L, "a", 10L, 100L, 1.0), (1L, "a", 30L, 101L, 3.0),
+      (1L, "a", 20L, 102L, 2.0),
+      // key (1, b): same us — higher event_id wins
+      (1L, "b", 50L, 200L, 5.0), (1L, "b", 50L, 201L, 6.0),
+      // key (2, a): singleton passes through
+      (2L, "a", 70L, 300L, 7.0)
+    ).toDF("user_id", "event_type", "us", "event_id", "value")
+    val got = Dedup.latestSnapshot(e,
+      keys = Seq("user_id", "event_type"),
+      ordering = Seq("us", "event_id"),
+      payload = Seq("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      (1L, "a") -> (30L, 101L, 3.0),
+      (1L, "b") -> (50L, 201L, 6.0),
+      (2L, "a") -> (70L, 300L, 7.0)))
+  }
+
+  test("latestSnapshot plan: map-side partial aggregate before the only exchange") {
+    val sp = spark; import sp.implicits._
+    val e = Seq((1L, "a", 10L, 100L, 1.0))
+      .toDF("user_id", "event_type", "us", "event_id", "value")
+    val plan = Dedup.latestSnapshot(e, Seq("user_id", "event_type"),
+      Seq("us", "event_id"), Seq("value"))
+      .queryExecution.executedPlan.toString
+    // the exchange must move partially-combined candidates (one row per
+    // key per task), never raw history — and no window operator at all
+    assert(plan.contains("partial_max_by"), plan)
+    assert(plan.indexOf("partial_max_by") > plan.indexOf("Exchange"),
+      s"partial aggregate is not below the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
+  }
+}

@@ -191,4 +191,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got === Set((0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L), (1L, 0, 1L)))
   }
+
+  test("sessionize: gap >= threshold opens a session, spans and counts are exact") {
+    val sp = spark; import sp.implicits._
+    val e = Seq(
+      // u1: 3 events inside one session (gaps 99, 1), then a gap of
+      // EXACTLY 100 (>= threshold → new session), then a singleton
+      (1L, 0L, 10L), (1L, 99L, 11L), (1L, 100L, 12L),
+      (1L, 200L, 13L),
+      // u2: a single event — one singleton session
+      (2L, 500L, 20L)
+    ).toDF("user_id", "us", "event_id")
+    val got = EventAnalytics.sessionize(e, gapUs = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got === Map(
+      (1L, 1L) -> (0L, 100L, 3L, 100L),
+      (1L, 2L) -> (200L, 200L, 1L, 0L),
+      (2L, 1L) -> (500L, 500L, 1L, 0L)))
+  }
 }

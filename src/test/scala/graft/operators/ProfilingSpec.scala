@@ -104,4 +104,24 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(s === Set(0L, 4L))
   }
+
+  test("winsorizedStats: hand-computed interpolated clamp bounds and robust mean") {
+    val sp = spark; import sp.implicits._
+    // group a: 0..9 plus one wild outlier 1000 (n=11)
+    //   p05 at rank 1 + 10*0.05 = 1.5 -> 0.5; p95 at rank 10.5 -> 504.5
+    //   winsorized sum = (1+..+9) + 0.5 + 504.5 = 550 -> mean 50
+    // group b: no outliers — winsorized mean barely moves
+    val df = ((0 to 9).map(v => ("a", v.toDouble)) :+ ("a", 1000.0))
+      .toDF("k", "v")
+    val out = Profiling.winsorizedStats(df, "k", "v", 0.05, 0.95)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val (n, raw, pLo, pHi, wins) = out("a")
+    assert(n === 11L)
+    assert(math.abs(raw - 95.0) < 1e-9)
+    assert(math.abs(pLo - 0.5) < 1e-9)
+    assert(math.abs(pHi - 504.5) < 1e-9)
+    assert(math.abs(wins - 50.0) < 1e-9)
+  }
 }
