@@ -242,6 +242,12 @@ object SparkEntry {
     "q129_latest_snapshot" -> (graft.operators.Dedup.q129LatestSnapshot _),
     // winsorized robust mean, clamped at exact per-group percentiles
     "q130_winsorize" -> (graft.operators.Profiling.q130Winsorize _),
+    // value-tied decile report via distributed prefix-sum ranks
+    "q131_deciles" -> (Relational.q131Deciles _),
+    // median-absolute-deviation outlier screen
+    "q132_mad_outliers" -> (graft.operators.Profiling.q132MadOutliers _),
+    // Poisson-bootstrap confidence interval (single-pass resampling)
+    "q133_bootstrap_ci" -> (graft.operators.Profiling.q133BootstrapCI _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -381,5 +387,8 @@ object SparkEntry {
     "q128_sessionize" -> graft.operators.EventAnalytics.q128Sql,
     "q129_latest_snapshot" -> graft.operators.Dedup.q129Sql,
     "q130_winsorize" -> graft.operators.Profiling.q130Sql,
+    "q131_deciles" -> Relational.q131Sql,
+    "q132_mad_outliers" -> graft.operators.Profiling.q132Sql,
+    "q133_bootstrap_ci" -> graft.operators.Profiling.q133Sql,
   )
 }

@@ -266,6 +266,147 @@ object Profiling {
       |FROM events e JOIN p USING (event_type)
       |GROUP BY e.event_type, p.p_lo, p.p_hi""".stripMargin
 
+  /** Median-absolute-deviation outlier screen — the robust sibling of
+    * a z-score cut: a value is anomalous when its distance from the
+    * group MEDIAN exceeds `cutScaled`×MAD (default 3σ-equivalent,
+    * 3·1.4826, passed as ONE literal so both engines parse the same
+    * double). Unlike mean/stddev screens, a batch of corrupt rows
+    * cannot drag the threshold toward itself. Three passes by
+    * necessity (median, MAD, flag) — each a group aggregate with the
+    * group-cardinality bounds coming back BROADCAST; exact
+    * `percentile` swaps for the `approx_percentile` sketch at 100 TB
+    * (the q05 rule).
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      cutScaled: Double = 4.4478): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val med = df.groupBy(col(keyCol))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val dev = df.select(col(keyCol), v.as("__v"))
+      .join(broadcast(med), Seq(keyCol))
+      .withColumn("__ad", abs(col("__v") - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ad") > lit(cutScaled) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(keyCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        (col("n_outliers").cast(DoubleType) / col("n")).as("outlier_frac"))
+  }
+
+  /** Declared q132: MAD screen of event values per event type. */
+  def q132MadOutliers(spark: SparkSession, d: String): DataFrame =
+    madOutliers(Tables.events(spark, d), "event_type", "value")
+
+  val q132Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      |  FROM events e JOIN m USING (event_type)),
+      |md AS (
+      |  SELECT event_type, CAST(quantile_cont(ad, 0.5) AS DOUBLE) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, d.med, md.mad,
+      |  CAST(sum(CASE WHEN d.ad > 4.4478 * md.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(sum(CASE WHEN d.ad > 4.4478 * md.mad THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*) AS outlier_frac
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY d.event_type, d.med, md.mad""".stripMargin
+
+  /** Poisson(1) inverse CDF as a literal threshold chain — the same
+    * decimal strings on both engines, so the parsed doubles (and hence
+    * every resampled weight) are bit-identical.
+    */
+  private val poissonCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+
+  /** Poisson-bootstrap confidence interval for the per-group mean —
+    * THE resampling scheme that survives 100 TB: classic bootstrap
+    * resampling needs n draws with replacement per replicate (a
+    * shuffle of the corpus per replicate); the Poisson approximation
+    * gives every row an independent Poisson(1) weight per replicate,
+    * so all `reps` resamples ride ONE pass. Weights are md5-derived
+    * from (row id, replicate) — no RNG state, identical on any engine,
+    * partitioning, or retry (the q58 determinism rule). The explode
+    * amplifies rows ×`reps` INSIDE the scan pipeline (codegen, never
+    * materialized); map-side combine collapses to groups×reps partial
+    * sums, so the shuffle moves metadata-scale rows. The interval is
+    * the [loQ, hiQ] exact percentile over the replicate means.
+    */
+  def bootstrapCI(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      idCol: String,
+      reps: Int,
+      loQ: Double = 0.025,
+      hiQ: Double = 0.975): DataFrame = {
+    val u = conv(substring(md5(concat_ws("|", lit("boot"),
+      col(idCol).cast(StringType), col("__rep").cast(StringType))),
+      1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    val weight = poissonCdf.zipWithIndex.foldRight(
+      lit(poissonCdf.length): Column) { case ((t, k), acc) =>
+      when(u < lit(t.toDouble), lit(k)).otherwise(acc)
+    }.cast(DoubleType)
+    df.select(col(keyCol), col(valueCol).cast(DoubleType).as("__v"),
+        col(idCol))
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", weight)
+      .groupBy(col(keyCol), col("__rep"))
+      .agg(sum(col("__w") * col("__v")).as("__ws"),
+        sum(col("__w")).as("__ww"))
+      .where(col("__ww") > 0.0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_reps"),
+        avg(col("__ws") / col("__ww")).as("boot_mean"),
+        percentile(col("__ws") / col("__ww"), lit(loQ)).as("ci_lo"),
+        percentile(col("__ws") / col("__ww"), lit(hiQ)).as("ci_hi"))
+  }
+
+  /** Declared q133: 20-replicate bootstrap CI of the mean event value
+    * per event type.
+    */
+  def q133BootstrapCI(spark: SparkSession, d: String): DataFrame =
+    bootstrapCI(Tables.events(spark, d), "event_type", "value",
+      "event_id", reps = 20)
+
+  val q133Sql: String = {
+    val chain = poissonCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH x AS (
+       |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
+       |    ('0x' || substring(md5('boot' || '|' ||
+       |        CAST(e.event_id AS VARCHAR) || '|' ||
+       |        CAST(r.b AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS u,
+       |    r.b AS rep
+       |  FROM events e CROSS JOIN range(0, 20) r(b)),
+       |w AS (
+       |  SELECT event_type, rep,
+       |    sum(CAST((CASE $chain ELSE 9 END) AS DOUBLE) * v) AS ws,
+       |    sum(CAST((CASE $chain ELSE 9 END) AS DOUBLE)) AS ww
+       |  FROM x GROUP BY 1, 2),
+       |m AS (SELECT event_type, ws / ww AS mean FROM w WHERE ww > 0)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+       |  avg(mean) AS boot_mean,
+       |  CAST(quantile_cont(mean, 0.025) AS DOUBLE) AS ci_lo,
+       |  CAST(quantile_cont(mean, 0.975) AS DOUBLE) AS ci_hi
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
   /** Declared q115: full profile of the `orders` table. */
   def q115Profile(spark: SparkSession, d: String): DataFrame =
     profileColumns(Tables.orders(spark, d))

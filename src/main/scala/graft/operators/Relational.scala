@@ -966,6 +966,72 @@ object Relational {
       |       (count(DISTINCT segment) OVER () - 1) AS BIGINT) AS dof
       |FROM c""".stripMargin
 
+  /** Value-tied decile (k-tile) report — per-bucket count, bounds, and
+    * mean of one numeric column, the distribution summary behind score
+    * calibration tables and price-band dashboards. Buckets are assigned
+    * by each DISTINCT value's exclusive cumulative count (`1 + floor(k
+    * · rank_before / n)`), so tied rows land in one bucket together —
+    * deterministic across engines, unlike `ntile`'s arbitrary tie
+    * splitting.
+    *
+    * Scale shape: [[ksStatistic]]'s machinery — the raw table collapses
+    * to the (value → count) support in ONE shuffle, the cumulative
+    * count is a DISTRIBUTED prefix sum (range partition, per-partition
+    * totals to the driver — one row each — offsets broadcast back), and
+    * the report is a k-row aggregate OVER THE SUPPORT: bucket count,
+    * bounds, and mean all derive from (v, c), so raw rows are never
+    * revisited. No single-partition window at any size.
+    */
+  def decileReport(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val support = df
+      .select(col(valueCol).cast(DoubleType).as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = support.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
+      val o = pid -> acc; acc += t; o
+    }.toMap
+    val n = acc
+    val off = element_at(typedLit(offsets), col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    support
+      .withColumn("__cb", off + sum(col("c")).over(w) - col("c"))
+      .withColumn("bucket",
+        (lit(1L) + floor(lit(k.toDouble) * col("__cb") / lit(n.toDouble)))
+          .cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"),
+        (sum(col("v") * col("c")) / sum(col("c"))).as("avg_v"))
+  }
+
+  /** Declared q131: extended-price deciles over lineitem. */
+  def q131Deciles(spark: SparkSession, d: String): DataFrame =
+    decileReport(Tables.lineitem(spark, d), "l_extendedprice", k = 10)
+
+  val q131Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      |r AS (
+      |  SELECT v, c,
+      |    CAST(coalesce(sum(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS DOUBLE) AS cb,
+      |    CAST((SELECT sum(c) FROM s) AS DOUBLE) AS n
+      |  FROM s)
+      |SELECT CAST(1 + floor(10.0 * cb / n) AS BIGINT) AS bucket,
+      |  CAST(sum(c) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi,
+      |  sum(v * c) / sum(c) AS avg_v
+      |FROM r GROUP BY 1""".stripMargin
+
   // ---------------------------------- reference ops replayed on fixtures (§2.A)
 
   /** A3: SQL-string IN-list filter (reference `titanic_example_delta.py:28`). */

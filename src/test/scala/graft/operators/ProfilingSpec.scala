@@ -124,4 +124,36 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(pHi - 504.5) < 1e-9)
     assert(math.abs(wins - 50.0) < 1e-9)
   }
+
+  test("madOutliers: hand-computed median/MAD, only the planted spike flagged") {
+    val sp = spark; import sp.implicits._
+    // 1..9 plus 100: median (5+6)/2 = 5.5; |v-5.5| sorted has midpair
+    // (2.5, 2.5) -> MAD 2.5; threshold 4.4478*2.5 = 11.1195 flags only 100
+    val df = ((1 to 9).map(v => ("a", v.toDouble)) :+ ("a", 100.0)).toDF("k", "v")
+    val r = Profiling.madOutliers(df, "k", "v").collect().head
+    assert(r.getLong(1) === 10L)
+    assert(math.abs(r.getDouble(2) - 5.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 2.5) < 1e-9)
+    assert(r.getLong(4) === 1L)
+    assert(math.abs(r.getDouble(5) - 0.1) < 1e-9)
+  }
+
+  test("bootstrapCI: deterministic replicates, interval brackets the mean") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 200).map(i => ("a", (i % 10).toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    def run() = Profiling.bootstrapCI(df, "k", "v", "id", reps = 20)
+      .collect().head
+    val r = run()
+    assert(r.getLong(1) === 20L)
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= mean && mean <= hi)
+    assert(lo < hi, "degenerate interval")
+    // true mean 4.5; the bootstrap mean must land near it
+    assert(math.abs(mean - 4.5) < 0.5, s"boot_mean $mean far from 4.5")
+    // md5-derived weights: bit-identical on re-run
+    val r2 = run()
+    assert(r2.getDouble(2) === mean && r2.getDouble(3) === lo &&
+      r2.getDouble(4) === hi)
+  }
 }

@@ -143,4 +143,24 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = Relational.twoProportionZ(flipped, "variant", "conv").collect().head
     assert(math.abs(f.getDouble(4) + want) < 1e-12)
   }
+
+  test("decileReport: even split on distinct values, tied rows stay in one bucket") {
+    val sp = spark; import sp.implicits._
+    // 1..20 once each, k=4: four buckets of 5 with exact bounds/means
+    val even = (1 to 20).map(_.toDouble).toDF("v")
+    val got = Relational.decileReport(even, "v", k = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      1L -> (5L, 1.0, 5.0, 3.0), 2L -> (5L, 6.0, 10.0, 8.0),
+      3L -> (5L, 11.0, 15.0, 13.0), 4L -> (5L, 16.0, 20.0, 18.0)))
+    // 6 copies of one value straddling the midpoint all land together
+    // (ntile would split them 4/2 across the boundary)
+    val tied = (Seq(1.0) ++ Seq.fill(6)(2.0) ++ Seq(9.0)).toDF("v")
+    val t = Relational.decileReport(tied, "v", k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(t === Map(1L -> (7L, 1.0, 2.0), 2L -> (1L, 9.0, 9.0)))
+  }
 }
