@@ -248,6 +248,10 @@ object SparkEntry {
     "q132_mad_outliers" -> (graft.operators.Profiling.q132MadOutliers _),
     // Poisson-bootstrap confidence interval (single-pass resampling)
     "q133_bootstrap_ci" -> (graft.operators.Profiling.q133BootstrapCI _),
+    // weighted quantiles via the distributed prefix-sum support
+    "q134_weighted_quantiles" -> (Relational.q134WeightedQuantiles _),
+    // daily bounce/conversion/duration KPIs on the session table
+    "q135_session_kpis" -> (graft.operators.EventAnalytics.q135SessionKpis _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -390,5 +394,7 @@ object SparkEntry {
     "q131_deciles" -> Relational.q131Sql,
     "q132_mad_outliers" -> graft.operators.Profiling.q132Sql,
     "q133_bootstrap_ci" -> graft.operators.Profiling.q133Sql,
+    "q134_weighted_quantiles" -> Relational.q134Sql,
+    "q135_session_kpis" -> graft.operators.EventAnalytics.q135Sql,
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.core.Tables
 
@@ -456,6 +457,82 @@ object EventAnalytics {
       |  CAST(count(*) AS BIGINT) AS n_events,
       |  max(us) - min(us) AS duration_us
       |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Declared q135: the daily engagement report on the q128 session
+    * table — sessions, bounce rate (single-event sessions), converting
+    * sessions (contain a purchase), and mean duration per start day.
+    * The conversion flag rides the q128 rollup as one more `max(when)`
+    * aggregate, so the whole report is STILL the single user-key
+    * shuffle plus a days-cardinality re-aggregate; days are integer
+    * epoch-µs day indexes (no calendar/timezone semantics to diverge).
+    */
+  def q135SessionKpis(spark: SparkSession, d: String): DataFrame =
+    sessionKpis(Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")),
+      gapUs = 30L * 60 * 1000 * 1000, convType = "purchase")
+
+  /** Daily session KPIs over (user_id, event_type, us, event_id). */
+  def sessionKpis(e: DataFrame, gapUs: Long, convType: String): DataFrame = {
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val run = timeline.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = e
+      .withColumn("__prev", lag(col("us"), 1).over(timeline))
+      .withColumn("__ns",
+        when(col("__prev").isNull || col("us") - col("__prev") >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__ns")).over(run))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("conv"))
+    sessions
+      .groupBy(floor(col("start_us") / lit(86400000000L)).cast(LongType)
+        .as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("bounces"),
+        sum(col("conv")).as("conv_sessions"),
+        avg((col("end_us") - col("start_us")).cast(DoubleType))
+          .as("avg_duration_us"))
+      .withColumn("bounce_rate",
+        col("bounces").cast(DoubleType) / col("n_sessions"))
+      .withColumn("conv_rate",
+        col("conv_sessions").cast(DoubleType) / col("n_sessions"))
+  }
+
+  val q135Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+      |    lag(epoch_us(ts)) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, event_type, us,
+      |    sum(CASE WHEN prev IS NULL OR us - prev >= 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l),
+      |sess AS (
+      |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+      |    count(*) AS n_events,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT CAST(floor(start_us / 86400000000) AS BIGINT) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bounces,
+      |  CAST(sum(conv) AS BIGINT) AS conv_sessions,
+      |  avg(CAST(end_us - start_us AS DOUBLE)) AS avg_duration_us,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS bounce_rate,
+      |  CAST(sum(conv) AS DOUBLE) / count(*) AS conv_rate
+      |FROM sess GROUP BY 1""".stripMargin
 
   val q108Sql: String =
     """WITH c AS (

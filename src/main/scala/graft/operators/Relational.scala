@@ -1032,6 +1032,70 @@ object Relational {
       |  sum(v * c) / sum(c) AS avg_v
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Weighted quantiles — the smallest value whose CUMULATIVE WEIGHT
+    * reaches q·W (weighted-median price where weight = units sold,
+    * token-budget percentiles where weight = token count). Spark's
+    * `percentile` takes a frequency argument but only integer counts;
+    * this is the general weighted form on [[decileReport]]'s support +
+    * distributed-prefix-sum scaffolding, finishing with one aggregate
+    * over the support (`min(value WHERE cum ≥ q·W)` per quantile).
+    * With integer-valued weights every sum is exact below 2⁵³, so the
+    * threshold comparisons are bit-deterministic on both engines.
+    */
+  def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val support = df
+      .select(col(valueCol).cast(DoubleType).as("v"),
+        col(weightCol).cast(DoubleType).as("wt"))
+      .where(col("v").isNotNull && col("wt").isNotNull)
+      .groupBy(col("v")).agg(sum(col("wt")).as("c"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = support.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    var acc = 0.0
+    val offsets: Map[Int, Double] = totals.map { case (pid, t) =>
+      val o = pid -> acc; acc += t; o
+    }.toMap
+    val tw = acc
+    val off = element_at(typedLit(offsets), col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = off + sum(col("c")).over(w)
+    val aggs = qs.map(q =>
+      min(when(col("__cum") >= lit(q) * lit(tw), col("v")))
+        .as(s"wq${(q * 100).round}")) :+
+      max(col("__cum")).as("total_w")
+    support
+      .withColumn("__cum", cum)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Declared q134: unit-weighted price quartiles over lineitem. */
+  def q134WeightedQuantiles(spark: SparkSession, d: String): DataFrame =
+    weightedQuantiles(Tables.lineitem(spark, d), "l_extendedprice",
+      "l_quantity", Seq(0.25, 0.5, 0.75))
+
+  val q134Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+      |    sum(CAST(l_quantity AS DOUBLE)) AS c
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT v,
+      |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |    CAST((SELECT sum(c) FROM s) AS DOUBLE) AS tw
+      |  FROM s)
+      |SELECT min(CASE WHEN cum >= 0.25 * tw THEN v END) AS wq25,
+      |  min(CASE WHEN cum >= 0.5 * tw THEN v END) AS wq50,
+      |  min(CASE WHEN cum >= 0.75 * tw THEN v END) AS wq75,
+      |  max(cum) AS total_w
+      |FROM r""".stripMargin
+
   // ---------------------------------- reference ops replayed on fixtures (§2.A)
 
   /** A3: SQL-string IN-list filter (reference `titanic_example_delta.py:28`). */

@@ -212,4 +212,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 2L) -> (200L, 200L, 1L, 0L),
       (2L, 1L) -> (500L, 500L, 1L, 0L)))
   }
+
+  test("sessionKpis: bounce and conversion flags roll up to the session's start day") {
+    val sp = spark; import sp.implicits._
+    val day = 86400000000L
+    val e = Seq(
+      // u1 day 0: converting 2-event session (view then purchase)
+      (1L, "view", 0L, 10L), (1L, "purchase", 100L, 11L),
+      // u1 day 1: single-event session -> bounce
+      (1L, "view", day + 5L, 12L),
+      // u2: session STARTS day 0 and spills into day 1 — counted on day 0
+      (2L, "view", day - 50L, 20L), (2L, "click", day + 50L, 21L)
+    ).toDF("user_id", "event_type", "us", "event_id")
+    val got = EventAnalytics.sessionKpis(e, gapUs = 30L * 60 * 1000 * 1000,
+      convType = "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got === Map(
+      0L -> (2L, 0L, 1L, 100.0), // two sessions, no bounce, one converts
+      1L -> (1L, 1L, 0L, 0.0)))
+  }
 }

@@ -163,4 +163,19 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(t === Map(1L -> (7L, 1.0, 2.0), 2L -> (1L, 9.0, 9.0)))
   }
+
+  test("weightedQuantiles: cumulative-weight thresholds, repeated values merge") {
+    val sp = spark; import sp.implicits._
+    // weights: 1@w1, 2@w2 (split across rows), 3@w1 -> W=4
+    // cum: 1->1, 2->3, 3->4; q25 needs cum>=1 -> 1; q50 cum>=2 -> 2;
+    // q75 cum>=3 -> 2 (the heavy value absorbs the quantile)
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 1.0), (3.0, 1.0))
+      .toDF("v", "w")
+    val r = Relational.weightedQuantiles(df, "v", "w", Seq(0.25, 0.5, 0.75))
+      .collect().head
+    assert(r.getDouble(0) === 1.0) // wq25
+    assert(r.getDouble(1) === 2.0) // wq50
+    assert(r.getDouble(2) === 2.0) // wq75
+    assert(r.getDouble(3) === 4.0) // total_w
+  }
 }
