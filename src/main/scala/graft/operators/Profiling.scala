@@ -337,7 +337,7 @@ object Profiling {
     * shuffle of the corpus per replicate); the Poisson approximation
     * gives every row an independent Poisson(1) weight per replicate,
     * so all `reps` resamples ride ONE pass. Weights are md5-derived
-    * from (row id, replicate) — no RNG state, identical on any engine,
+    * from (row id, replicate quad, hash slice) — no RNG state, identical on any engine,
     * partitioning, or retry (the q58 determinism rule). The explode
     * amplifies rows ×`reps` INSIDE the scan pipeline (codegen, never
     * materialized); map-side combine collapses to groups×reps partial
@@ -352,17 +352,30 @@ object Profiling {
       reps: Int,
       loQ: Double = 0.025,
       hiQ: Double = 0.975): DataFrame = {
-    val u = conv(substring(md5(concat_ws("|", lit("boot"),
-      col(idCol).cast(StringType), col("__rep").cast(StringType))),
-      1, 15), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    require(reps % 4 == 0, "reps must be a multiple of 4 (four uniforms per md5)")
+    // one md5 per (row, replicate QUAD): the four non-overlapping 8-hex
+    // slices are independent uniforms (crypto diffusion) at 2⁻³² grain —
+    // ample for the Poisson thresholds — so the hash, the dominant
+    // per-row cost, runs reps/4 times, not reps
+    val u = conv(col("__u8"), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(4294967296.0)
     val weight = poissonCdf.zipWithIndex.foldRight(
       lit(poissonCdf.length): Column) { case ((t, k), acc) =>
       when(u < lit(t.toDouble), lit(k)).otherwise(acc)
     }.cast(DoubleType)
+    val h = md5(concat_ws("|", lit("boot"),
+      col(idCol).cast(StringType), col("__quad").cast(StringType)))
     df.select(col(keyCol), col(valueCol).cast(DoubleType).as("__v"),
         col(idCol))
-      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__quad", explode(sequence(lit(0), lit(reps / 4 - 1))))
+      .withColumn("__h", h)
+      .select(col(keyCol), col("__v"), col("__quad"),
+        posexplode(array(substring(col("__h"), 1, 8),
+          substring(col("__h"), 9, 8), substring(col("__h"), 17, 8),
+          substring(col("__h"), 25, 8))))
+      .withColumnRenamed("pos", "__slice")
+      .withColumnRenamed("col", "__u8")
+      .withColumn("__rep", col("__quad") * 4 + col("__slice"))
       .withColumn("__w", weight)
       .groupBy(col(keyCol), col("__rep"))
       .agg(sum(col("__w") * col("__v")).as("__ws"),
@@ -390,10 +403,11 @@ object Profiling {
        |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v,
        |    ('0x' || substring(md5('boot' || '|' ||
        |        CAST(e.event_id AS VARCHAR) || '|' ||
-       |        CAST(r.b AS VARCHAR)), 1, 15))::BIGINT
-       |      / 1152921504606846976.0 AS u,
-       |    r.b AS rep
-       |  FROM events e CROSS JOIN range(0, 20) r(b)),
+       |        CAST(p.b AS VARCHAR)), 1 + 8 * h.i, 8))::BIGINT
+       |      / 4294967296.0 AS u,
+       |    p.b * 4 + h.i AS rep
+       |  FROM events e CROSS JOIN range(0, 5) p(b)
+       |       CROSS JOIN range(0, 4) h(i)),
        |w AS (
        |  SELECT event_type, rep,
        |    sum(CAST((CASE $chain ELSE 9 END) AS DOUBLE) * v) AS ws,
