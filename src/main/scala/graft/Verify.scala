@@ -21,15 +21,24 @@ object Verify {
     // (the driver never sets it → full dump)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // failures summarized on STDOUT, not just stderr — round 4's 14
+    // missing dumps were only visible as interleaved stderr lines and
+    // went unnoticed until the judge diffed the correctness row count
+    if (failed.nonEmpty) {
+      println(s"[verify] FAILED ${failed.size} queries (no parquet written):")
+      failed.foreach { case (n, m) => println(s"[verify]   $n: $m") }
+    } else println("[verify] all queries dumped OK")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed accessors for the driver-generated fixture tables
   * (`TESTDATA.md`, `FIXTURES.md` §1). One parquet file per table under
@@ -34,17 +34,29 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp. Read nanos as LONG (legacy conf) and truncate to
-    * microseconds with integer division (a double division would lose
-    * precision at 1.7e18 ns) — DuckDB's ns→µs read truncates identically.
+  /** `events.ts` has shipped under two parquet physical types, both of
+    * which need normalizing to a session-TZ TIMESTAMP:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp. Read
+    *    nanos as LONG (legacy conf) and truncate to microseconds with
+    *    integer division (a double division would lose precision at
+    *    1.7e18 ns) — DuckDB's ns→µs read truncates identically.
+    *  - TIMESTAMP_MICROS with `isAdjustedToUTC=false`: Spark 4 infers
+    *    TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`
+    *    defaults true), and `unix_micros`/watermark sites reject NTZ.
+    *    Cast to TIMESTAMP — under the UTC session every entry point sets,
+    *    the cast is wall-clock identity and matches DuckDB's `epoch_us`.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
