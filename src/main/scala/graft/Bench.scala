@@ -35,7 +35,13 @@ object Bench {
     // plan time, which silently polluted BASELINE refreshes.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration aid, mirroring Verify: SPARK_GRAFT_ONLY=q1,q2
+    // times a subset (the driver never sets it → full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val times = Iterator.range(0, 3).takeWhile(_ => !errors.contains(name)).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

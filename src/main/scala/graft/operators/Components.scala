@@ -59,8 +59,15 @@ object Components {
       .distinct()
       .localCheckpoint()
 
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
+    // initialization IS the first propagation: with labels(v) = v, the
+    // first pull step degenerates to min over the direct neighborhood —
+    // one aggregate straight off the edge relation, no label join. The
+    // near-clique pair graphs dedup produces converge HERE, so the loop
+    // usually runs once only to confirm (changed == 0); the node-init +
+    // first-pull round trip this replaces was pure fixed cost.
+    var labels = sym.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("nbr_min"))
+      .select(col("node"), least(col("node"), col("nbr_min")).as("comp"))
       .localCheckpoint()
 
     var iter = 0

@@ -464,20 +464,27 @@ object NearDup {
     // (seed-identical to the historical per-plane HOF folds — see
     // HyperplaneBuckets)
     val bucketed = vectors.select(
-      col(idCol).as("__id"), toDouble(col(embCol)).as("__e"),
+      col(idCol).as("__id"),
       posexplode(graft.functions.GraftFunctions
         .hyperplaneBuckets(col(embCol), dim, tables, bitsPerTable, seed)))
       .withColumnRenamed("pos", "__t")
       .withColumnRenamed("col", "__bucket")
 
-    val left = bucketed.select(
-      col("__id").as("id_a"), col("__e").as("__e_a"), col("__t"), col("__bucket"))
-    val right = bucketed.select(
-      col("__id").as("id_b"), col("__e").as("__e_b"), col("__t"), col("__bucket"))
-    left.join(right, Seq("__t", "__bucket"))
+    // the bucket join and the pair dedup carry ONLY (id_a, id_b): a
+    // candidate colliding in several of the `tables` hash tables must
+    // not shuffle 2×dim doubles per collision — at 100 TB that dedup
+    // shuffle would dwarf the verify step. Vectors are re-joined by id
+    // AFTER dedup, once per surviving candidate side.
+    val left = bucketed.select(col("__id").as("id_a"), col("__t"), col("__bucket"))
+    val right = bucketed.select(col("__id").as("id_b"), col("__t"), col("__bucket"))
+    val pairs = left.join(right, Seq("__t", "__bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__e_a"), col("__e_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = vectors.select(col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
+    pairs
+      .join(vecs.select(col("__id").as("id_a"), col("__e").as("__e_a")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__e").as("__e_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.GraftFunctions
           .cosineSimilarity(col("__e_a"), col("__e_b")).as("cos_sim"))

@@ -667,6 +667,84 @@ object Relational {
       |    AND b.c_custkey <= a.c_custkey
       |    AND (b.c_acctbal > a.c_acctbal OR b.c_custkey < a.c_custkey))""".stripMargin
 
+  /** Distributed inclusive prefix sums over an ordered support relation —
+    * the shared scaffold behind [[ksStatistic]], [[mannWhitneyU]],
+    * [[decileReport]] and [[weightedQuantiles]] (each collapses its raw
+    * table to a (value → measures) support bounded by DISTINCT values,
+    * then needs globally-ordered running sums over it).
+    *
+    * For each `(name, measure)` in `cums`, appends column `name` = the
+    * global running sum of `measure` in `orderCol` order (inclusive of
+    * the current row) and `s"${name}_total"` = the grand total repeated
+    * on every row (so callers never need a driver-side scalar).
+    *
+    * Scale shape: range-partition by the order column, per-partition
+    * totals to the driver (ONE row per partition), exclusive offsets
+    * broadcast back as a literal map, windows partitioned per range —
+    * no single-partition window at any size. When the materialized
+    * support fits one window partition (`smallSupportRows`), the range
+    * sampling pass and the offsets round-trip are pure overhead for a
+    * kilobyte-scale relation, so we run the one-partition window
+    * directly — halves the fixed job count at test scale without
+    * touching the 100 TB path.
+    *
+    * Measures are summed as doubles: integral measures stay exact below
+    * 2⁵³, which covers every caller (counts and integer-valued weights),
+    * and keeps offset bookkeeping uniform.
+    */
+  private[operators] def orderedPrefixSums(supportIn: DataFrame,
+      orderCol: String, cums: Seq[(String, Column)],
+      smallSupportRows: Long = 1L << 22): DataFrame = {
+    // localCheckpoint: the support feeds two jobs (size probe / totals,
+    // then the windowed pass) — O(1) lineage, computed once
+    val support = supportIn.localCheckpoint()
+    val measures = cums.zipWithIndex.map { case ((_, m), i) =>
+      s"__m$i" -> m.cast(DoubleType)
+    }
+    val measured = measures.foldLeft(support) { case (df, (n, m)) =>
+      df.withColumn(n, m)
+    }
+    val out =
+      if (support.count() <= smallSupportRows) {
+        val w = Window.orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cums.zipWithIndex.foldLeft(measured) { case (df, ((name, _), i)) =>
+          df.withColumn(name, sum(col(s"__m$i")).over(w))
+            .withColumn(s"${name}_total", sum(col(s"__m$i")).over(all))
+        }
+      } else {
+        val parts = support.sparkSession.sparkContext.defaultParallelism
+        val ranged = measured
+          .repartitionByRange(parts, col(orderCol))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint()
+        val aggs = cums.indices.map(i => sum(col(s"__m$i")).as(s"t$i"))
+        val perPart = ranged.groupBy(col("__pid"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0),
+            cums.indices.map(i => if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1))))
+          .sortBy(_._1)
+        val accs = Array.fill(cums.size)(0.0)
+        val offsets: Seq[Map[Int, Double]] = cums.indices.map { i =>
+          perPart.map { case (pid, ts) =>
+            val o = pid -> accs(i); accs(i) += ts(i); o
+          }.toMap
+        }
+        val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cums.zipWithIndex.foldLeft(ranged) { case (df, ((name, _), i)) =>
+          df.withColumn(name,
+              element_at(typedLit(offsets(i)), col("__pid")) +
+                sum(col(s"__m$i")).over(w))
+            .withColumn(s"${name}_total", lit(accs(i)))
+        }.drop("__pid")
+      }
+    out.drop(measures.map(_._1): _*)
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic — distribution drift
     * between two cohorts of one numeric column (price drift between
     * return flags, score drift between corpus snapshots). KS =
@@ -674,46 +752,25 @@ object Relational {
     *
     * Scale shape: the raw table collapses to (value → per-cohort
     * counts) in ONE shuffle — the support relation, bounded by the
-    * number of DISTINCT values, not rows. The CDFs need a global
-    * ordered prefix sum over that support; like [[CorpusOps
-    * .tokenShards]] it is computed DISTRIBUTED: range-partition by
-    * value, per-partition totals to the driver (one row per partition),
-    * exclusive offsets broadcast back, windows partitioned per range —
-    * no single-partition window at any size.
+    * number of DISTINCT values, not rows. The CDFs are
+    * [[orderedPrefixSums]] over that support; the KS answer is then a
+    * 1-row aggregate.
     */
   def ksStatistic(df: DataFrame, valueCol: String, cohortCol: String,
       cohortA: String, cohortB: String): DataFrame = {
-    val spark = df.sparkSession
     val support = df
       .where(col(cohortCol) === cohortA || col(cohortCol) === cohortB)
       .groupBy(col(valueCol).as("v"))
       .agg(
         sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L)).as("na"),
         sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L)).as("nb"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = support.groupBy(col("__pid"))
-      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var accA = 0L
-    var accB = 0L
-    val offsets: Map[Int, (Long, Long)] = totals.map { case (pid, ta, tb) =>
-      val o = pid -> (accA, accB); accA += ta; accB += tb; o
-    }.toMap
-    val (totA, totB) = (accA.toDouble, accB.toDouble)
-    val offA = element_at(typedLit(offsets.map { case (k, v) => k -> v._1 }),
-      col("__pid"))
-    val offB = element_at(typedLit(offsets.map { case (k, v) => k -> v._2 }),
-      col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    support
-      .withColumn("cdfa", (offA + sum(col("na")).over(w)) / lit(totA))
-      .withColumn("cdfb", (offB + sum(col("nb")).over(w)) / lit(totB))
-      .agg(max(abs(col("cdfa") - col("cdfb"))).as("ks"))
-      .select(col("ks"), lit(accA).as("n_a"), lit(accB).as("n_b"))
+    orderedPrefixSums(support, "v",
+      Seq("__ca" -> col("na"), "__cb" -> col("nb")))
+      .agg(
+        max(abs(col("__ca") / col("__ca_total") -
+          col("__cb") / col("__cb_total"))).as("ks"),
+        max(col("__ca_total")).cast(LongType).as("n_a"),
+        max(col("__cb_total")).cast(LongType).as("n_b"))
   }
 
   /** Declared q114: price-distribution drift between returned ('R') and
@@ -801,42 +858,24 @@ object Relational {
     *
     * Scale shape: identical to the KS plan — rows collapse to a
     * (value → per-cohort counts) support relation in one shuffle, and
-    * the global midranks need only a prefix sum over that relation:
-    * range-partition by value, per-partition totals to the driver (one
-    * row each), exclusive offsets broadcast back, windows partitioned
-    * per range. No single-partition window at any size.
+    * the global midranks need only [[orderedPrefixSums]] over that
+    * relation.
     */
   def mannWhitneyU(df: DataFrame, valueCol: String, cohortCol: String,
       cohortA: String, cohortB: String): DataFrame = {
-    val spark = df.sparkSession
     val support = df
       .where(col(cohortCol) === cohortA || col(cohortCol) === cohortB)
       .groupBy(col(valueCol).as("v"))
       .agg(
         sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L)).as("na"),
         sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L)).as("nb"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = support.groupBy(col("__pid"))
-      .agg(sum(col("na") + col("nb")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
-      val o = pid -> acc; acc += t; o
-    }.toMap
-    val off = element_at(typedLit(offsets), col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // rank block for value v: [before+1, before+cnt]; midrank is the
     // block average — classic tie handling, exact in doubles since the
     // numerator stays integral
     val cnt = col("na") + col("nb")
-    val ranked = support
-      .withColumn("__cum", off + sum(cnt).over(w))
+    val ranked = orderedPrefixSums(support, "v", Seq("__cum" -> cnt))
       .withColumn("__mid",
-        (col("__cum") - cnt).cast("double") + (cnt.cast("double") + 1.0) / 2.0)
+        (col("__cum") - cnt.cast("double")) + (cnt.cast("double") + 1.0) / 2.0)
     ranked
       .agg(sum(col("__mid") * col("na")).as("ra"),
         sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
@@ -976,35 +1015,19 @@ object Relational {
     *
     * Scale shape: [[ksStatistic]]'s machinery — the raw table collapses
     * to the (value → count) support in ONE shuffle, the cumulative
-    * count is a DISTRIBUTED prefix sum (range partition, per-partition
-    * totals to the driver — one row each — offsets broadcast back), and
-    * the report is a k-row aggregate OVER THE SUPPORT: bucket count,
-    * bounds, and mean all derive from (v, c), so raw rows are never
-    * revisited. No single-partition window at any size.
+    * count is [[orderedPrefixSums]], and the report is a k-row
+    * aggregate OVER THE SUPPORT: bucket count, bounds, and mean all
+    * derive from (v, c), so raw rows are never revisited.
     */
   def decileReport(df: DataFrame, valueCol: String, k: Int): DataFrame = {
-    val spark = df.sparkSession
     val support = df
       .select(col(valueCol).cast(DoubleType).as("v"))
       .where(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = support.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
-      val o = pid -> acc; acc += t; o
-    }.toMap
-    val n = acc
-    val off = element_at(typedLit(offsets), col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    support
-      .withColumn("__cb", off + sum(col("c")).over(w) - col("c"))
+    orderedPrefixSums(support, "v", Seq("__cum" -> col("c")))
+      .withColumn("__cb", col("__cum") - col("c"))
       .withColumn("bucket",
-        (lit(1L) + floor(lit(k.toDouble) * col("__cb") / lit(n.toDouble)))
+        (lit(1L) + floor(lit(k.toDouble) * col("__cb") / col("__cum_total")))
           .cast(LongType))
       .groupBy(col("bucket"))
       .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo"),
@@ -1044,32 +1067,16 @@ object Relational {
     */
   def weightedQuantiles(df: DataFrame, valueCol: String, weightCol: String,
       qs: Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
     val support = df
       .select(col(valueCol).cast(DoubleType).as("v"),
         col(weightCol).cast(DoubleType).as("wt"))
       .where(col("v").isNotNull && col("wt").isNotNull)
       .groupBy(col("v")).agg(sum(col("wt")).as("c"))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = support.groupBy(col("__pid")).agg(sum(col("c")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
-    var acc = 0.0
-    val offsets: Map[Int, Double] = totals.map { case (pid, t) =>
-      val o = pid -> acc; acc += t; o
-    }.toMap
-    val tw = acc
-    val off = element_at(typedLit(offsets), col("__pid"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = off + sum(col("c")).over(w)
     val aggs = qs.map(q =>
-      min(when(col("__cum") >= lit(q) * lit(tw), col("v")))
+      min(when(col("__cum") >= lit(q) * col("__cum_total"), col("v")))
         .as(s"wq${(q * 100).round}")) :+
       max(col("__cum")).as("total_w")
-    support
-      .withColumn("__cum", cum)
+    orderedPrefixSums(support, "v", Seq("__cum" -> col("c")))
       .agg(aggs.head, aggs.tail: _*)
   }
 
