@@ -26,26 +26,38 @@ object Association {
     */
   def associationRules(items: DataFrame, basketCol: String, itemCol: String,
       minCount: Long): DataFrame = {
-    val bi = items
+    // ONE shuffle of the raw basket rows: collect_set dedups within
+    // each basket, so no pre-distinct pass is needed — per-item basket
+    // counts, the basket total, and the pair explode all derive from
+    // the 1-row-per-basket sets relation, sharing its partial-aggregate
+    // exchange via ReuseExchange (measured against both an eager and a
+    // lazy checkpoint of `sets`: exchange reuse wins — the checkpoint's
+    // cache write costs more than the re-run merges it saves)
+    val sets = items
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
-      .localCheckpoint()
+      .groupBy(col("bk")).agg(collect_set(col("it")).as("is"))
     // double codegen explode + filter, NOT a higher-order `filter`
     // lambda inside the explode: interpreted lambdas cost ~7x per
     // element and baskets are tiny, so k² generated rows are cheaper
-    // than k·(k−1)/2 interpreted ones
-    val pairs = bi.groupBy(col("bk")).agg(collect_set(col("it")).as("is"))
+    // than k·(k−1)/2 interpreted ones. Only CANONICAL a < b pairs are
+    // generated and counted — co-occurrence is symmetric, so counting
+    // one orientation and mirroring AFTER the aggregate halves the
+    // rows entering the groupBy(a,b) exchange, the operator's only
+    // super-linear shuffle
+    val pairs = sets
       .select(explode(col("is")).as("a"), col("is"))
       .select(col("a"), explode(col("is")).as("b"))
-      .where(col("a") =!= col("b"))
-    val nAb = pairs.groupBy(col("a"), col("b"))
+      .where(col("a") < col("b"))
+    val nAbCanon = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
-    val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val nAb = nAbCanon.unionByName(
+      nAbCanon.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    val itemN = sets.select(explode(col("is")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n"))
     // the basket total rides the SAME execution as a broadcast scalar
     // instead of a separate driver action
-    val totals = bi.select(col("bk")).distinct()
-      .agg(count(lit(1)).as("__nb"))
+    val totals = sets.agg(count(lit(1)).as("__nb"))
     nAb
       .join(itemN.select(col("it").as("a"), col("n").as("n_a")), Seq("a"))
       .join(itemN.select(col("it").as("b"), col("n").as("n_b")), Seq("b"))

@@ -344,41 +344,92 @@ object Components {
       dstCol: String,
       seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val sym = edges
+    // symmetrize WITHOUT deduplication: BFS is edge-multiplicity-
+    // insensitive (every hop distincts its frontier nodes), so the two
+    // dedup shuffles pageRank needs for degrees are pure cost here.
+    // Only the DIRECTED half is materialized (the checkpoint that caps
+    // the caller's lineage); the symmetrizing explode is a codegen
+    // view over the cache, re-run per hop for half the cache footprint
+    val dir = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src") =!= col("dst"))
+      .localCheckpoint(false)
+    // one job materializes the lazy checkpoint AND yields the scalar
+    // the strategy select below needs
+    val symRows = 2L * dir.count()
+    val sym = dir
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint()
+    val smallGraph = symRows <= 20000000L
+    // only the shuffle-join path benefits from pre-partitioning the
+    // edge relation on src (each hop's join then reuses it); the
+    // small-graph path streams sym through broadcast joins, where that
+    // exchange would be pure cost
+    val symJoin =
+      if (smallGraph) sym
+      else sym.repartition(col("src")).localCheckpoint()
     val seed = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).as("hops"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // undirected invariant (edges are symmetrized above): a neighbor of
     // a distance-(h−1) node sits at distance h−2, h−1, or h, so the
     // dedup anti-join needs only the LAST TWO frontiers — the full
     // visited set is never re-materialized per hop, just unioned once
-    // at the end from the per-hop checkpoints
+    // at the end from the per-hop checkpoints.
+    val spark = edges.sparkSession
     var acc = List(seed)
     var frontier = seed.select(col("node"))
+    var frontierRows = 0L
     var prevFrontier = frontier.limit(0)
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
-      val next = frontier.join(sym, frontier("node") === sym("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(frontier.unionByName(prevFrontier), Seq("node"), "left_anti")
-        .select(col("node"), lit(hop).as("hops"))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        acc = next :: acc
-        prevFrontier = frontier
-        frontier = next.select(col("node"))
-        hop += 1
+      // measured strategy select (the triangleCounts broadcast-bound
+      // pattern): when the edge relation fits an executor and the
+      // frontier (row count KNOWN from the previous hop's action) is
+      // small, the frontier sides carry explicit broadcast hints and
+      // AQE is off for the hop — every hinted relation is a cached
+      // checkpoint, so the broadcast builds are kilobyte collects and
+      // the hop costs ~one scheduled job instead of an AQE stage-job
+      // per exchange (driver round trips, not data, dominate
+      // small-scale BFS). Past either bound: no hints, AQE on, shuffle
+      // joins against the src-partitioned checkpoint — the 100 TB path.
+      val hint = smallGraph && frontierRows <= (4L << 20)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+      if (hint) {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        // the only exchange left on this path is the frontier distinct,
+        // over at most `frontierRows` kilobyte-scale rows
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+      }
+      try {
+        val fr = if (hint) broadcast(frontier) else frontier
+        val visited = frontier.unionByName(prevFrontier)
+        val vis = if (hint) broadcast(visited) else visited
+        // LAZY checkpoint + one count: a single scheduled action both
+        // materializes the hop and decides termination — the
+        // eager-checkpoint-then-isEmpty shape paid two driver round
+        // trips per hop
+        val next = fr.join(symJoin, fr("node") === symJoin("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(vis, Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).as("hops"))
+          .localCheckpoint(false)
+        val n = next.count()
+        if (n == 0) done = true
+        else {
+          acc = next :: acc
+          prevFrontier = frontier
+          frontier = next.select(col("node"))
+          frontierRows = n
+          hop += 1
+        }
+      } finally if (hint) {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
     }
     acc.reduce(_ unionByName _)
@@ -398,10 +449,11 @@ object Components {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = graft.core.Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_suppkey"))
+    // no caller-side distinct: bfsHops is multiplicity-insensitive, so
+    // deduplicating ~600k join rows here would be a pure extra shuffle
     val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
-      .distinct()
     val seeds = edges.select(col("src").as("node"))
       .where(col("node") < 50)
     bfsHops(edges, "src", "dst", seeds, maxHops = 6)
@@ -637,17 +689,21 @@ object Components {
     */
   def q107Triangles(spark: SparkSession, d: String): DataFrame = {
     // co-occurrence pairs WITHOUT a self-join: one shuffle groups each
-    // order's parts into an array (≤7 elements), the C(k,2) pairs
-    // explode map-side already canonical (u < v by the lambda filter),
-    // and the dedup rides a plain distinct with map-side partial
-    // aggregation — half the exchanges of the join formulation
+    // order's parts into an array (≤7 elements), the pairs explode
+    // map-side, and the dedup rides a plain distinct with map-side
+    // partial aggregation — half the exchanges of the join formulation.
+    // Double codegen explode + where, NOT a higher-order `filter`
+    // lambda inside the second explode: interpreted lambdas cost ~7x
+    // per element (the q76/q116 lesson), and with k ≤ 7 parts per
+    // order the k² generated-then-filtered rows are cheaper than
+    // k(k−1)/2 interpreted ones
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val co = li.groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("ps"))
       .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"),
-        explode(filter(col("ps"), p => p > col("u"))).as("v"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
       .distinct()
     triangleCounts(co, "u", "v", assumeCanonical = true)
   }
