@@ -118,26 +118,15 @@ object CorpusOps {
       idCol: String,
       textCol: String,
       budgetTokens: Long): DataFrame = {
-    val spark = docs.sparkSession
-    val parts = docs
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col(idCol))
+    // the ordered running sum rides the shared scaffold
+    // ([[Relational.orderedPrefixSums]]): range-partitioned windows with
+    // driver-broadcast offsets above its small-support bound, one
+    // single-partition window below it — this was the fifth hand copy
+    // of that shape, and the only one double-executing its source
+    val toks = docs
       .select(col(idCol).as("__id"), size(split(col(textCol), " ")).as("__tok"))
-      .withColumn("__pid", spark_partition_id())
-
-    // exclusive per-partition offsets: P rows through the driver
-    val totals = parts.groupBy(col("__pid"))
-      .agg(sum(col("__tok")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
-      val o = pid -> acc; acc += t; o
-    }.toMap
-    val offsetCol = element_at(typedLit(offsets), col("__pid"))
-
-    val w = Window.partitionBy(col("__pid")).orderBy(col("__id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    parts
-      .withColumn("__prior", offsetCol + coalesce(sum(col("__tok")).over(w), lit(0L)))
+    Relational.orderedPrefixSums(toks, "__id", Seq("__cum" -> col("__tok")))
+      .withColumn("__prior", col("__cum") - col("__tok"))
       .withColumn("shard_id", floor(col("__prior") / budgetTokens.toDouble).cast(LongType))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("total_tokens"))

@@ -481,7 +481,14 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // LAZY checkpoint: the two post-dedup id-joins then read ONE
+    // materialized copy of the caller's plan instead of re-running it
+    // per side (a union+transform corpus like q72's would otherwise be
+    // evaluated twice more here). The bucketing pass above is still an
+    // independent evaluation — callers' vector plans must be
+    // deterministic, or buckets and verified vectors could diverge.
     val vecs = vectors.select(col(idCol).as("__id"), toDouble(col(embCol)).as("__e"))
+      .localCheckpoint(false)
     pairs
       .join(vecs.select(col("__id").as("id_a"), col("__e").as("__e_a")), Seq("id_a"))
       .join(vecs.select(col("__id").as("id_b"), col("__e").as("__e_b")), Seq("id_b"))

@@ -803,17 +803,21 @@ object TextAnalysis {
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
-    val totalUni = uni.agg(sum(col("n"))).collect().head.getLong(0).toDouble
+    // the two corpus totals ride the SAME execution as broadcast
+    // scalars (house style — no driver round trips outside
+    // Explain/bench harnesses)
+    val totalUni = uni.agg(sum(col("n")).cast("double").as("__tu"))
     val totalBi = toks
-      .agg(sum(greatest(size(col("a")) - 1, lit(0))))
-      .collect().head.getLong(0).toDouble
+      .agg(sum(greatest(size(col("a")) - 1, lit(0))).cast("double").as("__tb"))
     bi
       .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totalUni))
+      .crossJoin(broadcast(totalBi))
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-        log2((col("n_ab").cast("double") / lit(totalBi)) /
-          ((col("n_a").cast("double") / lit(totalUni)) *
-            (col("n_b").cast("double") / lit(totalUni)))).as("pmi"))
+        log2((col("n_ab").cast("double") / col("__tb")) /
+          ((col("n_a").cast("double") / col("__tu")) *
+            (col("n_b").cast("double") / col("__tu")))).as("pmi"))
   }
 
   /** Declared q118: corpus-wide collocations seen ≥ 5 times. */

@@ -18,10 +18,16 @@ import graft.core.GraftSession
   */
 class SmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  // honors the env-override convention of Bench/Verify; on a machine
+  // without the fixture the suite cancels with a clear message instead
+  // of failing every generated test on a path error
+  private val sfDir =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfDir)),
+      s"smoke fixture dir $sfDir absent — set SPARK_GRAFT_SF_DIR_SMOKE")
     spark = GraftSession.local("smoke-spec", cores = 4)
   }
   override def afterAll(): Unit = if (spark != null) spark.stop()

@@ -178,4 +178,38 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(2) === 2.0) // wq75
     assert(r.getDouble(3) === 4.0) // total_w
   }
+
+  test("orderedPrefixSums: distributed branch equals the single-window path") {
+    val sp = spark; import sp.implicits._
+    // every fixture-scale run takes the small-support fast path, so the
+    // range-partition + broadcast-offsets branch (the 100 TB path) gets
+    // pinned here: forcing smallSupportRows = 0 must reproduce the
+    // default path bit-for-bit on a randomized two-measure support —
+    // including negative measures, duplicates-free ordered keys, and a
+    // support far wider than one range partition's share
+    val rnd = new scala.util.Random(7)
+    val support = rnd.shuffle((0 until 500).toList)
+      .map(i => (i.toDouble, rnd.nextInt(100).toLong, rnd.nextDouble() - 0.5))
+      .toDF("v", "na", "wt")
+    val cums = Seq("__ca" -> col("na"), "__cw" -> col("wt"))
+    def collectSorted(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("v"), col("__ca"), col("__ca_total"), col("__cw"), col("__cw_total"))
+      .orderBy(col("v")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        math.rint(r.getDouble(3) * 1e9), math.rint(r.getDouble(4) * 1e9)))
+    val small = collectSorted(Relational.orderedPrefixSums(support, "v", cums))
+    val dist = collectSorted(
+      Relational.orderedPrefixSums(support, "v", cums, smallSupportRows = 0L))
+    assert(small.length === 500)
+    assert(small.toSeq === dist.toSeq)
+    // and the running sums are what a local scan computes
+    val byV = support.orderBy(col("v")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1).toDouble))
+    var run = 0.0
+    val expected = byV.map { case (v, na) => run += na; (v, run) }
+    expected.zip(small).foreach { case ((v, cum), (v2, ca, caTot, _, _)) =>
+      assert(v === v2 && math.abs(cum - ca) < 1e-9)
+      assert(math.abs(caTot - expected.last._2) < 1e-9)
+    }
+  }
 }
