@@ -27,46 +27,70 @@ object Bench {
     // comes up first
     try SparkEntry.queries("q69_dedup_clusters")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
-    // median of 3 runs per query: single-shot timing under machine load
-    // has shown ~2.7x variance on this box, which is larger than any
-    // engine-side regression we'd want to detect.
-    // A query that throws is recorded as an ERROR, never as a timing —
-    // round 4 emitted 0.06-0.14s "timings" for queries that crashed at
-    // plan time, which silently polluted BASELINE refreshes.
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // 3 repetitions per query, INTERLEAVED round-robin across queries
+    // (rep 1 of every query, then rep 2, then rep 3): a transient load
+    // spike then inflates one repetition of many queries instead of all
+    // three repetitions of a few, so the per-query median stays
+    // load-robust — the r5 bench's 2-5x inflation on a dozen queries
+    // spanned all three back-to-back reps and median-of-3 couldn't help.
+    // A query that throws is recorded as an ERROR, never as a timing.
+    val reps = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // local-iteration aid, mirroring Verify: SPARK_GRAFT_ONLY=q1,q2
     // times a subset (the driver never sets it → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val times = Iterator.range(0, 3).takeWhile(_ => !errors.contains(name)).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-          None
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadPerRep = scala.collection.mutable.ListBuffer[Double]()
+    (1 to 3).foreach { _ =>
+      loadPerRep += loadavg
+      queries.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            reps(name) = ((System.nanoTime() - t0) / 1e9) :: reps.getOrElse(name, Nil)
+          } catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            reps.remove(name)
+          }
         }
-      }.toSeq.sorted
-      if (times.size == 3) timings(name) = times(1)
+      }
     }
+    val loadEnd = loadavg
+    // median is the headline (robust to one bad rep); min rides along in
+    // the artifact so a reader can tell load noise (median >> min) from
+    // a real regression (median ≈ min, both high)
+    val medians = reps.collect { case (n, ts) if ts.size == 3 => n -> ts.sorted.apply(1) }
+    val mins = reps.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = timings.values.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // the JSON line after a long sbt run can fall off the driver's tail
-    // capture (round 4: parsed came back empty) — persist it to a file
-    // too, and print it immediately, before spark.stop() noise
+    val total = medians.values.sum
+    val loadJson = loadPerRep.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val meta =
+      s""""sf":${jstr(sfDir)},"cpus":$cpus,"reps":3,"scheme":"interleaved",""" +
+        s""""loadavg_reps":$loadJson,"loadavg_end":${f"$loadEnd%.2f"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(medians)},""" +
+        s""""queries_min":${jmap(mins)},"errors":$errJson,$meta}"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    println(json)
+    Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    // stdout stays COMPACT so the driver's tail capture can't truncate
+    // mid-object (BENCH_r05 recorded parsed:null from the full map);
+    // the per-query medians/mins live in target/bench.json
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${medians.size},""" +
+        s""""errors":$errJson,$meta,"queries_file":"target/bench.json"}"""
+    println(line)
     System.out.flush()
     spark.stop()
     if (errors.nonEmpty) {
