@@ -92,5 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneBuckets(children.head, intArg(1), intArg(2), intArg(3), longArg(4))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("hex_long"),
+      new ExpressionInfo(
+        classOf[HexLong].getName, null, "hex_long",
+        "hex_long(s) - parse <=15 hex chars to BIGINT " +
+          "(DuckDB ('0x' || s)::BIGINT semantics)",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"hex_long expects 1 argument, got ${children.length}")
+        HexLong(children.head)
+      }))
   }
 }

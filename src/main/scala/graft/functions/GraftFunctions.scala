@@ -38,4 +38,11 @@ object GraftFunctions {
     */
   def jaroWinklerGte(a: Column, b: Column, theta: Double): Column =
     call_function("jaro_winkler_gte", a, b, lit(theta))
+
+  /** Codegen'd hex-string → BIGINT parse (see [[HexLong]]; semantics
+    * pinned to DuckDB's `('0x' || s)::BIGINT` for ≤15 hex chars) — the
+    * fast path for the md5-derived-uniform determinism scheme.
+    */
+  def hexLong(s: Column): Column =
+    call_function("hex_long", s)
 }

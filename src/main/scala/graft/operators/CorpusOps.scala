@@ -160,8 +160,9 @@ object CorpusOps {
       stratumCol: String,
       rates: Map[String, Double],
       defaultRate: Double): DataFrame = {
-    val u = conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    val u = graft.functions.GraftFunctions
+      .hexLong(substring(md5(col(idCol).cast(StringType)), 1, 15))
+      .cast(DoubleType) / lit((1L << 60).toDouble)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
       when(col(stratumCol) === k, lit(r)).otherwise(acc)
     }
@@ -426,9 +427,8 @@ object CorpusOps {
       docs: DataFrame,
       groupCol: String,
       contentCols: Seq[String]): DataFrame = {
-    val word = conv(substring(md5(
-      concat_ws("\u0001", contentCols.map(col): _*)), 1, 12), 16, 10)
-      .cast(LongType)
+    val word = graft.functions.GraftFunctions.hexLong(substring(md5(
+      concat_ws("\u0001", contentCols.map(col): _*)), 1, 12))
     docs.select(col(groupCol), word.as("__w"))
       .groupBy(col(groupCol))
       .agg(
@@ -469,10 +469,10 @@ object CorpusOps {
     sources.map { case (name, df, w) =>
       require(w > 0, s"weight for '$name' must be positive, got $w")
       val copies = math.ceil(w).toInt
-      val u = conv(substring(md5(
+      val u = graft.functions.GraftFunctions.hexLong(substring(md5(
         concat_ws(":", lit(name), col(idCol).cast(StringType),
-          col("copy").cast(StringType))), 1, 15), 16, 10)
-        .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+          col("copy").cast(StringType))), 1, 15))
+        .cast(DoubleType) / lit((1L << 60).toDouble)
       df.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .where(u < lit(w) - col("copy"))
         .withColumn("source", lit(name))
@@ -537,8 +537,8 @@ object CorpusOps {
       StructField("pack", LongType))))
     val tokens = size(split(col(textCol), " ")).cast(LongType)
     val shard = pmod(
-      conv(substring(md5(concat_ws("|", lit("pack"),
-        col(idCol).cast(StringType))), 1, 6), 16, 10).cast(LongType),
+      graft.functions.GraftFunctions.hexLong(substring(md5(concat_ws("|",
+        lit("pack"), col(idCol).cast(StringType))), 1, 6)),
       lit(numShards.toLong))
     val base = docs.select(shard.as("shard"), col(idCol).as("id"),
       tokens.as("tokens"))
@@ -684,9 +684,10 @@ object CorpusOps {
       idCol: String,
       weight: Column,
       salt: String = "imp"): DataFrame = {
-    val u = conv(substring(md5(concat_ws("|", lit(salt),
-      col(idCol).cast(StringType))), 1, 15), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    val u = graft.functions.GraftFunctions
+      .hexLong(substring(md5(concat_ws("|", lit(salt),
+        col(idCol).cast(StringType))), 1, 15))
+      .cast(DoubleType) / lit((1L << 60).toDouble)
     docs.select(col(idCol), weight.as("weight"), u.as("u"))
       .where(col("u") < col("weight"))
   }
@@ -825,9 +826,10 @@ object CorpusOps {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
       s"need trainFrac > 0, valFrac >= 0, trainFrac + valFrac < 1; " +
         s"got $trainFrac/$valFrac")
-    val u = conv(substring(md5(concat_ws("|", lit(salt),
-      col(clusterCol).cast(StringType))), 1, 15), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    val u = graft.functions.GraftFunctions
+      .hexLong(substring(md5(concat_ws("|", lit(salt),
+        col(clusterCol).cast(StringType))), 1, 15))
+      .cast(DoubleType) / lit((1L << 60).toDouble)
     assignments.withColumn("split",
       when(u < trainFrac, "train")
         .when(u < trainFrac + valFrac, "val")
@@ -855,9 +857,10 @@ object CorpusOps {
       weight: Column,
       k: Int,
       salt: String = "wsample"): DataFrame = {
-    val u = conv(substring(md5(concat_ws("|", lit(salt),
-      col(idCol).cast(StringType))), 1, 15), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit((1L << 60).toDouble)
+    val u = graft.functions.GraftFunctions
+      .hexLong(substring(md5(concat_ws("|", lit(salt),
+        col(idCol).cast(StringType))), 1, 15))
+      .cast(DoubleType) / lit((1L << 60).toDouble)
     // filter BEFORE the key projection: ANSI mode makes ln(u)/0 an
     // error, not an infinity, so zero-weight rows must never reach it
     docs.where(weight.cast(DoubleType) > 0)

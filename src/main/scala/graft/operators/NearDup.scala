@@ -301,7 +301,7 @@ object NearDup {
     * long.
     */
   private[operators] def portable60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+    graft.functions.GraftFunctions.hexLong(substring(md5(s), 1, 15))
 
   /** SimHash near-duplicate pairs with exact Hamming verification.
     *

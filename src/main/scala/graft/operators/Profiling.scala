@@ -355,10 +355,12 @@ object Profiling {
     require(reps % 4 == 0, "reps must be a multiple of 4 (four uniforms per md5)")
     // one md5 per (row, replicate QUAD): the four non-overlapping 8-hex
     // slices are independent uniforms (crypto diffusion) at 2⁻³² grain —
-    // ample for the Poisson thresholds — so the hash, the dominant
-    // per-row cost, runs reps/4 times, not reps
-    val u = conv(col("__u8"), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit(4294967296.0)
+    // ample for the Poisson thresholds — so the hash runs reps/4 times,
+    // not reps. The hex parse is the codegen [[graft.functions.HexLong]]
+    // (DuckDB-pinned semantics): builtin `conv` is an interpreted
+    // NumberConverter that was ~half this operator's profile
+    val u = graft.functions.GraftFunctions.hexLong(col("__u8"))
+      .cast(DoubleType) / lit(4294967296.0)
     val weight = poissonCdf.zipWithIndex.foldRight(
       lit(poissonCdf.length): Column) { case ((t, k), acc) =>
       when(u < lit(t.toDouble), lit(k)).otherwise(acc)

@@ -645,7 +645,7 @@ object TextAnalysis {
       textCol: String,
       dim: Int = 64): DataFrame = {
     val bucket = pmod(
-      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast(LongType),
+      graft.functions.GraftFunctions.hexLong(substring(md5(col("__t")), 1, 8)),
       lit(dim.toLong)).cast(IntegerType)
     val counts = docs
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
@@ -684,7 +684,7 @@ object TextAnalysis {
       textCol: String,
       dim: Int = 64): DataFrame = {
     val bucket = pmod(
-      conv(substring(md5(col("__t")), 1, 8), 16, 10).cast(LongType),
+      graft.functions.GraftFunctions.hexLong(substring(md5(col("__t")), 1, 8)),
       lit(dim.toLong)).cast(IntegerType)
     val counts = docs
       .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))

@@ -237,4 +237,32 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("g") =!= col("want"))
     assert(joined.count() === 0L)
   }
+
+  test("hex_long ≡ conv(s,16,10) on md5 slices; edge semantics; codegen agrees with eval") {
+    val sp = spark; import sp.implicits._
+    // the exact production shape: 8- and 15-hex slices of md5 output
+    val rows = (0 until 2000).map(i => s"boot|$i").toDF("s")
+      .select(md5(col("s")).as("h"))
+      .select(substring(col("h"), 1, 8).as("h8"), substring(col("h"), 1, 15).as("h15"))
+    val diff = rows.select(
+        expr("hex_long(h8)").as("a8"),
+        conv(col("h8"), 16, 10).cast("long").as("c8"),
+        expr("hex_long(h15)").as("a15"),
+        conv(col("h15"), 16, 10).cast("long").as("c15"))
+      .where(col("a8") =!= col("c8") || col("a15") =!= col("c15"))
+    assert(diff.count() === 0L)
+    // codegen path runs in the query above; pin the interpreted eval too
+    val e = graft.functions.HexLong(
+      org.apache.spark.sql.catalyst.expressions.Literal("00ff00ff"))
+    assert(e.eval(null) === 0x00ff00ffL)
+    assert(graft.functions.HexLong(
+      org.apache.spark.sql.catalyst.expressions.Literal("ABCdef")).eval(null)
+      === 0xabcdefL)
+    // null for empty, non-hex, or overflow-length inputs
+    Seq("", "xyz", "12g4", "0123456789abcdef").foreach { bad =>
+      assert(graft.functions.HexLong(
+        org.apache.spark.sql.catalyst.expressions.Literal(bad)).eval(null) === null,
+        s"input '$bad'")
+    }
+  }
 }
