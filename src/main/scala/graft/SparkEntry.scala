@@ -252,6 +252,9 @@ object SparkEntry {
     "q134_weighted_quantiles" -> (Relational.q134WeightedQuantiles _),
     // daily bounce/conversion/duration KPIs on the session table
     "q135_session_kpis" -> (graft.operators.EventAnalytics.q135SessionKpis _),
+    // compressed-container roundtrip: text-raster PNG encode (real zlib
+    // DEFLATE + scanline filters) -> full decode -> raster stats
+    "q136_png_stats" -> (graft.operators.Multimodal.q136PngStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,5 +399,6 @@ object SparkEntry {
     "q133_bootstrap_ci" -> graft.operators.Profiling.q133Sql,
     "q134_weighted_quantiles" -> Relational.q134Sql,
     "q135_session_kpis" -> graft.operators.EventAnalytics.q135Sql,
+    "q136_png_stats" -> graft.operators.Multimodal.q136Sql,
   )
 }

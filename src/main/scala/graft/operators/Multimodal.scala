@@ -63,8 +63,173 @@ object Multimodal {
       if (ascii(bytes, 0, 4) == "RIFF" && bytes.length >= 12 &&
         ascii(bytes, 8, 4) == "WAVE") probeWav(bytes)
       else if (ascii(bytes, 0, 2) == "BM" && bytes.length >= 54) probeBmp(bytes)
+      else if (bytes.length >= 45 && isPngSignature(bytes)) probePng(bytes)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val PngSignature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def isPngSignature(b: Array[Byte]): Boolean =
+    (0 until 8).forall(i => b(i) == PngSignature(i))
+
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** REAL compressed-container decode: PNG chunk walk with CRC32
+    * verification, `java.util.zip.Inflater` decompression of the IDAT
+    * stream (RFC 1950 zlib — the pure-JVM DEFLATE path, no external
+    * codec library), and full scanline filter reconstruction
+    * (None/Sub/Up/Average/Paeth per the PNG spec). Supported: 8-bit
+    * depth, color types gray(0)/RGB(2)/palette-index(3)/gray+alpha(4)/
+    * RGBA(6), non-interlaced. Anything else — or any CRC, zlib, or
+    * length inconsistency — quarantines to null like every other
+    * malformed payload.
+    */
+  private def probePng(b: Array[Byte]): Option[Probe] = {
+    var off = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    while (!sawIend && off + 8 <= b.length) {
+      val len = beInt(b, off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val ctype = ascii(b, off + 4, 4)
+      crc.reset()
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue.toInt != beInt(b, off + 8 + len)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = beInt(b, off + 8); h = beInt(b, off + 12)
+          bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+          // compression 0, filter 0, non-interlaced only
+          if (b(off + 18) != 0 || b(off + 19) != 0 || b(off + 20) != 0) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    if (!sawIhdr || !sawIend || w <= 0 || h <= 0 || bitDepth != 8) return None
+    val channels = colorType match {
+      case 0 | 3 => 1 // gray, or palette indices as the raster
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => return None
+    }
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    while (filled < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, filled, raw.length - filled)
+      if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+        return None // truncated or preset-dictionary stream
+      filled += n
+    }
+    inflater.end()
+    if (filled != raw.length) return None
+    // filter reconstruction, in place into the pixel buffer
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xff
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= channels) px(rowOut + x - channels) & 0xff else 0
+        val up = if (y > 0) px(rowOut - stride + x) & 0xff else 0
+        val c = if (x >= channels && y > 0) px(rowOut - stride + x - channels) & 0xff else 0
+        val recon = f match {
+          case 0 => raw(rowIn + x) & 0xff
+          case 1 => (raw(rowIn + x) & 0xff) + a
+          case 2 => (raw(rowIn + x) & 0xff) + up
+          case 3 => (raw(rowIn + x) & 0xff) + (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            (raw(rowIn + x) & 0xff) + pred
+          case _ => return None
+        }
+        px(rowOut + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < px.length) { acc += (px(i) & 0xff); i += 1 }
+    Some(Probe("png", None, None, None, None, None,
+      Some(w), Some(h), Some(bitDepth * channels), Some(acc / px.length)))
+  }
+
+  /** Minimal PNG encoder for the roundtrip path (gray or RGB, 8-bit):
+    * real zlib DEFLATE via `java.util.zip.Deflater`, real chunk CRCs,
+    * and a rotating None/Sub/Up scanline filter so decode genuinely
+    * exercises the reconstruction arithmetic. Used by the q136 pipeline
+    * and the spec fixtures — at production scale the same shape wraps a
+    * native encoder.
+    */
+  def pngEncode(pixels: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3, "gray or RGB")
+    require(pixels.length == w * h * channels, "pixel buffer shape")
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val f = y % 3 // rotate None/Sub/Up
+      raw(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val v = f match {
+          case 0 => cur
+          case 1 => cur - (if (x >= channels) pixels(y * stride + x - channels) & 0xff else 0)
+          case 2 => cur - (if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0)
+        }
+        raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = out.toByteArray
+
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(PngSignature, 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array[Byte](
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      bos.write(be(data.length), 0, 4)
+      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      bos.write(tb, 0, 4)
+      bos.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bos.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put((if (channels == 1) 0 else 2).toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
   }
 
   private def probeWav(b: Array[Byte]): Option[Probe] = {
@@ -260,6 +425,67 @@ object Multimodal {
       | doc_id % 10 * 1000 + 2000 AS duration_ms,
       | CASE WHEN text IS NULL THEN NULL ELSE CAST(8 AS INT) END AS n_features
       |FROM documents""".stripMargin
+
+  /** Declared q136: the COMPRESSED-container roundtrip — every document
+    * becomes an 8-px-wide 8-bit grayscale PNG whose raster is the
+    * text's leading ASCII bytes (rows of 8, truncated to whole rows),
+    * encoded with real zlib DEFLATE + rotating scanline filters
+    * ([[pngEncode]]), then decoded back through the full production
+    * path ([[decodeMedia]] → chunk walk, CRC verify, Inflater,
+    * filter reconstruction). The projected stats are pure functions of
+    * the text, so the DuckDB oracle recomputes them without any PNG
+    * code — a decode divergence anywhere (CRC, zlib, de-filter,
+    * stats) is a hash mismatch. Both mapPartitions stages are the
+    * same batched binary-column shape as the rest of the module: no
+    * shuffle, embarrassingly parallel at any scale.
+    */
+  def q136PngStats(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val encSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(encSchema)
+    val encoded = docs.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          val bytes = Option(row.getString(1))
+            .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .orNull
+          val png =
+            if (bytes == null || bytes.length < 8) null
+            else {
+              val h = bytes.length / 8
+              pngEncode(java.util.Arrays.copyOf(bytes, 8 * h), 8, h, 1)
+            }
+          // schema-carrying row: the optimizer fuses this stage with
+          // decodeMedia's mapPartitions (serialization eliminated), so
+          // the downstream by-name accessor sees THIS object directly
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](id, png), encSchema): Row
+        }
+      }
+    }(enc)
+    decodeMedia(encoded)
+      // a failed decode drops the row, so the oracle's row count
+      // catches quarantine regressions too
+      .where(col("decoded").isNotNull)
+      .select(col("media_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.bpp").as("bpp"),
+        col("decoded.mean_byte").as("mean_byte"))
+  }
+
+  val q136Sql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(8 AS INT) AS width,
+      | CAST(length(text) // 8 AS INT) AS height,
+      | CAST(8 AS INT) AS bpp,
+      | list_avg(list_transform(range(1, 8 * (length(text) // 8) + 1),
+      |   i -> ascii(text[i]))) AS mean_byte
+      |FROM documents
+      |WHERE length(text) >= 8""".stripMargin
 
   /** STUB resize: rewrites the metadata to the target box; a real
     * implementation would also transcode `content`. Pure projection —

@@ -143,4 +143,102 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).get.getAs[Int]("width") === 8)
     assert(out(3L).isEmpty && out(4L).isEmpty)
   }
+
+  test("PNG: DEFLATE roundtrip, every filter type reconstructs, quarantine semantics") {
+    // encode → probe roundtrip on a known raster (gray): the encoder
+    // rotates None/Sub/Up filters, so reconstruction arithmetic runs
+    val w = 8; val h = 9
+    val pixels = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val png = Multimodal.pngEncode(pixels, w, h, 1)
+    val p = Multimodal.probe(png)
+    assert(p.isDefined && p.get.format === "png")
+    assert(p.get.width === Some(w) && p.get.height === Some(h))
+    assert(p.get.bpp === Some(8))
+    val mean = pixels.map(_ & 0xff).sum.toDouble / (w * h)
+    assert(math.abs(p.get.meanByte.get - mean) < 1e-9)
+
+    // RGB roundtrip
+    val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 53) % 256).toByte)
+    val pngRgb = Multimodal.pngEncode(rgb, 4, 3, 3)
+    val pr = Multimodal.probe(pngRgb).get
+    assert(pr.width === Some(4) && pr.height === Some(3) && pr.bpp === Some(24))
+    assert(math.abs(pr.meanByte.get - rgb.map(_ & 0xff).sum.toDouble / rgb.length) < 1e-9)
+
+    // Average(3) and Paeth(4) filters, hand-built scanlines: raster of
+    // two 4-px gray rows, filtered with 3 then 4 — the decoder must
+    // reproduce the reference reconstruction
+    val ref = Array[Byte](10, 20, 30, 40, 15, 25, 35, 45)
+    def filt34(px: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](2 * 5)
+      out(0) = 3
+      for (x <- 0 until 4) {
+        val a = if (x >= 1) px(x - 1) & 0xff else 0
+        out(1 + x) = (((px(x) & 0xff) - a / 2) & 0xff).toByte
+      }
+      out(5) = 4
+      for (x <- 0 until 4) {
+        val a = if (x >= 1) px(4 + x - 1) & 0xff else 0
+        val b = px(x) & 0xff
+        val c = if (x >= 1) px(x - 1) & 0xff else 0
+        val pval = a + b - c
+        val pa = math.abs(pval - a); val pb = math.abs(pval - b); val pc = math.abs(pval - c)
+        val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        out(6 + x) = (((px(4 + x) & 0xff) - pred) & 0xff).toByte
+      }
+      out
+    }
+    // wrap the filtered scanlines in a real zlib stream + chunk framing
+    // by deflating manually (reuse pngEncode's framing via reflection-free
+    // local rebuild: deflate raw, then splice into IHDR/IDAT/IEND)
+    val raw = filt34(ref)
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      bos.write(be(data.length), 0, 4)
+      val tb = t.getBytes("US-ASCII"); bos.write(tb, 0, 4)
+      bos.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      bos.write(be(crc.getValue.toInt), 0, 4)
+      bos.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(2).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val png34 = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", defl) ++ chunk("IEND", Array.emptyByteArray)
+    val p34 = Multimodal.probe(png34).get
+    assert(math.abs(p34.meanByte.get - ref.map(_ & 0xff).sum.toDouble / 8) < 1e-9)
+
+    // quarantine: flipped CRC byte, truncated IDAT, 16-bit depth
+    val bad = png.clone(); bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x7f).toByte
+    assert(Multimodal.probe(bad).isEmpty, "corrupt CRC must quarantine")
+    val trunc = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", defl.take(3)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.probe(trunc).isEmpty, "truncated zlib must quarantine")
+    val ihdr16 = ihdr.clone(); ihdr16(8) = 16.toByte
+    val png16 = sig ++ chunk("IHDR", ihdr16) ++ chunk("IDAT", defl) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.probe(png16).isEmpty, "unsupported depth must quarantine")
+  }
+
+  test("q136 pipeline: encode/decode roundtrip stats match the raster locally") {
+    val out = graft.operators.Multimodal
+      .q136PngStats(spark, sfDir).limit(50).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) === 8) // width
+      assert(r.getInt(3) === 8) // bpp
+      assert(r.getInt(2) > 0)   // height
+      val m = r.getDouble(4)
+      assert(m >= 32.0 && m < 127.0, s"printable-ASCII mean, got $m")
+    }
+  }
 }
