@@ -255,6 +255,12 @@ object SparkEntry {
     // compressed-container roundtrip: text-raster PNG encode (real zlib
     // DEFLATE + scanline filters) -> full decode -> raster stats
     "q136_png_stats" -> (graft.operators.Multimodal.q136PngStats _),
+    // corpus-health Zipf rank-frequency fit over top-1000 tokens
+    "q137_zipf_fit" -> (graft.operators.TextAnalysis.q137ZipfFit _),
+    // winnow-fingerprint copy detection (substring-level near-dup pairs)
+    "q138_fingerprint_overlap" -> (graft.operators.TextAnalysis.q138FingerprintOverlap _),
+    // k-anonymity re-identification risk audit over quasi-identifiers
+    "q139_k_anonymity" -> (graft.operators.Privacy.q139KAnonymity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,5 +406,8 @@ object SparkEntry {
     "q134_weighted_quantiles" -> Relational.q134Sql,
     "q135_session_kpis" -> graft.operators.EventAnalytics.q135Sql,
     "q136_png_stats" -> graft.operators.Multimodal.q136Sql,
+    "q137_zipf_fit" -> graft.operators.TextAnalysis.q137Sql,
+    "q138_fingerprint_overlap" -> graft.operators.TextAnalysis.q138Sql,
+    "q139_k_anonymity" -> graft.operators.Privacy.q139Sql,
   )
 }

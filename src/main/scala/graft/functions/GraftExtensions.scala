@@ -104,5 +104,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hex_long expects 1 argument, got ${children.length}")
         HexLong(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_hash"),
+      new ExpressionInfo(
+        classOf[WinnowHash].getName, null, "winnow_hash",
+        "winnow_hash(s, k, window) - winnowing fingerprint minima over " +
+          "base-31 k-gram code-point hashes",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"winnow_hash expects 3 arguments, got ${children.length}")
+        def intArg(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_hash arg ${i + 1} must be an int literal, got $other")
+        }
+        WinnowHash(children.head, intArg(1), intArg(2))
+      }))
   }
 }

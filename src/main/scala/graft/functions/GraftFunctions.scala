@@ -45,4 +45,11 @@ object GraftFunctions {
     */
   def hexLong(s: Column): Column =
     call_function("hex_long", s)
+
+  /** Native winnowing fingerprints (see [[WinnowHash]]; semantics
+    * pinned to the portable base-31 SQL formulation the q46/q138
+    * oracles recompute).
+    */
+  def winnowHash(s: Column, k: Int, window: Int): Column =
+    call_function("winnow_hash", s, lit(k), lit(window))
 }

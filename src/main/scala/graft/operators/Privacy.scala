@@ -113,4 +113,59 @@ object Privacy {
        |  CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones
        |FROM planted""".stripMargin
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the
+    * re-identification risk gate a privacy pipeline runs before a
+    * dataset (or the metadata side of a training corpus) leaves the
+    * boundary: every row must be indistinguishable from ≥ k−1 others on
+    * its quasi-identifier tuple, and the audit reports how much of the
+    * table fails that bar.
+    *
+    * Scale shape: one hash aggregate on the quasi-identifier key
+    * (map-side combined), then a 1-row re-aggregate over the
+    * equivalence-class relation — class cardinality is bounded by the
+    * quasi-identifier domain, not the row count. No driver state.
+    *
+    * @return one row: n_classes, n_rows, n_risky_classes (< k members),
+    *         n_risky_rows, risk_frac, min_class_size
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("__sz")).as("n_rows"),
+      sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_risky_classes"),
+      sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("n_risky_rows"),
+      (sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).cast("double") /
+        sum(col("__sz"))).as("risk_frac"),
+      min(col("__sz")).as("min_class_size"))
+  }
+
+  /** Declared q139: customer re-identification risk at k=10 over
+    * (nation, market segment, account-balance band).
+    */
+  def q139KAnonymity(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).select(
+      col("c_nationkey"),
+      col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+    kAnonymity(c, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 10L)
+  }
+
+  val q139Sql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    count(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+      |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS n_risky_rows,
+      |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE) / sum(sz)
+      |    AS risk_frac,
+      |  CAST(min(sz) AS BIGINT) AS min_class_size
+      |FROM cls""".stripMargin
 }

@@ -117,6 +117,33 @@ object TextAnalysis {
       k: Int = 8,
       window: Int = 6,
       portableHash: Boolean = false): DataFrame = {
+    // portable path: ONE native per-row loop (graft.functions.WinnowHash,
+    // semantics pinned to the SQL formulation below — see
+    // `hofWinnowFingerprints`, kept as the parity reference). The HOF
+    // chain evaluated ~23M interpreted lambda elements at sf0.1 (~12 s);
+    // the fused loop is milliseconds — the q76 lesson at its extreme.
+    if (portableHash)
+      docs.select(col(idCol),
+        graft.functions.GraftFunctions
+          .winnowHash(col(textCol), k, window).as("fingerprints"))
+        .withColumn("n_fingerprints", size(col("fingerprints")))
+    else
+      hofWinnowFingerprints(docs, idCol, textCol, k, window, portableHash)
+  }
+
+  /** The original SQL higher-order-function formulation — the portable
+    * variant is the semantic REFERENCE the native [[winnowFingerprints]]
+    * path is spec-pinned against (TextOpsSpec), and the xxhash64
+    * variant remains the production path for callers that don't need
+    * cross-engine reproducibility.
+    */
+  private[operators] def hofWinnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      window: Int,
+      portableHash: Boolean): DataFrame = {
     val gramHash =
       if (portableHash)
         (0 until k).map(j =>
@@ -125,6 +152,11 @@ object TextAnalysis {
       else s"xxhash64(substring(__t, i, $k))"
     docs
       .withColumn("__t", lower(col(textCol)))
+      // LAZY checkpoint: __t must reach the per-position lambdas as a
+      // materialized COLUMN — CollapseProject deems lower() cheap and
+      // would otherwise inline it into every per-element evaluation,
+      // making the pass O(len³)-interpreted.
+      .localCheckpoint(false)
       .withColumn("__hashes", expr(
         s"transform(sequence(1, greatest(length(__t) - ${k - 1}, 1)), " +
           s"i -> $gramHash)"))
@@ -897,4 +929,147 @@ object TextAnalysis {
       |  len(t.toks) - count(kept.token) AS n_removed
       |FROM t LEFT JOIN kept USING (doc_id)
       |GROUP BY t.doc_id, len(t.toks)""".stripMargin
+
+  /** Zipf's-law fit over the corpus rank–frequency curve — the
+    * one-glance corpus-health diagnostic (natural language sits near
+    * slope −1 on log–log axes; scraped boilerplate, template spam, or a
+    * broken tokenizer bend the curve). Least-squares of ln(freq) on
+    * ln(rank) over the top-`topN` tokens, via the codegen `regr_*`
+    * aggregates.
+    *
+    * Scale shape: token frequencies are a vocabulary-bounded aggregate
+    * (one shuffle with map-side combine); the explicit top-N cap makes
+    * the single-partition ranking window a constant-size step at ANY
+    * corpus scale; the fit is a 1-row aggregate. Ties rank
+    * deterministically by (freq desc, token asc) so both engines see
+    * the identical curve.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val freq = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val top = freq.orderBy(col("n").desc, col("w")).limit(topN)
+    val ranked = top.select(col("n"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("w"))).as("r"))
+    ranked.agg(
+      count(lit(1)).as("n_ranked"),
+      regr_slope(log(col("n")), log(col("r"))).as("slope"),
+      regr_intercept(log(col("n")), log(col("r"))).as("intercept"),
+      regr_r2(log(col("n")), log(col("r"))).as("r2"))
+  }
+
+  /** Declared q137: Zipf fit over the top 1000 corpus tokens. */
+  def q137ZipfFit(spark: SparkSession, d: String): DataFrame =
+    zipfFit(Tables.documents(spark, d), "text", topN = 1000)
+
+  val q137Sql: String =
+    """WITH occ AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |f AS (SELECT w, count(*) AS n FROM occ GROUP BY 1),
+      |top AS (SELECT w, n FROM f ORDER BY n DESC, w LIMIT 1000),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM top)
+      |SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+      |  regr_slope(ln(n), ln(rk)) AS slope,
+      |  regr_intercept(ln(n), ln(rk)) AS intercept,
+      |  regr_r2(ln(n), ln(rk)) AS r2
+      |FROM r""".stripMargin
+
+  /** Winnow-fingerprint copy detection (the MOSS shape): document pairs
+    * sharing ≥ `minShared` winnowing fingerprints, with the overlap
+    * fraction against the smaller fingerprint set. The winnowing
+    * guarantee makes this a SUBSTRING-level near-dup signal — any
+    * shared run of ≥ window+k−1 characters contributes a shared
+    * fingerprint — complementing the token-shingle Jaccard family
+    * (which a long verbatim quote inside an otherwise-different
+    * document does not trip).
+    *
+    * Scale shape: the same inverted-index discipline as every LSH join
+    * here — fingerprints explode linearly (bounded per doc by text
+    * length / window), one shuffle on the fingerprint key, the
+    * min-count gate prunes pairs before the two size joins. The
+    * `maxDf` document-frequency cap is LOAD-BEARING, not cosmetic:
+    * a boilerplate 13-char run shared by f documents emits C(f,2)
+    * pair rows from one key (the fixture's hottest fingerprint sits in
+    * ~80% of docs — unbounded, the pair relation goes quadratic in
+    * corpus size). Capping df bounds the join output by df²·|vocab|
+    * and matches MOSS practice: a fingerprint that common is
+    * boilerplate, not copying, and carries no signal. Both the pair
+    * join and the overlap denominators see only retained (rare)
+    * fingerprints.
+    */
+  def fingerprintOverlap(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Long, maxDf: Long = 20L): DataFrame = {
+    // LAZY checkpoint BEFORE the explode = a hard optimizer barrier AND
+    // the production shape (the fingerprint index is materialized once
+    // and read by four consumers: df stats, both join sides, per-doc
+    // sizes). Without it this is the round-3/round-4 collapse trap at
+    // its worst: `fingerprints` has a single reference under a
+    // Generate, so the optimizer merges the whole __t → __hashes →
+    // __mins chain — lower(text) included — into the generator input's
+    // per-element lambda bodies, turning the winnow pass
+    // O(len³)-interpreted (measured: minutes for 500 fixture docs;
+    // with the barrier, sub-second).
+    val fp = winnowFingerprints(docs, idCol, textCol, portableHash = true)
+      .select(col(idCol).as("__id"), col("fingerprints"))
+      .localCheckpoint(false)
+      .select(col("__id"), explode(col("fingerprints")).as("__fp"))
+    // df relation is fingerprint-vocabulary-sized; the semi-join
+    // broadcasts under AQE whenever it is small
+    val rareKeys = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("__fp"))
+    val rare = fp.join(rareKeys, Seq("__fp"), "left_semi")
+    val shared = rare.select(col("__id").as("id_a"), col("__fp"))
+      .join(rare.select(col("__id").as("id_b"), col("__fp")), Seq("__fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    // fingerprints are per-doc distinct, so the per-doc count relation
+    // is exactly the retained-fingerprint count — vocabulary-scale
+    val nfp = rare.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    shared
+      .join(nfp.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(nfp.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / least(col("n_a"), col("n_b")))
+          .as("overlap"))
+  }
+
+  /** Declared q138: copy-detection pairs at ≥5 shared rare
+    * fingerprints (df ≤ 20).
+    */
+  def q138FingerprintOverlap(spark: SparkSession, d: String): DataFrame =
+    fingerprintOverlap(Tables.documents(spark, d), "doc_id", "text",
+      minShared = 5L, maxDf = 20L)
+
+  /** Oracle: full SQL recomputation — q46's winnowing CTEs, then the
+    * unnest self-join.
+    */
+  val q138Sql: String = {
+    val poly = (0 until 8).map(j =>
+      s"CAST(ascii(substring(p, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pow31(j)}")
+      .mkString(" + ")
+    s"""WITH g AS (
+       | SELECT doc_id, list_transform(range(1, greatest(length(p) - 7, 1) + 1),
+       |   i -> $poly) AS hs
+       | FROM (SELECT doc_id, lower(text) AS p FROM documents)),
+       |m AS (
+       | SELECT doc_id, list_distinct(list_transform(
+       |   range(1, greatest(len(hs) - 5, 1) + 1),
+       |   i -> list_min(array_slice(hs, i, i + 5)))) AS mins
+       | FROM g),
+       |fp0 AS (SELECT doc_id, unnest(mins) AS fp FROM m),
+       |rarekeys AS (SELECT fp FROM fp0 GROUP BY fp HAVING count(*) <= 20),
+       |fp AS (SELECT doc_id, fp FROM fp0 WHERE fp IN (SELECT fp FROM rarekeys)),
+       |sh AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       | FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 HAVING count(*) >= 5),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY doc_id)
+       |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(n_shared AS DOUBLE) / least(na.n, nb.n) AS overlap
+       |FROM sh
+       |JOIN n na ON sh.id_a = na.doc_id
+       |JOIN n nb ON sh.id_b = nb.doc_id""".stripMargin
+  }
 }

@@ -52,6 +52,26 @@ class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("n_phones") === 0)
   }
 
+  test("kAnonymity: hand-computed class sizes, risk fraction, all-safe table") {
+    val sp = spark; import sp.implicits._
+    // classes: (us,m)=3 rows, (us,f)=1, (uk,m)=2 → k=3 flags two
+    // classes (1+2=3 risky rows of 6)
+    val df = Seq(
+      ("us", "m"), ("us", "m"), ("us", "m"),
+      ("us", "f"),
+      ("uk", "m"), ("uk", "m")).toDF("country", "sex")
+    val r = Privacy.kAnonymity(df, Seq("country", "sex"), k = 3L).collect().head
+    assert(r.getLong(0) === 3L) // n_classes
+    assert(r.getLong(1) === 6L) // n_rows
+    assert(r.getLong(2) === 2L) // n_risky_classes
+    assert(r.getLong(3) === 3L) // n_risky_rows
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12)
+    assert(r.getLong(5) === 1L) // min_class_size
+    // k=1 can never flag anything
+    val safe = Privacy.kAnonymity(df, Seq("country", "sex"), k = 1L).collect().head
+    assert(safe.getLong(2) === 0L && safe.getDouble(4) === 0.0)
+  }
+
   test("repetition signals: stuffed doc flagged, varied doc kept") {
     val sp = spark; import sp.implicits._
     // 20× the same bigram back-to-back: top bigram dominates, every

@@ -140,6 +140,74 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs === Set(("x", "y"), ("y", "x")))
   }
 
+  test("native winnow_hash ≡ the HOF formulation bit-for-bit on the fixture") {
+    val sp = spark; import sp.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      // edge shapes the fused loop must agree on: shorter than k,
+      // shorter than k+window, mixed case, repeated minima
+      .unionByName(Seq(
+        (900001L, "abc"), (900002L, "ABCDEFGHIJ"), (900003L, "aaaaaaaaaaaaaaaa"),
+        (900004L, "The Quick Brown Fox!")).toDF("doc_id", "text"))
+    val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+      portableHash = true)
+      .select(col("doc_id"), col("fingerprints"), col("n_fingerprints"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))).toMap
+    val hof = TextAnalysis.hofWinnowFingerprints(docs, "doc_id", "text",
+      k = 8, window = 6, portableHash = true)
+      .select(col("doc_id"), col("fingerprints"), col("n_fingerprints"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))).toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, (fps, n)) =>
+      assert(n === hof(id)._2, s"count mismatch for doc $id")
+      assert(fps === hof(id)._1, s"fingerprints mismatch for doc $id")
+    }
+  }
+
+  test("zipfFit: exact least-squares on a constructed rank-frequency curve") {
+    val sp = spark; import sp.implicits._
+    // frequencies 8/4/2/1 for tokens a/b/c/d → ranks 1..4; slope and
+    // intercept of ln(freq) on ln(rank) computed locally with the same
+    // least-squares formulas
+    val words = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val r = TextAnalysis.zipfFit(docs, "text", topN = 10).collect().head
+    assert(r.getLong(0) === 4L)
+    val xs = (1 to 4).map(i => math.log(i.toDouble))
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    val slope = sxy / sxx
+    assert(math.abs(r.getDouble(1) - slope) < 1e-9)
+    assert(math.abs(r.getDouble(2) - (my - slope * mx)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - sxy * sxy / (sxx * syy)) < 1e-9)
+    // frequency ties break by token, deterministically: equal-count
+    // tokens must produce the same fit regardless of input row order
+    val tied = Seq("x y", "y x").toDF("text")
+    val t1 = TextAnalysis.zipfFit(tied, "text", topN = 10).collect().head
+    assert(t1.getLong(0) === 2L && math.abs(t1.getDouble(1)) < 1e-12,
+      "flat curve has slope 0")
+  }
+
+  test("fingerprintOverlap: verbatim-quote pair detected, disjoint docs silent") {
+    val sp = spark; import sp.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $quote delta echo"),
+      (2L, s"zulu yankee $quote xray whiskey victor"),
+      (3L, "completely unrelated content with different characters qqq www")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprintOverlap(docs, "doc_id", "text", minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 1, s"only the quoting pair, got ${out.toSeq}")
+    val (a, b, shared, overlap) = out.head
+    assert(a === 1L && b === 2L)
+    assert(shared >= 5L)
+    assert(overlap > 0.0 && overlap <= 1.0)
+  }
+
   test("tokenEntropy: uniform=log2(k), constant=0, skewed by hand") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
