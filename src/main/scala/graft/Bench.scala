@@ -52,7 +52,15 @@ object Bench {
         if (!errors.contains(name)) {
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            // toRdd.count(), NOT Dataset.count(): count() lets Catalyst
+            // prune every projected column — and even the aggregate
+            // expressions inside a groupBy — so queries whose cost
+            // lives in the projection timed only their scan (q46's
+            // winnow compute was invisible for four rounds; q01's sums
+            // were pruned too). toRdd executes the SAME adaptive plan
+            // Verify materializes, building every output column, with
+            // no write machinery and no driver transfer.
+            fn(spark, sfDir).queryExecution.toRdd.count()
             reps(name) = ((System.nanoTime() - t0) / 1e9) :: reps.getOrElse(name, Nil)
           } catch { case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
