@@ -167,16 +167,31 @@ object Components {
     var ranks = symDeg.select(col("src").as("node")).distinct()
       .select(col("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint()
-    (1 to iterations).foreach { i =>
+    // measured strategy select (the q98 BFS lesson): the rank relation
+    // is node-sized and COUNTED, so when it fits an executor the
+    // per-iteration join carries an explicit broadcast hint and AQE is
+    // off for the loop — the edge relation then never shuffles (only
+    // the inherent grouped sum on dst does), and each iteration stops
+    // paying an AQE stage-job per exchange. Past the bound: no hint,
+    // AQE on — the 100 TB path.
+    val spark = edges.sparkSession
+    val hint = n <= 4000000L
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (hint) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (1 to iterations).foreach { i =>
+      val rsrc = ranks.select(col("node").as("src"), col("rank"))
       val next = symDeg
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(if (hint) broadcast(rsrc) else rsrc, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("in_rank"))
         .select(col("dst").as("node"),
           (lit((1 - damping)) / n + lit(damping) * col("in_rank")).as("rank"))
-      ranks =
-        if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
-    }
+      // LAZY checkpoint every iteration: no scheduled job of its own —
+      // iteration i materializes exactly once, inside iteration i+1's
+      // broadcast build (or the caller's action) — while keeping the
+      // loop's lineage O(1)
+      ranks = next.localCheckpoint(false)
+    } finally if (hint) spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     ranks
   }
 
@@ -261,19 +276,26 @@ object Components {
       .select(col("node"),
         when(col("__s"), lit(1.0 / ns)).otherwise(lit(0.0)).as("tp"))
       .localCheckpoint()
+    // same measured strategy select + lazy per-iteration checkpoints as
+    // [[pageRank]] (the node count bounds every per-iteration relation)
+    val spark = edges.sparkSession
+    val nNodes = teleport.count()
+    val hint = nNodes <= 4000000L
     var trust = teleport.select(col("node"), col("tp").as("trust"))
-    (1 to iterations).foreach { i =>
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (hint) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (1 to iterations).foreach { i =>
+      val tsrc = trust.select(col("node").as("src"), col("trust"))
       val next = symDeg
-        .join(trust.select(col("node").as("src"), col("trust")), Seq("src"))
+        .join(if (hint) broadcast(tsrc) else tsrc, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("trust") / col("deg")).as("in_t"))
         .select(col("dst").as("node"), col("in_t"))
-        .join(teleport, Seq("node"))
+        .join(if (hint) broadcast(teleport) else teleport, Seq("node"))
         .select(col("node"),
           (lit(1 - damping) * col("tp") + lit(damping) * col("in_t")).as("trust"))
-      trust =
-        if (i % 2 == 0 || i == iterations) next.localCheckpoint() else next
-    }
+      trust = next.localCheckpoint(false)
+    } finally if (hint) spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     trust
   }
 
