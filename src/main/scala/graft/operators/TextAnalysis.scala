@@ -633,8 +633,13 @@ object TextAnalysis {
       n: Int = 5,
       minDocs: Int = 2): DataFrame = {
     val base = docs.select(col(idCol).as("__id"), tokens(col(textCol)).as("toks"))
+    // grams are JOIN KEYS only (reassembly reads tokens, never gram
+    // text), so they shuffle as xxhash64 longs — the df aggregate and
+    // the coverage join move 8 bytes per gram instead of ~40-byte
+    // strings (this aggregate is the operator's dominant exchange)
     val grams = base.select(col("__id"),
       posexplode(posNgrams(col("toks"), n)).as(Seq("gpos", "gram")))
+      .select(col("__id"), col("gpos"), xxhash64(col("gram")).as("gram"))
     val common = grams.groupBy(col("gram"))
       .agg(countDistinct(col("__id")).as("df"))
       .where(col("df") >= minDocs)
