@@ -261,6 +261,12 @@ object SparkEntry {
     "q138_fingerprint_overlap" -> (graft.operators.TextAnalysis.q138FingerprintOverlap _),
     // k-anonymity re-identification risk audit over quasi-identifiers
     "q139_k_anonymity" -> (graft.operators.Privacy.q139KAnonymity _),
+    // Fellegi-Sunter record-linkage match scoring over blocked part pairs
+    "q140_linkage_scores" -> (graft.operators.Linkage.q140LinkageScores _),
+    // exponential time-decay engagement scores per user
+    "q141_decay_engagement" -> (graft.operators.EventAnalytics.q141DecayEngagement _),
+    // rendezvous (HRW) consistent shard routing of the corpus
+    "q142_rendezvous_route" -> (graft.operators.CorpusOps.q142RendezvousRoute _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -409,5 +415,8 @@ object SparkEntry {
     "q137_zipf_fit" -> graft.operators.TextAnalysis.q137Sql,
     "q138_fingerprint_overlap" -> graft.operators.TextAnalysis.q138Sql,
     "q139_k_anonymity" -> graft.operators.Privacy.q139Sql,
+    "q140_linkage_scores" -> graft.operators.Linkage.q140Sql,
+    "q141_decay_engagement" -> graft.operators.EventAnalytics.q141Sql,
+    "q142_rendezvous_route" -> graft.operators.CorpusOps.q142Sql,
   )
 }

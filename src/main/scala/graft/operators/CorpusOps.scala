@@ -132,6 +132,46 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("total_tokens"))
   }
 
+  /** Rendezvous (highest-random-weight) shard routing — the
+    * consistent-placement primitive for distributing a corpus across
+    * workers/stores: each document goes to the shard whose
+    * md5-derived weight for (salt, doc, shard) is highest. Adding or
+    * removing a shard moves ONLY the documents whose argmax changes
+    * (~1/n of the corpus) — the property modulo-hashing lacks — and the
+    * assignment is a pure function of the id (the q58 determinism
+    * rule): stable across runs, engines, and partitionings.
+    *
+    * Scale shape: a constant ×`shards` explode inside the scan
+    * pipeline, then one map-combined `max_by` aggregate on the id —
+    * no shuffle beyond the id-key aggregate, no driver state.
+    */
+  def rendezvousRoute(docs: DataFrame, idCol: String, shards: Int,
+      salt: String): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    val key = graft.functions.GraftFunctions.hexLong(
+      substring(md5(concat_ws("|", lit(salt),
+        col(idCol).cast(StringType), col("__s").cast(StringType))), 1, 15))
+    docs.select(col(idCol), explode(sequence(lit(0), lit(shards - 1))).as("__s"))
+      .withColumn("__key", key)
+      .groupBy(col(idCol))
+      .agg(max_by(col("__s"), col("__key")).as("shard"))
+  }
+
+  /** Declared q142: 10-way rendezvous routing of the documents corpus. */
+  def q142RendezvousRoute(spark: SparkSession, d: String): DataFrame =
+    rendezvousRoute(Tables.documents(spark, d), "doc_id", shards = 10,
+      salt = "route")
+
+  val q142Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, s.s AS s,
+      |    ('0x' || substring(md5('route' || '|' ||
+      |      CAST(doc_id AS VARCHAR) || '|' || CAST(s.s AS VARCHAR)),
+      |      1, 15))::BIGINT AS key
+      |  FROM documents CROSS JOIN (SELECT unnest(range(0, 10)) AS s) s)
+      |SELECT doc_id, CAST(arg_max(s, key) AS INT) AS shard
+      |FROM r GROUP BY doc_id""".stripMargin
+
   /** Declared q57: 2000-token shards over the documents fixture. */
   def q57TokenShards(spark: SparkSession, d: String): DataFrame =
     tokenShards(Tables.documents(spark, d), "doc_id", "text", budgetTokens = 2000L)

@@ -534,6 +534,42 @@ object EventAnalytics {
       |  CAST(sum(conv) AS DOUBLE) / count(*) AS conv_rate
       |FROM sess GROUP BY 1""".stripMargin
 
+  /** Exponential time-decay engagement scoring — the recency-weighted
+    * activity signal ranking/freshness pipelines keep per entity:
+    * score(u) = Σ_events 0.5^(age_days / halfLifeDays), age measured
+    * from the corpus max timestamp (a broadcast 1-row aggregate — no
+    * wall-clock dependence, so the score is reproducible and
+    * oracle-checkable). One scan + one user-key hash aggregate;
+    * `pow` over exact integer epoch-µs differences keeps both engines
+    * bit-comparable under the 1e-6 compare.
+    */
+  def decayEngagement(events: DataFrame, userCol: String, tsCol: String,
+      halfLifeDays: Double): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val maxTs = events.agg(max(us).as("__max_us"))
+    events.select(col(userCol).as("user_id"), us.as("__us"))
+      .crossJoin(broadcast(maxTs))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(pow(lit(0.5),
+          (col("__max_us") - col("__us")).cast(DoubleType) /
+            lit(86400e6 * halfLifeDays))).as("decay_score"))
+  }
+
+  /** Declared q141: 7-day-half-life engagement over the events table. */
+  def q141DecayEngagement(spark: SparkSession, d: String): DataFrame =
+    decayEngagement(graft.core.Tables.events(spark, d), "user_id", "ts",
+      halfLifeDays = 7.0)
+
+  val q141Sql: String =
+    """WITH m AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  sum(pow(0.5, CAST(m.max_us - epoch_us(ts) AS DOUBLE) / 604800000000.0))
+      |    AS decay_score
+      |FROM events CROSS JOIN m
+      |GROUP BY user_id""".stripMargin
+
   val q108Sql: String =
     """WITH c AS (
       |  SELECT event_type,

@@ -426,4 +426,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       skew.select(sum(size(split(col("text"), " ")))).head().getLong(0),
       "per-source token totals conserve the corpus total")
   }
+
+  test("rendezvousRoute: deterministic, covers every doc, minimal disruption on shard removal") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    val r10 = CorpusOps.rendezvousRoute(docs, "doc_id", shards = 10, salt = "route")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r10.size === 400)
+    assert(r10.values.forall(s => s >= 0 && s < 10))
+    // every shard gets a nontrivial share (no degenerate hashing)
+    val byShard = r10.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size === 10 && byShard.values.forall(_ > 10), s"skewed: $byShard")
+    // THE rendezvous property: dropping shard 9 must only move the
+    // documents that were ON shard 9 — everyone else's argmax over the
+    // remaining weights is unchanged
+    val r9 = CorpusOps.rendezvousRoute(docs, "doc_id", shards = 9, salt = "route")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    r10.foreach { case (id, s10) =>
+      if (s10 < 9) assert(r9(id) === s10, s"doc $id moved without cause")
+      else assert(r9(id) < 9, s"doc $id must be re-routed off the dropped shard")
+    }
+    // stable across runs (pure function of the id)
+    val again = CorpusOps.rendezvousRoute(docs, "doc_id", 10, "route")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === r10)
+  }
 }

@@ -233,4 +233,20 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       0L -> (2L, 0L, 1L, 100.0), // two sessions, no bounce, one converts
       1L -> (1L, 1L, 0L, 0.0)))
   }
+
+  test("decayEngagement: exact half-life arithmetic, anchored at the corpus max") {
+    val sp = spark; import sp.implicits._
+    val day = 86400000000L
+    // u1: event at max ts (weight 1) and 7 days earlier (weight 0.5);
+    // u2: one event 14 days before max (weight 0.25)
+    val e = Seq(
+      (1L, 14L * day), (1L, 7L * day),
+      (2L, 0L)
+    ).map { case (u, us) => (u, new java.sql.Timestamp(us / 1000)) }
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.decayEngagement(e, "user_id", "ts", halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 2L && math.abs(got(1L)._2 - 1.5) < 1e-12)
+    assert(got(2L)._1 === 1L && math.abs(got(2L)._2 - 0.25) < 1e-12)
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Fellegi–Sunter linkage scoring against hand-computed weights. */
+class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("linkage-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("felligiSunterScores: hand-computed weights, classes, blocking") {
+    val sp = spark; import sp.implicits._
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // block "smith": r1/r2 near-identical (name agrees at θ, both fields
+    // agree); r1/r3 share the block but disagree everywhere measurable;
+    // r4 sits in another block → no cross-block pairs at all
+    val recs = Seq(
+      (1L, "smith john", "acme", "gold"),
+      (2L, "smith johnn", "acme", "gold"),
+      (3L, "smith zzzzzzzz", "bolt", "lead"),
+      (4L, "jones mary", "acme", "gold")).toDF("id", "name", "brand", "tier")
+    val out = Linkage.felligiSunterScores(recs, "id", "name",
+      substring_index(col("name"), " ", 1),
+      nameTheta = 0.9, nameM = 0.9, nameU = 0.05,
+      fields = Seq(("brand", 0.95, 0.2), ("tier", 0.9, 0.25)),
+      upperT = 6.0, lowerT = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getString(4))).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "exactly the within-block pairs")
+    val full = lg2(0.9 / 0.05) + lg2(0.95 / 0.2) + lg2(0.9 / 0.25)
+    assert(math.abs(out((1L, 2L))._1 - full) < 1e-12)
+    assert(out((1L, 2L))._2 === "match")
+    val none = lg2(0.1 / 0.95) + lg2(0.05 / 0.8) + lg2(0.1 / 0.75)
+    assert(math.abs(out((1L, 3L))._1 - none) < 1e-12)
+    assert(out((1L, 3L))._2 === "non_match")
+    assert(math.abs(out((2L, 3L))._1 - none) < 1e-12)
+  }
+}
