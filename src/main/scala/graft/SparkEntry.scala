@@ -267,6 +267,16 @@ object SparkEntry {
     "q141_decay_engagement" -> (graft.operators.EventAnalytics.q141DecayEngagement _),
     // rendezvous (HRW) consistent shard routing of the corpus
     "q142_rendezvous_route" -> (graft.operators.CorpusOps.q142RendezvousRoute _),
+    // time-series diagnostics over the daily ingest-volume series
+    "q143_acf" -> (graft.operators.TimeSeries.q143Acf _),
+    "q144_cusum" -> (graft.operators.TimeSeries.q144Cusum _),
+    "q145_seasonal" -> (graft.operators.TimeSeries.q145Seasonal _),
+    // Flesch/FK readability with planted sentence breaks
+    "q146_readability" -> (TextAnalysis.q146Readability _),
+    // Cohen's kappa between two quality-heuristic raters
+    "q147_kappa" -> (graft.operators.Profiling.q147Kappa _),
+    // l-diversity homogeneity audit (companion to q139 k-anonymity)
+    "q148_l_diversity" -> (graft.operators.Privacy.q148LDiversity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -418,5 +428,11 @@ object SparkEntry {
     "q140_linkage_scores" -> graft.operators.Linkage.q140Sql,
     "q141_decay_engagement" -> graft.operators.EventAnalytics.q141Sql,
     "q142_rendezvous_route" -> graft.operators.CorpusOps.q142Sql,
+    "q143_acf" -> graft.operators.TimeSeries.q143Sql,
+    "q144_cusum" -> graft.operators.TimeSeries.q144Sql,
+    "q145_seasonal" -> graft.operators.TimeSeries.q145Sql,
+    "q146_readability" -> TextAnalysis.q146Sql,
+    "q147_kappa" -> graft.operators.Profiling.q147Sql,
+    "q148_l_diversity" -> graft.operators.Privacy.q148Sql,
   )
 }

@@ -154,6 +154,63 @@ object Privacy {
     kAnonymity(c, Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 10L)
   }
 
+  /** l-diversity audit — the companion gate to [[kAnonymity]]: a
+    * k-anonymous class is still unsafe if everyone in it shares the
+    * same SENSITIVE value (homogeneity attack). Reports, per
+    * quasi-identifier class, distinct-l (count of distinct sensitive
+    * values) and entropy-l (exp of the Shannon entropy of the
+    * sensitive distribution — the effective number of values an
+    * attacker must distinguish).
+    *
+    * Scale shape: one hash aggregate on (quasi-ids, sensitive), a
+    * re-aggregate to classes, and a broadcast-joined per-class total —
+    * class count is domain-bounded, nothing driver-side.
+    *
+    * @return per class: quasi cols…, class_size, l_distinct, entropy_l
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = quasiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qi: _*)
+    val withTot = cells.withColumn("__t", sum(col("__c")).over(w))
+    val p = col("__c").cast("double") / col("__t")
+    withTot.groupBy(qi: _*)
+      .agg(min(col("__t")).as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        exp(-sum(p * log(p))).as("entropy_l"))
+  }
+
+  /** Declared q148: l-diversity of the account-balance band (the
+    * sensitive attribute) within (nation, market-segment) classes —
+    * the q139 audit turned on its homogeneity axis.
+    */
+  def q148LDiversity(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+    lDiversity(c, Seq("c_nationkey", "c_mktsegment"), "bal_band")
+  }
+
+  val q148Sql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    count(*) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |t AS (
+      |  SELECT c_nationkey, c_mktsegment, c,
+      |    sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS t
+      |  FROM cells)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(min(t) AS BIGINT) AS class_size,
+      |  CAST(count(*) AS BIGINT) AS l_distinct,
+      |  exp(-sum((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)))
+      |    AS entropy_l
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   val q139Sql: String =
     """WITH cls AS (
       |  SELECT c_nationkey, c_mktsegment,

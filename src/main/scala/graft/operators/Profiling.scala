@@ -453,4 +453,80 @@ object Profiling {
       row("o_orderdate", "ts"), row("o_orderpriority", "str"))
       .mkString("\nUNION ALL\n")
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two binary
+    * raters over the same rows: κ = (p_o − p_e) / (1 − p_e). The
+    * labeled-data QA primitive: raw percent agreement overstates
+    * annotator (or model-vs-heuristic) consistency whenever the label
+    * marginals are skewed, and every labeling pipeline reports κ
+    * alongside it.
+    *
+    * Scale shape: one map-side-combined aggregate over the four
+    * contingency cells — no shuffle beyond the 1-row reduce, no
+    * driver state. All cell counts are exact longs; κ is one
+    * deterministic double expression.
+    *
+    * @return one row: n, n_both_pos, n_both_neg, n_only_a, n_only_b,
+    *         p_agree, kappa
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(raterA && raterB, 1L).otherwise(0L)).as("n_both_pos"),
+      sum(when(!raterA && !raterB, 1L).otherwise(0L)).as("n_both_neg"),
+      sum(when(raterA && !raterB, 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(!raterA && raterB, 1L).otherwise(0L)).as("n_only_b"))
+    val n = col("n").cast("double")
+    val po = (col("n_both_pos") + col("n_both_neg")) / n
+    val pe = ((col("n_both_pos") + col("n_only_a")) / n) *
+      ((col("n_both_pos") + col("n_only_b")) / n) +
+      ((col("n_both_neg") + col("n_only_b")) / n) *
+        ((col("n_both_neg") + col("n_only_a")) / n)
+    cells.select(col("n"), col("n_both_pos"), col("n_both_neg"),
+      col("n_only_a"), col("n_only_b"),
+      po.as("p_agree"), ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Declared q147: agreement between two independent document-quality
+    * heuristics — rater A passes docs whose unique-token ratio ≥ 0.5
+    * (repetition gate), rater B passes docs with ≥ 300 chars (length
+    * gate). The two marginals are deliberately unbalanced so κ
+    * diverges from raw agreement.
+    */
+  def q147Kappa(spark: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val a = size(array_distinct(toks)).cast("double") / size(toks) >= 0.5
+    val b = col("n_chars") >= 300L
+    cohensKappa(Tables.documents(spark, d), a, b)
+  }
+
+  val q147Sql: String =
+    """WITH r AS (
+      |  SELECT (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |            / len(string_split(text, ' '))) >= 0.5 AS a,
+      |    n_chars >= 300 AS b
+      |  FROM documents),
+      |cells AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n_both_pos,
+      |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n_both_neg,
+      |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n_only_a,
+      |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n_only_b
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n_both_pos AS BIGINT) AS n_both_pos,
+      |  CAST(n_both_neg AS BIGINT) AS n_both_neg,
+      |  CAST(n_only_a AS BIGINT) AS n_only_a,
+      |  CAST(n_only_b AS BIGINT) AS n_only_b,
+      |  (n_both_pos + n_both_neg) / CAST(n AS DOUBLE) AS p_agree,
+      |  ((n_both_pos + n_both_neg) / CAST(n AS DOUBLE)
+      |     - (((n_both_pos + n_only_a) / CAST(n AS DOUBLE))
+      |          * ((n_both_pos + n_only_b) / CAST(n AS DOUBLE))
+      |        + ((n_both_neg + n_only_b) / CAST(n AS DOUBLE))
+      |          * ((n_both_neg + n_only_a) / CAST(n AS DOUBLE))))
+      |  / (1.0 - (((n_both_pos + n_only_a) / CAST(n AS DOUBLE))
+      |          * ((n_both_pos + n_only_b) / CAST(n AS DOUBLE))
+      |        + ((n_both_neg + n_only_b) / CAST(n AS DOUBLE))
+      |          * ((n_both_neg + n_only_a) / CAST(n AS DOUBLE)))) AS kappa
+      |FROM cells""".stripMargin
 }

@@ -46,24 +46,33 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("__doc"),
       split(col(textCol), " ").as("__t"))
-    val postings = toks
-      .select(col("__doc"), explode(col("__t")).as("__term"))
-      .groupBy(col("__doc"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
     val lens = toks.select(col("__doc"), size(col("__t")).cast(DoubleType).as("__dl"))
     // corpus constants: one row, broadcast into the scoring join
     val stats = lens.agg(
       count(lit(1)).cast(DoubleType).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val dfreq = postings.groupBy(col("__term"))
-      .agg(count(lit(1)).cast(DoubleType).as("__df"))
     // query terms de-duplicated per query (binary query-term weighting)
     val qterms = queries.select(col(idCol).as("__qid"),
       explode(array_distinct(split(col(textCol), " "))).as("__term"))
+    // ONE corpus pass: explode carries the doc length alongside each
+    // token (no lens re-join), the broadcast semi-join on the query
+    // vocabulary prunes postings BEFORE the tf aggregate (df per
+    // surviving term is unchanged — filtering by term drops whole
+    // terms, never occurrences of a kept one), and document frequency
+    // is a window count over the pruned postings instead of a separate
+    // corpus-wide aggregate + shuffle join. Net: the corpus is
+    // tokenized once and only query-matched postings ever shuffle.
+    val qvocab = qterms.select(col("__term")).distinct()
+    val postings = toks
+      .select(col("__doc"), size(col("__t")).cast(DoubleType).as("__dl"),
+        explode(col("__t")).as("__term"))
+      .join(broadcast(qvocab), Seq("__term"), "left_semi")
+      .groupBy(col("__doc"), col("__term"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    val withDf = postings.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("__term"))).cast(DoubleType))
 
-    val contrib = postings
+    val contrib = withDf
       .join(broadcast(qterms), Seq("__term"))
-      .join(dfreq, Seq("__term"))
-      .join(lens, Seq("__doc"))
       .crossJoin(broadcast(stats))
       .select(col("__qid"), col("__doc"),
         (log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *

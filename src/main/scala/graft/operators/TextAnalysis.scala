@@ -1077,4 +1077,82 @@ object TextAnalysis {
        |JOIN n na ON sh.id_a = na.doc_id
        |JOIN n nb ON sh.id_b = nb.doc_id""".stripMargin
   }
+
+  /** Vowel-group pattern shared by the readability formula on both
+    * engines (Java + RE2 dialects agree on this class).
+    */
+  val VowelGroup = "[aeiouyAEIOUY]+"
+
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * classic complexity gate a curation pipeline runs alongside
+    * [[languageQualityScores]] (too-easy text is template spam,
+    * too-hard is OCR noise). Standard approximations: sentences =
+    * `[.!?]+` runs (min 1), syllables = vowel groups with every
+    * vowel-less word (digits, symbols) counted as one syllable.
+    *
+    * Scale shape: a pure per-row projection — regexp counts plus one
+    * higher-order filter over the token array — no shuffle, one scan.
+    *
+    * @return (idCol, n_words, n_sentences, n_syllables, flesch, fk_grade)
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = size(toks)
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syllables =
+      size(regexp_extract_all(col(textCol), lit(VowelGroup), lit(0))) +
+        size(filter(toks, w => !w.rlike("[aeiouyAEIOUY]")))
+    docs.select(col(idCol),
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      (lit(206.835)
+        - lit(1.015) * (words.cast(DoubleType) / sentences)
+        - lit(84.6) * (syllables.cast(DoubleType) / words)).as("flesch"),
+      (lit(0.39) * (words.cast(DoubleType) / sentences)
+        + lit(11.8) * (syllables.cast(DoubleType) / words)
+        - lit(15.59)).as("fk_grade"))
+  }
+
+  /** Declared q146: readability over the corpus with sentence breaks
+    * PLANTED deterministically (the fixture text carries no
+    * punctuation, so the declared query ends a sentence after every
+    * "the" — the q60 plant convention; the oracle plants identically,
+    * exercising the sentence-run counter on every row).
+    */
+  def q146Readability(spark: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(spark, d).select(col("doc_id"),
+      regexp_replace(col("text"), "\\bthe\\b", "the.").as("text"))
+    readability(planted, "doc_id", "text")
+  }
+
+  val q146Sql: String = {
+    val vg = VowelGroup
+    s"""WITH planted AS (
+       |  SELECT doc_id, regexp_replace(text, '\\bthe\\b', 'the.', 'g') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+       |    AS n_sentences,
+       |  CAST(len(regexp_extract_all(text, '$vg'))
+       |    + len(list_filter(string_split(text, ' '),
+       |          w -> NOT regexp_matches(w, '[aeiouyAEIOUY]'))) AS INT)
+       |    AS n_syllables,
+       |  206.835
+       |    - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+       |    - 84.6 * (CAST(len(regexp_extract_all(text, '$vg'))
+       |        + len(list_filter(string_split(text, ' '),
+       |              w -> NOT regexp_matches(w, '[aeiouyAEIOUY]'))) AS DOUBLE)
+       |        / len(string_split(text, ' '))) AS flesch,
+       |  0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+       |        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+       |    + 11.8 * (CAST(len(regexp_extract_all(text, '$vg'))
+       |        + len(list_filter(string_split(text, ' '),
+       |              w -> NOT regexp_matches(w, '[aeiouyAEIOUY]'))) AS DOUBLE)
+       |        / len(string_split(text, ' '))) - 15.59 AS fk_grade
+       |FROM planted""".stripMargin
+  }
 }

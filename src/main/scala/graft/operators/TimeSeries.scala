@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Time-series diagnostics over event streams — autocorrelation,
+  * CUSUM changepoint detection, and weekly seasonal decomposition.
+  * Reference scope: the reference repo has no time-series surface
+  * (SURVEY.md §2.E); these are part of the mandated LLM-pipeline
+  * extension set (a crawl/ingest pipeline watches its daily volume
+  * series for drift, breaks, and seasonality before trusting a batch).
+  *
+  * Scale shape shared by all three: raw events collapse to a DAILY
+  * series with one map-side-combined hash aggregate — the only pass
+  * over the full table. Everything after operates on the daily
+  * relation, whose cardinality is calendar-bounded (≤ a few thousand
+  * rows for a decade of data) and independent of event volume, so the
+  * global-ordered windows and small self-joins downstream never see
+  * data-proportional input at any scale.
+  *
+  * Determinism discipline: per-day counts are exact longs, so every
+  * cross-engine sum is integer-exact; the few genuinely fractional
+  * aggregates (seasonal index) round through decimal first (the q103
+  * convention) so hash compares don't ride on float summation order.
+  */
+object TimeSeries {
+
+  private val DayUs = 86400L * 1000 * 1000
+
+  /** Events → (day, n) exact daily counts; `day` is days since epoch.
+    * Integer `div` (not `/`): the day key must stay an exact long.
+    */
+  private def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .select(expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..`maxLag`: acf(k) = Σ(x_t−μ)(x_{t−k}−μ) / Σ(x_t−μ)², the
+    * ingest-health diagnostic for "does volume have weekly structure /
+    * is yesterday predictive of today".
+    *
+    * Lagged pairs come from a hash self-join on `day = day + k` (after
+    * exploding the lag frame) — no window needs the whole series in one
+    * partition, and missing days simply contribute no pair. All pair
+    * sums (Σxy, Σx, Σy) are integer-exact; the final ratio expands the
+    * centered product so μ enters once, in one deterministic double
+    * expression per lag.
+    *
+    * @return (lag, m_pairs, acf) for lags with ≥ 2 pairs
+    */
+  def dailyAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = dailyCounts(events)
+    // T, S=Σx, SS=Σx² over the full series (exact longs): μ = S/T and
+    // the centered denominator SS − S²/T come out deterministically
+    val stats = daily.agg(
+      count(lit(1)).as("t_days"),
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("ss"))
+    val lagged = daily
+      .select(col("day"), col("n").as("x_prev"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .select(col("lag"), (col("day") + col("lag")).as("day"), col("x_prev"))
+    val mu = col("s").cast("double") / col("t_days")
+    val denom = col("ss").cast("double") -
+      col("s").cast("double") * col("s") / col("t_days")
+    daily.join(lagged, Seq("day"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("m_pairs"),
+        sum(col("n") * col("x_prev")).as("sxy"),
+        sum(col("n")).as("sx"),
+        sum(col("x_prev")).as("sy"))
+      .where(col("m_pairs") >= 2)
+      .crossJoin(broadcast(stats))
+      .select(col("lag"), col("m_pairs"),
+        ((col("sxy").cast("double") - mu * col("sx") - mu * col("sy") +
+          col("m_pairs") * mu * mu) / denom).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** CUSUM changepoint scan over the daily event-count series:
+    * S_t = Σ_{i≤t}(x_i − μ). A level shift at day c makes |S_t| peak at
+    * c; a stable series random-walks near zero. Emits the full statistic
+    * series with the argmax flagged — the monitoring primitive behind
+    * "volume broke on the 14th".
+    *
+    * The running sum is over exact longs (S_t = cumsum_t − t·μ is one
+    * deterministic double op per row); the global order-by window sees
+    * only the calendar-bounded daily relation.
+    *
+    * @return (day, n, cusum_dev, is_changepoint) — one row per observed
+    *         day; is_changepoint marks max |cusum_dev|
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = daily.agg(count(lit(1)).as("t_days"), sum(col("n")).as("s"))
+    val dev = daily
+      .select(col("day"), col("n"),
+        sum(col("n")).over(w).as("cum"),
+        row_number().over(Window.orderBy(col("day"))).as("rn"))
+      .crossJoin(broadcast(stats))
+      .select(col("day"), col("n"),
+        (col("cum").cast("double") -
+          col("rn") * (col("s").cast("double") / col("t_days"))).as("cusum_dev"))
+    val peak = dev.agg(max(abs(col("cusum_dev"))).as("max_dev"))
+    dev.crossJoin(broadcast(peak))
+      .select(col("day"), col("n"), col("cusum_dev"),
+        (abs(col("cusum_dev")) === col("max_dev")).as("is_changepoint"))
+  }
+
+  /** Classical additive seasonal decomposition of the daily series on a
+    * weekly period: trend = 7-day centered moving average, seasonal =
+    * per-day-of-week mean deviation from trend, residual = remainder.
+    * The corpus-ops question it answers: "is Monday's volume dip
+    * seasonal or a problem?".
+    *
+    * The moving average requires 7 CONSECUTIVE observed days (a count
+    * guard over the range frame — gaps yield null trend, matching the
+    * textbook treatment of series edges). Trend is an exact long sum
+    * / 7.0; the seasonal index rounds deviations through decimal(20,8)
+    * before averaging so the cross-engine hash compare never rides on
+    * double summation order.
+    *
+    * @return (day, dow, n, trend, seasonal, residual) per observed day
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events)
+    // RANGE frame on the day value (not rows): a gap in the calendar
+    // must invalidate the centered week, not silently widen it
+    val wk = Window.orderBy(col("day")).rangeBetween(-3, 3)
+    val withTrend = daily.select(col("day"), pmod(col("day"), lit(7L)).as("dow"),
+      col("n"),
+      when(count(lit(1)).over(wk) === 7,
+        sum(col("n")).over(wk).cast("double") / 7.0).as("trend"))
+    val seasonal = withTrend
+      .where(col("trend").isNotNull)
+      .groupBy(col("dow"))
+      .agg(avg((col("n") - col("trend")).cast("decimal(20,8)"))
+        .cast("double").as("seasonal"))
+    withTrend.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("day"), col("dow"), col("n"), col("trend"),
+        col("seasonal"),
+        (col("n") - col("trend") - col("seasonal")).as("residual"))
+  }
+
+  /** Declared q143: weekly-structure ACF (lags 1–7) of events volume. */
+  def q143Acf(spark: SparkSession, d: String): DataFrame =
+    dailyAcf(Tables.events(spark, d), maxLag = 7)
+
+  val q143Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS t_days, sum(n) AS s, sum(n * n) AS ss FROM daily),
+      |pairs AS (
+      |  SELECT l.lag, cur.n AS x, prev.n AS x_prev
+      |  FROM (SELECT unnest(range(1, 8)) AS lag) l
+      |  JOIN daily prev ON true
+      |  JOIN daily cur ON cur.day = prev.day + l.lag)
+      |SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS m_pairs,
+      |  (sum(x * x_prev)
+      |     - (CAST(s AS DOUBLE) / t_days) * sum(x)
+      |     - (CAST(s AS DOUBLE) / t_days) * sum(x_prev)
+      |     + count(*) * (CAST(s AS DOUBLE) / t_days)
+      |         * (CAST(s AS DOUBLE) / t_days))
+      |  / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / t_days) AS acf
+      |FROM pairs CROSS JOIN stats
+      |GROUP BY lag, s, ss, t_days
+      |HAVING count(*) >= 2""".stripMargin
+
+  /** Declared q144: CUSUM level-shift scan of events volume. */
+  def q144Cusum(spark: SparkSession, d: String): DataFrame =
+    cusumChangepoint(Tables.events(spark, d))
+
+  val q144Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |stats AS (SELECT count(*) AS t_days, sum(n) AS s FROM daily),
+      |dev AS (
+      |  SELECT day, n,
+      |    CAST(sum(n) OVER (ORDER BY day) AS DOUBLE)
+      |      - (row_number() OVER (ORDER BY day))
+      |          * (CAST(s AS DOUBLE) / t_days) AS cusum_dev
+      |  FROM daily CROSS JOIN stats),
+      |peak AS (SELECT max(abs(cusum_dev)) AS max_dev FROM dev)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n, cusum_dev,
+      |  abs(cusum_dev) = max_dev AS is_changepoint
+      |FROM dev CROSS JOIN peak""".stripMargin
+
+  /** Declared q145: weekly additive decomposition of events volume. */
+  def q145Seasonal(spark: SparkSession, d: String): DataFrame =
+    seasonalDecompose(Tables.events(spark, d))
+
+  val q145Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT day, day % 7 AS dow, n,
+      |    CASE WHEN count(*) OVER wk = 7
+      |         THEN CAST(sum(n) OVER wk AS DOUBLE) / 7.0 END AS trend
+      |  FROM daily
+      |  WINDOW wk AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(avg(CAST(n - trend AS DECIMAL(20,8))) AS DOUBLE) AS seasonal
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY dow)
+      |SELECT CAST(tr.day AS BIGINT) AS day, CAST(tr.dow AS BIGINT) AS dow,
+      |  CAST(tr.n AS BIGINT) AS n, tr.trend, seas.seasonal,
+      |  tr.n - tr.trend - seas.seasonal AS residual
+      |FROM tr LEFT JOIN seas USING (dow)""".stripMargin
+}

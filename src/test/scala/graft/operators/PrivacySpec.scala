@@ -103,4 +103,21 @@ class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
     // oracle, where unnest of an empty list yields no rows)
     assert(out.map(_.getLong(0)).toSet === Set(2L))
   }
+
+  test("lDiversity: hand-computed distinct-l and entropy-l per class") {
+    val sp = spark; import sp.implicits._
+    // class g1: sensitive a,a,b,b → l=2, H=ln2, entropy-l=2 exactly
+    // class g2: c,c,c → l=1, entropy-l=1 (homogeneous: the attack case)
+    val df = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+      ("g2", "c"), ("g2", "c"), ("g2", "c")).toDF("qi", "s")
+    val out = Privacy.lDiversity(df, Seq("qi"), "s").collect()
+      .map(r => r.getAs[String]("qi") ->
+        (r.getAs[Long]("class_size"), r.getAs[Long]("l_distinct"),
+          r.getAs[Double]("entropy_l"))).toMap
+    assert(out("g1") === ((4L, 2L, out("g1")._3)))
+    assert(math.abs(out("g1")._3 - 2.0) < 1e-12)
+    assert(out("g2")._1 === 3L && out("g2")._2 === 1L)
+    assert(math.abs(out("g2")._3 - 1.0) < 1e-12)
+  }
 }

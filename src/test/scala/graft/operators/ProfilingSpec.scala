@@ -156,4 +156,34 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getDouble(2) === mean && r2.getDouble(3) === lo &&
       r2.getDouble(4) === hi)
   }
+
+  test("cohensKappa: hand-computed contingency table") {
+    val sp = spark; import sp.implicits._
+    // cells: ++=4, --=2, +-=1, -+=3 → po=0.6, pe=.5·.7+.5·.3=0.5, κ=0.2
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq.fill(1)((true, false)) ++ Seq.fill(3)((false, true))
+    val df = rows.toDF("a", "b")
+    val r = Profiling.cohensKappa(df, org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b")).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_both_pos") === 4L)
+    assert(r.getAs[Long]("n_only_b") === 3L)
+    assert(math.abs(r.getAs[Double]("p_agree") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.2) < 1e-12)
+  }
+
+  test("cohensKappa: perfect agreement is 1, marginal-independence is ~0") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    val k1 = Profiling.cohensKappa(same, col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa")
+    assert(math.abs(k1 - 1.0) < 1e-12)
+    // a ⊥ b with balanced marginals: po = pe = 0.5 → κ = 0
+    val indep = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val k0 = Profiling.cohensKappa(indep, col("a"), col("b"))
+      .collect().head.getAs[Double]("kappa")
+    assert(math.abs(k0) < 1e-12)
+  }
 }

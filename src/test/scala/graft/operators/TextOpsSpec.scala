@@ -219,4 +219,27 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2.0)
     assert(out(3L)._1 === 3L && math.abs(out(3L)._2 - h3) < 1e-12)
   }
+
+  test("readability: hand-computed Flesch, punctuation runs, vowelless words") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat. sat!! on mat?"),
+      (2L, "b2b 42 #")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: 5 words, 3 sentence runs ('.', '!!', '?'), 5 vowel groups
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_words") === 5)
+    assert(r1.getAs[Int]("n_sentences") === 3)
+    assert(r1.getAs[Int]("n_syllables") === 5)
+    val flesch = 206.835 - 1.015 * (5.0 / 3) - 84.6 * (5.0 / 5)
+    assert(math.abs(r1.getAs[Double]("flesch") - flesch) < 1e-9)
+    val fk = 0.39 * (5.0 / 3) + 11.8 * (5.0 / 5) - 15.59
+    assert(math.abs(r1.getAs[Double]("fk_grade") - fk) < 1e-9)
+    // doc 2: zero punctuation → min 1 sentence; all three words are
+    // vowelless → one syllable each
+    val r2 = out(2L)
+    assert(r2.getAs[Int]("n_sentences") === 1)
+    assert(r2.getAs[Int]("n_syllables") === 3)
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Hand-computed series for the time-series diagnostics — the oracles
+  * (q143–q145) prove cross-engine equality on the fixture; these pin
+  * the arithmetic on closed-form series (known ACF, a planted level
+  * shift, an exact weekly pattern) and the calendar-gap edge cases.
+  */
+class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("timeseries-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** (dayIndex, count) pairs → an events frame with `count` rows on
+    * each day (ts at noon so no boundary ambiguity).
+    */
+  private def eventsFor(daily: Seq[(Long, Int)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    daily.toDF("day", "cnt")
+      .select(explode(sequence(lit(1), col("cnt"))).as("i"), col("day"))
+      .select(timestamp_micros(col("day") * 86400000000L + 43200000000L)
+        .as("ts"))
+  }
+
+  test("dailyAcf: closed-form series 1..5 gives acf(1)=0.4, acf(2)=-0.1") {
+    val e = eventsFor((0L to 4L).map(d => d -> (d.toInt + 1)))
+    val acf = TimeSeries.dailyAcf(e, maxLag = 3).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Long]("m_pairs"), r.getAs[Double]("acf"))).toMap
+    // mean 3, denom Σ(x-3)²=10; lag1 Σ=4, lag2 Σ=-1, lag3 Σ=-4
+    assert(acf(1)._1 === 4L)
+    assert(math.abs(acf(1)._2 - 0.4) < 1e-12)
+    assert(acf(2)._1 === 3L)
+    assert(math.abs(acf(2)._2 - (-0.1)) < 1e-12)
+    assert(math.abs(acf(3)._2 - (-0.4)) < 1e-12)
+  }
+
+  test("dailyAcf: a calendar gap drops pairs instead of shifting them") {
+    // days 0,1,2,4 — lag-1 pairs are (1,0),(2,1),(4,3→absent): m=2;
+    // day 4 pairs with day 3 which never existed, never with day 2
+    val e = eventsFor(Seq(0L -> 1, 1L -> 2, 2L -> 3, 4L -> 4))
+    val m = TimeSeries.dailyAcf(e, maxLag = 2).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Long]("m_pairs")).toMap
+    assert(m(1) === 2L) // (1,0),(2,1)
+    assert(m(2) === 2L) // (2,0),(4,2)
+  }
+
+  test("cusumChangepoint: planted level shift peaks at the break day") {
+    // 5,5,5 then 9,9,9: μ=7, S=[-2,-4,-6,-4,-2,0] — argmax |S| on day 2
+    val e = eventsFor(Seq(0L -> 5, 1L -> 5, 2L -> 5, 3L -> 9, 4L -> 9, 5L -> 9))
+    val rows = TimeSeries.cusumChangepoint(e).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Double]("cusum_dev"), r.getAs[Boolean]("is_changepoint")))
+      .toMap
+    assert(rows(0L)._1 === -2.0 && !rows(0L)._2)
+    assert(rows(2L)._1 === -6.0 && rows(2L)._2)
+    assert(rows(5L)._1 === 0.0 && !rows(5L)._2)
+    assert(rows.values.count(_._2) === 1)
+  }
+
+  test("seasonalDecompose: exact weekly pattern decomposes to zero residual") {
+    // x_t = 10 + (day mod 7): every centered week sums to 70+21 → trend
+    // 13 exactly; seasonal(dow) = dow - 3; residual 0 everywhere a
+    // trend exists; 3-day edges have null trend
+    val e = eventsFor((0L to 13L).map(d => d -> (10 + (d % 7)).toInt))
+    val rows = TimeSeries.seasonalDecompose(e).collect()
+    assert(rows.length === 14)
+    rows.foreach { r =>
+      val day = r.getAs[Long]("day")
+      if (day < 3 || day > 10) {
+        assert(r.isNullAt(r.fieldIndex("trend")), s"day $day should be edge")
+      } else {
+        assert(r.getAs[Double]("trend") === 13.0)
+        assert(math.abs(r.getAs[Double]("seasonal") -
+          (r.getAs[Long]("dow") - 3.0)) < 1e-9)
+        assert(math.abs(r.getAs[Double]("residual")) < 1e-9)
+      }
+    }
+  }
+
+  test("seasonalDecompose: a gap invalidates the centered week (range frame)") {
+    // days 0..9 with day 4 missing: days 1..7 would each see a 7-day
+    // centered window, but any window covering day 4 has only 6 rows →
+    // null trend; with 0..3,5..9 the only full windows are none
+    val e = eventsFor((0L to 9L).filter(_ != 4L).map(d => d -> 10))
+    val rows = TimeSeries.seasonalDecompose(e).collect()
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("trend"))))
+  }
+}
