@@ -277,6 +277,16 @@ object SparkEntry {
     "q147_kappa" -> (graft.operators.Profiling.q147Kappa _),
     // l-diversity homogeneity audit (companion to q139 k-anonymity)
     "q148_l_diversity" -> (graft.operators.Privacy.q148LDiversity _),
+    // t-closeness EMD audit — completes the privacy triad
+    "q149_t_closeness" -> (graft.operators.Privacy.q149TCloseness _),
+    // rank statistics on the prefix-sum scaffold
+    "q150_spearman" -> (graft.operators.Profiling.q150Spearman _),
+    "q151_gini" -> (graft.operators.Profiling.q151Gini _),
+    // Kaplan–Meier churn survival with right censoring
+    "q152_survival" -> (graft.operators.EventAnalytics.q152Survival _),
+    // graph mining: bounded-peel k-core, Jaccard link prediction
+    "q153_kcore" -> (graft.operators.Components.q153KCore _),
+    "q154_jaccard_links" -> (graft.operators.Components.q154JaccardLinks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,5 +444,11 @@ object SparkEntry {
     "q146_readability" -> TextAnalysis.q146Sql,
     "q147_kappa" -> graft.operators.Profiling.q147Sql,
     "q148_l_diversity" -> graft.operators.Privacy.q148Sql,
+    "q149_t_closeness" -> graft.operators.Privacy.q149Sql,
+    "q150_spearman" -> graft.operators.Profiling.q150Sql,
+    "q151_gini" -> graft.operators.Profiling.q151Sql,
+    "q152_survival" -> graft.operators.EventAnalytics.q152Sql,
+    "q153_kcore" -> graft.operators.Components.q153Sql,
+    "q154_jaccard_links" -> graft.operators.Components.q154Sql,
   )
 }

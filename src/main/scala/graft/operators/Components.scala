@@ -747,4 +747,186 @@ object Components {
       |  UNION ALL SELECT c FROM t)
       |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
       |FROM n GROUP BY node""".stripMargin
+
+  /** k-core decomposition membership: iteratively peel nodes of
+    * degree < k until the subgraph induced on survivors is stable —
+    * the classic dense-subgraph / spam-farm / community-nucleus
+    * extractor (Seidman 1983). Returns each surviving node with its
+    * within-core degree.
+    *
+    * Scale shape: per peel round, one hash aggregate for degrees and
+    * two semi-join-shaped filters of the edge relation against the
+    * surviving-node set — all keyed on node ids, no driver state
+    * beyond a one-long removed-count used for early exit. The edge
+    * relation is `localCheckpoint`ed every round, so lineage stays
+    * O(1) across iterations (the [[connectedComponents]] discipline).
+    * Peeling converges in few rounds on real graphs (the degeneracy
+    * ordering collapses fast); `maxIterations` bounds the worst case
+    * and — because a converged peel is a fixpoint — an early-exited
+    * run is identical to one that executes all `maxIterations`
+    * rounds, which is what keeps the bounded-unroll oracle exact.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIterations: Int = 12): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    var sym = canon
+      .unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    var done = false
+    var it = 0
+    while (!done && it < maxIterations) {
+      val keep = deg.where(col("deg") >= k).localCheckpoint()
+      val next = sym
+        .join(keep.select(col("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val nextDeg = next.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      // one long to the driver per round: has any node fallen below k?
+      done = nextDeg.where(col("deg") < k).isEmpty
+      sym = next
+      deg = nextDeg
+      it += 1
+    }
+    deg.where(col("deg") >= k)
+      .select(col("u").as("node"), col("deg").as("core_deg"))
+  }
+
+  /** Declared q153: the 80-core of the part co-occurrence graph (parts
+    * ordered together) — q107's graph put through the peeler. k = 80
+    * sits just under the graph's degeneracy (~85): the peel genuinely
+    * cascades (5 rounds to fixpoint at both test scales, measured)
+    * while leaving a non-trivial core. Oracle: identical bounded
+    * unroll as chained CTEs (fixpoint makes extra rounds no-ops, so
+    * the engine's early exit and the oracle's fixed unroll agree).
+    * The CTEs are MATERIALIZED — each round references its
+    * predecessor three times, and inlining would re-expand the chain
+    * 3¹²-fold.
+    */
+  def q153KCore(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    kCore(co, "u", "v", k = 80, maxIterations = 12)
+  }
+
+  val q153Sql: String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |d0 AS MATERIALIZED (SELECT u, count(*) AS deg FROM s0 GROUP BY u)""".stripMargin
+    val iters = (1 to 12).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.u, s.v FROM s${i - 1} s
+         |  JOIN d${i - 1} a ON a.u = s.u AND a.deg >= 80
+         |  JOIN d${i - 1} b ON b.u = s.v AND b.deg >= 80),
+         |d$i AS MATERIALIZED (SELECT u, count(*) AS deg FROM s$i GROUP BY u)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT u AS node, CAST(deg AS BIGINT) AS core_deg
+       |FROM d12 WHERE deg >= 80""".stripMargin
+  }
+
+  /** Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg,
+    * CIKM 2003): for node pairs NOT currently adjacent, score
+    * |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| from shared neighbors and return the
+    * top-`topN` candidate edges — recommendation / missing-link
+    * mining over any co-occurrence graph.
+    *
+    * Scale shape: common-neighbor counts come from the wedge
+    * self-join of the symmetric edge list on its CENTER node (cost
+    * Σ deg² — the same quadratic-in-hub-degree intermediate every
+    * wedge method has; see [[triangleCounts]] for why orientation
+    * can't help here: both endpoints of an unordered candidate pair
+    * are needed, the center is fixed). One hash aggregate collapses
+    * wedges to pair counts, existing edges leave via one anti-join,
+    * degrees arrive via two node-keyed joins, and the global top-N is
+    * a `TakeOrderedAndProject` — no full sort, no driver state.
+    */
+  def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
+      dstCol: String, topN: Int = 50): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      // three consumers (sym legs, degrees, anti-join) — compute once
+      .localCheckpoint()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("u").as("via"), col("v").as("a"))
+      .join(sym.select(col("u").as("via"), col("v").as("b")), Seq("via"))
+      .where(col("a") < col("b"))
+    val common = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(canon.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(topN)
+  }
+
+  /** Declared q154: top-50 predicted links in the q81 bipartite
+    * customer–supplier graph (shared counterparties on high-value
+    * orders). Ties at the cut are broken by (jaccard desc, a, b) on
+    * exact small-integer ratios, so the boundary is engine-stable.
+    */
+  def q154JaccardLinks(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    jaccardLinkPrediction(edges, "src", "dst", topN = 50)
+  }
+
+  val q154Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_totalprice > 150000),
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+      |wedges AS (
+      |  SELECT l.v AS a, r.v AS b
+      |  FROM sym l JOIN sym r ON l.u = r.u AND l.v < r.v),
+      |common AS (
+      |  SELECT a, b, count(*) AS n_common FROM wedges GROUP BY a, b),
+      |cand AS (
+      |  SELECT c.a, c.b, c.n_common, da.deg AS deg_a, db.deg AS deg_b
+      |  FROM common c
+      |  JOIN deg da ON da.u = c.a
+      |  JOIN deg db ON db.u = c.b
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e0 WHERE e0.u = c.a AND e0.v = c.b))
+      |SELECT a AS node_a, b AS node_b,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+      |  CAST(n_common AS DOUBLE) / (deg_a + deg_b - n_common) AS jaccard
+      |FROM cand
+      |ORDER BY jaccard DESC, node_a, node_b
+      |LIMIT 50""".stripMargin
 }

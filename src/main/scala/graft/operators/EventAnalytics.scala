@@ -570,6 +570,118 @@ object EventAnalytics {
       |FROM events CROSS JOIN m
       |GROUP BY user_id""".stripMargin
 
+  /** Kaplan–Meier survival estimate over right-censored lifetimes —
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) where dᵢ lifetimes END at tᵢ and
+    * nᵢ are still at risk. Rows with `censoredCol` true left
+    * observation while still alive — they shrink the risk set without
+    * contributing a death, which is the whole point of KM over a
+    * naive duration histogram.
+    *
+    * Scale shape: the lifetime relation collapses to a
+    * (duration → deaths, totals) support in one hash aggregate —
+    * bounded by DISTINCT durations, not lifetimes. Risk sets and the
+    * cumulative log-product both come from
+    * [[Relational.orderedPrefixSums]] (range-partitioned above the
+    * small-support cutoff); the product is `exp(Σ ln(1−dᵢ/nᵢ))` with
+    * the dᵢ = nᵢ terminal factor handled by an explicit zero flag
+    * rather than ln(0).
+    */
+  def kaplanMeier(lifetimes: DataFrame, durationCol: String,
+      censoredCol: String): DataFrame = {
+    val sup = lifetimes
+      .groupBy(col(durationCol).as("__t"))
+      .agg(sum(when(col(censoredCol), 0L).otherwise(1L)).as("__d"),
+        count(lit(1)).as("__a"))
+    val risked = Relational
+      .orderedPrefixSums(sup, "__t", Seq("__ca" -> col("__a")))
+      .withColumn("__n_risk", col("__ca_total") - col("__ca") + col("__a"))
+    val factored = risked
+      .withColumn("__lnf",
+        when(col("__d") < col("__n_risk"),
+          log(lit(1.0) - col("__d") / col("__n_risk"))).otherwise(0.0))
+      .withColumn("__z",
+        when(col("__d") >= col("__n_risk") && col("__d") > 0, 1.0)
+          .otherwise(0.0))
+    Relational
+      .orderedPrefixSums(factored, "__t",
+        Seq("__cl" -> col("__lnf"), "__cz" -> col("__z")))
+      .where(col("__d") > 0)
+      .select(col("__t").as("t_minutes"),
+        col("__n_risk").cast("long").as("n_risk"),
+        col("__d").as("n_events"),
+        (col("__a") - col("__d")).as("n_censored"),
+        when(col("__cz") > 0, 0.0).otherwise(exp(col("__cl")))
+          .as("survival"))
+  }
+
+  /** Declared q152: session-duration survival. Lifetimes are
+    * [[sessionize]]d sessions (30-min gap) measured in whole minutes;
+    * a session whose last event falls within one gap of the end of
+    * observation is right-censored — it may still be open, we only
+    * know its duration is AT LEAST what we saw, which is exactly the
+    * information KM's risk-set accounting preserves.
+    */
+  def q152Survival(spark: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val e = Tables.events(spark, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val m = e.agg(max(col("us")).as("__max_us"))
+    val lifetimes = sessionize(e, gapUs).crossJoin(broadcast(m)).select(
+      expr("duration_us div 60000000").as("t_minutes"),
+      (col("end_us") > col("__max_us") - gapUs).as("censored"))
+    kaplanMeier(lifetimes, "t_minutes", "censored")
+  }
+
+  val q152Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT max(us) AS max_us FROM e),
+      |t AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+      |      AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT user_id, us,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, session_id, min(us) AS s, max(us) AS en
+      |  FROM sid GROUP BY 1, 2),
+      |lt AS (
+      |  SELECT (en - s) // 60000000 AS t_minutes,
+      |    CASE WHEN en > m.max_us - 1800000000 THEN 1 ELSE 0 END AS cens
+      |  FROM sess CROSS JOIN m),
+      |sup AS (
+      |  SELECT t_minutes, sum(1 - cens) AS d, count(*) AS a
+      |  FROM lt GROUP BY 1),
+      |pre AS (
+      |  SELECT t_minutes, d, a,
+      |    CAST(sum(a) OVER (ORDER BY t_minutes) AS DOUBLE) AS ca,
+      |    CAST((SELECT sum(a) FROM sup) AS DOUBLE) AS tot
+      |  FROM sup),
+      |r AS (
+      |  SELECT t_minutes, d, a, tot - ca + a AS n_risk FROM pre),
+      |f AS (
+      |  SELECT t_minutes, d, a, n_risk,
+      |    CASE WHEN d < n_risk THEN ln(1 - d / n_risk) ELSE 0.0 END
+      |      AS lnf,
+      |    CASE WHEN d >= n_risk AND d > 0 THEN 1.0 ELSE 0.0 END AS z
+      |  FROM r),
+      |s AS (
+      |  SELECT t_minutes, d, a, n_risk,
+      |    sum(lnf) OVER (ORDER BY t_minutes) AS cl,
+      |    sum(z) OVER (ORDER BY t_minutes) AS cz
+      |  FROM f)
+      |SELECT CAST(t_minutes AS BIGINT) AS t_minutes,
+      |  CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(d AS BIGINT) AS n_events,
+      |  CAST(a - d AS BIGINT) AS n_censored,
+      |  CASE WHEN cz > 0 THEN 0.0 ELSE exp(cl) END AS survival
+      |FROM s WHERE d > 0""".stripMargin
+
   val q108Sql: String =
     """WITH c AS (
       |  SELECT event_type,

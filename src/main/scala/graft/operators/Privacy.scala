@@ -211,6 +211,96 @@ object Privacy {
       |    AS entropy_l
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the privacy triad after [[kAnonymity]] and
+    * [[lDiversity]]: a class is unsafe if its SENSITIVE-value
+    * distribution diverges from the table-wide one (skewness attack),
+    * even when it is diverse. For an ORDERED sensitive attribute the
+    * distance is the Earth Mover's Distance with unit ground distance
+    * between adjacent values, which closes to
+    * `Σ_i |cum(p−q)_i| / (m−1)` over the ordered value domain.
+    *
+    * Scale shape: one hash aggregate on (quasi-ids, sensitive) — the
+    * only pass over the data — then everything operates on the cell
+    * relation, bounded by |QI domain| × |sensitive domain|. The dense
+    * class×value grid needed for the cumulative walk is a broadcast
+    * cross join of two domain-bounded relations; the per-class
+    * cumulative window partitions on the class key. No driver state.
+    *
+    * @return per class: quasi cols…, class_size, t_emd (0 = identical
+    *         to global, 1 = all mass at opposite ends)
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val qi = quasiCols.map(col)
+    val cells = df.groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__c"))
+      // three domain-bounded consumers below — compute the data pass once
+      .localCheckpoint()
+    val classes = cells.groupBy(qi: _*).agg(sum(col("__c")).as("class_size"))
+    val buckets = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).as("__g"))
+    val glob = cells.agg(sum(col("__c")).as("__tot"),
+      countDistinct(col(sensitiveCol)).as("__m"))
+    val grid = classes
+      .crossJoin(broadcast(buckets))
+      .crossJoin(broadcast(glob))
+      .join(cells, quasiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qi: _*).orderBy(col(sensitiveCol))
+    grid
+      .withColumn("__cum", sum(
+        col("__c").cast("double") / col("class_size") -
+          col("__g").cast("double") / col("__tot")).over(w))
+      .groupBy(qi :+ col("class_size"): _*)
+      .agg((sum(abs(col("__cum"))) / (max(col("__m")) - 1)).as("t_emd"))
+  }
+
+  /** Declared q149: t-closeness of the account-balance band within
+    * (nation, market-segment) classes — q148's audit turned on its
+    * skewness axis, completing the k-anonymity / l-diversity /
+    * t-closeness triad over the same quasi-identifier schema.
+    */
+  def q149TCloseness(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+    tCloseness(c, Seq("c_nationkey", "c_mktsegment"), "bal_band")
+  }
+
+  val q149Sql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    count(*) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |classes AS (
+      |  SELECT c_nationkey, c_mktsegment, sum(c) AS class_size
+      |  FROM cells GROUP BY 1, 2),
+      |buckets AS (SELECT bal_band, sum(c) AS g FROM cells GROUP BY 1),
+      |gl AS (
+      |  SELECT sum(c) AS tot, count(DISTINCT bal_band) AS m FROM cells),
+      |grid AS (
+      |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+      |    b.bal_band, b.g, gl.tot, gl.m,
+      |    coalesce(ce.c, 0) AS c
+      |  FROM classes cl CROSS JOIN buckets b CROSS JOIN gl
+      |  LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+      |    AND ce.c_mktsegment = cl.c_mktsegment
+      |    AND ce.bal_band = b.bal_band),
+      |cums AS (
+      |  SELECT c_nationkey, c_mktsegment, class_size, m,
+      |    sum(CAST(c AS DOUBLE) / class_size - CAST(g AS DOUBLE) / tot)
+      |      OVER (PARTITION BY c_nationkey, c_mktsegment
+      |            ORDER BY bal_band) AS cum
+      |  FROM grid)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(class_size AS BIGINT) AS class_size,
+      |  sum(abs(cum)) / (max(m) - 1) AS t_emd
+      |FROM cums GROUP BY 1, 2, class_size""".stripMargin
+
   val q139Sql: String =
     """WITH cls AS (
       |  SELECT c_nationkey, c_mktsegment,

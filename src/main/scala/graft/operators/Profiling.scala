@@ -500,6 +500,137 @@ object Profiling {
     cohensKappa(Tables.documents(spark, d), a, b)
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * robust monotone-association profile (outlier-immune, scale-free)
+    * a feature-quality sweep wants next to [[correlationMatrix]]'s
+    * Pearson. Computed as Pearson over MIDRANKS (average rank across
+    * ties), the standard tie-corrected estimator.
+    *
+    * Scale shape: each column collapses to its (value → count) support
+    * in one hash aggregate — bounded by DISTINCT values, not rows —
+    * and midranks come from [[Relational.orderedPrefixSums]] over that
+    * support (range-partitioned above its small-support cutoff, so no
+    * single-partition window at any size). Rows then join their two
+    * midranks back by value (plain equi-joins; Spark broadcasts the
+    * small side itself) and one final aggregate emits the sufficient
+    * statistics. The correlation is closed-form from exact-ish double
+    * sums — the identical expression runs in the oracle, so the
+    * compare never rides on a library's corr() implementation.
+    */
+  def spearmanCorrelation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    def midranks(c: String): DataFrame = {
+      val sup = df.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      Relational.orderedPrefixSums(sup, c, Seq("__k" -> col("__c")))
+        .select(col(c),
+          (col("__k") - col("__c") + (col("__c") + 1) / 2.0).as(s"__r_$c"))
+    }
+    val ranked = df.select(col(xCol), col(yCol))
+      .join(midranks(xCol), Seq(xCol))
+      .join(midranks(yCol), Seq(yCol))
+    val rx = col(s"__r_$xCol")
+    val ry = col(s"__r_$yCol")
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(rx).as("__sx"), sum(ry).as("__sy"),
+      sum(rx * ry).as("__sxy"),
+      sum(rx * rx).as("__sxx"), sum(ry * ry).as("__syy"))
+    s.select(col("__n").cast("long").as("n"),
+      ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+        sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+          (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+        .as("spearman_rho"))
+  }
+
+  /** Declared q150: Spearman correlation of lineitem quantity vs
+    * extended price — a heavily tied x (50 distinct quantities)
+    * against a near-unique y, exercising both midrank regimes.
+    */
+  def q150Spearman(spark: SparkSession, d: String): DataFrame =
+    spearmanCorrelation(
+      Tables.lineitem(spark, d).select(
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y")),
+      "x", "y")
+
+  val q150Sql: String =
+    """WITH pts AS (
+      |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+      |    CAST(l_extendedprice AS DOUBLE) AS y
+      |  FROM lineitem),
+      |rx AS (SELECT x, count(*) AS c FROM pts GROUP BY 1),
+      |rxc AS (
+      |  SELECT x, CAST(sum(c) OVER (ORDER BY x) AS DOUBLE) - c
+      |    + (c + 1) / 2.0 AS r_x
+      |  FROM rx),
+      |ry AS (SELECT y, count(*) AS c FROM pts GROUP BY 1),
+      |ryc AS (
+      |  SELECT y, CAST(sum(c) OVER (ORDER BY y) AS DOUBLE) - c
+      |    + (c + 1) / 2.0 AS r_y
+      |  FROM ry),
+      |j AS (
+      |  SELECT r_x, r_y FROM pts
+      |  JOIN rxc USING (x) JOIN ryc USING (y)),
+      |s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    sum(r_x) AS sx, sum(r_y) AS sy, sum(r_x * r_y) AS sxy,
+      |    sum(r_x * r_x) AS sxx, sum(r_y * r_y) AS syy
+      |  FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  (n * sxy - sx * sy)
+      |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |    AS spearman_rho
+      |FROM s""".stripMargin
+
+  /** Gini coefficient of a numeric column — the inequality /
+    * concentration profile (is 1% of the corpus 90% of the tokens? is
+    * revenue concentrated in a handful of orders?). Uses the exact
+    * sorted-rank identity `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n`,
+    * which is tie-invariant, so it is computable from the (value →
+    * count) support without ever ranking individual rows: a run of
+    * `c` equal values `v` ending at cumulative count K contributes
+    * `v · (K(K+1) − P(P+1))/2` with P = K − c.
+    *
+    * Scale shape: one hash aggregate to the support, one
+    * [[Relational.orderedPrefixSums]] pass for K (range-partitioned
+    * above the small-support cutoff), one 1-row final aggregate.
+    */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val sup = df.groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val k = Relational.orderedPrefixSums(sup, "__v", Seq("__k" -> col("__c")))
+    val kk = col("__k")
+    val pp = col("__k") - col("__c")
+    k.agg(
+        max(col("__k_total")).as("__n"),
+        sum(col("__v") * col("__c")).as("__sx"),
+        sum(col("__v") * (kk * (kk + 1) - pp * (pp + 1)) / 2.0).as("__s1"))
+      .select(col("__n").cast("long").as("n"),
+        (col("__sx") / col("__n")).as("mean"),
+        (lit(2.0) * col("__s1") / (col("__n") * col("__sx")) -
+          (col("__n") + 1) / col("__n")).as("gini"))
+  }
+
+  /** Declared q151: revenue concentration — Gini of order totalprice. */
+  def q151Gini(spark: SparkSession, d: String): DataFrame =
+    giniCoefficient(Tables.orders(spark, d), "o_totalprice")
+
+  val q151Sql: String =
+    """WITH sup AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS c
+      |  FROM orders GROUP BY 1),
+      |k AS (
+      |  SELECT v, CAST(c AS DOUBLE) AS c,
+      |    CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS kk
+      |  FROM sup),
+      |s AS (
+      |  SELECT sum(c) AS n, sum(v * c) AS sx,
+      |    sum(v * (kk * (kk + 1) - (kk - c) * (kk - c + 1)) / 2.0) AS s1
+      |  FROM k)
+      |SELECT CAST(n AS BIGINT) AS n, sx / n AS mean,
+      |  2.0 * s1 / (n * sx) - (n + 1) / n AS gini
+      |FROM s""".stripMargin
+
   val q147Sql: String =
     """WITH r AS (
       |  SELECT (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

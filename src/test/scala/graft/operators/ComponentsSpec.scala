@@ -241,4 +241,58 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"pair (${p.getLong(0)},${p.getLong(1)}) split across clusters")
     }
   }
+
+  test("kCore: pendant chain peels away, planted clique survives") {
+    val sp = spark; import sp.implicits._
+    // K5 on 1..5 (every degree 4) + chain 5-6-7-8 hanging off it.
+    // k=2: the chain peels over MULTIPLE rounds (only the endpoint 8
+    // is below k at first; each removal exposes the next node), K5
+    // survives with core degree 4.
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (k5 ++ chain).toDF("u", "v")
+    val out = Components.kCore(edges, "u", "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.values.forall(_ === 4L))
+    // k above the clique degree: everything peels, empty core
+    assert(Components.kCore(edges, "u", "v", k = 5).isEmpty)
+  }
+
+  test("kCore: duplicate/reversed/self-loop edges do not inflate degrees") {
+    val sp = spark; import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 1L),
+      (2L, 3L), (3L, 1L)).toDF("u", "v")
+    // triangle 1-2-3; all core degree 2 at k=2
+    val out = Components.kCore(edges, "u", "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("jaccardLinkPrediction: square diagonals score 1, adjacency excluded") {
+    val sp = spark; import sp.implicits._
+    // 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share
+    // both neighbors → jaccard = 2/(2+2−2) = 1; existing edges must
+    // not appear as candidates
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val out = Components.jaccardLinkPrediction(edges, "u", "v", topN = 10)
+      .collect()
+    val byPair = out.map(r =>
+      (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    assert(byPair.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(byPair((1L, 3L)) === ((2L, 1.0)))
+    assert(byPair((2L, 4L)) === ((2L, 1.0)))
+  }
+
+  test("jaccardLinkPrediction: topN cut is deterministic under score ties") {
+    val sp = spark; import sp.implicits._
+    // star center 0 with leaves 1..6: every leaf pair shares exactly
+    // {0} → jaccard 1/(1+1−1)=1 for all 15 pairs; topN=4 must take the
+    // (a,b)-lexicographic first four
+    val edges = (1L to 6L).map(l => (0L, l)).toDF("u", "v")
+    val out = Components.jaccardLinkPrediction(edges, "u", "v", topN = 4)
+      .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
+    assert(out.toSeq === Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+  }
 }

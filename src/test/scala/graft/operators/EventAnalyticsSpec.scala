@@ -249,4 +249,37 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._1 === 2L && math.abs(got(1L)._2 - 1.5) < 1e-12)
     assert(got(2L)._1 === 1L && math.abs(got(2L)._2 - 0.25) < 1e-12)
   }
+
+  test("kaplanMeier: textbook small curve with censoring") {
+    val sp = spark; import sp.implicits._
+    // lifetimes: deaths at t=1 (×2), censored at t=2, death at t=3
+    // t=1: n=4, d=2 → S = 1/2
+    // t=2: censor only — no curve point, risk set drops to 1
+    // t=3: n=1, d=1 → S = 0 (terminal factor via the zero flag)
+    val lt = Seq((1L, false), (1L, false), (2L, true), (3L, false))
+      .toDF("t", "censored")
+    val out = EventAnalytics.kaplanMeier(lt, "t", "censored")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("survival"))).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L)._1 === 4L && out(1L)._2 === 2L && out(1L)._3 === 0L)
+    assert(math.abs(out(1L)._4 - 0.5) < 1e-12)
+    assert(out(3L)._1 === 1L && out(3L)._2 === 1L)
+    assert(out(3L)._4 === 0.0)
+  }
+
+  test("kaplanMeier: censoring shrinks risk sets without killing the curve") {
+    val sp = spark; import sp.implicits._
+    // same deaths, extra censored mass early: S at the death times must
+    // use the REDUCED risk sets, not the lifetime histogram
+    val lt = Seq((1L, true), (1L, true), (2L, false), (2L, false),
+      (4L, false)).toDF("t", "censored")
+    val out = EventAnalytics.kaplanMeier(lt, "t", "censored")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
+    // t=2: the two censored-at-1 rows have left the risk set → n=3,
+    // d=2 → S=1/3; t=4: n=1, d=1 → S=0
+    assert(math.abs(out(2L) - (1.0 / 3)) < 1e-12)
+    assert(out(4L) === 0.0)
+  }
 }

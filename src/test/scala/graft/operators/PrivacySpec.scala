@@ -120,4 +120,33 @@ class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("g2")._1 === 3L && out("g2")._2 === 1L)
     assert(math.abs(out("g2")._3 - 1.0) < 1e-12)
   }
+
+  test("tCloseness: hand-computed ordered EMD per class") {
+    val sp = spark; import sp.implicits._
+    // sensitive domain {1,2,3} (m=3); global q = (6/8, 1/8, 1/8)
+    val df = Seq(
+      ("gA", 1), ("gA", 1), ("gA", 2), ("gA", 3),
+      ("gB", 1), ("gB", 1), ("gB", 1), ("gB", 1)).toDF("qi", "s")
+    val out = Privacy.tCloseness(df, Seq("qi"), "s").collect()
+      .map(r => r.getAs[String]("qi") ->
+        (r.getAs[Long]("class_size"), r.getAs[Double]("t_emd"))).toMap
+    // global q = (6/8, 1/8, 1/8)
+    // gA p = (2/4, 1/4, 1/4): d=(-.25, .125, .125), cums=(-.25,-.125,0)
+    //   → EMD = (.25+.125+0)/2 = 0.1875
+    // gB p = (1,0,0): d=(.25,-.125,-.125), cums=(.25,.125,0)
+    //   → EMD = (.25+.125)/2 = 0.1875
+    assert(out("gA")._1 === 4L)
+    assert(math.abs(out("gA")._2 - 0.1875) < 1e-12)
+    assert(math.abs(out("gB")._2 - 0.1875) < 1e-12)
+  }
+
+  test("tCloseness: identical class distributions score zero") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 2),
+      ("b", 1), ("b", 2), ("b", 2)).toDF("qi", "s")
+    val out = Privacy.tCloseness(df, Seq("qi"), "s").collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(math.abs(r.getAs[Double]("t_emd")) < 1e-12))
+  }
 }

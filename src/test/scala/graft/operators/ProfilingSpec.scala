@@ -186,4 +186,51 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Double]("kappa")
     assert(math.abs(k0) < 1e-12)
   }
+
+  test("spearmanCorrelation: monotone ±1, hand-computed midrank ties") {
+    val sp = spark; import sp.implicits._
+    // strictly monotone (any monotone transform) → exactly +1
+    val mono = Seq((1.0, 10.0), (2.0, 100.0), (3.0, 1000.0), (4.0, 1e6))
+      .toDF("x", "y")
+    val rUp = Profiling.spearmanCorrelation(mono, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho")
+    assert(math.abs(rUp - 1.0) < 1e-12)
+    // strictly anti-monotone → exactly −1
+    val anti = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 2.0)).toDF("x", "y")
+    val rDn = Profiling.spearmanCorrelation(anti, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho")
+    assert(math.abs(rDn + 1.0) < 1e-12)
+    // tied x block takes the midrank: x=(1,2,2,3) → rx=(1,2.5,2.5,4);
+    // y=(1,2,3,4) → ry=(1,2,3,4); Pearson over those ranks = 0.9487…
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val rT = Profiling.spearmanCorrelation(tied, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho")
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val n = 4.0
+    val expected = (n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+      rx.sum * ry.sum) /
+      math.sqrt((n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+        (n * ry.map(a => a * a).sum - ry.sum * ry.sum))
+    assert(math.abs(rT - expected) < 1e-12)
+  }
+
+  test("giniCoefficient: uniform is 0, total concentration is (n-1)/n") {
+    val sp = spark; import sp.implicits._
+    val equal = Seq.fill(5)(7.0).toDF("v")
+    val g0 = Profiling.giniCoefficient(equal, "v")
+      .collect().head.getAs[Double]("gini")
+    assert(math.abs(g0) < 1e-12)
+    // one holder of everything: G = (n−1)/n = 0.75 for n=4
+    val conc = Seq(0.0, 0.0, 0.0, 100.0).toDF("v")
+    val row = Profiling.giniCoefficient(conc, "v").collect().head
+    assert(row.getAs[Long]("n") === 4L)
+    assert(math.abs(row.getAs[Double]("gini") - 0.75) < 1e-12)
+    // hand case with ties: v=(1,1,2,4): sorted Σi·x = 1+2+6+16 = 25,
+    // so G = 2·25/(4·8) − 5/4 = 0.3125
+    val hand = Seq(1.0, 1.0, 2.0, 4.0).toDF("v")
+    val gh = Profiling.giniCoefficient(hand, "v")
+      .collect().head.getAs[Double]("gini")
+    assert(math.abs(gh - 0.3125) < 1e-12)
+  }
 }
