@@ -776,24 +776,32 @@ object Components {
     var sym = canon
       .unionAll(canon.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    var deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    var done = false
+    var keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+      .localCheckpoint()
+    // fixpoint via the surviving-node COUNT (one cheap driver long per
+    // round, read off the checkpointed node relation): if a round
+    // removes nobody, the induced subgraph — and every degree in it —
+    // is already stable, so the peel is done without re-aggregating.
+    var alive = keep.count()
+    var done = alive == 0
     var it = 0
     while (!done && it < maxIterations) {
-      val keep = deg.where(col("deg") >= k).localCheckpoint()
       val next = sym
         .join(keep.select(col("u")), Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
-      val nextDeg = next.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      // one long to the driver per round: has any node fallen below k?
-      done = nextDeg.where(col("deg") < k).isEmpty
+      val nextKeep = next.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .localCheckpoint()
+      val nextAlive = nextKeep.count()
       sym = next
-      deg = nextDeg
+      keep = nextKeep
+      done = nextAlive == alive || nextAlive == 0
+      alive = nextAlive
       it += 1
     }
-    deg.where(col("deg") >= k)
-      .select(col("u").as("node"), col("deg").as("core_deg"))
+    keep.select(col("u").as("node"), col("deg").as("core_deg"))
   }
 
   /** Declared q153: the 80-core of the part co-occurrence graph (parts

@@ -506,35 +506,46 @@ object Profiling {
     * Pearson. Computed as Pearson over MIDRANKS (average rank across
     * ties), the standard tie-corrected estimator.
     *
-    * Scale shape: each column collapses to its (value → count) support
-    * in one hash aggregate — bounded by DISTINCT values, not rows —
-    * and midranks come from [[Relational.orderedPrefixSums]] over that
-    * support (range-partitioned above its small-support cutoff, so no
-    * single-partition window at any size). Rows then join their two
-    * midranks back by value (plain equi-joins; Spark broadcasts the
-    * small side itself) and one final aggregate emits the sufficient
-    * statistics. The correlation is closed-form from exact-ish double
-    * sums — the identical expression runs in the oracle, so the
-    * compare never rides on a library's corr() implementation.
+    * Scale shape: ONE hash aggregate collapses the table to its joint
+    * (x, y) → count support; marginal supports re-aggregate from it
+    * and midranks come from [[Relational.orderedPrefixSums]] over each
+    * (range-partitioned above its small-support cutoff, so no
+    * single-partition window at any size). The joint support joins its
+    * two midranks back by value (plain equi-joins at support scale;
+    * Spark broadcasts small sides itself) and one final aggregate
+    * emits count-weighted sufficient statistics. The correlation is
+    * closed-form from exact-ish double sums — the identical expression
+    * runs in the oracle, so the compare never rides on a library's
+    * corr() implementation.
     */
   def spearmanCorrelation(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
+    // ONE pass over the data: the joint (x, y) support. Marginal
+    // supports re-aggregate from it, and the sufficient statistics are
+    // pair-count-weighted sums over it — raw rows are never ranked or
+    // re-scanned (the first cut scanned the table three times and
+    // joined ranks onto every raw row; all cost past the joint
+    // aggregate is support-sized).
+    val joint = df.groupBy(col(xCol), col(yCol))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     def midranks(c: String): DataFrame = {
-      val sup = df.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      val sup = joint.groupBy(col(c)).agg(sum(col("__n")).as("__c"))
       Relational.orderedPrefixSums(sup, c, Seq("__k" -> col("__c")))
         .select(col(c),
           (col("__k") - col("__c") + (col("__c") + 1) / 2.0).as(s"__r_$c"))
     }
-    val ranked = df.select(col(xCol), col(yCol))
+    val ranked = joint
       .join(midranks(xCol), Seq(xCol))
       .join(midranks(yCol), Seq(yCol))
     val rx = col(s"__r_$xCol")
     val ry = col(s"__r_$yCol")
+    val w = col("__n").cast("double")
     val s = ranked.agg(
-      count(lit(1)).cast("double").as("__n"),
-      sum(rx).as("__sx"), sum(ry).as("__sy"),
-      sum(rx * ry).as("__sxy"),
-      sum(rx * rx).as("__sxx"), sum(ry * ry).as("__syy"))
+      sum(w).as("__n"),
+      sum(rx * w).as("__sx"), sum(ry * w).as("__sy"),
+      sum(rx * ry * w).as("__sxy"),
+      sum(rx * rx * w).as("__sxx"), sum(ry * ry * w).as("__syy"))
     s.select(col("__n").cast("long").as("n"),
       ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
         sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
