@@ -287,6 +287,18 @@ object SparkEntry {
     // graph mining: bounded-peel k-core, Jaccard link prediction
     "q153_kcore" -> (graft.operators.Components.q153KCore _),
     "q154_jaccard_links" -> (graft.operators.Components.q154JaccardLinks _),
+    // SCD Type-2 dimension history from the event stream
+    "q155_scd2" -> (graft.operators.EventAnalytics.q155Scd2 _),
+    // light suffix-stripping stem frequencies
+    "q156_stems" -> (TextAnalysis.q156Stems _),
+    // robust Theil–Sen trend of daily volume
+    "q157_theil_sen" -> (graft.operators.TimeSeries.q157TheilSen _),
+    // ε-DP Laplace count release (deterministic salted noise)
+    "q158_dp_release" -> (graft.operators.Privacy.q158DpRelease _),
+    // rank-sum ROC AUC on the prefix-sum scaffold
+    "q159_auc" -> (graft.operators.Profiling.q159Auc _),
+    // exact per-stratum deterministic sampling
+    "q160_stratified_sample" -> (graft.operators.CorpusOps.q160StratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,5 +462,11 @@ object SparkEntry {
     "q152_survival" -> graft.operators.EventAnalytics.q152Sql,
     "q153_kcore" -> graft.operators.Components.q153Sql,
     "q154_jaccard_links" -> graft.operators.Components.q154Sql,
+    "q155_scd2" -> graft.operators.EventAnalytics.q155Sql,
+    "q156_stems" -> TextAnalysis.q156Sql,
+    "q157_theil_sen" -> graft.operators.TimeSeries.q157Sql,
+    "q158_dp_release" -> graft.operators.Privacy.q158Sql,
+    "q159_auc" -> graft.operators.Profiling.q159Sql,
+    "q160_stratified_sample" -> graft.operators.CorpusOps.q160Sql,
   )
 }

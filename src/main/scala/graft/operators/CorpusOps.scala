@@ -929,4 +929,48 @@ object CorpusOps {
       |  FROM documents)
       |WHERE weight > 0
       |ORDER BY key DESC, doc_id LIMIT 200""".stripMargin
+
+  /** Deterministic proportional stratified sampling — exactly
+    * ⌈frac·n_h⌉ rows from every stratum, chosen by a salted md5 order
+    * (the q109 determinism scheme), so every stratum of a mixed corpus
+    * is represented at the same rate regardless of skew — the
+    * eval-slice / data-card sampler where uniform sampling would
+    * starve small sources.
+    *
+    * Scale shape: one shuffle on the stratum key; stratum sizes and
+    * ranks come from two window passes over that same partitioning
+    * (Catalyst plans one exchange + one sort). Exact per-stratum k
+    * requires the per-stratum rank — that sort is the price of
+    * exactness; when approximate rates suffice at extreme scale, the
+    * salted-hash THRESHOLD filter (keep iff u < frac — a pure
+    * projection, no shuffle at all) is the documented fallback with
+    * binomial rather than exact stratum counts.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      frac: Double, salt: String): DataFrame = {
+    val key = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    val cw = Window.partitionBy(col(stratumCol))
+    df.select(col(stratumCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nh", count(lit(1)).over(cw))
+      .where(col("__rn") <= ceil(col("__nh") * lit(frac)))
+      .select(col(stratumCol), col(idCol))
+  }
+
+  /** Declared q160: 20% per-source stratified sample of the corpus. */
+  def q160StratifiedSample(spark: SparkSession, d: String): DataFrame =
+    stratifiedSample(graft.core.Tables.documents(spark, d),
+      "source", "doc_id", frac = 0.2, salt = "strat")
+
+  val q160Sql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('strat' || '|' || CAST(doc_id AS VARCHAR)),
+      |        doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS nh
+      |  FROM documents)
+      |SELECT source, doc_id FROM r
+      |WHERE rn <= ceil(nh * 0.2)""".stripMargin
 }

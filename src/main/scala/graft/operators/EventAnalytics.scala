@@ -682,6 +682,61 @@ object EventAnalytics {
       |  CASE WHEN cz > 0 THEN 0.0 ELSE exp(cl) END AS survival
       |FROM s WHERE d > 0""".stripMargin
 
+  /** Slowly-changing-dimension Type 2 history build from an event
+    * stream — collapse each key's attribute timeline into validity
+    * intervals (valid_from, valid_to, is_current), the warehouse
+    * dimension-table shape every CDC/ELT stack maintains. Consecutive
+    * equal values merge into one interval; each change closes the
+    * previous interval at the new value's start (end-exclusive).
+    *
+    * Scale shape: ONE shuffle on the key; both windows (change-point
+    * lag, interval-close lead) and the change-point filter run on that
+    * same (key, time) sort order, so Catalyst plans a single exchange
+    * and a single sort — no per-key arrays, no join. State per row is
+    * one lag/lead value.
+    */
+  def scdType2(events: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .where(col("__prev").isNull || col(attrCol) =!= col("__prev"))
+    changes
+      .withColumn("valid_to_us", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Declared q155: SCD2 history of each user's event_type "state"
+    * (runs of equal consecutive types become validity intervals).
+    */
+  def q155Scd2(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+    scdType2(e, "user_id", "event_type", "us", "event_id")
+  }
+
+  val q155Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+      |    event_id
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER w AS prev
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY valid_from_us, event_id)),
+      |ch AS (
+      |  SELECT user_id, event_type, valid_from_us, event_id
+      |  FROM c WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER w AS valid_to_us,
+      |  lead(valid_from_us) OVER w IS NULL AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)""".stripMargin
+
   val q108Sql: String =
     """WITH c AS (
       |  SELECT event_type,

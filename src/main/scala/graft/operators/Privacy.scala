@@ -315,4 +315,56 @@ object Privacy {
       |    AS risk_frac,
       |  CAST(min(sz) AS BIGINT) AS min_class_size
       |FROM cls""".stripMargin
+
+  /** Differentially-private count release — per-group counts with
+    * Laplace(1/ε) noise, the standard ε-DP mechanism for publishing a
+    * histogram (event volumes, cohort sizes) without exposing any
+    * individual's presence. Noise is DERIVED from an md5 of the group
+    * key + salt (the repo's determinism scheme, q109/q133): the
+    * release is reproducible and the oracle adds bit-identical noise —
+    * production would swap the salt per release epoch.
+    *
+    * Inverse-CDF sampling: u ~ U(0,1) from 60 hash bits, c = u − ½,
+    * noise = −(1/ε)·sign(c)·ln(1 − 2|c|).
+    *
+    * Scale shape: one map-combined hash aggregate, then a pure
+    * projection (md5 + ln) over the domain-bounded group relation.
+    */
+  def dpNoisedCounts(df: DataFrame, keyCols: Seq[String],
+      epsilon: Double, salt: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one grouping column")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val h = md5(concat_ws("|",
+      lit(salt) +: keyCols.map(c => col(c).cast("string")): _*))
+    val u = graft.functions.GraftFunctions.hexLong(substring(h, 1, 15))
+      .cast("double") / lit(1152921504606846976.0)
+    val c = u - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(c) *
+      log(lit(1.0) - lit(2.0) * abs(c))
+    counts.withColumn("n_noised", col("n") + noise)
+  }
+
+  /** Declared q158: ε=1 DP release of (event_type, day) volumes. */
+  def q158DpRelease(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    dpNoisedCounts(e, Seq("event_type", "day"), epsilon = 1.0, salt = "dp")
+  }
+
+  val q158Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT event_type, day, n,
+      |    ('0x' || substring(md5('dp' || '|' || event_type || '|' ||
+      |       CAST(day AS VARCHAR)), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 - 0.5 AS c
+      |  FROM g)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      |  CAST(n AS BIGINT) AS n,
+      |  n + (-1.0) * sign(c) * ln(1 - 2 * abs(c)) AS n_noised
+      |FROM u""".stripMargin
 }

@@ -671,4 +671,61 @@ object Profiling {
       |        + ((n_both_neg + n_only_b) / CAST(n AS DOUBLE))
       |          * ((n_both_neg + n_only_a) / CAST(n AS DOUBLE)))) AS kappa
       |FROM cells""".stripMargin
+
+  /** ROC AUC of a numeric score against a boolean label via the
+    * rank-sum (Mann–Whitney) identity with midrank ties:
+    * AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₀) — the
+    * probability-a-random-positive-outranks-a-random-negative reading
+    * of classifier quality, computed exactly without sorting rows.
+    *
+    * Scale shape: one hash aggregate to the (score → positives, total)
+    * support, cumulative counts from [[Relational.orderedPrefixSums]],
+    * one 1-row final aggregate — the q123 Mann–Whitney scaffold
+    * re-pointed at classifier evaluation.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val sup = df
+      .groupBy(col(scoreCol).cast("double").as("__v"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__c"))
+    val k = Relational.orderedPrefixSums(sup, "__v", Seq("__k" -> col("__c")))
+    val midrank = col("__k") - col("__c") + (col("__c") + 1) / 2.0
+    k.agg(
+        sum(col("__p")).cast("double").as("__n1"),
+        max(col("__k_total")).as("__n"),
+        sum(col("__p") * midrank).as("__r1"))
+      .select(col("__n1").cast("long").as("n_pos"),
+        (col("__n") - col("__n1")).cast("long").as("n_neg"),
+        ((col("__r1") - col("__n1") * (col("__n1") + 1) / 2.0) /
+          (col("__n1") * (col("__n") - col("__n1")))).as("auc"))
+  }
+
+  /** Declared q159: does event value separate purchases from the rest? */
+  def q159Auc(spark: SparkSession, d: String): DataFrame =
+    rocAuc(Tables.events(spark, d).where(col("value").isNotNull),
+      "value", col("event_type") === "purchase")
+
+  val q159Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(value AS DOUBLE) AS v,
+      |    event_type = 'purchase' AS lab
+      |  FROM events WHERE value IS NOT NULL),
+      |sup AS (
+      |  SELECT v, sum(CASE WHEN lab THEN 1 ELSE 0 END) AS p,
+      |    count(*) AS c
+      |  FROM e GROUP BY 1),
+      |k AS (
+      |  SELECT v, p, c,
+      |    CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS kk
+      |  FROM sup),
+      |s AS (
+      |  SELECT CAST(sum(p) AS DOUBLE) AS n1,
+      |    CAST((SELECT sum(c) FROM sup) AS DOUBLE) AS n,
+      |    sum(p * (kk - c + (c + 1) / 2.0)) AS r1
+      |  FROM k)
+      |SELECT CAST(n1 AS BIGINT) AS n_pos,
+      |  CAST(n - n1 AS BIGINT) AS n_neg,
+      |  (r1 - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)) AS auc
+      |FROM s""".stripMargin
 }

@@ -1155,4 +1155,96 @@ object TextAnalysis {
        |        / len(string_split(text, ' '))) - 15.59 AS fk_grade
        |FROM planted""".stripMargin
   }
+
+  /** Light suffix-stripping stemmer (Porter step 1a + the high-yield
+    * -ing/-ed rules): collapses inflected forms so frequency-based
+    * corpus analyses (vocabulary growth, topic keywords, dedup
+    * shingles) count "model/models/modeling" as one lexeme. Rules are
+    * deliberately closed-form — ordered suffix tests plus a
+    * contains-a-vowel guard — so the IDENTICAL rule chain runs as a
+    * codegen `CASE` on both engines; this is a deterministic text
+    * normalizer, not a linguistics engine.
+    */
+  def stemLight(t: Column): Column = {
+    val len = length(t)
+    // step 1a: plural stripping (ordered: sses > ies > ss > s)
+    val u = when(t.endsWith("sses"), t.substr(lit(1), len - 2))
+      .when(t.endsWith("ies"), t.substr(lit(1), len - 2))
+      .when(t.endsWith("ss"), t)
+      .when(t.endsWith("s") && len > 3, t.substr(lit(1), len - 1))
+      .otherwise(t)
+    val ulen = length(u)
+    // -ing / -ed strip only when a vowel remains in the stem (keeps
+    // "string"-like monosyllables from collapsing to consonant husks)
+    when(u.endsWith("ing") && ulen > 5 &&
+        u.substr(lit(1), ulen - 3).rlike("[aeiou]"),
+        u.substr(lit(1), ulen - 3))
+      .when(u.endsWith("ed") && ulen > 4 &&
+        u.substr(lit(1), ulen - 2).rlike("[aeiou]"),
+        u.substr(lit(1), ulen - 2))
+      .otherwise(u)
+  }
+
+  /** Stem frequency table over a corpus: lowercase alphabetic tokens
+    * through [[stemLight]], counted, top-`topN` by (count, stem).
+    * One explode + one vocabulary-keyed aggregate + a
+    * TakeOrderedAndProject — the q84/TF-IDF scale shape.
+    */
+  def stemFrequencies(docs: DataFrame, textCol: String,
+      topN: Int = 100): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), " ")).as("__t"))
+      .where(col("__t").rlike("^[a-z]+$"))
+      .select(stemLight(col("__t")).as("stem"))
+      .groupBy(col("stem")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("stem"))
+      .limit(topN)
+
+  /** Inflection probe planted into every document by the DECLARED
+    * q156 (the q60 plant convention — the synthetic fixture vocabulary
+    * has zero inflected forms, so without it the oracle would never
+    * execute a single rule branch). One word per branch: sses→ss
+    * (merging with the planted bare "stress"), ies→i, ss-unchanged,
+    * s-drop, the s length guard ("gas"), ing-strip, the ing vowel
+    * guard ("string"), ed-strip, and both ed length/vowel guards.
+    */
+  val StemProbe: String = "stress stresses ponies glass cats gas " +
+    "modeling string modeled red deed speed"
+
+  /** Declared q156: top-100 stems of the corpus with [[StemProbe]]
+    * appended to every document.
+    */
+  def q156Stems(spark: SparkSession, d: String): DataFrame =
+    stemFrequencies(
+      Tables.documents(spark, d)
+        .select(concat(col("text"), lit(" " + StemProbe)).as("text")),
+      "text", topN = 100)
+
+  val q156Sql: String =
+    s"""WITH tk AS (
+      |  SELECT lower(unnest(string_split(text || ' $StemProbe', ' ')))
+      |    AS t
+      |  FROM documents),
+      |a AS (SELECT t FROM tk WHERE regexp_matches(t, '^[a-z]+$$')),
+      |s1 AS (
+      |  SELECT CASE
+      |    WHEN t LIKE '%sses' THEN left(t, length(t) - 2)
+      |    WHEN t LIKE '%ies' THEN left(t, length(t) - 2)
+      |    WHEN t LIKE '%ss' THEN t
+      |    WHEN t LIKE '%s' AND length(t) > 3 THEN left(t, length(t) - 1)
+      |    ELSE t END AS u
+      |  FROM a),
+      |s2 AS (
+      |  SELECT CASE
+      |    WHEN u LIKE '%ing' AND length(u) > 5
+      |      AND regexp_matches(left(u, length(u) - 3), '[aeiou]')
+      |      THEN left(u, length(u) - 3)
+      |    WHEN u LIKE '%ed' AND length(u) > 4
+      |      AND regexp_matches(left(u, length(u) - 2), '[aeiou]')
+      |      THEN left(u, length(u) - 2)
+      |    ELSE u END AS stem
+      |  FROM s1)
+      |SELECT stem, CAST(count(*) AS BIGINT) AS n
+      |FROM s2 GROUP BY 1
+      |ORDER BY n DESC, stem LIMIT 100""".stripMargin
 }

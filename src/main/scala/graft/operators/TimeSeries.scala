@@ -217,4 +217,61 @@ object TimeSeries {
       |  CAST(tr.n AS BIGINT) AS n, tr.trend, seas.seasonal,
       |  tr.n - tr.trend - seas.seasonal AS residual
       |FROM tr LEFT JOIN seas USING (dow)""".stripMargin
+
+  /** Theil–Sen robust trend of the daily volume series — the
+    * outlier-immune complement to q117's least-squares: slope = median
+    * of all pairwise day-to-day slopes (breakdown point ~29%, so a
+    * burst of crawler spam days cannot drag the trend), intercept =
+    * median residual at that slope.
+    *
+    * Scale shape: the all-pairs slope relation is quadratic ONLY in
+    * the calendar-bounded daily series (a decade is ~3.6k days →
+    * ~6.6M pairs, constant w.r.t. event volume); the raw table is
+    * touched once by [[dailyCounts]]. Both medians are interpolated
+    * percentiles — identical linear-interpolation semantics on both
+    * engines.
+    *
+    * @return one row: n_days, n_pairs, slope, intercept
+    */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    // three consumers of the daily series (two pair legs + residuals)
+    val daily = dailyCounts(events).localCheckpoint()
+    val a = daily.select(col("day").as("xi"), col("n").as("yi"))
+    val b = daily.select(col("day").as("xj"), col("n").as("yj"))
+    val slopes = a.join(b, col("xi") < col("xj"))
+      .select(((col("yj") - col("yi")) /
+        (col("xj") - col("xi")).cast("double")).as("slope"))
+    val m = slopes.agg(
+      percentile(col("slope"), lit(0.5)).as("slope"),
+      count(lit(1)).as("n_pairs"))
+    daily.crossJoin(broadcast(m))
+      .select(col("day"), col("n"), col("slope"), col("n_pairs"),
+        (col("n") - col("slope") * col("day")).as("__r"))
+      .agg(count(lit(1)).as("n_days"), max(col("n_pairs")).as("n_pairs"),
+        max(col("slope")).as("slope"),
+        percentile(col("__r"), lit(0.5)).as("intercept"))
+  }
+
+  /** Declared q157: Theil–Sen trend of daily event volume. */
+  def q157TheilSen(spark: SparkSession, d: String): DataFrame =
+    theilSenTrend(graft.core.Tables.events(spark, d))
+
+  val q157Sql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT (b.n - a.n) / CAST(b.day - a.day AS DOUBLE) AS slope
+      |  FROM d a JOIN d b ON a.day < b.day),
+      |m AS (
+      |  SELECT quantile_cont(slope, 0.5) AS slope, count(*) AS n_pairs
+      |  FROM p),
+      |r AS (
+      |  SELECT d.n - m.slope * d.day AS resid, m.slope, m.n_pairs
+      |  FROM d CROSS JOIN m)
+      |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+      |  CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+      |  max(slope) AS slope,
+      |  quantile_cont(resid, 0.5) AS intercept
+      |FROM r""".stripMargin
 }

@@ -451,4 +451,31 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again === r10)
   }
+
+  test("stratifiedSample: exact ceil(frac*n_h) per stratum, deterministic, subset") {
+    val sp = spark; import sp.implicits._
+    // strata of very different sizes: 50 / 10 / 3
+    val rows = ((1 to 50).map(i => ("big", i.toLong)) ++
+      (1 to 10).map(i => ("mid", 100L + i)) ++
+      (1 to 3).map(i => ("tiny", 200L + i))).toDF("source", "doc_id")
+    val s = CorpusOps.stratifiedSample(rows, "source", "doc_id", 0.2, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = s.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc === Map("big" -> 10, "mid" -> 2, "tiny" -> 1))
+    // all sampled ids exist in the input
+    assert(s.forall { case (src, id) => src match {
+      case "big" => id >= 1 && id <= 50
+      case "mid" => id > 100 && id <= 110
+      case _ => id > 200 && id <= 203
+    }})
+    // pure function of (salt, id): stable resample
+    val again = CorpusOps.stratifiedSample(rows, "source", "doc_id", 0.2, "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.sorted.toSeq === s.sorted.toSeq)
+    // different salt draws a (very likely) different big-stratum set,
+    // but always the same exact count
+    val other = CorpusOps.stratifiedSample(rows, "source", "doc_id", 0.2, "u")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(other.count(_._1 == "big") === 10)
+  }
 }

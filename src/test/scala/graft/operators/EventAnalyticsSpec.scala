@@ -282,4 +282,31 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(2L) - (1.0 / 3)) < 1e-12)
     assert(out(4L) === 0.0)
   }
+
+  test("scdType2: runs collapse to intervals, end-exclusive close, open current") {
+    val sp = spark; import sp.implicits._
+    // user 1: A A B A — three intervals; user 2: single open interval
+    val e = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L),
+      (2L, "X", 5L, 5L)).toDF("user_id", "attr", "us", "event_id")
+    val out = EventAnalytics.scdType2(e, "user_id", "attr", "us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
+  test("scdType2: equal-timestamp changes order by the tiebreak column") {
+    val sp = spark; import sp.implicits._
+    val e = Seq((1L, "A", 10L, 1L), (1L, "B", 10L, 2L))
+      .toDF("user_id", "attr", "us", "event_id")
+    val out = EventAnalytics.scdType2(e, "user_id", "attr", "us", "event_id")
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSet
+    assert(out === Set(("A", false), ("B", true)))
+  }
 }

@@ -149,4 +149,32 @@ class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 2)
     out.foreach(r => assert(math.abs(r.getAs[Double]("t_emd")) < 1e-12))
   }
+
+  test("dpNoisedCounts: exact counts preserved, noise deterministic and Laplace-shaped") {
+    val sp = spark; import sp.implicits._
+    val df = (1 to 40).map(i => ("g" + (i % 4), i)).toDF("g", "x")
+    val rel = Privacy.dpNoisedCounts(df, Seq("g"), epsilon = 1.0, salt = "s")
+    val out = rel.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set("g0", "g1", "g2", "g3"))
+    assert(out.values.forall(_._1 === 10L))
+    // reproducible: the identical salted release
+    val again = Privacy.dpNoisedCounts(df, Seq("g"), 1.0, "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out.foreach { case (g, (_, v)) => assert(again(g) === v) }
+    // replicate the inverse-CDF arithmetic from first principles
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (g, (n, noised)) =>
+      val hex = md.digest(s"s|$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / (1L << 60)
+      val c = u - 0.5
+      val want = n + -1.0 * math.signum(c) * math.log(1 - 2 * math.abs(c))
+      assert(math.abs(noised - want) < 1e-9, s"group $g")
+    }
+    // a different salt is a different release
+    val resalted = Privacy.dpNoisedCounts(df, Seq("g"), 1.0, "s2").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.exists { case (g, (_, v)) => resalted(g) != v })
+  }
 }

@@ -233,4 +233,33 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Double]("gini")
     assert(math.abs(gh - 0.3125) < 1e-12)
   }
+
+  test("rocAuc: perfect separation 1, reversed 0, all-tied 0.5, hand midranks") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val a1 = Profiling.rocAuc(perfect, "s", col("y"))
+      .collect().head
+    assert(a1.getAs[Long]("n_pos") === 2L && a1.getAs[Long]("n_neg") === 2L)
+    assert(math.abs(a1.getAs[Double]("auc") - 1.0) < 1e-12)
+    val reversed = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("s", "y")
+    val a0 = Profiling.rocAuc(reversed, "s", col("y"))
+      .collect().head.getAs[Double]("auc")
+    assert(math.abs(a0) < 1e-12)
+    // one constant score: every comparison is a tie → exactly 1/2
+    val tied = Seq((7.0, true), (7.0, false), (7.0, true), (7.0, false))
+      .toDF("s", "y")
+    val at = Profiling.rocAuc(tied, "s", col("y"))
+      .collect().head.getAs[Double]("auc")
+    assert(math.abs(at - 0.5) < 1e-12)
+    // hand case with a cross-class tie at 2.0: positives {2,3}, negs
+    // {1,2}; pairs: (2>1)=1, (2~2)=.5, (3>1)=1, (3>2)=1 → AUC 3.5/4
+    val hand = Seq((1.0, false), (2.0, false), (2.0, true), (3.0, true))
+      .toDF("s", "y")
+    val ah = Profiling.rocAuc(hand, "s", col("y"))
+      .collect().head.getAs[Double]("auc")
+    assert(math.abs(ah - 0.875) < 1e-12)
+  }
 }

@@ -242,4 +242,29 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Int]("n_sentences") === 1)
     assert(r2.getAs[Int]("n_syllables") === 3)
   }
+
+  test("stemLight: every rule branch and its guards") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      "stresses" -> "stress", // sses → ss
+      "ponies" -> "poni",     // ies → i
+      "glass" -> "glass",     // ss unchanged
+      "cats" -> "cat",        // s-drop
+      "gas" -> "gas",         // s-drop length guard (≤3 keeps s)
+      "modeling" -> "model",  // ing-strip
+      "string" -> "string",   // ing vowel guard (str has no vowel)
+      "modeled" -> "model",   // ed-strip (after s-rules no-op)
+      "red" -> "red",         // ed length guard
+      "deed" -> "deed",       // ed length guard boundary (len 4)
+      "speed" -> "spe",       // ed-strip at len 5 with vowel stem
+      "plain" -> "plain")     // no rule fires
+    val got = cases.map(_._1).toDF("t")
+      .select(org.apache.spark.sql.functions.col("t"),
+        TextAnalysis.stemLight(org.apache.spark.sql.functions.col("t"))
+          .as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"stem($in)")
+    }
+  }
 }

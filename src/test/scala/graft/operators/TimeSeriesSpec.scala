@@ -96,4 +96,20 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = TimeSeries.seasonalDecompose(e).collect()
     assert(rows.forall(_.isNullAt(rows.head.fieldIndex("trend"))))
   }
+
+  test("theilSenTrend: exact slope on a linear series, immune to an outlier day") {
+    // days 0..9 with n = 100 + 3·day → every pairwise slope is 3
+    val lin = eventsFor((0L to 9L).map(d => d -> (100 + 3 * d).toInt))
+    val r = TimeSeries.theilSenTrend(lin).collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(r.getAs[Long]("n_pairs") === 45L)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 100.0) < 1e-9)
+    // one 10x spam day: median of pairwise slopes stays 3 where OLS
+    // would be dragged far off
+    val spam = eventsFor((0L to 9L).map(d =>
+      d -> (if (d == 5L) 1030 else (100 + 3 * d).toInt)))
+    val r2 = TimeSeries.theilSenTrend(spam).collect().head
+    assert(math.abs(r2.getAs[Double]("slope") - 3.0) < 1e-9)
+  }
 }
