@@ -299,6 +299,11 @@ object SparkEntry {
     "q159_auc" -> (graft.operators.Profiling.q159Auc _),
     // exact per-stratum deterministic sampling
     "q160_stratified_sample" -> (graft.operators.CorpusOps.q160StratifiedSample _),
+    // embedding clustering: label silhouette, spherical k-means
+    "q161_silhouette" -> (graft.operators.Clustering.q161Silhouette _),
+    "q162_kmeans" -> (graft.operators.Clustering.q162KMeans _),
+    // HITS hubs/authorities on the directed counterparty graph
+    "q163_hits" -> (graft.operators.Components.q163Hits _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,5 +473,8 @@ object SparkEntry {
     "q158_dp_release" -> graft.operators.Privacy.q158Sql,
     "q159_auc" -> graft.operators.Profiling.q159Sql,
     "q160_stratified_sample" -> graft.operators.CorpusOps.q160Sql,
+    "q161_silhouette" -> graft.operators.Clustering.q161Sql,
+    "q162_kmeans" -> graft.operators.Clustering.q162Sql,
+    "q163_hits" -> graft.operators.Components.q163Sql,
   )
 }

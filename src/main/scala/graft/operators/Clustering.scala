@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{GraftFunctions, VectorAvg}
+
+/** Embedding-space clustering diagnostics and clustering itself —
+  * label-quality scoring (silhouette) and spherical k-means over an
+  * `array<float>` column. Reference scope: the reference repo has no
+  * vector surface (SURVEY.md §2.E); these extend the mandated
+  * similarity-search family (E14) with the training-data curation
+  * steps that FOLLOW nearest-neighbor search: does a labeling carve
+  * the space well, and what are the corpus's natural centers.
+  *
+  * Shared scale shape: k (or |labels|) is small; every per-point step
+  * is a broadcast cross join against the centroid relation with the
+  * codegen `cosine_similarity` kernel inside — one pass over the
+  * points per round, no point×point pair ever materializes, no
+  * driver-side vector math. Centroids come from the [[VectorAvg]]
+  * UDAF, whose float32 `finish` also pins cross-engine numerics: the
+  * oracle recomputes the same float-rounded centroids, so cosine
+  * comparisons never ride on double summation order.
+  */
+object Clustering {
+
+  /** Simplified (centroid-based) silhouette with cosine distance —
+    * the label-quality score: a = distance to own label's centroid,
+    * b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) averaged per label. The classic
+    * all-pairs silhouette is O(n²); the centroid form is the standard
+    * linear-cost variant and is what scales to a corpus.
+    *
+    * @return per label: label, n, avg_silhouette
+    */
+  def cosineSilhouette(points: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    val centroids = points.groupBy(col(labelCol).as("__clabel"))
+      .agg(VectorAvg.of(dim)(col(vecCol)).as("__centroid"))
+    val d = points
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col(labelCol), col("__clabel"),
+        (lit(1.0) - GraftFunctions.cosineSimilarity(col(vecCol),
+          col("__centroid"))).as("__dist"))
+    val ab = d.groupBy(col(idCol), col(labelCol)).agg(
+      max(when(col("__clabel") === col(labelCol), col("__dist"))).as("__a"),
+      min(when(col("__clabel") =!= col(labelCol), col("__dist"))).as("__b"))
+    ab.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"),
+        avg(when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(0.0)).as("avg_silhouette"))
+  }
+
+  /** Declared q161: silhouette of the fixture's 10-way labeling. */
+  def q161Silhouette(spark: SparkSession, d: String): DataFrame =
+    cosineSilhouette(Tables.embeddings(spark, d),
+      "vec_id", "embedding", "label", dim = 64)
+
+  /** The cosine expression both q161/q162 oracles share (point list
+    * `p`, centroid list already double).
+    */
+  private def sqlCos(p: String, c: String): String =
+    s"""list_dot_product(list_transform($p, x -> CAST(x AS DOUBLE)), $c)
+       |     / (sqrt(list_dot_product(list_transform($p, x -> CAST(x AS DOUBLE)),
+       |                              list_transform($p, x -> CAST(x AS DOUBLE))))
+       |        * sqrt(list_dot_product($c, $c)))""".stripMargin
+
+  val q161Sql: String = {
+    val cos = sqlCos("p.embedding", "c.centroid")
+    s"""WITH dims AS (
+       |  SELECT label, i,
+       |    CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS c
+       |  FROM embeddings, generate_series(1, 64) t(i)
+       |  GROUP BY label, i),
+       |cent AS (
+       |  SELECT label AS clabel, list(CAST(c AS DOUBLE) ORDER BY i)
+       |    AS centroid
+       |  FROM dims GROUP BY label),
+       |d AS (
+       |  SELECT p.vec_id, p.label, c.clabel,
+       |    1.0 - $cos AS dist
+       |  FROM embeddings p CROSS JOIN cent c),
+       |ab AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN clabel = label THEN dist END) AS a,
+       |    min(CASE WHEN clabel <> label THEN dist END) AS b
+       |  FROM d GROUP BY 1, 2)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |  avg(CASE WHEN greatest(a, b) > 0
+       |        THEN (b - a) / greatest(a, b) ELSE 0.0 END)
+       |    AS avg_silhouette
+       |FROM ab GROUP BY label""".stripMargin
+  }
+
+  /** Spherical k-means (Lloyd iterations with cosine assignment) —
+    * the corpus-structure primitive behind IVF index builds, topic
+    * discovery, and diversity-aware sampling. Seeds are the k
+    * lowest-id points (deterministic, no RNG); each round assigns
+    * every point to its most-cosine-similar centroid (ties broken by
+    * cluster id) and recomputes float-rounded centroids. A cluster
+    * that loses every point drops out — both engines replay the same
+    * rule, so the bounded unroll stays exact.
+    *
+    * @return per surviving cluster: cluster, n_points, avg_cos (the
+    *         spherical analogue of inertia)
+    */
+  def sphericalKMeans(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, dim: Int): DataFrame = {
+    var centroids = points.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("__cluster"),
+        col(vecCol).as("__centroid"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    val byPoint = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__cluster"))
+    for (_ <- 1 to iterations) {
+      assign = points.crossJoin(broadcast(centroids))
+        .withColumn("__cos",
+          GraftFunctions.cosineSimilarity(col(vecCol), col("__centroid")))
+        .withColumn("__rk", row_number().over(byPoint))
+        .where(col("__rk") === 1)
+      centroids = assign.groupBy(col("__cluster"))
+        .agg(VectorAvg.of(dim)(col(vecCol)).as("__centroid"))
+        .localCheckpoint()
+    }
+    assign.groupBy(col("__cluster").as("cluster"))
+      .agg(count(lit(1)).as("n_points"), avg(col("__cos")).as("avg_cos"))
+  }
+
+  /** Declared q162: 8-way spherical k-means, 3 Lloyd rounds. */
+  def q162KMeans(spark: SparkSession, d: String): DataFrame =
+    sphericalKMeans(Tables.embeddings(spark, d),
+      "vec_id", "embedding", k = 8, iterations = 3, dim = 64)
+
+  val q162Sql: String = {
+    val base =
+      """WITH c0 AS MATERIALIZED (
+        |  SELECT CAST(vec_id AS BIGINT) AS cluster,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
+    val iters = (1 to 3).map { i =>
+      val cos = sqlCos("p.embedding", "c.centroid")
+      s"""a$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.embedding, c.cluster, $cos AS cos
+         |  FROM embeddings p CROSS JOIN c${i - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY cos DESC, c.cluster) = 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT cluster, i,
+         |    CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS c
+         |  FROM a$i, generate_series(1, 64) t(i)
+         |  GROUP BY cluster, i),
+         |c$i AS MATERIALIZED (
+         |  SELECT cluster, list(CAST(c AS DOUBLE) ORDER BY i) AS centroid
+         |  FROM d$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+       |  avg(cos) AS avg_cos
+       |FROM a3 GROUP BY cluster""".stripMargin
+  }
+}

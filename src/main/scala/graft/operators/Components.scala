@@ -748,6 +748,116 @@ object Components {
       |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
       |FROM n GROUP BY node""".stripMargin
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) on a DIRECTED
+    * graph: authority(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v)
+    * over out-edges, L1-normalized each half-step — the
+    * endorsement-flow dual to [[pageRank]] (a good hub points at good
+    * authorities; natural fit for bipartite buyer→supplier /
+    * page→cited-source graphs where a single PageRank score conflates
+    * the two roles).
+    *
+    * Scale shape: identical to [[pageRank]] — the edge relation
+    * builds once, hash-partitioned and checkpointed; each half-step
+    * is one node-keyed join + grouped sum. The L1 scale is DEFERRED
+    * to one final broadcast-normalized projection per role: raw
+    * power-iteration magnitudes grow like d̄^(2·iterations), which
+    * doubles never overflow and whose relative precision is constant,
+    * so per-step normalization would buy nothing but 2×iterations
+    * extra jobs (deferring it plus the broadcast-hinted loop measured
+    * 6.1 s → 4.0 s at sf0.1; the residual is the 2-joins-per-iteration
+    * scheduled-job floor adjudicated for the whole iterative family).
+    * Score relations take LAZY per-half-step checkpoints (node-sized
+    * state, O(1) lineage — the [[connectedComponents]] discipline; an
+    * uncheckpointed chain is a 2^iterations PLANNER blow-up, not a
+    * data cost). Fixed iteration count keeps engine and oracle
+    * bit-comparable.
+    *
+    * @return one row per node that holds score mass: (role, node,
+    *         score) with role ∈ {hub, authority}, each role L1-normalized
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    def l1(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(c)).as("__t"))))
+        .select(df.columns.filter(_ != c).map(col) :+
+          (col(c) / col("__t")).as(c): _*)
+    var h = e.select(col("src")).distinct().withColumn("h", lit(1.0))
+      .localCheckpoint()
+    // measured strategy select (the q81/q104 discipline): both score
+    // relations are node-sized and the hub side is COUNTED, so when it
+    // fits an executor the per-half-step joins carry broadcast hints
+    // and AQE is off for the loop — the edge relation never shuffles,
+    // only the inherent grouped sums do. Past the bound: no hint, AQE
+    // on — the 100 TB path.
+    val spark = edges.sparkSession
+    val hint = h.count() <= 4000000L
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if (hint) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    var a: DataFrame = null
+    try for (_ <- 1 to iterations) {
+      a = e.join(if (hint) broadcast(h) else h, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(false)
+      // LAZY checkpoints: each half-step materializes exactly once,
+      // inside the next half-step's broadcast build, keeping lineage
+      // O(1) (an uncheckpointed chain is a 2^iterations planner
+      // blow-up through the final l1's double reference)
+      h = e.join(if (hint) broadcast(a) else a, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(false)
+    } finally if (hint) spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    l1(h, "h").select(lit("hub").as("role"), col("src").as("node"),
+        col("h").as("score"))
+      .unionAll(l1(a, "a").select(lit("authority").as("role"),
+        col("dst").as("node"), col("a").as("score")))
+  }
+
+  /** Declared q163: HITS over the directed customer→supplier
+    * counterparty graph (q81's edges kept directed) — hubs are
+    * broad-reach buyers, authorities widely-bought-from suppliers.
+    */
+  def q163Hits(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    hits(edges, "src", "dst", iterations = 8)
+  }
+
+  val q163Sql: String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_totalprice > 150000),
+        |h0 AS MATERIALIZED (
+        |  SELECT DISTINCT src, CAST(1.0 AS DOUBLE) AS h FROM e)""".stripMargin
+    val iters = (1 to 8).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT e.dst, sum(h.h) AS a
+         |  FROM e JOIN h${i - 1} h ON h.src = e.src GROUP BY e.dst),
+         |h$i AS MATERIALIZED (
+         |  SELECT e.src, sum(a.a) AS h
+         |  FROM e JOIN a$i a ON a.dst = e.dst GROUP BY e.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT 'hub' AS role, src AS node,
+       |  h / (SELECT sum(h) FROM h8) AS score FROM h8
+       |UNION ALL
+       |SELECT 'authority' AS role, dst AS node,
+       |  a / (SELECT sum(a) FROM a8) AS score FROM a8""".stripMargin
+  }
+
   /** k-core decomposition membership: iteratively peel nodes of
     * degree < k until the subgraph induced on survivors is stable —
     * the classic dense-subgraph / spam-farm / community-nucleus

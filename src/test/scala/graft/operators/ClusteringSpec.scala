@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession
+
+/** Embedding clustering semantics on planted geometry — the oracles
+  * (q161/q162) prove cross-engine equality on the fixture; these pin
+  * the geometric behavior the fixture can't assert (separation ⇒
+  * silhouette near 1, k-means recovering planted clusters, empty-
+  * cluster drop, determinism).
+  */
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local("clustering-spec", cores = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // three well-separated directions in 4-d, n points each around axis
+  private def planted(n: Int): Seq[(Long, Seq[Float], Int)] = {
+    val axes = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    for (i <- 0 until (3 * n)) yield {
+      val lab = i % 3
+      val base = axes(lab)
+      // small deterministic wobble in the last coordinate
+      val wob = 0.01f * ((i / 3) % 5)
+      (i.toLong, base.init :+ wob, lab)
+    }
+  }
+
+  test("cosineSilhouette: separated labels near 1, scrambled labels poor") {
+    val sp = spark; import sp.implicits._
+    val good = planted(12).toDF("vec_id", "embedding", "label")
+    val sGood = Clustering.cosineSilhouette(good, "vec_id", "embedding",
+      "label", dim = 4).collect()
+    assert(sGood.length === 3)
+    sGood.foreach { r =>
+      assert(r.getAs[Long]("n") === 12L)
+      assert(r.getAs[Double]("avg_silhouette") > 0.8,
+        s"separated label ${r.get(0)} scored ${r.get(2)}")
+    }
+    // scramble: labels no longer track the true directions — every
+    // label's centroid drifts toward the global mean, silhouette drops
+    val scrambled = planted(12).map { case (id, v, _) => (id, v, ((id / 3) % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val sBad = Clustering.cosineSilhouette(scrambled, "vec_id", "embedding",
+      "label", dim = 4).collect()
+    sBad.foreach(r => assert(r.getAs[Double]("avg_silhouette") < 0.3))
+  }
+
+  test("sphericalKMeans: recovers planted clusters, deterministic") {
+    val sp = spark; import sp.implicits._
+    val pts = planted(12).map { case (id, v, _) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val out = Clustering.sphericalKMeans(pts, "vec_id", "embedding",
+      k = 3, iterations = 3, dim = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    // seeds 0,1,2 are one per direction → three clusters of 12, all
+    // tight (avg cosine to centroid near 1)
+    assert(out.map(_._2._1).sorted.toSeq === Seq(12L, 12L, 12L))
+    out.foreach { case (_, (_, cohesion)) => assert(cohesion > 0.95) }
+    val again = Clustering.sphericalKMeans(pts, "vec_id", "embedding",
+      k = 3, iterations = 3, dim = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(again.toMap === out.toMap)
+  }
+
+  test("sphericalKMeans: a cluster that loses every point drops out") {
+    val sp = spark; import sp.implicits._
+    // seeds 0 and 1 both lie on the SAME axis (duplicate direction):
+    // every point prefers seed 0 on the cosine tie (cluster-id
+    // tiebreak), so cluster 1 is empty after round 1 and disappears
+    val pts = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0.1f, 0f, 0f)), (3L, Seq(1f, 0f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.sphericalKMeans(pts, "vec_id", "embedding",
+      k = 2, iterations = 2, dim = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L))
+    assert(out.head.getLong(1) === 4L)
+  }
+}

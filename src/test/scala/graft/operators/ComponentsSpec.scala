@@ -285,6 +285,25 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPair((2L, 4L)) === ((2L, 1.0)))
   }
 
+  test("hits: shared authority wins, normalized mass, roles separate") {
+    val sp = spark; import sp.implicits._
+    // hubs 1,2 both point at authority 10; hub 2 also points at 11.
+    // 10 collects mass from two hubs → top authority; scores L1-sum
+    // to 1 within each role.
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val out = Components.hits(edges, "src", "dst", iterations = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet.map(_._1) === Set("hub", "authority"))
+    val hubs = out.filter(_._1._1 == "hub")
+    val auths = out.filter(_._1._1 == "authority")
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-12)
+    assert(math.abs(auths.values.sum - 1.0) < 1e-12)
+    assert(auths((("authority", 10L))) > auths((("authority", 11L))))
+    // hub 2 endorses more (and better-endorsed) authorities → top hub
+    assert(hubs((("hub", 2L))) > hubs((("hub", 1L))))
+  }
+
   test("jaccardLinkPrediction: topN cut is deterministic under score ties") {
     val sp = spark; import sp.implicits._
     // star center 0 with leaves 1..6: every leaf pair shares exactly
