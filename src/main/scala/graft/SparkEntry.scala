@@ -304,6 +304,14 @@ object SparkEntry {
     "q162_kmeans" -> (graft.operators.Clustering.q162KMeans _),
     // HITS hubs/authorities on the directed counterparty graph
     "q163_hits" -> (graft.operators.Components.q163Hits _),
+    // cross-cohort quantile normalization via integer-rank equi-join
+    "q164_quantile_normalize" -> (Relational.q164QuantileNormalize _),
+    // mutual information between categorical columns
+    "q165_mutual_information" -> (Relational.q165MutualInformation _),
+    // CCNet-style corpus-model cross-entropy quality filter
+    "q166_cross_entropy" -> (TextAnalysis.q166CrossEntropy _),
+    // Monroe log-odds distinctive terms per source
+    "q167_logodds_keywords" -> (graft.operators.CorpusOps.q167LogOddsKeywords _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -476,5 +484,9 @@ object SparkEntry {
     "q161_silhouette" -> graft.operators.Clustering.q161Sql,
     "q162_kmeans" -> graft.operators.Clustering.q162Sql,
     "q163_hits" -> graft.operators.Components.q163Sql,
+    "q164_quantile_normalize" -> Relational.q164Sql,
+    "q165_mutual_information" -> Relational.q165Sql,
+    "q166_cross_entropy" -> TextAnalysis.q166Sql,
+    "q167_logodds_keywords" -> graft.operators.CorpusOps.q167Sql,
   )
 }

@@ -973,4 +973,83 @@ object CorpusOps {
       |  FROM documents)
       |SELECT source, doc_id FROM r
       |WHERE rn <= ceil(nh * 0.2)""".stripMargin
+
+  /** Weighted log-odds distinctive terms per source (Monroe, Colaresi
+    * & Quinn 2008, "Fightin' Words", informative Dirichlet prior) —
+    * WHICH tokens make a source different, where [[sourceDivergence]]
+    * says only how much. For token w in source s with count y_sw,
+    * source total n_s, corpus count y_w, corpus total N, and prior
+    * a_w = a0·y_w/N:
+    *
+    *   δ = ln((y_sw+a_w)/(n_s+a0−y_sw−a_w)) − ln((y_w+a_w)/(N+a0−y_w−a_w))
+    *   z = δ / sqrt(1/(y_sw+a_w) + 1/(y_w+a_w))
+    *
+    * The z-scored odds shrink rare-token noise (the raw-PMI failure
+    * mode) without a frequency cutoff. Top-`perSource` by (z, token).
+    *
+    * Scale shape: the q84 single-explode discipline — one
+    * (source, token, count) aggregate feeds marginals and the scoring
+    * join; ranking is a per-source window over vocabulary-bounded
+    * rows.
+    */
+  def logOddsKeywords(docs: DataFrame, sourceCol: String, textCol: String,
+      a0: Double = 100.0, perSource: Int = 5): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(col("source").isNotNull && col("tok").isNotNull)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("__y"))
+      .localCheckpoint()
+    val perSrc = st.groupBy(col("source")).agg(sum(col("__y")).as("__ns"))
+    val perTok = st.groupBy(col("tok")).agg(sum(col("__y")).as("__yw"))
+    val tot = perSrc.agg(sum(col("__ns")).as("__n"))
+    val aw = lit(a0) * col("__yw") / col("__n")
+    val num = (col("__y") + aw) /
+      (col("__ns") + lit(a0) - col("__y") - aw)
+    val den = (col("__yw") + aw) /
+      (col("__n") + lit(a0) - col("__yw") - aw)
+    val delta = log(num) - log(den)
+    val z = delta / sqrt(lit(1.0) / (col("__y") + aw) +
+      lit(1.0) / (col("__yw") + aw))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("__z").desc, col("tok"))
+    st.join(broadcast(perSrc), Seq("source"))
+      .join(perTok, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__z", z)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= perSource)
+      .select(col("source"), col("tok").as("token"),
+        col("__y").as("n_in_source"), col("__yw").as("n_corpus"),
+        col("__z").as("log_odds_z"))
+  }
+
+  /** Declared q167: top-5 distinctive tokens of every source. */
+  def q167LogOddsKeywords(spark: SparkSession, d: String): DataFrame =
+    logOddsKeywords(graft.core.Tables.documents(spark, d),
+      "source", "text")
+
+  val q167Sql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS y FROM tk GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(y) AS DOUBLE) AS ns FROM st GROUP BY 1),
+      |t AS (SELECT tok, CAST(sum(y) AS DOUBLE) AS yw FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(y) AS DOUBLE) AS n FROM st),
+      |z AS (
+      |  SELECT st.source, st.tok, st.y, t.yw,
+      |    (ln((st.y + 100.0 * t.yw / n.n)
+      |        / (s.ns + 100.0 - st.y - 100.0 * t.yw / n.n))
+      |     - ln((t.yw + 100.0 * t.yw / n.n)
+      |        / (n.n + 100.0 - t.yw - 100.0 * t.yw / n.n)))
+      |    / sqrt(1.0 / (st.y + 100.0 * t.yw / n.n)
+      |         + 1.0 / (t.yw + 100.0 * t.yw / n.n)) AS z
+      |  FROM st JOIN s USING (source) JOIN t USING (tok) CROSS JOIN n)
+      |SELECT source, tok AS token, CAST(y AS BIGINT) AS n_in_source,
+      |  CAST(yw AS BIGINT) AS n_corpus, z AS log_odds_z
+      |FROM z
+      |QUALIFY row_number() OVER (PARTITION BY source
+      |  ORDER BY z DESC, tok) <= 5""".stripMargin
 }

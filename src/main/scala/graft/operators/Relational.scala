@@ -1139,4 +1139,159 @@ object Relational {
       | (CAST(900001 AS BIGINT), 'Customer#900001', 1, 10.5, 'BUILDING'),
       | (CAST(900002 AS BIGINT), 'Customer#900002', 2, 20.5, 'MACHINERY'))
       | t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""".stripMargin
+
+  /** Quantile normalization of a numeric column across cohorts — map
+    * every cohort's distribution onto the GLOBAL one (each value goes
+    * to the global value at its within-cohort rank fraction), the
+    * batch-effect correction a feature pipeline applies before
+    * cross-cohort comparison (microarray-style normalization, score
+    * calibration across annotator pools).
+    *
+    * Formulation chosen for scale: the rank-fraction lookup is made an
+    * INTEGER EQUI-JOIN, not a range/as-of join — the global support
+    * explodes to a dense (rank → value) relation (exactly n rows
+    * total, linear), each cohort support row computes its target rank
+    * ⌈midrank/n_g · n⌉, and one hash join on the rank resolves the
+    * quantile step function. Both supports ride the usual machinery:
+    * the global one through [[orderedPrefixSums]] (range-partitioned
+    * above the cutoff), the cohort one through a cohort-partitioned
+    * window.
+    *
+    * @return per (cohort, value): cohort, value, n, normalized
+    */
+  def quantileNormalize(df: DataFrame, cohortCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df.select(col(cohortCol).as("__g"),
+      col(valueCol).cast("double").as("__v"))
+      // feeds the global and the cohort support — one data pass
+      .localCheckpoint()
+    val gsup = pts.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val gk = orderedPrefixSums(gsup, "__v", Seq("__k" -> col("__c")))
+    val lookup = gk.select(
+      explode(sequence((col("__k") - col("__c") + 1).cast("long"),
+        col("__k").cast("long"))).as("__r"),
+      col("__v").as("__nv"))
+    val nGlobal = gk.agg(max(col("__k_total")).as("__n"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val wk = wg.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val csup = pts.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__kk", sum(col("__c")).over(wk).cast("double"))
+      .withColumn("__ng", sum(col("__c")).over(wg).cast("double"))
+    // the global count rides the TARGET side as a broadcast scalar so
+    // the rank lookup stays a pure equi-join (a key mixing sides would
+    // demote it to a nested-loop product)
+    val target = csup.crossJoin(broadcast(nGlobal))
+      .select(col("__g"), col("__v"), col("__c"),
+        ceil((col("__kk") - col("__c") + (col("__c") + 1) / 2.0) /
+          col("__ng") * col("__n")).cast("long").as("__r"))
+    target.join(lookup, Seq("__r"))
+      .select(col("__g").as("cohort"), col("__v").as("value"),
+        col("__c").as("n"), col("__nv").as("normalized"))
+  }
+
+  /** Declared q164: extended prices per return flag, normalized onto
+    * the global price distribution.
+    */
+  def q164QuantileNormalize(spark: SparkSession, d: String): DataFrame =
+    quantileNormalize(graft.core.Tables.lineitem(spark, d),
+      "l_returnflag", "l_extendedprice")
+
+  val q164Sql: String =
+    """WITH pts AS MATERIALIZED (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem),
+      |gs AS MATERIALIZED (SELECT v, count(*) AS c FROM pts GROUP BY 1),
+      |gk AS MATERIALIZED (
+      |  SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS kk,
+      |    CAST((SELECT count(*) FROM pts) AS DOUBLE) AS n
+      |  FROM gs),
+      |lookup AS MATERIALIZED (
+      |  SELECT CAST(unnest(range(CAST(kk - c + 1 AS BIGINT),
+      |      CAST(kk + 1 AS BIGINT))) AS BIGINT) AS r,
+      |    v AS nv
+      |  FROM gk),
+      |cs AS MATERIALIZED (SELECT g, v, count(*) AS c FROM pts GROUP BY 1, 2),
+      |ck AS MATERIALIZED (
+      |  SELECT g, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS DOUBLE) AS kk,
+      |    CAST(sum(c) OVER (PARTITION BY g) AS DOUBLE) AS ng
+      |  FROM cs),
+      |t AS MATERIALIZED (
+      |  SELECT g, v, c,
+      |    CAST(ceil((kk - c + (c + 1) / 2.0) / ng
+      |      * (SELECT max(n) FROM gk)) AS BIGINT) AS r
+      |  FROM ck)
+      |SELECT t.g AS cohort, t.v AS value, CAST(t.c AS BIGINT) AS n,
+      |  l.nv AS normalized
+      |FROM t JOIN lookup l ON l.r = t.r""".stripMargin
+
+  /** Mutual information (in nats) between two categorical columns —
+    * the dependence measure feature selection uses where [[chiSquared]]
+    * gives a significance test: MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))).
+    * One hash aggregate to the contingency cells (domain-bounded);
+    * marginals and the total re-aggregate from it; also reports the
+    * normalized variant MI/min(H(x), H(y)).
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val tot = cells.agg(sum(col("__c")).as("__n"))
+    val joined = cells.join(broadcast(ma), Seq("__a"))
+      .join(broadcast(mb), Seq("__b"))
+      .crossJoin(broadcast(tot))
+    val pxy = col("__c").cast("double") / col("__n")
+    val px = col("__ca").cast("double") / col("__n")
+    val py = col("__cb").cast("double") / col("__n")
+    val mi = joined.agg(
+      max(col("__n")).as("__nn"),
+      sum(pxy * log(pxy / (px * py))).as("mi"))
+    // entropies from the marginals (broadcast-sized)
+    val ha = ma.crossJoin(broadcast(tot))
+      .agg((-sum((col("__ca") / col("__n")) *
+        log(col("__ca") / col("__n")))).as("h_a"))
+    val hb = mb.crossJoin(broadcast(tot))
+      .agg((-sum((col("__cb") / col("__n")) *
+        log(col("__cb") / col("__n")))).as("h_b"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("__nn").cast("long").as("n"), col("mi"),
+        col("h_a"), col("h_b"),
+        (col("mi") / least(col("h_a"), col("h_b"))).as("nmi"))
+  }
+
+  /** Declared q165: how much does day-of-week know about event type. */
+  def q165MutualInformation(spark: SparkSession, d: String): DataFrame =
+    mutualInformation(
+      graft.core.Tables.events(spark, d).select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow")),
+      "event_type", "dow")
+
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS a, (epoch_us(ts) // 86400000000) % 7 AS b
+      |  FROM events),
+      |cells AS (SELECT a, b, count(*) AS c FROM e GROUP BY 1, 2),
+      |ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY 1),
+      |mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cells),
+      |mi AS (
+      |  SELECT sum((c / n.n) * ln((c / n.n) / ((ca / n.n) * (cb / n.n))))
+      |    AS mi
+      |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n),
+      |ha AS (
+      |  SELECT -sum((ca / n.n) * ln(ca / n.n)) AS h_a
+      |  FROM ma CROSS JOIN n),
+      |hb AS (
+      |  SELECT -sum((cb / n.n) * ln(cb / n.n)) AS h_b
+      |  FROM mb CROSS JOIN n)
+      |SELECT CAST((SELECT CAST(n AS BIGINT) FROM n) AS BIGINT) AS n,
+      |  mi.mi AS mi, ha.h_a AS h_a, hb.h_b AS h_b,
+      |  mi.mi / least(ha.h_a, hb.h_b) AS nmi
+      |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
 }

@@ -1247,4 +1247,54 @@ object TextAnalysis {
       |SELECT stem, CAST(count(*) AS BIGINT) AS n
       |FROM s2 GROUP BY 1
       |ORDER BY n DESC, stem LIMIT 100""".stripMargin
+
+  /** Per-document cross-entropy against the corpus unigram model —
+    * the CCNet-style quality/outlier filter: documents whose tokens
+    * are collectively improbable under the corpus distribution
+    * (boilerplate, gibberish, wrong-domain text) score high and get
+    * cut. Smoothing is add-1 over the corpus vocabulary so unseen-in-
+    * corpus is impossible by construction (every doc token IS corpus
+    * mass) but the formula stays the standard smoothed estimator.
+    *
+    * Scale shape: ONE explode feeds both the corpus counts and the
+    * per-doc token relation (same single-explode discipline as
+    * [[sourceDivergence]]); the scoring join is vocabulary-keyed; the
+    * per-doc aggregate is one shuffle on doc id.
+    *
+    * @return per doc: doc_id, n_tokens, cross_entropy (nats/token)
+    */
+  def crossEntropyQuality(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t").isNotNull && col("__id").isNotNull)
+      .localCheckpoint()
+    val counts = tok.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val glob = counts.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("__v"))
+    val p = (col("__c") + 1).cast("double") / (col("__n") + col("__v"))
+    tok.join(counts, Seq("__t"))
+      .crossJoin(broadcast(glob))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(p)).as("cross_entropy"))
+  }
+
+  /** Declared q166: corpus-model cross-entropy of every document. */
+  def q166CrossEntropy(spark: SparkSession, d: String): DataFrame =
+    crossEntropyQuality(Tables.documents(spark, d), "doc_id", "text")
+
+  val q166Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      |g AS (
+      |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+      |  FROM counts)
+      |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  avg(-ln((counts.c + 1) / (g.n + g.v))) AS cross_entropy
+      |FROM tok JOIN counts USING (t) CROSS JOIN g
+      |GROUP BY tok.doc_id""".stripMargin
 }

@@ -478,4 +478,28 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(other.count(_._1 == "big") === 10)
   }
+
+  test("logOddsKeywords: a token exclusive to one source tops that source") {
+    val sp = spark; import sp.implicits._
+    val shared = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, "s1", shared + " quirk quirk quirk"),
+      (2L, "s1", shared + " quirk quirk"),
+      (3L, "s2", shared + " plain"),
+      (4L, "s2", shared)).toDF("doc_id", "source", "text")
+    val out = CorpusOps.logOddsKeywords(docs, "source", "text",
+      a0 = 10.0, perSource = 2).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(-_.getAs[Double]("log_odds_z"))
+        .map(_.getAs[String]("token")).toSeq).toMap
+    assert(out("s1").head === "quirk")
+    assert(out("s2").head === "plain")
+    // z-scores are symmetric-ish: the exclusive token's z in its home
+    // source is strongly positive
+    val z = CorpusOps.logOddsKeywords(docs, "source", "text",
+      a0 = 10.0, perSource = 2).collect()
+      .find(r => r.getString(0) == "s1" && r.getString(1) == "quirk").get
+      .getAs[Double]("log_odds_z")
+    assert(z > 0.5)
+  }
 }

@@ -212,4 +212,44 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(caTot - expected.last._2) < 1e-9)
     }
   }
+
+  test("quantileNormalize: identity on matching cohorts, maps onto global values") {
+    val sp = spark; import sp.implicits._
+    // two cohorts with IDENTICAL distributions: each value normalizes
+    // to itself (its global rank fraction lands back on its own run)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val outSame = Relational.quantileNormalize(same, "g", "v").collect()
+    outSame.foreach { r =>
+      assert(r.getAs[Double]("value") === r.getAs[Double]("normalized"))
+    }
+    // shifted cohort: b = a + 100; quantile normalization maps both
+    // onto the same global targets rank-for-rank, erasing the shift
+    val shifted = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 101.0), ("b", 102.0), ("b", 103.0)).toDF("g", "v")
+    val out = Relational.quantileNormalize(shifted, "g", "v").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("value")) ->
+        r.getAs[Double]("normalized")).toMap
+    // within-cohort midranks 1,2,3 → p = i/3 → global ranks
+    // ceil(p·6) = 2, 4, 6 → global sorted values 2, 101, 103
+    assert(out(("a", 1.0)) === 2.0 && out(("b", 101.0)) === 2.0)
+    assert(out(("a", 2.0)) === 101.0 && out(("b", 102.0)) === 101.0)
+    assert(out(("a", 3.0)) === 103.0 && out(("b", 103.0)) === 103.0)
+    // both cohorts landed on the SAME normalized ladder
+    assert(out(("a", 1.0)) === out(("b", 101.0)))
+  }
+
+  test("mutualInformation: zero under independence, equals entropy when determined") {
+    val sp = spark; import sp.implicits._
+    // balanced independent grid: p(x,y) = p(x)p(y) exactly → MI 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq(1, 2); _ <- 1 to 3)
+      yield (a, b)).toDF("a", "b")
+    val r0 = Relational.mutualInformation(indep, "a", "b").collect().head
+    assert(math.abs(r0.getAs[Double]("mi")) < 1e-12)
+    // b = f(a) bijectively → MI = H(a) = H(b) = ln 2, nmi = 1
+    val det = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2)).toDF("a", "b")
+    val r1 = Relational.mutualInformation(det, "a", "b").collect().head
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2)) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-12)
+  }
 }

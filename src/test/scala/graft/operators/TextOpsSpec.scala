@@ -267,4 +267,21 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(in) === want, s"stem($in)")
     }
   }
+
+  test("crossEntropyQuality: rare-token docs score higher than common-token docs") {
+    val sp = spark; import sp.implicits._
+    // "the" dominates the corpus; doc 3 is all rare tokens
+    val docs = Seq(
+      (1L, "the the the the the the the the"),
+      (2L, "the the the cat"),
+      (3L, "zyx qwv kjh gfd")).toDF("doc_id", "text")
+    val out = TextAnalysis.crossEntropyQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("cross_entropy"))).toMap
+    assert(out(1L)._1 === 8L)
+    assert(out(1L)._2 < out(2L)._2, "pure-common doc scores lowest")
+    assert(out(2L)._2 < out(3L)._2, "rare-token doc scores highest")
+    // hand value for doc 1: p(the) = (11+1)/(16+6); -ln of it
+    assert(math.abs(out(1L)._2 - (-math.log(12.0 / 22.0))) < 1e-12)
+  }
 }
