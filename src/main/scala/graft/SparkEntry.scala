@@ -312,6 +312,14 @@ object SparkEntry {
     "q166_cross_entropy" -> (TextAnalysis.q166CrossEntropy _),
     // Monroe log-odds distinctive terms per source
     "q167_logodds_keywords" -> (graft.operators.CorpusOps.q167LogOddsKeywords _),
+    // Hill power-law tail index of order revenue
+    "q168_hill_tail" -> (graft.operators.Profiling.q168HillTail _),
+    // funnel-edge latency percentiles
+    "q169_conversion_lag" -> (graft.operators.EventAnalytics.q169ConversionLag _),
+    // degree assortativity of the basket graph
+    "q170_assortativity" -> (graft.operators.Components.q170Assortativity _),
+    // token burstiness (Fano factor with zeros)
+    "q171_burstiness" -> (TextAnalysis.q171Burstiness _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -488,5 +496,9 @@ object SparkEntry {
     "q165_mutual_information" -> Relational.q165Sql,
     "q166_cross_entropy" -> TextAnalysis.q166Sql,
     "q167_logodds_keywords" -> graft.operators.CorpusOps.q167Sql,
+    "q168_hill_tail" -> graft.operators.Profiling.q168Sql,
+    "q169_conversion_lag" -> graft.operators.EventAnalytics.q169Sql,
+    "q170_assortativity" -> graft.operators.Components.q170Sql,
+    "q171_burstiness" -> TextAnalysis.q171Sql,
   )
 }

@@ -1047,4 +1047,78 @@ object Components {
       |FROM cand
       |ORDER BY jaccard DESC, node_a, node_b
       |LIMIT 50""".stripMargin
+
+  /** Degree assortativity of an undirected graph — the Pearson
+    * correlation of endpoint degrees over the symmetric edge list
+    * (Newman 2002): positive = hubs prefer hubs (social-style),
+    * negative = hub-and-spoke (web/biology-style). A one-number
+    * structure fingerprint for any co-occurrence graph the pipeline
+    * builds.
+    *
+    * Scale shape: canonical edges + one degree aggregate + two
+    * node-keyed joins; the correlation is closed-form sufficient
+    * statistics over the edge relation. No quadratic intermediate.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select(col("u"), col("deg").as("__da")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("__db")), Seq("v"))
+      .select(col("__da").cast("double").as("__x"),
+        col("__db").cast("double").as("__y"))
+    pairs.agg(
+        count(lit(1)).cast("double").as("__m"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select((col("__m") / 2).cast("long").as("n_edges"),
+        ((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__m") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("__m") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("assortativity"))
+  }
+
+  /** Declared q170: assortativity of the part co-occurrence graph. */
+  def q170Assortativity(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    degreeAssortativity(co, "u", "v")
+  }
+
+  val q170Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |s AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |d AS MATERIALIZED (SELECT u, count(*) AS deg FROM s GROUP BY u),
+      |p AS (
+      |  SELECT CAST(da.deg AS DOUBLE) AS x, CAST(db.deg AS DOUBLE) AS y
+      |  FROM s JOIN d da ON da.u = s.u JOIN d db ON db.u = s.v),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS m,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM p)
+      |SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+      |  (m * sxy - sx * sy)
+      |    / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+      |    AS assortativity
+      |FROM m""".stripMargin
 }

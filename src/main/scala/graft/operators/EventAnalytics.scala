@@ -756,4 +756,54 @@ object EventAnalytics {
       |  CAST((n - mu) / sd AS DOUBLE) AS z,
       |  abs((n - mu) / sd) > 2 AS is_anomaly
       |FROM r WHERE n_obs >= 12 AND sd > 0""".stripMargin
+
+  /** Time-to-convert distribution — per user, the lag from their FIRST
+    * `fromType` event to the first `toType` event strictly after it,
+    * summarized as interpolated percentiles: the latency profile of a
+    * funnel edge (how long from first view to first purchase).
+    *
+    * Scale shape: the [[funnel]] conditional-min discipline — two
+    * user-keyed aggregates and one user-keyed join; no per-user event
+    * list, no window over raw events. The output is one row.
+    */
+  def conversionLag(events: DataFrame, fromType: String, toType: String,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("__us"))
+    val first = e.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("__us")).as("__f"))
+    val lag = e.where(col("event_type") === toType)
+      .join(first, Seq("user_id"))
+      .where(col("__us") > col("__f"))
+      .groupBy(col("user_id"))
+      .agg(((min(col("__us")) - max(col("__f"))) / 60000000.0)
+        .as("__lag_min"))
+    val qs = quantiles.zipWithIndex.map { case (q, i) =>
+      percentile(col("__lag_min"), lit(q))
+        .as(s"p${(q * 100).round}_minutes")
+    }
+    lag.agg(count(lit(1)).as("n_converted"), qs: _*)
+  }
+
+  /** Declared q169: view→purchase conversion-lag percentiles. */
+  def q169ConversionLag(spark: SparkSession, d: String): DataFrame =
+    conversionLag(Tables.events(spark, d), "view", "purchase")
+
+  val q169Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |f AS (
+      |  SELECT user_id, min(us) AS fv FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |lag AS (
+      |  SELECT e.user_id, (min(e.us) - max(f.fv)) / 60000000.0 AS lm
+      |  FROM e JOIN f USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us > f.fv
+      |  GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |  quantile_cont(lm, 0.25) AS p25_minutes,
+      |  quantile_cont(lm, 0.5) AS p50_minutes,
+      |  quantile_cont(lm, 0.75) AS p75_minutes,
+      |  quantile_cont(lm, 0.9) AS p90_minutes
+      |FROM lag""".stripMargin
 }

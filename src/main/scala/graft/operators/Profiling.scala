@@ -728,4 +728,41 @@ object Profiling {
       |  CAST(n - n1 AS BIGINT) AS n_neg,
       |  (r1 - n1 * (n1 + 1) / 2.0) / (n1 * (n - n1)) AS auc
       |FROM s""".stripMargin
+
+  /** Hill estimator of the power-law tail index over the top-k order
+    * statistics — α̂ = 1 / mean(ln(x₍ᵢ₎/x₍ₖ₎)) — the heavy-tail
+    * health check ([[TextAnalysis.zipfFit]]'s distributional cousin
+    * for numeric columns: does revenue/degree/engagement have the
+    * fat tail the pipeline assumes).
+    *
+    * Scale shape: the top-k arrives via `TakeOrderedAndProject`
+    * (no global sort; a deterministic tiebreak makes the cut set
+    * engine-stable), then one k-row aggregate. k is a constant.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, tieCol: String,
+      k: Int): DataFrame = {
+    val top = df
+      .select(col(valueCol).cast("double").as("__v"), col(tieCol))
+      .where(col("__v") > 0)
+      .orderBy(col("__v").desc, col(tieCol))
+      .limit(k)
+    top.agg(count(lit(1)).as("k"), min(col("__v")).as("x_k"),
+        avg(log(col("__v"))).as("__ml"))
+      .select(col("k"), col("x_k"),
+        (lit(1.0) / (col("__ml") - log(col("x_k")))).as("hill_alpha"))
+  }
+
+  /** Declared q168: tail index of order revenue, top-1000. */
+  def q168HillTail(spark: SparkSession, d: String): DataFrame =
+    hillTailIndex(Tables.orders(spark, d), "o_totalprice", "o_orderkey",
+      k = 1000)
+
+  val q168Sql: String =
+    """WITH top AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS v
+      |  FROM orders WHERE o_totalprice > 0
+      |  ORDER BY v DESC, o_orderkey LIMIT 1000)
+      |SELECT CAST(count(*) AS BIGINT) AS k, min(v) AS x_k,
+      |  1.0 / (avg(ln(v)) - ln(min(v))) AS hill_alpha
+      |FROM top""".stripMargin
 }

@@ -1297,4 +1297,61 @@ object TextAnalysis {
       |  avg(-ln((counts.c + 1) / (g.n + g.v))) AS cross_entropy
       |FROM tok JOIN counts USING (t) CROSS JOIN g
       |GROUP BY tok.doc_id""".stripMargin
+
+  /** Token burstiness (Fano factor over documents): var/mean of a
+    * token's per-document count, zeros included — the "does this term
+    * clump into a few documents or spread evenly" corpus-health
+    * signal (bursty terms are topical/templated; uniform terms are
+    * function words). F = 1 for Poisson scatter, ≫ 1 for bursts.
+    *
+    * Scale shape: one explode to (doc, token, count), one
+    * vocabulary-keyed re-aggregate (Σc and Σc² give the with-zeros
+    * moments against the broadcast document total), one top-k.
+    *
+    * @return top-`topN` by (fano desc, token) among tokens with
+    *         ≥ `minCount` total occurrences
+    */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 50, topN: Int = 20): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t").isNotNull && col("__id").isNotNull)
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("__d"))
+    val mean = col("__s").cast("double") / col("__d")
+    val ex2 = col("__ss").cast("double") / col("__d")
+    perDoc.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__ss"),
+        count(lit(1)).as("n_docs"))
+      .where(col("__s") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("__t").as("token"), col("__s").as("n_total"),
+        col("n_docs"),
+        ((ex2 - mean * mean) / mean).as("fano"))
+      .orderBy(col("fano").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** Declared q171: the corpus's burstiest tokens. */
+  def q171Burstiness(spark: SparkSession, d: String): DataFrame =
+    tokenBurstiness(Tables.documents(spark, d), "doc_id", "text")
+
+  val q171Sql: String =
+    """WITH pd AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |c AS (SELECT doc_id, t, count(*) AS c FROM pd GROUP BY 1, 2),
+      |d AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS d
+      |      FROM documents),
+      |m AS (
+      |  SELECT t, sum(c) AS s, sum(c * c) AS ss, count(*) AS n_docs
+      |  FROM c GROUP BY 1 HAVING sum(c) >= 50)
+      |SELECT t AS token, CAST(s AS BIGINT) AS n_total,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  ((ss / d.d) - (s / d.d) * (s / d.d)) / (s / d.d) AS fano
+      |FROM m CROSS JOIN d
+      |ORDER BY fano DESC, token LIMIT 20""".stripMargin
 }

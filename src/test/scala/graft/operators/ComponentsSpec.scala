@@ -314,4 +314,14 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
     assert(out.toSeq === Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
   }
+
+  test("degreeAssortativity: star is exactly -1, duplicate edges harmless") {
+    val sp = spark; import sp.implicits._
+    // K1,3: every symmetric endpoint pair is (3,1) or (1,3) → r = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (0L, 1L))
+      .toDF("u", "v")
+    val r = Components.degreeAssortativity(star, "u", "v").collect().head
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(math.abs(r.getAs[Double]("assortativity") + 1.0) < 1e-12)
+  }
 }

@@ -309,4 +309,22 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(1), r.getBoolean(4))).toSet
     assert(out === Set(("A", false), ("B", true)))
   }
+
+  test("conversionLag: first-view to first-after purchase, non-converters excluded") {
+    val sp = spark; import sp.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val e = Seq(
+      (1L, "view", ts(0)), (1L, "purchase", ts(30)), (1L, "purchase", ts(90)),
+      (2L, "view", ts(10)), (2L, "purchase", ts(70)),
+      (3L, "purchase", ts(5)), (3L, "view", ts(10)), // purchase BEFORE view
+      (4L, "view", ts(0))).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.conversionLag(e, "view", "purchase")
+      .collect().head
+    // users 1 (lag 30) and 2 (lag 60) convert; 3's purchase precedes
+    // the view, 4 never purchases
+    assert(r.getAs[Long]("n_converted") === 2L)
+    assert(math.abs(r.getAs[Double]("p50_minutes") - 45.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p25_minutes") - 37.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p90_minutes") - 57.0) < 1e-9)
+  }
 }

@@ -262,4 +262,22 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Double]("auc")
     assert(math.abs(ah - 0.875) < 1e-12)
   }
+
+  test("hillTailIndex: hand-computed alpha on a small tail") {
+    val sp = spark; import sp.implicits._
+    // top-3 of {8,4,2,1}: x_k = 2, mean ln(x/2) = (ln4+ln2+0)/3 = ln2
+    // → alpha = 1/ln2
+    val df = Seq((8.0, 1L), (4.0, 2L), (2.0, 3L), (1.0, 4L))
+      .toDF("v", "id")
+    val r = Profiling.hillTailIndex(df, "v", "id", k = 3).collect().head
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Double]("x_k") === 2.0)
+    assert(math.abs(r.getAs[Double]("hill_alpha") - 1.0 / math.log(2)) < 1e-12)
+    // non-positive values are excluded before the cut
+    val withZero = Seq((8.0, 1L), (0.0, 2L), (-3.0, 3L), (2.0, 4L))
+      .toDF("v", "id")
+    val r2 = Profiling.hillTailIndex(withZero, "v", "id", k = 5)
+      .collect().head
+    assert(r2.getAs[Long]("k") === 2L)
+  }
 }

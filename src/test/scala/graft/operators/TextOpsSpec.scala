@@ -284,4 +284,24 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hand value for doc 1: p(the) = (11+1)/(16+6); -ln of it
     assert(math.abs(out(1L)._2 - (-math.log(12.0 / 22.0))) < 1e-12)
   }
+
+  test("tokenBurstiness: clumped token scores high, uniform token zero") {
+    val sp = spark; import sp.implicits._
+    // 10 docs; "burst" appears 10x in doc 1 only; "even" once per doc
+    val docs = (1L to 10L).map { i =>
+      val burst = if (i == 1L) Seq.fill(10)("burst") else Seq.empty
+      (i, (Seq("even") ++ burst).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, "doc_id", "text",
+      minCount = 5, topN = 10).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("fano"))).toMap
+    // burst: mean 1, E[x²] = 10 → var 9 → fano 9 (zeros included)
+    assert(out("burst")._1 === 10L && out("burst")._2 === 1L)
+    assert(math.abs(out("burst")._3 - 9.0) < 1e-12)
+    // even: present in every doc exactly once → fano 0
+    assert(out("even")._2 === 10L)
+    assert(math.abs(out("even")._3) < 1e-12)
+  }
 }
