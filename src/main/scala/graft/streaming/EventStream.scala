@@ -274,4 +274,81 @@ object EventStream {
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  // ---- streaming anomaly detection: Welford state per event type ----
+
+  /** Internal per-type state of [[anomalies]]: Welford running moments
+    * (public: the codegen'd state serializer needs reflective access).
+    */
+  case class TypeMoments(n: Long, mean: Double, m2: Double)
+
+  case class Anomaly(
+      event_type: String, event_id: Long, ts: java.sql.Timestamp,
+      value: Double, z: Double, n_seen: Long)
+
+  /** Streaming z-score anomaly detector — the unbounded twin of the
+    * batch q108 rolling screen: per event type, a Welford running
+    * (n, mean, M2) lives in `mapGroupsWithState` state (three doubles
+    * per key — bounded forever), and each arriving event is scored
+    * against the moments BEFORE it updates them. Events with
+    * |z| ≥ `threshold` after a `minN` warm-up are emitted.
+    *
+    * Within a micro-batch, rows are folded in (ts, event_id) order so
+    * replays are deterministic; across batches, ordering is the
+    * stream's arrival order — the standard online-detector contract
+    * (the spec pins equivalence against a sequential batch replay).
+    */
+  def anomalies(events: Dataset[EventRow], minN: Long = 30,
+      threshold: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TypeMoments, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[EventRow],
+            state: GroupState[TypeMoments]) =>
+          var st = state.getOption.getOrElse(TypeMoments(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[Anomaly]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minN) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0) {
+                val z = (e.value - st.mean) / sd
+                if (math.abs(z) >= threshold)
+                  out += Anomaly(etype, e.event_id, e.ts, e.value, z, st.n)
+              }
+            }
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = TypeMoments(n1, mean1, st.m2 + d * (e.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Sequential replay of [[anomalies]] for the equivalence spec: the
+    * same Welford fold over the batch in (ts, event_id) order.
+    */
+  def anomaliesReplay(events: Seq[EventRow], minN: Long,
+      threshold: Double): Seq[Anomaly] =
+    events.groupBy(_.event_type).toSeq.flatMap { case (etype, es) =>
+      var st = TypeMoments(0L, 0.0, 0.0)
+      es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+        val hit =
+          if (st.n >= minN) {
+            val sd = math.sqrt(st.m2 / (st.n - 1))
+            val z = if (sd > 0) (e.value - st.mean) / sd else 0.0
+            if (sd > 0 && math.abs(z) >= threshold)
+              Some(Anomaly(etype, e.event_id, e.ts, e.value, z, st.n))
+            else None
+          } else None
+        val n1 = st.n + 1
+        val d = e.value - st.mean
+        val mean1 = st.mean + d / n1
+        st = TypeMoments(n1, mean1, st.m2 + d * (e.value - mean1))
+        hit
+      }
+    }
 }
