@@ -320,6 +320,10 @@ object SparkEntry {
     "q170_assortativity" -> (graft.operators.Components.q170Assortativity _),
     // token burstiness (Fano factor with zeros)
     "q171_burstiness" -> (TextAnalysis.q171Burstiness _),
+    // sorted-neighborhood ER candidates (rank-join formulation)
+    "q172_sorted_neighborhood" -> (graft.operators.NearDup.q172SortedNeighborhood _),
+    // declared-vs-predicted language confusion audit
+    "q173_lang_confusion" -> (graft.operators.LangId.q173LangConfusion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -500,5 +504,7 @@ object SparkEntry {
     "q169_conversion_lag" -> graft.operators.EventAnalytics.q169Sql,
     "q170_assortativity" -> graft.operators.Components.q170Sql,
     "q171_burstiness" -> TextAnalysis.q171Sql,
+    "q172_sorted_neighborhood" -> graft.operators.NearDup.q172Sql,
+    "q173_lang_confusion" -> graft.operators.LangId.q173Sql,
   )
 }

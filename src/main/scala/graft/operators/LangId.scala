@@ -189,4 +189,72 @@ object LangId {
       |  FROM sc)
       |SELECT doc_id, lang AS predicted_lang, score AS lang_score
       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Language-label audit: the confusion matrix of DECLARED language
+    * metadata against the n-gram classifier's prediction — the "is the
+    * metadata lying" check a corpus intake runs before trusting
+    * `lang` tags for mixture decisions. Diagonal = agreement;
+    * off-diagonal mass locates mislabeled slices.
+    *
+    * Scale shape: [[trainAndClassify]]'s single-explode pipeline plus
+    * one label join and one domain-bounded (declared × predicted)
+    * aggregate; the per-declared fraction rides a window over that
+    * matrix, not over documents.
+    */
+  def labelConfusion(labeled: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val pred = trainAndClassify(labeled, idCol, textCol, langCol)
+    val declared = labeled.select(col(idCol).as("doc_id"),
+      col(langCol).as("declared_lang"))
+    val cells = declared
+      .join(pred.select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+      .groupBy(col("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("declared_lang"))
+    cells
+      .withColumn("frac",
+        col("n").cast("double") / sum(col("n")).over(w))
+      .withColumn("agree", col("declared_lang") === col("predicted_lang"))
+  }
+
+  /** Declared q173: confusion of the corpus's lang tags vs q45's
+    * classifier.
+    */
+  def q173LangConfusion(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    labelConfusion(graft.core.Tables.documents(spark, d),
+      "doc_id", "text", "lang")
+
+  val q173Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, '  ' || lower(text) || '  ' AS p FROM documents),
+      |tri AS (
+      |  SELECT doc_id, lang,
+      |   unnest(list_transform(range(1, length(p) - 1),
+      |     i -> substring(p, CAST(i AS INT), 3))) AS tg
+      |  FROM docs),
+      |counts AS (SELECT lang, tg, count(*) AS n FROM tri GROUP BY 1, 2),
+      |totals AS (SELECT lang, sum(n) AS total FROM counts GROUP BY 1),
+      |prof AS (
+      |  SELECT r.lang, tg, n, total FROM (
+      |    SELECT lang, tg, n,
+      |     row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS rk
+      |    FROM counts) r JOIN totals USING (lang) WHERE rk <= 300),
+      |occ AS (SELECT doc_id, tg, count(*) AS occ FROM tri GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT doc_id, prof.lang, CAST(sum(occ * n) AS DOUBLE) / max(total) AS score
+      |  FROM occ JOIN prof USING (tg) GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, lang AS predicted_lang FROM (
+      |    SELECT doc_id, lang, score,
+      |     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      |    FROM sc) WHERE rn = 1),
+      |cells AS (
+      |  SELECT d.lang AS declared_lang, p.predicted_lang, count(*) AS n
+      |  FROM documents d JOIN pred p USING (doc_id)
+      |  GROUP BY 1, 2)
+      |SELECT declared_lang, predicted_lang, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY declared_lang)
+      |    AS frac,
+      |  declared_lang = predicted_lang AS agree
+      |FROM cells""".stripMargin
 }

@@ -740,4 +740,76 @@ object NearDup {
       |  jaro_winkler_similarity(a.name, b.name) AS jw
       |FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
       |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.92""".stripMargin
+
+  /** Sorted-neighborhood entity-resolution candidates (Hernández &
+    * Stolfo 1995): order records by the match key and compare each to
+    * its `window` successors — the classic complement to hash blocking
+    * ([[jaroWinklerJoin]]'s first-word blocks miss pairs whose first
+    * token differs; the sort catches anything lexicographically
+    * close). Duplicate names collapse to their min-id representative
+    * first (exact duplicates are q30's job; they would only bloat the
+    * neighborhood).
+    *
+    * DISTRIBUTED formulation: the global sort position comes from
+    * [[Relational.orderedPrefixSums]] over the distinct-name relation
+    * (range-partitioned above the cutoff — no single-partition window,
+    * the trap the textbook lead()-based form hides), and "the next w
+    * records" becomes an INTEGER EQUI-JOIN on rank+k after a bounded
+    * k ≤ `window` explode. Verification is the codegen
+    * `jaro_winkler_gte` admission kernel.
+    */
+  def sortedNeighborhoodJoin(records: DataFrame, idCol: String,
+      nameCol: String, window: Int, threshold: Double): DataFrame = {
+    val names = records
+      .where(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("__name"))
+      .agg(min(col(idCol)).as("__id"))
+    val ranked = Relational
+      .orderedPrefixSums(names.withColumn("__one", lit(1L)), "__name",
+        Seq("__r" -> col("__one")))
+      .select(col("__r").cast("long").as("__r"), col("__id"),
+        col("__name"))
+      // two consumers (both join legs) — materialize the rank pass once
+      .localCheckpoint()
+    val probes = ranked
+      .select(col("__r"), col("__id").as("a_id"),
+        col("__name").as("a_name"),
+        explode(sequence(lit(1), lit(window))).as("__k"))
+      .select((col("__r") + col("__k")).as("__r2"),
+        col("a_id"), col("a_name"))
+    probes
+      .join(ranked.select(col("__r").as("__r2"), col("__id").as("b_id"),
+        col("__name").as("b_name")), Seq("__r2"))
+      .where(graft.functions.GraftFunctions.jaroWinklerGte(
+        col("a_name"), col("b_name"), threshold))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.GraftFunctions.jaroWinkler(
+          col("a_name"), col("b_name")).as("jw_sim"))
+  }
+
+  /** Declared q172: sorted-neighborhood candidates over part names,
+    * window 10 at 0.88 (the fixture name vocabulary is 2-token — nothing clears 0.92 in sort order) — the q110 resolution run under its
+    * complementary blocking scheme.
+    */
+  def q172SortedNeighborhood(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val p = graft.core.Tables.part(spark, d)
+      .select(col("p_partkey").as("id"), col("p_name").as("name"))
+    sortedNeighborhoodJoin(p, "id", "name", window = 10, threshold = 0.88)
+  }
+
+  val q172Sql: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, min(p_partkey) AS id
+      |  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+      |ranked AS (
+      |  SELECT name, id, row_number() OVER (ORDER BY name) AS r
+      |  FROM names),
+      |pairs AS (
+      |  SELECT a.id AS a_id, b.id AS b_id, a.name AS an, b.name AS bn
+      |  FROM ranked a JOIN ranked b
+      |    ON b.r BETWEEN a.r + 1 AND a.r + 10)
+      |SELECT a_id, b_id, jaro_winkler_similarity(an, bn) AS jw_sim
+      |FROM pairs
+      |WHERE jaro_winkler_similarity(an, bn) >= 0.88""".stripMargin
 }

@@ -411,4 +411,35 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "longest name wins the canonical slot")
     assert(out(9L) === ((1L, 9L, "gamma llc")))
   }
+
+  test("sortedNeighborhoodJoin: catches cross-block pairs, respects window") {
+    val sp = spark; import sp.implicits._
+    // "alpha kettle" vs "alphb kettle": first tokens differ, so q110's
+    // first-word hash blocking can never pair them — sort adjacency
+    // does. The zz* names are similar to each other but > window apart
+    // from the alph* pair alphabetically, exercising the cut.
+    val recs = (Seq(
+      (1L, "alpha kettle"), (2L, "alphb kettle"),
+      (3L, "zz wrench x")) ++
+      (10L to 25L).map(i => (i, s"m$i middle filler")))
+      .toDF("id", "name")
+    val out = NearDup.sortedNeighborhoodJoin(recs, "id", "name",
+      window = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)),
+      "sort-adjacent near-identical names must pair")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+      "nothing within the window resembles the zz name")
+  }
+
+  test("sortedNeighborhoodJoin: duplicate names collapse to one representative") {
+    val sp = spark; import sp.implicits._
+    val recs = Seq((5L, "same name"), (9L, "same name"), (2L, "same namf"))
+      .toDF("id", "name")
+    val out = NearDup.sortedNeighborhoodJoin(recs, "id", "name",
+      window = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the duplicate "same name" contributes only its min id (5)
+    assert(out === Set((5L, 2L)))
+  }
 }

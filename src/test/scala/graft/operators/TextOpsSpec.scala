@@ -304,4 +304,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("even")._2 === 10L)
     assert(math.abs(out("even")._3) < 1e-12)
   }
+
+  test("labelConfusion: clean labels sit on the diagonal, planted mislabel surfaces") {
+    val sp = spark; import sp.implicits._
+    // two sharply distinct "languages" by character statistics; doc 6
+    // carries ee-text under an oo label — the audit must expose it
+    val ee = "the bee sees three green trees every evening indeed"
+    val oo = "zoom moon spoon soon wool cool fool pool tool stool"
+    val docs = Seq(
+      (1L, ee + " freely", "ee"), (2L, ee + " between", "ee"),
+      (3L, oo + " gloom", "oo"), (4L, oo + " roost", "oo"),
+      (5L, ee + " seen", "ee"),
+      (6L, ee + " decree", "oo")).toDF("doc_id", "text", "lang")
+    val out = LangId.labelConfusion(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("frac"),
+          r.getAs[Boolean]("agree"))).toMap
+    assert(out(("ee", "ee"))._1 === 3L && out(("ee", "ee"))._3)
+    // the mislabeled doc shows up as declared-oo predicted-ee
+    assert(out(("oo", "ee"))._1 === 1L && !out(("oo", "ee"))._3)
+    assert(math.abs(out(("oo", "ee"))._2 - 1.0 / 3) < 1e-12)
+    assert(out(("oo", "oo"))._1 === 2L)
+  }
 }
