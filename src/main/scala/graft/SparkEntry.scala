@@ -324,6 +324,10 @@ object SparkEntry {
     "q172_sorted_neighborhood" -> (graft.operators.NearDup.q172SortedNeighborhood _),
     // declared-vs-predicted language confusion audit
     "q173_lang_confusion" -> (graft.operators.LangId.q173LangConfusion _),
+    // cumulative gains / lift at score deciles
+    "q174_lift_curve" -> (Relational.q174LiftCurve _),
+    // vocabulary coverage curve (tokenizer-budget diagnostic)
+    "q175_vocab_coverage" -> (TextAnalysis.q175VocabCoverage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -506,5 +510,7 @@ object SparkEntry {
     "q171_burstiness" -> TextAnalysis.q171Sql,
     "q172_sorted_neighborhood" -> graft.operators.NearDup.q172Sql,
     "q173_lang_confusion" -> graft.operators.LangId.q173Sql,
+    "q174_lift_curve" -> Relational.q174Sql,
+    "q175_vocab_coverage" -> TextAnalysis.q175Sql,
   )
 }

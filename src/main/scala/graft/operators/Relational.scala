@@ -1294,4 +1294,74 @@ object Relational {
       |  mi.mi AS mi, ha.h_a AS h_a, hb.h_b AS h_b,
       |  mi.mi / least(ha.h_a, hb.h_b) AS nmi
       |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+
+  /** Cumulative gains / lift curve at score deciles — the model-eval
+    * companion to [[Profiling.rocAuc]]: rank the population by score
+    * descending, cut into 10 value-tied deciles, and report how much
+    * of the positive class the top d deciles capture (gain) and at
+    * what rate multiple over baseline (lift) — the "call the top 20%"
+    * targeting readout.
+    *
+    * Scale shape: the (score → count, positives) support in one hash
+    * aggregate; descending ranks via [[orderedPrefixSums]] on the
+    * negated score; the decile roll-up and its cumulative walk happen
+    * on a 10-row relation.
+    */
+  def liftCurve(df: DataFrame, scoreCol: String,
+      label: Column): DataFrame = {
+    val sup = df
+      .groupBy(col(scoreCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(label, 1L).otherwise(0L)).as("__p"))
+      .withColumn("__negv", -col("__v"))
+    val k = orderedPrefixSums(sup, "__negv",
+      Seq("__k" -> col("__c"), "__kp" -> col("__p")))
+    val perDecile = k
+      .select(ceil(col("__k") * 10 / col("__k_total")).cast("int")
+          .as("decile"),
+        col("__c"), col("__p"), col("__k_total"), col("__kp_total"))
+      .groupBy(col("decile"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"),
+        max(col("__k_total")).as("__n"), max(col("__kp_total")).as("__np"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("n_pos")).over(w))
+      .select(col("decile"), col("n"), col("n_pos"),
+        (col("__cp") / col("__np")).as("gain"),
+        ((col("__cp") / col("__cn")) / (col("__np") / col("__n")))
+          .as("lift"))
+  }
+
+  /** Declared q174: does event value target purchases. */
+  def q174LiftCurve(spark: SparkSession, d: String): DataFrame =
+    liftCurve(
+      graft.core.Tables.events(spark, d).where(col("value").isNotNull),
+      "value", col("event_type") === "purchase")
+
+  val q174Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(value AS DOUBLE) AS v,
+      |    event_type = 'purchase' AS lab
+      |  FROM events WHERE value IS NOT NULL),
+      |sup AS (
+      |  SELECT v, count(*) AS c,
+      |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS p
+      |  FROM e GROUP BY 1),
+      |k AS (
+      |  SELECT c, p,
+      |    CAST(sum(c) OVER (ORDER BY -v) AS DOUBLE) AS kk,
+      |    CAST((SELECT sum(c) FROM sup) AS DOUBLE) AS n,
+      |    CAST((SELECT sum(p) FROM sup) AS DOUBLE) AS np
+      |  FROM sup),
+      |d AS (
+      |  SELECT CAST(ceil(kk * 10 / n) AS INT) AS decile,
+      |    sum(c) AS nd, sum(p) AS npd, max(n) AS n, max(np) AS np
+      |  FROM k GROUP BY 1)
+      |SELECT decile, CAST(nd AS BIGINT) AS n, CAST(npd AS BIGINT) AS n_pos,
+      |  sum(npd) OVER (ORDER BY decile) / np AS gain,
+      |  (sum(npd) OVER (ORDER BY decile)
+      |     / sum(nd) OVER (ORDER BY decile)) / (np / n) AS lift
+      |FROM d""".stripMargin
 }

@@ -1354,4 +1354,68 @@ object TextAnalysis {
       |  ((ss / d.d) - (s / d.d) * (s / d.d)) / (s / d.d) AS fano
       |FROM m CROSS JOIN d
       |ORDER BY fano DESC, token LIMIT 20""".stripMargin
+
+  /** Vocabulary coverage curve — how many distinct tokens (ranked by
+    * frequency) it takes to cover {50, 80, 90, 99}% of all token
+    * occurrences: the tokenizer-budget / compression diagnostic
+    * behind "a 32k vocab covers 99.5% of this corpus". Within a
+    * frequency tie every token adds the same mass, so the crossing
+    * rank is deterministic no matter how ties order.
+    *
+    * Scale shape: one explode + vocabulary-keyed counts, descending
+    * ranks via [[Relational.orderedPrefixSums]] on the negated count,
+    * one final aggregate producing a 4-row literal unpivot.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.8, 0.9, 0.99)): DataFrame = {
+    val sup = docs
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t").isNotNull)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .withColumn("__negc", -col("__c"))
+    val k = Relational.orderedPrefixSums(sup, "__negc",
+      Seq("__m" -> col("__c"), "__r" -> lit(1L)))
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      min(when(col("__m") >= col("__m_total") * t, col("__r")))
+        .cast("long").as(s"__k$i")
+    }
+    val one = k.agg(
+      max(col("__r_total")).cast("long").as("__vocab"),
+      (max(col("__m_total")).cast("long").as("__mass") +: aggs): _*)
+    val rows = explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("coverage"), col(s"__k$i").as("k_tokens"),
+        col("__vocab").as("vocab_size"), col("__mass").as("total_tokens"))
+    }: _*))
+    one.select(rows.as("r")).select(col("r.*"))
+  }
+
+  /** Declared q175: the corpus's token-coverage curve. */
+  def q175VocabCoverage(spark: SparkSession, d: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, d), "text")
+
+  val q175Sql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |sup AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+      |k AS (
+      |  SELECT c,
+      |    CAST(sum(c) OVER (ORDER BY -c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      AS m,
+      |    CAST(row_number() OVER (ORDER BY -c) AS BIGINT) AS r,
+      |    CAST((SELECT sum(c) FROM sup) AS DOUBLE) AS mass,
+      |    CAST((SELECT count(*) FROM sup) AS BIGINT) AS vocab
+      |  FROM sup),
+      |s AS (
+      |  SELECT max(vocab) AS vocab, CAST(max(mass) AS BIGINT) AS mass,
+      |    min(CASE WHEN m >= mass * 0.5 THEN r END) AS k50,
+      |    min(CASE WHEN m >= mass * 0.8 THEN r END) AS k80,
+      |    min(CASE WHEN m >= mass * 0.9 THEN r END) AS k90,
+      |    min(CASE WHEN m >= mass * 0.99 THEN r END) AS k99
+      |  FROM k)
+      |SELECT CAST(0.5 AS DOUBLE) AS coverage, k50 AS k_tokens,
+      |  vocab AS vocab_size, mass AS total_tokens FROM s
+      |UNION ALL SELECT CAST(0.8 AS DOUBLE), k80, vocab, mass FROM s
+      |UNION ALL SELECT CAST(0.9 AS DOUBLE), k90, vocab, mass FROM s
+      |UNION ALL SELECT CAST(0.99 AS DOUBLE), k99, vocab, mass FROM s""".stripMargin
 }

@@ -252,4 +252,24 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r1.getAs[Double]("mi") - math.log(2)) < 1e-12)
     assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-12)
   }
+
+  test("liftCurve: perfect scorer concentrates gain, uniform scorer has lift 1") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // 100 rows, scores 100..1 descending, positives = the top 10 scores
+    val rows = (1 to 100).map(i => (101.0 - i, i <= 10))
+    val out = Relational.liftCurve(rows.toDF("s", "y"), "s", col("y"))
+      .collect().map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("gain"), r.getAs[Double]("lift"))).toMap
+    assert(out.keySet === (1 to 10).toSet)
+    // decile 1 holds ALL positives: gain 1, lift 10
+    assert(out(1)._1 === 10L && out(1)._2 === 10L)
+    assert(math.abs(out(1)._3 - 1.0) < 1e-12)
+    assert(math.abs(out(1)._4 - 10.0) < 1e-12)
+    // later deciles add no positives; lift decays as 10/d
+    assert(out(5)._2 === 0L)
+    assert(math.abs(out(5)._4 - 2.0) < 1e-12)
+    assert(math.abs(out(10)._4 - 1.0) < 1e-12)
+  }
 }

@@ -326,4 +326,21 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(("oo", "ee"))._2 - 1.0 / 3) < 1e-12)
     assert(out(("oo", "oo"))._1 === 2L)
   }
+
+  test("vocabCoverage: hand-computed crossing ranks, ties deterministic") {
+    val sp = spark; import sp.implicits._
+    // counts: a=60, b=20, c=10, d=10 (mass 100, vocab 4)
+    val text = (Seq.fill(60)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(10)("d")).mkString(" ")
+    val out = TextAnalysis.vocabCoverage(Seq((1L, text)).toDF("id", "text"),
+      "text").collect()
+      .map(r => r.getAs[Double]("coverage") ->
+        (r.getAs[Long]("k_tokens"), r.getAs[Long]("vocab_size"),
+          r.getAs[Long]("total_tokens"))).toMap
+    // cum mass by rank: 60, 80, 90, 100
+    assert(out(0.5) === ((1L, 4L, 100L)))  // 60 ≥ 50
+    assert(out(0.8) === ((2L, 4L, 100L)))  // 80 ≥ 80
+    assert(out(0.9) === ((3L, 4L, 100L)))  // c/d tie: same mass per step
+    assert(out(0.99) === ((4L, 4L, 100L)))
+  }
 }
