@@ -328,6 +328,10 @@ object SparkEntry {
     "q174_lift_curve" -> (Relational.q174LiftCurve _),
     // vocabulary coverage curve (tokenizer-budget diagnostic)
     "q175_vocab_coverage" -> (TextAnalysis.q175VocabCoverage _),
+    // Newman modularity of the nation partition on the trade graph
+    "q176_modularity" -> (graft.operators.Components.q176Modularity _),
+    // ingest quality-gate attrition funnel
+    "q177_filter_cascade" -> (graft.operators.CorpusOps.q177FilterCascade _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,5 +516,7 @@ object SparkEntry {
     "q173_lang_confusion" -> graft.operators.LangId.q173Sql,
     "q174_lift_curve" -> Relational.q174Sql,
     "q175_vocab_coverage" -> TextAnalysis.q175Sql,
+    "q176_modularity" -> graft.operators.Components.q176Sql,
+    "q177_filter_cascade" -> graft.operators.CorpusOps.q177Sql,
   )
 }

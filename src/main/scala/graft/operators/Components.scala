@@ -1121,4 +1121,121 @@ object Components {
       |    / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
       |    AS assortativity
       |FROM m""".stripMargin
+
+  /** Modularity of a GIVEN node partition (Newman–Girvan Q): per
+    * community, the within-community edge fraction minus the expected
+    * fraction under the degree-preserving null model —
+    * Q_c = m_c/m − (d_c/2m)². Scores how well an EXTERNAL grouping
+    * (region tags, cluster labels, dedup components) explains the
+    * graph's wiring — the validation step after any community-ish
+    * labeling.
+    *
+    * Scale shape: two node-keyed joins attach communities to edge
+    * endpoints, one domain-bounded aggregate per community, degree
+    * mass via one union-aggregate; Q is closed-form per community
+    * plus a broadcast total. No quadratic intermediate.
+    *
+    * @param nodes (node, community) assignment; edges to nodes absent
+    *              from it are dropped
+    * @return per community: community, n_nodes, m_within, degree_mass,
+    *         q_contrib, and the graph-wide q repeated
+    */
+  def partitionModularity(edges: DataFrame, srcCol: String,
+      dstCol: String, nodes: DataFrame, nodeCol: String,
+      communityCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val comm = nodes.select(col(nodeCol).as("__n"),
+      col(communityCol).as("__c"))
+    val tagged = canon
+      .join(comm.select(col("__n").as("u"), col("__c").as("__cu")), Seq("u"))
+      .join(comm.select(col("__n").as("v"), col("__c").as("__cv")), Seq("v"))
+      .localCheckpoint()
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val within = tagged.where(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("community"))
+      .agg(count(lit(1)).as("m_within"))
+    val degMass = tagged
+      .select(col("__cu").as("community"))
+      .unionAll(tagged.select(col("__cv").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("degree_mass"))
+    val nNodes = comm.groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val per = nNodes
+      .join(degMass, Seq("community"), "left")
+      .join(within, Seq("community"), "left")
+      .na.fill(0L, Seq("m_within", "degree_mass"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_contrib",
+        col("m_within").cast("double") / col("__m") -
+          pow(col("degree_mass").cast("double") / (col("__m") * 2), 2))
+    val total = per.agg(sum(col("q_contrib")).as("__q"))
+    per.crossJoin(broadcast(total))
+      .select(col("community"), col("n_nodes"), col("m_within"),
+        col("degree_mass"), col("q_contrib"), col("__q").as("q_total"))
+  }
+
+  /** Declared q176: is high-value trade intra-national? Modularity of
+    * the customer–supplier counterparty graph under the nation
+    * partition (customers AND suppliers carry their nation key).
+    */
+  def q176Modularity(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    val custNation = Tables.customer(spark, d)
+      .select(col("c_custkey").as("node"), col("c_nationkey").as("nation"))
+    val suppNation = Tables.supplier(spark, d)
+      .select((col("s_suppkey") + lit(1000000L)).as("node"),
+        col("s_nationkey").as("nation"))
+    partitionModularity(edges, "src", "dst",
+      custNation.unionAll(suppNation), "node", "nation")
+  }
+
+  val q176Sql: String =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_totalprice > 150000),
+      |comm AS MATERIALIZED (
+      |  SELECT c_custkey AS n, c_nationkey AS c FROM customer
+      |  UNION ALL
+      |  SELECT s_suppkey + 1000000, s_nationkey FROM supplier),
+      |tagged AS MATERIALIZED (
+      |  SELECT e0.u, e0.v, cu.c AS cu, cv.c AS cv
+      |  FROM e0 JOIN comm cu ON cu.n = e0.u JOIN comm cv ON cv.n = e0.v),
+      |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM tagged),
+      |w AS (
+      |  SELECT cu AS community, count(*) AS m_within
+      |  FROM tagged WHERE cu = cv GROUP BY 1),
+      |dm AS (
+      |  SELECT community, count(*) AS degree_mass FROM (
+      |    SELECT cu AS community FROM tagged
+      |    UNION ALL SELECT cv FROM tagged)
+      |  GROUP BY 1),
+      |nn AS (SELECT c AS community, count(*) AS n_nodes FROM comm GROUP BY 1),
+      |per AS (
+      |  SELECT nn.community, nn.n_nodes,
+      |    coalesce(w.m_within, 0) AS m_within,
+      |    coalesce(dm.degree_mass, 0) AS degree_mass,
+      |    coalesce(w.m_within, 0) / m.m
+      |      - pow(coalesce(dm.degree_mass, 0) / (2 * m.m), 2) AS q_contrib
+      |  FROM nn LEFT JOIN dm USING (community)
+      |  LEFT JOIN w USING (community) CROSS JOIN m)
+      |SELECT CAST(community AS BIGINT) AS community,
+      |  CAST(n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(m_within AS BIGINT) AS m_within,
+      |  CAST(degree_mass AS BIGINT) AS degree_mass,
+      |  q_contrib,
+      |  (SELECT sum(q_contrib) FROM per) AS q_total
+      |FROM per""".stripMargin
 }

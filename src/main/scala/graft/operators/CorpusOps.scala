@@ -1052,4 +1052,50 @@ object CorpusOps {
       |FROM z
       |QUALIFY row_number() OVER (PARTITION BY source
       |  ORDER BY z DESC, tok) <= 5""".stripMargin
+
+  /** Quality-gate attrition report — run the ingest filter cascade and
+    * report where documents die: each doc is attributed to its FIRST
+    * failing gate (gates in pipeline order), so the report reads as a
+    * funnel ("22% die at the length gate, 9% at repetition…") — the
+    * data-card table every corpus release publishes next to q50's
+    * actual filter.
+    *
+    * Scale shape: one codegen projection computes every gate flag in a
+    * single scan, one domain-bounded aggregate per stage.
+    */
+  def filterCascade(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val charsPerTok = length(col(textCol)).cast("double") / nTok
+    val stage = when(nTok < 20, "1_too_short")
+      .when(uniqRatio < 0.3, "2_repetitive")
+      .when(charsPerTok > 12, "3_token_soup")
+      .otherwise("4_pass")
+    val n = docs.agg(count(lit(1)).as("__n"))
+    docs.select(stage.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(n))
+      .select(col("stage"), col("n_docs"),
+        (col("n_docs").cast("double") / col("__n")).as("frac"))
+  }
+
+  /** Declared q177: the corpus's gate-attrition funnel. */
+  def q177FilterCascade(spark: SparkSession, d: String): DataFrame =
+    filterCascade(graft.core.Tables.documents(spark, d), "text")
+
+  val q177Sql: String =
+    """WITH f AS (
+      |  SELECT CASE
+      |    WHEN len(string_split(text, ' ')) < 20 THEN '1_too_short'
+      |    WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) < 0.3 THEN '2_repetitive'
+      |    WHEN CAST(length(text) AS DOUBLE)
+      |         / len(string_split(text, ' ')) > 12 THEN '3_token_soup'
+      |    ELSE '4_pass' END AS stage
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f)
+      |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |  count(*) / max(n.n) AS frac
+      |FROM f CROSS JOIN n GROUP BY stage""".stripMargin
 }

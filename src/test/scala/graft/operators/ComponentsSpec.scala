@@ -324,4 +324,27 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_edges") === 3L)
     assert(math.abs(r.getAs[Double]("assortativity") + 1.0) < 1e-12)
   }
+
+  test("partitionModularity: aligned labels positive, crossed labels negative") {
+    val sp = spark; import sp.implicits._
+    // two disjoint edges; communities matching the components:
+    // per community m_c=1, d_c=2, m=2 → q_c = 1/2 − (2/4)² = 0.25
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    val aligned = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("node", "comm")
+    val good = Components.partitionModularity(edges, "u", "v",
+      aligned, "node", "comm").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("m_within"), r.getAs[Double]("q_contrib"),
+          r.getAs[Double]("q_total"))).toMap
+    assert(good("A")._1 === 1L)
+    assert(math.abs(good("A")._2 - 0.25) < 1e-12)
+    assert(math.abs(good("A")._3 - 0.5) < 1e-12)
+    // labels crossing the components: zero within-edges, Q = −0.5
+    val crossed = Seq((1L, "A"), (3L, "A"), (2L, "B"), (4L, "B"))
+      .toDF("node", "comm")
+    val bad = Components.partitionModularity(edges, "u", "v",
+      crossed, "node", "comm").collect()
+    assert(math.abs(bad.head.getAs[Double]("q_total") + 0.5) < 1e-12)
+  }
 }

@@ -502,4 +502,24 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Double]("log_odds_z")
     assert(z > 0.5)
   }
+
+  test("filterCascade: each doc dies at its FIRST failing gate") {
+    val sp = spark; import sp.implicits._
+    val pass = (1 to 30).map(i => s"w$i").mkString(" ")  // 30 distinct tokens
+    val short = "just five little words here"
+    // long enough but one token repeated: fails repetition, which must
+    // ALSO shadow any later gate
+    val repet = Seq.fill(30)("spam").mkString(" ")
+    // 25 DISTINCT 20-char tokens (identical tokens would die at the
+    // repetition gate first)
+    val soup = (1 to 25).map(i => "x" * 18 + f"$i%02d").mkString(" ")
+    val docs = Seq((1L, pass), (2L, short), (3L, repet), (4L, soup))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.filterCascade(docs, "text").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Double]("frac"))).toMap
+    assert(out === Map(
+      "1_too_short" -> ((1L, 0.25)), "2_repetitive" -> ((1L, 0.25)),
+      "3_token_soup" -> ((1L, 0.25)), "4_pass" -> ((1L, 0.25))))
+  }
 }

@@ -324,4 +324,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("lambdafunction"),
       s"no interpreted higher-order lambdas in the per-component path:\n$plan")
   }
+
+  test("q164 rank lookup stays an equi-join (never a nested-loop product)") {
+    // regression pin for the round-6 bug class: a join key that mixes
+    // sides ("ceil(left.p * right.n) = right.r") silently demotes to
+    // BroadcastNestedLoopJoin — 600k × 600k at sf0.1, a 10-minute
+    // query. The global count must ride the probe side as a broadcast
+    // scalar so the lookup is a plain hash/sort-merge equi-join.
+    val plan = executedPlan(Relational.q164QuantileNormalize(spark, sfDir))
+    // the __r = __r lookup must plan as a HASH (or sort-merge) join
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[__r".r
+      .findFirstIn(plan).isDefined,
+      s"rank lookup is not an equi-join:\n$plan")
+    // the only nested-loop allowed is the 1-row global-count scalar
+    // broadcast; the data-scale lookup must never be one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q172 sorted-neighborhood pairs join on integer rank, no product") {
+    val plan = executedPlan(
+      NearDup.q172SortedNeighborhood(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"neighborhood join must be the rank equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
