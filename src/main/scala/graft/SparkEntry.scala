@@ -332,6 +332,8 @@ object SparkEntry {
     "q176_modularity" -> (graft.operators.Components.q176Modularity _),
     // ingest quality-gate attrition funnel
     "q177_filter_cascade" -> (graft.operators.CorpusOps.q177FilterCascade _),
+    // incremental session-table maintenance ≡ full recompute
+    "q178_incremental_sessions" -> (graft.operators.EventAnalytics.q178IncrementalSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -518,5 +520,6 @@ object SparkEntry {
     "q175_vocab_coverage" -> TextAnalysis.q175Sql,
     "q176_modularity" -> graft.operators.Components.q176Sql,
     "q177_filter_cascade" -> graft.operators.CorpusOps.q177Sql,
+    "q178_incremental_sessions" -> graft.operators.EventAnalytics.q178Sql,
   )
 }

@@ -806,4 +806,65 @@ object EventAnalytics {
       |  quantile_cont(lm, 0.75) AS p75_minutes,
       |  quantile_cont(lm, 0.9) AS p90_minutes
       |FROM lag""".stripMargin
+
+  /** Declared q178: INCREMENTAL maintenance of the q128 session table —
+    * the composition every event warehouse actually runs: a versioned
+    * session table is built from the first half of history, the second
+    * half arrives as a new batch, and only the TOUCHED USERS' sessions
+    * are recomputed and MERGEd in (update-or-insert; prefix runs are
+    * stable, the boundary-straddling session updates in place, new
+    * sessions append — no stale row can survive because a user's old
+    * session ids are always a prefix of their recomputed ids).
+    * Correctness contract: the post-merge snapshot must equal the
+    * from-scratch sessionization of ALL events — the oracle IS the
+    * full recompute, so the incremental path can't drift.
+    *
+    * Scale shape: the merge touches only affected users' rows (the
+    * MERGE prunes by touched keys); the recompute input is
+    * user-pruned by one semi-join — cost scales with the batch's user
+    * set, not history size.
+    */
+  /** The maintenance step itself, cut injectable for the spec: v0 =
+    * sessions of events before `cutUs`, then the post-cut batch
+    * triggers a user-pruned recompute MERGEd in. Returns the final
+    * snapshot.
+    */
+  def incrementalSessions(e: DataFrame, cutUs: Long, gapUs: Long,
+      path: String): DataFrame = {
+    val spark = e.sparkSession
+    graft.tables.DeltaLikeTable.write(
+      sessionize(e.where(col("us") < cutUs), gapUs), path, "overwrite")
+    val touched = e.where(col("us") >= cutUs)
+      .select(col("user_id")).distinct()
+    val recomputed = sessionize(
+      e.join(touched, Seq("user_id"), "left_semi"), gapUs)
+    graft.tables.DeltaLikeTable.forPath(spark, path)
+      .as("t").merge(recomputed.as("s"),
+        "t.user_id = s.user_id AND t.session_id = s.session_id")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    spark.read.format("deltalike").load(path)
+  }
+
+  def q178IncrementalSessions(spark: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sessions_inc").toString
+    val e = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .localCheckpoint()
+    // bounded driver scalar (one row): the batch split point
+    val span = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .collect().head
+    incrementalSessions(e, (span.getLong(0) + span.getLong(1)) / 2,
+      gapUs, path)
+  }
+
+  /** Oracle: the from-scratch sessionization of the full event stream
+    * (q128's SQL verbatim) — incremental maintenance must be
+    * indistinguishable from recomputation.
+    */
+  val q178Sql: String = q128Sql
 }

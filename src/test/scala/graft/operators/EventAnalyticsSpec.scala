@@ -327,4 +327,34 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("p25_minutes") - 37.5) < 1e-9)
     assert(math.abs(r.getAs[Double]("p90_minutes") - 57.0) < 1e-9)
   }
+
+  test("incrementalSessions: straddling session updates in place, equals recompute") {
+    val sp = spark; import sp.implicits._
+    val gap = 1000L
+    // user 1: session A fully before the cut; session B STRADDLES it
+    // (last pre-cut event at 5000, first post-cut at 5500 — gap 500 <
+    // 1000 merges them); session C fully after. user 2 only pre-cut:
+    // untouched by the batch, row must survive the merge unchanged.
+    val e = Seq(
+      (1L, 1000L, 1L), (1L, 1500L, 2L),        // A
+      (1L, 5000L, 3L), (1L, 5500L, 4L),        // B straddles cut=5200
+      (1L, 9000L, 5L),                          // C
+      (2L, 2000L, 6L)).toDF("user_id", "us", "event_id")
+    val path = java.nio.file.Files
+      .createTempDirectory("inc_sessions_spec").toString
+    val got = EventAnalytics.incrementalSessions(e, cutUs = 5200L,
+        gapUs = gap, path = path)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    val full = EventAnalytics.sessionize(e, gap)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    assert(got === full)
+    // the straddler really did merge: user 1 session 2 spans 5000-5500
+    assert(got.contains((1L, 2L, 5000L, 5500L, 2L)))
+    // untouched user's v0 row intact
+    assert(got.contains((2L, 1L, 2000L, 2000L, 1L)))
+  }
 }
