@@ -280,4 +280,26 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(r2.getAs[Long]("k") === 2L)
   }
+
+  test("rocAuc property: equals O(n^2) pair counting on random tied data") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      // coarse scores force heavy ties — the midrank path under test
+      val rows = (1 to 120).map { _ =>
+        (rnd.nextInt(12).toDouble, rnd.nextBoolean())
+      }
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val pairs = for (p <- pos; n <- neg)
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+        val want = pairs.sum / (pos.size.toDouble * neg.size)
+        val got = Profiling.rocAuc(rows.toDF("s", "y"), "s", col("y"))
+          .collect().head.getAs[Double]("auc")
+        assert(math.abs(got - want) < 1e-9, s"trial $trial: $got vs $want")
+      }
+    }
+  }
 }

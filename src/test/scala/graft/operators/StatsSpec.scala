@@ -272,4 +272,29 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(5)._4 - 2.0) < 1e-12)
     assert(math.abs(out(10)._4 - 1.0) < 1e-12)
   }
+
+  test("spearmanCorrelation property: equals local midrank Pearson on random data") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(9191)
+    def midranks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      val first = sorted.zipWithIndex.groupBy(_._1)
+        .view.mapValues(g => g.map(_._2).sum.toDouble / g.size + 1).toMap
+      vs.map(first)
+    }
+    (1 to 3).foreach { trial =>
+      val xs = Seq.fill(90)(rnd.nextInt(8).toDouble)    // heavy ties
+      val ys = xs.map(x => x * rnd.nextDouble() + rnd.nextInt(5))
+      val rx = midranks(xs); val ry = midranks(ys)
+      val n = xs.size.toDouble
+      val want = (n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+        rx.sum * ry.sum) /
+        math.sqrt((n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+          (n * ry.map(a => a * a).sum - ry.sum * ry.sum))
+      val got = Profiling.spearmanCorrelation(
+        xs.zip(ys).toDF("x", "y"), "x", "y")
+        .collect().head.getAs[Double]("spearman_rho")
+      assert(math.abs(got - want) < 1e-9, s"trial $trial: $got vs $want")
+    }
+  }
 }
