@@ -334,6 +334,8 @@ object SparkEntry {
     "q177_filter_cascade" -> (graft.operators.CorpusOps.q177FilterCascade _),
     // incremental session-table maintenance ≡ full recompute
     "q178_incremental_sessions" -> (graft.operators.EventAnalytics.q178IncrementalSessions _),
+    // BH-FDR-controlled drift battery (cross-engine-pinned normal CDF)
+    "q179_bh_fdr" -> (Relational.q179BhFdr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,5 +523,6 @@ object SparkEntry {
     "q176_modularity" -> graft.operators.Components.q176Sql,
     "q177_filter_cascade" -> graft.operators.CorpusOps.q177Sql,
     "q178_incremental_sessions" -> graft.operators.EventAnalytics.q178Sql,
+    "q179_bh_fdr" -> Relational.q179Sql,
   )
 }

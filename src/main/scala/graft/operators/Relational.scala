@@ -1364,4 +1364,134 @@ object Relational {
       |  (sum(npd) OVER (ORDER BY decile)
       |     / sum(nd) OVER (ORDER BY decile)) / (np / n) AS lift
       |FROM d""".stripMargin
+
+  /** Φ(x), the standard normal CDF, via the Abramowitz–Stegun 7.1.26
+    * erf polynomial (|error| < 1.5e-7) — Spark exposes no erf, so the
+    * SAME closed-form polynomial runs on both engines (the oracle
+    * embeds the identical constants), keeping p-values bit-comparable
+    * instead of riding two libraries' erf implementations.
+    */
+  private[operators] def normCdf(x: Column): Column = {
+    val z = abs(x) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = t * (lit(0.254829592) +
+      t * (lit(-0.284496736) +
+        t * (lit(1.421413741) +
+          t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    val erf = lit(1.0) - poly * exp(-z * z)
+    when(x >= 0, (lit(1.0) + erf) / 2).otherwise((lit(1.0) - erf) / 2)
+  }
+
+  /** The identical polynomial as SQL text, for oracles. */
+  private[operators] def normCdfSql(x: String): String =
+    s"""CASE WHEN $x >= 0
+       |  THEN (1.0 + (1.0 - (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * 1.061405429))))
+       |    * exp(-(abs($x) / sqrt(2.0)) * (abs($x) / sqrt(2.0))))) / 2
+       |  ELSE (1.0 - (1.0 - (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (abs($x) / sqrt(2.0))))
+       |    * 1.061405429))))
+       |    * exp(-(abs($x) / sqrt(2.0)) * (abs($x) / sqrt(2.0))))) / 2
+       |  END""".stripMargin.replace("\n", " ")
+
+  /** Benjamini–Hochberg FDR control over a battery of per-group Welch
+    * z-tests — the multiple-comparisons discipline a metrics platform
+    * needs the moment it tests MANY segments at once: per group, a
+    * first-half vs second-half drift z on the measure; p-values from
+    * [[normCdf]]; BH rejects the largest prefix of ascending p with
+    * p₍ᵢ₎ ≤ (i/m)·α.
+    *
+    * Scale shape: one map-combined aggregate per (group, half) — the
+    * only pass over the data — then the battery relation is
+    * group-domain-bounded: the BH sort/rank runs over m rows.
+    *
+    * @return per group: z, p_value, p_rank, bh_threshold, rejected
+    */
+  def bhFdr(df: DataFrame, groupCol: String, halfCol: Column,
+      valueCol: String, alpha: Double = 0.05): DataFrame = {
+    val halves = df
+      .groupBy(col(groupCol), halfCol.as("__h"))
+      .agg(count(lit(1)).as("__n"), avg(col(valueCol)).as("__mean"),
+        var_samp(col(valueCol)).as("__var"))
+    val a = halves.where(col("__h"))
+      .select(col(groupCol), col("__n").as("__n1"),
+        col("__mean").as("__m1"), col("__var").as("__v1"))
+    val b = halves.where(!col("__h"))
+      .select(col(groupCol), col("__n").as("__n2"),
+        col("__mean").as("__m2"), col("__var").as("__v2"))
+    val z = (col("__m1") - col("__m2")) /
+      sqrt(col("__v1") / col("__n1") + col("__v2") / col("__n2"))
+    val scored = a.join(b, Seq(groupCol))
+      .withColumn("__z", z)
+      .withColumn("__p", lit(2.0) * (lit(1.0) - normCdf(abs(col("__z")))))
+    val m = Window.partitionBy()
+    val byP = Window.orderBy(col("__p"), col(groupCol))
+    val ranked = scored
+      .withColumn("__rk", row_number().over(byP))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("__thr", col("__rk") / col("__m") * alpha)
+    // BH: reject everything at or below the LARGEST rank passing its
+    // threshold (a running max over the battery-sized relation)
+    val cutoff = ranked.agg(
+      max(when(col("__p") <= col("__thr"), col("__rk"))).as("__cut"))
+    ranked.crossJoin(broadcast(cutoff))
+      .select(col(groupCol), col("__z").as("z"), col("__p").as("p_value"),
+        col("__rk").as("p_rank"), col("__thr").as("bh_threshold"),
+        (col("__rk") <= coalesce(col("__cut"), lit(0L))).as("rejected"))
+  }
+
+  /** Declared q179: did any event type's value distribution drift
+    * between the first and second half of the observation window,
+    * with FDR control across the type battery.
+    */
+  def q179BhFdr(spark: SparkSession, d: String): DataFrame = {
+    val e = graft.core.Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("__us"))
+    val mid = e.agg(((min(col("__us")) + max(col("__us"))) / 2)
+      .as("__mid"))
+    val withHalf = e.crossJoin(broadcast(mid))
+    bhFdr(withHalf, "event_type", col("__us") < col("__mid"), "value")
+  }
+
+  val q179Sql: String = {
+    val phi = normCdfSql("abs(z)")
+    s"""WITH e AS (
+       |  SELECT event_type, value, epoch_us(ts) AS us
+       |  FROM events WHERE value IS NOT NULL),
+       |mid AS (SELECT (min(us) + max(us)) / 2 AS mid FROM e),
+       |h AS (
+       |  SELECT event_type, us < mid.mid AS h, count(*) AS n,
+       |    avg(value) AS m, var_samp(value) AS v
+       |  FROM e CROSS JOIN mid GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT a.event_type,
+       |    (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS z
+       |  FROM (SELECT * FROM h WHERE h) a
+       |  JOIN (SELECT * FROM h WHERE NOT h) b USING (event_type)),
+       |p AS (
+       |  SELECT event_type, z, 2.0 * (1.0 - ($phi)) AS p_value
+       |  FROM sc),
+       |r AS (
+       |  SELECT event_type, z, p_value,
+       |    CAST(row_number() OVER (ORDER BY p_value, event_type)
+       |      AS BIGINT) AS p_rank,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM p),
+       |cut AS (
+       |  SELECT max(CASE WHEN p_value <= p_rank / CAST(m AS DOUBLE) * 0.05
+       |    THEN p_rank END) AS cut FROM r)
+       |SELECT event_type, z, p_value, p_rank,
+       |  p_rank / CAST(m AS DOUBLE) * 0.05 AS bh_threshold,
+       |  p_rank <= coalesce(cut.cut, 0) AS rejected
+       |FROM r CROSS JOIN cut""".stripMargin
+  }
 }

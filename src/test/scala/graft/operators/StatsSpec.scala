@@ -297,4 +297,37 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(got - want) < 1e-9, s"trial $trial: $got vs $want")
     }
   }
+
+  test("normCdf: A&S polynomial within 1.5e-7 of known quantiles") {
+    val sp = spark; import sp.implicits._
+    val xs = Seq(-2.0, -1.0, 0.0, 1.0, 1.959964, 2.575829)
+    val got = xs.toDF("x")
+      .select(Relational.normCdf(col("x")).as("p"))
+      .collect().map(_.getDouble(0))
+    val want = Seq(0.0227501, 0.1586553, 0.5, 0.8413447, 0.975, 0.995)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 2e-6, s"$g vs $w")
+    }
+  }
+
+  test("bhFdr: strong drift rejected, null groups survive the battery") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    // group "drift": halves separated by 10 sigma; four null groups
+    // whose halves share one distribution — BH must reject only the
+    // drifted one even at battery size 5
+    def rows(g: String, shift: Double) =
+      (1 to 200).map(i => (g, i <= 100,
+        (if (i <= 100) shift else 0.0) + rnd.nextGaussian()))
+    val df = (rows("drift", 10.0) ++ rows("n1", 0.0) ++ rows("n2", 0.0) ++
+      rows("n3", 0.0) ++ rows("n4", 0.0)).toDF("g", "h", "v")
+    val out = Relational.bhFdr(df, "g", col("h"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p_value"), r.getAs[Boolean]("rejected"))).toMap
+    assert(out("drift")._2, s"drifted group must reject: ${out("drift")}")
+    assert(out("drift")._1 < 1e-6)
+    Seq("n1", "n2", "n3", "n4").foreach { g =>
+      assert(out(g)._1 > 0.001 || !out(g)._2, s"null group $g: ${out(g)}")
+    }
+  }
 }
