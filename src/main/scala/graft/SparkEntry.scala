@@ -336,6 +336,10 @@ object SparkEntry {
     "q178_incremental_sessions" -> (graft.operators.EventAnalytics.q178IncrementalSessions _),
     // BH-FDR-controlled drift battery (cross-engine-pinned normal CDF)
     "q179_bh_fdr" -> (Relational.q179BhFdr _),
+    // shuffle-key skew pre-flight report
+    "q180_key_skew" -> (graft.operators.Skew.q180KeySkew _),
+    // weekly-cycle variance share (ANOVA eta-squared) per type
+    "q181_weekly_eta" -> (graft.operators.TimeSeries.q181WeeklyEta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -524,5 +528,7 @@ object SparkEntry {
     "q177_filter_cascade" -> graft.operators.CorpusOps.q177Sql,
     "q178_incremental_sessions" -> graft.operators.EventAnalytics.q178Sql,
     "q179_bh_fdr" -> Relational.q179Sql,
+    "q180_key_skew" -> graft.operators.Skew.q180Sql,
+    "q181_weekly_eta" -> graft.operators.TimeSeries.q181Sql,
   )
 }

@@ -39,4 +39,49 @@ object Skew {
       .withColumn(saltCol, explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)
   }
+
+  /** Join-key skew report — the pre-flight check before keying a
+    * shuffle on a column: distinct keys, the heaviest key's row count
+    * and share, frequency percentiles, and the skew factor
+    * (max/mean) that predicts whether AQE splitting or [[saltedJoin]]
+    * will be needed. One hash aggregate to the key-frequency support,
+    * then a support-sized summary aggregate.
+    *
+    * @return one row: n_rows, n_keys, max_key_rows, top1_share,
+    *         p50_rows, p99_rows, skew_factor
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    freq.agg(
+        sum(col("__c")).as("__n"),
+        count(lit(1)).as("__k"),
+        max(col("__c")).as("__mx"),
+        percentile(col("__c"), lit(0.5)).as("__p50"),
+        percentile(col("__c"), lit(0.99)).as("__p99"))
+      .select(col("__n").as("n_rows"), col("__k").as("n_keys"),
+        col("__mx").as("max_key_rows"),
+        (col("__mx").cast("double") / col("__n")).as("top1_share"),
+        col("__p50").as("p50_rows"), col("__p99").as("p99_rows"),
+        (col("__mx") / (col("__n").cast("double") / col("__k")))
+          .as("skew_factor"))
+  }
+
+  /** Declared q180: how safe is user_id as a shuffle key. */
+  def q180KeySkew(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    keySkewReport(graft.core.Tables.events(spark, d), "user_id")
+
+  val q180Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(max(c) AS BIGINT) AS mx,
+      |    quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99
+      |  FROM f)
+      |SELECT n AS n_rows, k AS n_keys, mx AS max_key_rows,
+      |  CAST(mx AS DOUBLE) / n AS top1_share,
+      |  p50 AS p50_rows, p99 AS p99_rows,
+      |  mx / (CAST(n AS DOUBLE) / k) AS skew_factor
+      |FROM s""".stripMargin
 }

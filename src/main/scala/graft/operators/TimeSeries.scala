@@ -274,4 +274,71 @@ object TimeSeries {
       |  max(slope) AS slope,
       |  quantile_cont(resid, 0.5) AS intercept
       |FROM r""".stripMargin
+
+  /** Day-of-week seasonality STRENGTH per event type — the one-number
+    * ANOVA companion to [[seasonalDecompose]]: η² = SS_between/SS_total
+    * over the per-(type, dow) daily-count cells, i.e. the fraction of
+    * daily-volume variance the weekly cycle explains. η² ≈ 0 → no
+    * weekly structure; → 1 → volume is a pure weekly pattern.
+    *
+    * Scale shape: raw events collapse to (type, day) counts in one
+    * map-combined aggregate (the [[dailyCounts]] discipline, keyed);
+    * everything after runs on the calendar-bounded cell relation.
+    * SS terms are expanded sums (Σn², Σn, per-dow sums), so no mean
+    * is subtracted row-by-row and float order stays irrelevant at the
+    * compare's rounding.
+    */
+  def weeklyEtaSquared(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $DayUs").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+      // two consumers: per-dow groups and per-type totals
+      .localCheckpoint()
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("__m"), sum(col("n")).as("__s"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__t"), sum(col("n")).as("__st"),
+        // double product: n² in longs would overflow past ~3e9
+        // events/(type,day); the compare's 1e-6 rounding absorbs the
+        // double-vs-exact difference
+        sum(col("n").cast("double") * col("n")).as("__ss"))
+    // SS_total = Σn² − (Σn)²/T; SS_between = Σ_g s_g²/m_g − (Σn)²/T
+    byDow
+      .groupBy(col("event_type"))
+      .agg(sum(col("__s").cast("double") * col("__s") / col("__m")).as("__b"))
+      .join(tot, Seq("event_type"))
+      .select(col("event_type"), col("__t").as("n_days"),
+        ((col("__b") - col("__st").cast("double") * col("__st") / col("__t")) /
+          (col("__ss") - col("__st").cast("double") * col("__st") / col("__t")))
+          .as("eta_sq"))
+  }
+
+  /** Declared q181: weekly-cycle variance share per event type. */
+  def q181WeeklyEta(spark: SparkSession, d: String): DataFrame =
+    weeklyEtaSquared(graft.core.Tables.events(spark, d))
+
+  val q181Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT event_type, n, day % 7 AS dow FROM daily),
+      |bd AS (
+      |  SELECT event_type, dow, count(*) AS m, sum(n) AS s
+      |  FROM d2 GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, count(*) AS t, sum(n) AS st,
+      |    sum(n * n) AS ss
+      |  FROM d2 GROUP BY 1),
+      |b AS (
+      |  SELECT event_type, sum(CAST(s AS DOUBLE) * s / m) AS b
+      |  FROM bd GROUP BY 1)
+      |SELECT b.event_type, CAST(tot.t AS BIGINT) AS n_days,
+      |  (b.b - CAST(tot.st AS DOUBLE) * tot.st / tot.t)
+      |    / (tot.ss - CAST(tot.st AS DOUBLE) * tot.st / tot.t) AS eta_sq
+      |FROM b JOIN tot USING (event_type)""".stripMargin
 }

@@ -144,4 +144,17 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ubPlan.collect { case s: ShuffleExchangeExec => s }.nonEmpty)
   }
+
+  test("keySkewReport: hand-computed skew stats") {
+    val sp = spark; import sp.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val r = Skew.keySkewReport(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_keys") === 3L)
+    assert(r.getAs[Long]("max_key_rows") === 6L)
+    assert(math.abs(r.getAs[Double]("top1_share") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p50_rows") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skew_factor") - 1.8) < 1e-12)
+  }
 }

@@ -112,4 +112,21 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = TimeSeries.theilSenTrend(spam).collect().head
     assert(math.abs(r2.getAs[Double]("slope") - 3.0) < 1e-9)
   }
+
+  test("weeklyEtaSquared: pure weekly pattern 1, flat series ~0") {
+    val sp = spark; import sp.implicits._
+    // 28 days, counts = exact function of dow → eta² = 1
+    val weekly = eventsFor((0L to 27L).map(d => d -> (10 + (d % 7).toInt * 3)))
+      .withColumn("event_type", lit("t"))
+    val r1 = TimeSeries.weeklyEtaSquared(weekly).collect().head
+    assert(r1.getAs[Long]("n_days") === 28L)
+    assert(math.abs(r1.getAs[Double]("eta_sq") - 1.0) < 1e-12)
+    // variation independent of dow: 14 days alternating 10/20 with
+    // period 2 — day d and d+7 have opposite parity, so every dow
+    // group is exactly {10, 20} → group means equal → eta² = 0
+    val flat = eventsFor((0L to 13L).map(d => d -> (if (d % 2 == 0) 10 else 20)))
+      .withColumn("event_type", lit("t"))
+    val r2 = TimeSeries.weeklyEtaSquared(flat).collect().head
+    assert(math.abs(r2.getAs[Double]("eta_sq")) < 1e-12)
+  }
 }
