@@ -340,6 +340,10 @@ object SparkEntry {
     "q180_key_skew" -> (graft.operators.Skew.q180KeySkew _),
     // weekly-cycle variance share (ANOVA eta-squared) per type
     "q181_weekly_eta" -> (graft.operators.TimeSeries.q181WeeklyEta _),
+    // SCD2 point-in-time lookup (q155's dimension, consumed)
+    "q182_scd2_lookup" -> (graft.operators.EventAnalytics.q182Scd2Lookup _),
+    // ABC revenue-contribution classification
+    "q183_abc_parts" -> (Relational.q183AbcParts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,5 +534,7 @@ object SparkEntry {
     "q179_bh_fdr" -> Relational.q179Sql,
     "q180_key_skew" -> graft.operators.Skew.q180Sql,
     "q181_weekly_eta" -> graft.operators.TimeSeries.q181Sql,
+    "q182_scd2_lookup" -> graft.operators.EventAnalytics.q182Sql,
+    "q183_abc_parts" -> Relational.q183Sql,
   )
 }

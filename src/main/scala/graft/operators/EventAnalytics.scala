@@ -867,4 +867,75 @@ object EventAnalytics {
     * indistinguishable from recomputation.
     */
   val q178Sql: String = q128Sql
+
+  /** Point-in-time dimension lookup against an SCD2 history — the
+    * CONSUMER of [[scdType2]]: for each probe (key, time), the
+    * dimension row whose validity interval contains that time. Built
+    * on the [[AsOfJoin]] union+window discipline (one shuffle on the
+    * key, ≤-semantics from the side tag), then the end-exclusive
+    * upper bound check — never an interval range join.
+    *
+    * @param probes (keyCol, timeCol, …) rows to enrich
+    * @param dim    SCD2 rows: keyCol, attrCol, valid_from_us,
+    *               valid_to_us (null = open)
+    * @return probes + (attr at that time, null when the time predates
+    *         the key's first interval)
+    */
+  def scd2Lookup(probes: DataFrame, dim: DataFrame, keyCol: String,
+      timeCol: String, attrCol: String): DataFrame = {
+    val matched = AsOfJoin.asOf(
+      probes, dim.select(col(keyCol), col(attrCol),
+        col("valid_from_us"), col("valid_to_us")),
+      keyCol = keyCol, leftTimeCol = timeCol,
+      rightTimeCol = "valid_from_us",
+      rightValueCols = Seq(attrCol, "valid_to_us"))
+    // as-of gives the latest interval STARTING at-or-before the probe;
+    // SCD2 validity additionally requires the probe before the
+    // (end-exclusive) close — intervals are contiguous per key, so
+    // this only nulls probes after a key's final close (none here) or
+    // inside genuine gaps
+    matched.select(probes.columns.map(col) :+
+      when(col("right_valid_to_us").isNull ||
+        col(timeCol) < col("right_valid_to_us"),
+        col(s"right_$attrCol")).as(s"${attrCol}_at_time"): _*)
+  }
+
+  /** Declared q182: each purchase enriched with the user's event-type
+    * "state" one hour earlier — SCD2 build + point-in-time lookup in
+    * one query (the q155 dimension consumed at probe time).
+    */
+  def q182Scd2Lookup(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val dim = scdType2(e, "user_id", "event_type", "us", "event_id")
+    val probes = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (col("us") - 3600L * 1000000L).as("probe_us"))
+    scd2Lookup(probes, dim, "user_id", "probe_us", "event_type")
+  }
+
+  val q182Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |ch AS (
+      |  SELECT user_id, event_type, us AS valid_from_us, event_id
+      |  FROM c WHERE prev IS NULL OR event_type <> prev),
+      |dim AS (
+      |  SELECT user_id, event_type, valid_from_us,
+      |    lead(valid_from_us) OVER w AS valid_to_us
+      |  FROM ch
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)),
+      |probes AS (
+      |  SELECT user_id, event_id, us - 3600000000 AS probe_us
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.probe_us,
+      |  CASE WHEN d.valid_to_us IS NULL OR p.probe_us < d.valid_to_us
+      |    THEN d.event_type END AS event_type_at_time
+      |FROM probes p
+      |ASOF LEFT JOIN dim d
+      |  ON p.user_id = d.user_id AND d.valid_from_us <= p.probe_us""".stripMargin
 }

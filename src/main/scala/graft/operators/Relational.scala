@@ -1494,4 +1494,54 @@ object Relational {
        |  p_rank <= coalesce(cut.cut, 0) AS rejected
        |FROM r CROSS JOIN cut""".stripMargin
   }
+
+  /** ABC contribution classification — rank items by a measure
+    * descending and class them by cumulative share (A ≤ 80%, B ≤ 95%,
+    * C the tail): the inventory/revenue concentration workhorse
+    * ("which 20% of parts are 80% of revenue"), per-item where
+    * [[Profiling.giniCoefficient]] is the one-number summary.
+    *
+    * Scale shape: one hash aggregate to per-item totals, descending
+    * cumulative shares via [[orderedPrefixSums]] on the negated
+    * measure (ties share a run and classify consistently on both
+    * engines because the boundary is crossed at identical cumulative
+    * values), one projection.
+    *
+    * @return per item: item, total, cum_share, abc_class
+    */
+  def abcClassification(df: DataFrame, itemCol: String,
+      measure: Column): DataFrame = {
+    val sup = df.groupBy(col(itemCol))
+      .agg(sum(measure).cast("double").as("__v"))
+      .withColumn("__negv", -col("__v"))
+    orderedPrefixSums(sup, "__negv", Seq("__cum" -> col("__v")))
+      .select(col(itemCol), col("__v").as("total"),
+        (col("__cum") / col("__cum_total")).as("cum_share"),
+        when(col("__cum") / col("__cum_total") <= 0.80, "A")
+          .when(col("__cum") / col("__cum_total") <= 0.95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Declared q183: parts classed by revenue contribution. */
+  def q183AbcParts(spark: SparkSession, d: String): DataFrame =
+    abcClassification(
+      graft.core.Tables.lineitem(spark, d), "l_partkey",
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  val q183Sql: String =
+    """WITH sup AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE) AS v
+      |  FROM lineitem GROUP BY 1),
+      |k AS (
+      |  SELECT l_partkey, v,
+      |    sum(v) OVER (ORDER BY -v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    (SELECT sum(v) FROM sup) AS tot
+      |  FROM sup)
+      |SELECT l_partkey, v AS total, cum / tot AS cum_share,
+      |  CASE WHEN cum / tot <= 0.80 THEN 'A'
+      |       WHEN cum / tot <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM k""".stripMargin
 }

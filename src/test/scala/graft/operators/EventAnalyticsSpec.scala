@@ -357,4 +357,25 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // untouched user's v0 row intact
     assert(got.contains((2L, 1L, 2000L, 2000L, 1L)))
   }
+
+  test("scd2Lookup: interval containment, boundary exclusivity, pre-history null") {
+    val sp = spark; import sp.implicits._
+    val dim = Seq(
+      (1L, "A", 100L, Some(200L)), (1L, "B", 200L, Some(300L)),
+      (1L, "C", 300L, None)).map { case (u, a, f, t) =>
+      (u, a, f, t.map(Long.box).orNull.asInstanceOf[java.lang.Long])
+    }.toDF("user_id", "attr", "valid_from_us", "valid_to_us")
+    val probes = Seq(
+      (1L, 10L, 150L),  // inside [100,200) → A
+      (1L, 11L, 200L),  // ON the boundary → end-exclusive → B
+      (1L, 12L, 999L),  // open interval → C
+      (1L, 13L, 50L),   // before history → null
+      (2L, 14L, 150L))  // unknown key → null
+      .toDF("user_id", "probe_id", "t")
+    val out = EventAnalytics.scd2Lookup(probes, dim, "user_id", "t", "attr")
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        Option(r.getAs[String]("attr_at_time"))).toMap
+    assert(out === Map(10L -> Some("A"), 11L -> Some("B"),
+      12L -> Some("C"), 13L -> None, 14L -> None))
+  }
 }

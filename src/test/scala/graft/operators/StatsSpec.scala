@@ -330,4 +330,19 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out(g)._1 > 0.001 || !out(g)._2, s"null group $g: ${out(g)}")
     }
   }
+
+  test("abcClassification: hand-computed cumulative classes") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // totals 50, 30, 15, 5 → cum shares .5 (A), .8 (A), .95 (B), 1 (C)
+    val rows = Seq(("p1", 50.0), ("p2", 30.0), ("p3", 15.0), ("p4", 5.0))
+    val out = Relational.abcClassification(rows.toDF("item", "v"),
+      "item", col("v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("cum_share"), r.getAs[String]("abc_class"))).toMap
+    assert(math.abs(out("p1")._1 - 0.5) < 1e-12 && out("p1")._2 === "A")
+    assert(math.abs(out("p2")._1 - 0.8) < 1e-12 && out("p2")._2 === "A")
+    assert(math.abs(out("p3")._1 - 0.95) < 1e-12 && out("p3")._2 === "B")
+    assert(out("p4")._2 === "C")
+  }
 }
