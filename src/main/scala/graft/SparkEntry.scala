@@ -344,6 +344,10 @@ object SparkEntry {
     "q182_scd2_lookup" -> (graft.operators.EventAnalytics.q182Scd2Lookup _),
     // ABC revenue-contribution classification
     "q183_abc_parts" -> (Relational.q183AbcParts _),
+    // leakage-free leave-one-out target encoding
+    "q184_target_encode" -> (Relational.q184TargetEncode _),
+    // portable Count-Min sketch with exactness gate
+    "q185_count_min" -> (TextAnalysis.q185CountMin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -536,5 +540,7 @@ object SparkEntry {
     "q181_weekly_eta" -> graft.operators.TimeSeries.q181Sql,
     "q182_scd2_lookup" -> graft.operators.EventAnalytics.q182Sql,
     "q183_abc_parts" -> Relational.q183Sql,
+    "q184_target_encode" -> Relational.q184Sql,
+    "q185_count_min" -> TextAnalysis.q185Sql,
   )
 }

@@ -1544,4 +1544,50 @@ object Relational {
       |       WHEN cum / tot <= 0.95 THEN 'B'
       |       ELSE 'C' END AS abc_class
       |FROM k""".stripMargin
+
+  /** Leave-one-out target encoding — the leakage-free categorical
+    * featurization: each row's category is encoded as the mean target
+    * of all OTHER rows in that category, (Σy_c − y_i)/(n_c − 1), so a
+    * row never sees its own label (the naive mean-encode trap that
+    * inflates offline metrics). Singleton categories fall back to the
+    * global LOO mean.
+    *
+    * Scale shape: one map-combined aggregate to per-category (Σ, n),
+    * one broadcast-able join back, one projection — the encode is two
+    * passes total and never shuffles rows by anything but the
+    * category key.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+      idCol: String): DataFrame = {
+    val y = col(targetCol).cast("double")
+    val perCat = df.groupBy(col(catCol))
+      .agg(sum(y).as("__s"), count(lit(1)).as("__n"))
+    val glob = df.agg(sum(y).as("__gs"), count(lit(1)).as("__gn"))
+    df.select(col(idCol), col(catCol), y.as("__y"))
+      .join(perCat, Seq(catCol))
+      .crossJoin(broadcast(glob))
+      .select(col(idCol), col(catCol),
+        when(col("__n") > 1, (col("__s") - col("__y")) / (col("__n") - 1))
+          .otherwise((col("__gs") - col("__y")) / (col("__gn") - 1))
+          .as("te_loo"))
+  }
+
+  /** Declared q184: events' value LOO-encoded by event type. */
+  def q184TargetEncode(spark: SparkSession, d: String): DataFrame =
+    targetEncodeLoo(
+      graft.core.Tables.events(spark, d).where(col("value").isNotNull),
+      "event_type", "value", "event_id")
+
+  val q184Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT event_type, sum(y) AS s, count(*) AS n
+      |  FROM e GROUP BY 1),
+      |g AS (SELECT sum(y) AS gs, count(*) AS gn FROM e)
+      |SELECT e.event_id, e.event_type,
+      |  CASE WHEN c.n > 1 THEN (c.s - e.y) / (c.n - 1)
+      |       ELSE (g.gs - e.y) / (g.gn - 1) END AS te_loo
+      |FROM e JOIN c USING (event_type) CROSS JOIN g""".stripMargin
 }

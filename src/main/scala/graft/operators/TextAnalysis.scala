@@ -1418,4 +1418,84 @@ object TextAnalysis {
       |UNION ALL SELECT CAST(0.8 AS DOUBLE), k80, vocab, mass FROM s
       |UNION ALL SELECT CAST(0.9 AS DOUBLE), k90, vocab, mass FROM s
       |UNION ALL SELECT CAST(0.99 AS DOUBLE), k99, vocab, mass FROM s""".stripMargin
+
+  /** Count-Min sketch over token frequencies with PORTABLE hashing —
+    * the mergeable fixed-memory sketch a streaming/sharded pipeline
+    * keeps instead of an unbounded vocabulary: d rows × w counters,
+    * bucket_j(t) = md5-derived (the engine's determinism scheme, so
+    * the oracle builds the bit-identical sketch in SQL), estimate =
+    * min over rows. CMS guarantees est ≥ truth and
+    * P[est > truth + εN] small with w = ⌈e/ε⌉.
+    *
+    * The declared query is the honesty gate the approximate operators
+    * use: report heavy tokens with BOTH the exact count and the
+    * sketch estimate plus the never-underestimates invariant as a
+    * column — hash-compared, so the sketch arithmetic itself is
+    * oracle-pinned.
+    *
+    * Scale shape: token counts once (vocabulary-keyed); the sketch is
+    * a d×w-bounded aggregate of the support; estimates re-join the
+    * support through its d bucket ids. Nothing row-scale past the
+    * first aggregate.
+    */
+  def countMinHeavyHitters(docs: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 1024,
+      minExact: Long = 100): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t").isNotNull)
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    def bucket(j: Column, t: Column): Column =
+      pmod(graft.functions.GraftFunctions.hexLong(
+        substring(md5(concat_ws("|", j.cast("string"), t)), 1, 15)),
+        lit(width.toLong))
+    val rows = counts.select(col("__t"), col("__c"),
+        explode(sequence(lit(0), lit(depth - 1))).as("__j"))
+      .withColumn("__b", bucket(col("__j"), col("__t")))
+    val sketch = rows.groupBy(col("__j"), col("__b"))
+      .agg(sum(col("__c")).as("__cell"))
+    val est = rows
+      .join(sketch, Seq("__j", "__b"))
+      .groupBy(col("__t"), col("__c"))
+      .agg(min(col("__cell")).as("__est"))
+    val n = counts.agg(sum(col("__c")).as("__nn"))
+    est.where(col("__c") >= minExact)
+      .crossJoin(broadcast(n))
+      .select(col("__t").as("token"), col("__c").as("exact_count"),
+        col("__est").as("cms_estimate"),
+        (col("__est") >= col("__c")).as("never_underestimates"),
+        ((col("__est") - col("__c")).cast("double") / col("__nn"))
+          .as("overestimate_frac"))
+  }
+
+  /** Declared q185: sketch-vs-exact for every token with ≥100
+    * occurrences.
+    */
+  def q185CountMin(spark: SparkSession, d: String): DataFrame =
+    countMinHeavyHitters(Tables.documents(spark, d), "text")
+
+  val q185Sql: String =
+    """WITH counts AS (
+      |  SELECT t, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1),
+      |rows_ AS (
+      |  SELECT t, c, j,
+      |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || t), 1, 15))
+      |      ::BIGINT % 1024 AS b
+      |  FROM counts, generate_series(0, 3) s(j)),
+      |sketch AS (
+      |  SELECT j, b, sum(c) AS cell FROM rows_ GROUP BY 1, 2),
+      |est AS (
+      |  SELECT r.t, r.c, min(sk.cell) AS est
+      |  FROM rows_ r JOIN sketch sk ON sk.j = r.j AND sk.b = r.b
+      |  GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM counts)
+      |SELECT t AS token, CAST(c AS BIGINT) AS exact_count,
+      |  CAST(est AS BIGINT) AS cms_estimate,
+      |  est >= c AS never_underestimates,
+      |  (est - c) / n.nn AS overestimate_frac
+      |FROM est CROSS JOIN n
+      |WHERE c >= 100""".stripMargin
 }

@@ -345,4 +345,18 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out("p3")._1 - 0.95) < 1e-12 && out("p3")._2 === "B")
     assert(out("p4")._2 === "C")
   }
+
+  test("targetEncodeLoo: excludes own label, singleton falls back to global") {
+    val sp = spark; import sp.implicits._
+    // cat a: y = 1, 3, 5 → LOO for the 1-row is (3+5)/2 = 4
+    // cat b: single row → global LOO = (1+3+5+7 − 7)/(4−1) = 3
+    val df = Seq((1L, "a", 1.0), (2L, "a", 3.0), (3L, "a", 5.0),
+      (4L, "b", 7.0)).toDF("id", "cat", "y")
+    val out = Relational.targetEncodeLoo(df, "cat", "y", "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("te_loo")).toMap
+    assert(math.abs(out(1L) - 4.0) < 1e-12)
+    assert(math.abs(out(2L) - 3.0) < 1e-12)
+    assert(math.abs(out(3L) - 2.0) < 1e-12)
+    assert(math.abs(out(4L) - 3.0) < 1e-12, "singleton uses global LOO")
+  }
 }

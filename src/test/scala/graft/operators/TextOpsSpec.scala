@@ -343,4 +343,23 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0.9) === ((3L, 4L, 100L)))  // c/d tie: same mass per step
     assert(out(0.99) === ((4L, 4L, 100L)))
   }
+
+  test("countMinHeavyHitters: never underestimates, exact when uncollided") {
+    val sp = spark; import sp.implicits._
+    // heavy token far above minExact plus light noise tokens
+    val docs = Seq((1L,
+      (Seq.fill(150)("heavy") ++ (1 to 40).map(i => s"light$i"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.countMinHeavyHitters(docs, "text",
+      depth = 4, width = 1024, minExact = 100).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("token") === "heavy")
+    assert(r.getAs[Long]("exact_count") === 150L)
+    assert(r.getAs[Boolean]("never_underestimates"))
+    // 41 tokens in 4×1024 cells: collisions are unlikely to hit all 4
+    // rows of "heavy", so the min-estimate is exact here
+    assert(r.getAs[Long]("cms_estimate") === 150L)
+    assert(r.getAs[Double]("overestimate_frac") === 0.0)
+  }
 }
