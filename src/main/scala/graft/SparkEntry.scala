@@ -348,6 +348,8 @@ object SparkEntry {
     "q184_target_encode" -> (Relational.q184TargetEncode _),
     // portable Count-Min sketch with exactness gate
     "q185_count_min" -> (TextAnalysis.q185CountMin _),
+    // Bloom membership sketch with no-false-negatives gate
+    "q186_bloom" -> (TextAnalysis.q186Bloom _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -542,5 +544,6 @@ object SparkEntry {
     "q183_abc_parts" -> Relational.q183Sql,
     "q184_target_encode" -> Relational.q184Sql,
     "q185_count_min" -> TextAnalysis.q185Sql,
+    "q186_bloom" -> TextAnalysis.q186Sql,
   )
 }

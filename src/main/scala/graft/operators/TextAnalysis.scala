@@ -1498,4 +1498,116 @@ object TextAnalysis {
       |  (est - c) / n.nn AS overestimate_frac
       |FROM est CROSS JOIN n
       |WHERE c >= 100""".stripMargin
+
+  /** Bloom-filter membership sketch with PORTABLE hashing — the third
+    * leg of the sketch family (HLL distinct / Count-Min counts /
+    * Bloom membership): build an m-bit filter over one corpus slice's
+    * vocabulary, probe another slice, and report the measured
+    * false-positive rate next to the structural no-false-negatives
+    * invariant. Bits are md5-derived like q185's buckets, so the
+    * oracle assembles the bit-identical filter in SQL.
+    *
+    * Scale shape: the filter is a ≤(k·|vocab_A|)-row (bit) relation —
+    * domain-bounded; the probe is a k-explode + one join on bit id +
+    * a per-token count; membership truth is one semi-join. Nothing
+    * row-scale past the vocabulary aggregates.
+    *
+    * @return one row: n_probe, n_bloom_pos, n_true_members,
+    *         n_false_pos, fp_rate, no_false_negatives
+    */
+  def bloomMembership(memberDocs: DataFrame, probeDocs: DataFrame,
+      textCol: String, bits: Int = 8192, hashes: Int = 4): DataFrame = {
+    def vocab(df: DataFrame): DataFrame = df
+      .select(explode(split(col(textCol), " ")).as("__t"))
+      .where(col("__t").isNotNull).distinct()
+    def bitOf(j: Column, t: Column): Column =
+      pmod(graft.functions.GraftFunctions.hexLong(
+        substring(md5(concat_ws("|", j.cast("string"), t)), 1, 15)),
+        lit(bits.toLong))
+    val memberV = vocab(memberDocs).localCheckpoint()
+    val filter = memberV
+      .select(explode(sequence(lit(0), lit(hashes - 1))).as("__j"),
+        col("__t"))
+      .select(bitOf(col("__j"), col("__t")).as("__bit"))
+      .distinct()
+    val probeV = vocab(probeDocs).localCheckpoint()
+    val hits = probeV
+      .select(col("__t"), explode(sequence(lit(0), lit(hashes - 1))).as("__j"))
+      .withColumn("__bit", bitOf(col("__j"), col("__t")))
+      .join(filter, Seq("__bit"), "left_semi")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__set"))
+      .where(col("__set") === hashes)
+      .select(col("__t"), lit(true).as("__bloom"))
+    val truth = probeV.join(memberV, Seq("__t"), "left_semi")
+      .select(col("__t"), lit(true).as("__member"))
+    probeV
+      .join(hits, Seq("__t"), "left")
+      .join(truth, Seq("__t"), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("__bloom"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("__member"), 1L).otherwise(0L)).as("n_true_members"),
+        sum(when(col("__bloom") && col("__member").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        when(sum(when(col("__member").isNull, 1L).otherwise(0L)) > 0,
+          sum(when(col("__bloom") && col("__member").isNull, 1L)
+            .otherwise(0L)).cast("double") /
+            sum(when(col("__member").isNull, 1L).otherwise(0L)))
+          .as("fp_rate"),
+        (sum(when(col("__member") && col("__bloom").isNull, 1L)
+          .otherwise(0L)) === 0).as("no_false_negatives"))
+  }
+
+  /** Declared q186: filter built over src1 vocabulary, probed with the
+    * rest of the corpus PLUS planted probe-only tokens (the q60 plant
+    * convention — the fixture's vocabulary is fully shared across
+    * sources, so without the plant there are zero true non-members
+    * and the false-positive axis would go untested).
+    */
+  def q186Bloom(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val probes = docs.where(col("source") =!= "src1")
+      .select(col("source"),
+        concat(col("text"), lit(" zznonmember"), col("doc_id"))
+          .as("text"))
+    bloomMembership(docs.where(col("source") === "src1"), probes, "text")
+  }
+
+  val q186Sql: String =
+    """WITH mv AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE source = 'src1'),
+      |pv AS (
+      |  SELECT DISTINCT
+      |    unnest(string_split(text || ' zznonmember' || doc_id, ' ')) AS t
+      |  FROM documents WHERE source <> 'src1'),
+      |f AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || t), 1, 15))
+      |      ::BIGINT % 8192 AS bit
+      |  FROM mv, generate_series(0, 3) s(j)),
+      |hits AS (
+      |  SELECT t FROM (
+      |    SELECT p.t,
+      |      ('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || p.t), 1, 15))
+      |        ::BIGINT % 8192 AS bit
+      |    FROM pv p, generate_series(0, 3) s(j)) x
+      |  WHERE bit IN (SELECT bit FROM f)
+      |  GROUP BY t HAVING count(*) = 4),
+      |truth AS (SELECT t FROM pv WHERE t IN (SELECT t FROM mv))
+      |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+      |  CAST(sum(CASE WHEN h.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bloom_pos,
+      |  CAST(sum(CASE WHEN tr.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_true_members,
+      |  CAST(sum(CASE WHEN h.t IS NOT NULL AND tr.t IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos,
+      |  CASE WHEN sum(CASE WHEN tr.t IS NULL THEN 1 ELSE 0 END) > 0 THEN
+      |    CAST(sum(CASE WHEN h.t IS NOT NULL AND tr.t IS NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |      / sum(CASE WHEN tr.t IS NULL THEN 1 ELSE 0 END) END AS fp_rate,
+      |  sum(CASE WHEN tr.t IS NOT NULL AND h.t IS NULL THEN 1 ELSE 0 END) = 0
+      |    AS no_false_negatives
+      |FROM pv
+      |LEFT JOIN hits h ON h.t = pv.t
+      |LEFT JOIN truth tr ON tr.t = pv.t""".stripMargin
 }

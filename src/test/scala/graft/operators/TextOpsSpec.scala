@@ -362,4 +362,25 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("cms_estimate") === 150L)
     assert(r.getAs[Double]("overestimate_frac") === 0.0)
   }
+
+  test("bloomMembership: no false negatives ever; tiny filter saturates to fp") {
+    val sp = spark; import sp.implicits._
+    val members = Seq((1L, (1 to 40).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probes = Seq((2L,
+      ((1 to 40).map(i => s"m$i") ++ (1 to 60).map(i => s"x$i"))
+        .mkString(" "))).toDF("doc_id", "text")
+    // roomy filter: members found, fp rare
+    val big = TextAnalysis.bloomMembership(members, probes, "text",
+      bits = 8192, hashes = 4).collect().head
+    assert(big.getAs[Long]("n_true_members") === 40L)
+    assert(big.getAs[Boolean]("no_false_negatives"))
+    // 16 bits for 40 members: essentially every bit set → non-members
+    // collide massively, yet the invariant still holds
+    val tiny = TextAnalysis.bloomMembership(members, probes, "text",
+      bits = 16, hashes = 2).collect().head
+    assert(tiny.getAs[Boolean]("no_false_negatives"))
+    assert(tiny.getAs[Double]("fp_rate") > 0.5,
+      s"a saturated filter must false-positive: ${tiny.getAs[Double]("fp_rate")}")
+  }
 }
