@@ -531,6 +531,11 @@ object Profiling {
       .localCheckpoint()
     def midranks(c: String): DataFrame = {
       val sup = joint.groupBy(col(c)).agg(sum(col("__n")).as("__c"))
+      // measured: forcing the range-partitioned branch at this size
+      // (600k-value support, smallSupportRows = 2^17) is ~8% SLOWER —
+      // the offsets round-trip and extra checkpoint cost more than the
+      // one-thread window sort saves; the scaffold's default cutoff
+      // stands
       Relational.orderedPrefixSums(sup, c, Seq("__k" -> col("__c")))
         .select(col(c),
           (col("__k") - col("__c") + (col("__c") + 1) / 2.0).as(s"__r_$c"))
