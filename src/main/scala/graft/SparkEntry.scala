@@ -350,6 +350,10 @@ object SparkEntry {
     "q185_count_min" -> (TextAnalysis.q185CountMin _),
     // Bloom membership sketch with no-false-negatives gate
     "q186_bloom" -> (TextAnalysis.q186Bloom _),
+    // dedup-threshold sensitivity curve (one join, bucketed re-counts)
+    "q187_threshold_curve" -> (Dedup.q187ThresholdCurve _),
+    // functional-dependency / key audit
+    "q188_fd_audit" -> (graft.operators.Profiling.q188FdAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -545,5 +549,7 @@ object SparkEntry {
     "q184_target_encode" -> Relational.q184Sql,
     "q185_count_min" -> TextAnalysis.q185Sql,
     "q186_bloom" -> TextAnalysis.q186Sql,
+    "q187_threshold_curve" -> Dedup.q187Sql,
+    "q188_fd_audit" -> graft.operators.Profiling.q188Sql,
   )
 }

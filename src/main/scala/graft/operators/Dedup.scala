@@ -316,4 +316,63 @@ object Dedup {
       |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
       |  FROM events)
       |WHERE rn = 1""".stripMargin
+
+  /** Dedup-threshold sensitivity curve — how many near-dup pairs (and
+    * what fraction of documents they touch) each candidate Jaccard
+    * threshold would flag: the evidence for CHOOSING the threshold
+    * before q34/q69 commit to one. One similarity join at the LOWEST
+    * candidate threshold, then every higher threshold is a cheap
+    * bucketed re-count of the same pair relation — the sweep never
+    * re-joins.
+    *
+    * @return per threshold: threshold, n_pairs, n_docs_touched
+    */
+  def thresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty)
+    val lo = thresholds.min
+    val pairs = jaccardSimilarityJoin(docs, idCol, textCol, threshold = lo)
+      .localCheckpoint()
+    val rows = thresholds.sorted.map { t =>
+      val sub = pairs.where(col("jaccard") >= t)
+      val touched = sub.select(col("doc_a").as("d"))
+        .unionAll(sub.select(col("doc_b").as("d")))
+        .agg(countDistinct(col("d")).as("n_docs_touched"))
+      sub.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(touched)
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("n_docs_touched"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** Declared q187: the corpus's dedup sensitivity at 0.5/0.6/0.7/0.8. */
+  def q187ThresholdCurve(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    thresholdCurve(graft.core.Tables.documents(spark, d),
+      "doc_id", "text", Seq(0.5, 0.6, 0.7, 0.8))
+
+  val q187Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |      >= 0.5),
+      |t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8]) AS threshold)
+      |SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+      |  CAST((SELECT count(*) FROM pairs p WHERE p.j >= t.threshold)
+      |    AS BIGINT) AS n_pairs,
+      |  CAST((SELECT count(DISTINCT d) FROM (
+      |      SELECT da AS d FROM pairs WHERE j >= t.threshold
+      |      UNION SELECT db FROM pairs WHERE j >= t.threshold))
+      |    AS BIGINT) AS n_docs_touched
+      |FROM t""".stripMargin
 }

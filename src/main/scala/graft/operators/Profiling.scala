@@ -770,4 +770,62 @@ object Profiling {
       |SELECT CAST(count(*) AS BIGINT) AS k, min(v) AS x_k,
       |  1.0 / (avg(ln(v)) - ln(min(v))) AS hill_alpha
       |FROM top""".stripMargin
+
+  /** Functional-dependency audit — does lhs → rhs hold, and how badly
+    * does it fail: the schema-inference / normalization / data-contract
+    * check ("is customer → segment stable, is id really a key"). Per
+    * candidate pair, one hash aggregate on the lhs with a distinct
+    * count of rhs; a key violates when it maps to >1 rhs value.
+    *
+    * @return per pair: lhs, rhs, n_keys, n_violating_keys,
+    *         violation_frac, holds
+    */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("__nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L))
+            .as("n_violating_keys"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_keys"), col("n_violating_keys"),
+          (col("n_violating_keys").cast("double") / col("n_keys"))
+            .as("violation_frac"),
+          (col("n_violating_keys") === 0).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Declared q188: key/attribute dependency audit over customer. */
+  def q188FdAudit(spark: SparkSession, d: String): DataFrame =
+    fdAudit(Tables.customer(spark, d), Seq(
+      ("c_custkey", "c_mktsegment"),
+      ("c_nationkey", "c_mktsegment"),
+      ("c_name", "c_custkey")))
+
+  val q188Sql: String =
+    """SELECT 'c_custkey' AS lhs, 'c_mktsegment' AS rhs,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_keys,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS violation_frac,
+      |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      |FROM (SELECT c_custkey, count(DISTINCT c_mktsegment) AS nd
+      |      FROM customer GROUP BY 1)
+      |UNION ALL
+      |SELECT 'c_nationkey', 'c_mktsegment',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+      |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+      |FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+      |      FROM customer GROUP BY 1)
+      |UNION ALL
+      |SELECT 'c_name', 'c_custkey',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+      |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+      |FROM (SELECT c_name, count(DISTINCT c_custkey) AS nd
+      |      FROM customer GROUP BY 1)""".stripMargin
 }

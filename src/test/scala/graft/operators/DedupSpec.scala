@@ -58,4 +58,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"partial aggregate is not below the exchange:\n$plan")
     assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
   }
+
+  test("thresholdCurve: monotone counts, hand-planted similarity levels") {
+    val sp = spark; import sp.implicits._
+    // docs 1/2 share a long run (high jaccard); 3/4 overlap mildly;
+    // 5 is unrelated
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, (1 to 15).map(i => s"w$i").mkString(" ") + " " +
+        (1 to 15).map(i => s"z$i").mkString(" ")),
+      (4L, (1 to 15).map(i => s"w$i").mkString(" ") + " " +
+        (1 to 15).map(i => s"y$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.thresholdCurve(docs, "doc_id", "text",
+      Seq(0.3, 0.6, 0.9)).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_touched"))).toMap
+    // counts can only shrink as the threshold rises
+    assert(out(0.3)._1 >= out(0.6)._1 && out(0.6)._1 >= out(0.9)._1)
+    // the near-identical pair survives a high bar; the mild overlap
+    // does not
+    assert(out(0.9)._1 === 1L && out(0.9)._2 === 2L)
+    assert(out(0.3)._1 >= 2L)
+  }
 }

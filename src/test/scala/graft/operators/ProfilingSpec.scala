@@ -302,4 +302,19 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("fdAudit: holding, violated, and key dependencies") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "us", "gold"), (2L, "us", "gold"),
+      (3L, "uk", "gold"), (4L, "uk", "silver")).toDF("id", "country", "tier")
+    val out = Profiling.fdAudit(df, Seq(
+      ("id", "tier"), ("country", "tier")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_violating_keys"),
+          r.getAs[Boolean]("holds"))).toMap
+    assert(out(("id", "tier")) === ((4L, 0L, true)), "id is a key")
+    // country 'uk' maps to two tiers → violated
+    assert(out(("country", "tier")) === ((2L, 1L, false)))
+  }
 }
