@@ -354,6 +354,8 @@ object SparkEntry {
     "q187_threshold_curve" -> (Dedup.q187ThresholdCurve _),
     // functional-dependency / key audit
     "q188_fd_audit" -> (graft.operators.Profiling.q188FdAudit _),
+    // gaps-and-islands interval flattening
+    "q189_merge_intervals" -> (graft.operators.EventAnalytics.q189MergeIntervals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,5 +553,6 @@ object SparkEntry {
     "q186_bloom" -> TextAnalysis.q186Sql,
     "q187_threshold_curve" -> Dedup.q187Sql,
     "q188_fd_audit" -> graft.operators.Profiling.q188Sql,
+    "q189_merge_intervals" -> graft.operators.EventAnalytics.q189Sql,
   )
 }

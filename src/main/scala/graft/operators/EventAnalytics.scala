@@ -938,4 +938,69 @@ object EventAnalytics {
       |FROM probes p
       |ASOF LEFT JOIN dim d
       |  ON p.user_id = d.user_id AND d.valid_from_us <= p.probe_us""".stripMargin
+
+  /** Merge overlapping (or touching) intervals per key — the
+    * gaps-and-islands flatten: availability windows, maintenance
+    * periods, per-event activity spans collapse to their disjoint
+    * union. Differs from [[sessionize]] (which clusters POINTS by
+    * gap): inputs here are INTERVALS and the island rule is
+    * start ≤ running-max(prior ends).
+    *
+    * Scale shape: one exchange on the key; the island id is a
+    * running max + cumulative flag over that same (key, start) sort;
+    * one aggregate per island. No joins.
+    *
+    * @return per merged interval: keyCol, island_id, start, end,
+    *         n_merged
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prior = byKey.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("__pmax", max(col(endCol)).over(prior))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum(col("__new")).over(run))
+      .groupBy(col(keyCol), col("island_id"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  /** Declared q189: per-user activity episodes — every event opens a
+    * 90-minute span; overlapping spans flatten to disjoint episodes.
+    */
+  def q189MergeIntervals(spark: SparkSession, d: String): DataFrame = {
+    val spanUs = 90L * 60 * 1000000
+    val iv = Tables.events(spark, d).select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + spanUs).as("e"))
+    mergeIntervals(iv, "user_id", "s", "e")
+  }
+
+  val q189Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 5400000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |f AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+      |  FROM m),
+      |i AS (
+      |  SELECT user_id, s, e,
+      |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+      |  FROM f)
+      |SELECT user_id, island_id, min(s) AS start, max(e) AS "end",
+      |  CAST(count(*) AS BIGINT) AS n_merged
+      |FROM i GROUP BY user_id, island_id""".stripMargin
 }

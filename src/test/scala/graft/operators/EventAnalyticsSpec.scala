@@ -378,4 +378,33 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(10L -> Some("A"), 11L -> Some("B"),
       12L -> Some("C"), 13L -> None, 14L -> None))
   }
+
+  test("mergeIntervals: overlap/touch/containment merge, gaps split, keys isolate") {
+    val sp = spark; import sp.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),    // overlap → one island
+      (1L, 20L, 30L),                   // touches at 20 (s > pmax false) → merges
+      (1L, 40L, 50L), (1L, 42L, 45L),  // containment inside [40,50]
+      (1L, 60L, 70L),                   // gap → new island
+      (2L, 0L, 5L)).toDF("u", "s", "e")
+    val out = EventAnalytics.mergeIntervals(iv, "u", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("start"),
+        r.getAs[Long]("end"), r.getAs[Long]("n_merged"))).toSet
+    assert(out === Set(
+      (1L, 0L, 30L, 3L), (1L, 40L, 50L, 2L), (1L, 60L, 70L, 1L),
+      (2L, 0L, 5L, 1L)))
+  }
+
+  test("mergeIntervals: an early long interval swallows later short ones (running max)") {
+    val sp = spark; import sp.implicits._
+    // [0,100] then [10,20], [30,40]: a lag(e)-based island rule would
+    // wrongly split at 30 (prev end 20); the running MAX must not
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 30L, 40L))
+      .toDF("u", "s", "e")
+    val out = EventAnalytics.mergeIntervals(iv, "u", "s", "e").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("start") === 0L)
+    assert(out.head.getAs[Long]("end") === 100L)
+    assert(out.head.getAs[Long]("n_merged") === 3L)
+  }
 }
