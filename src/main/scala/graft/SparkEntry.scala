@@ -356,6 +356,8 @@ object SparkEntry {
     "q188_fd_audit" -> (graft.operators.Profiling.q188FdAudit _),
     // gaps-and-islands interval flattening
     "q189_merge_intervals" -> (graft.operators.EventAnalytics.q189MergeIntervals _),
+    // bounded-window return-rate retention curve
+    "q190_return_rate" -> (graft.operators.EventAnalytics.q190ReturnRate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -554,5 +556,6 @@ object SparkEntry {
     "q187_threshold_curve" -> Dedup.q187Sql,
     "q188_fd_audit" -> graft.operators.Profiling.q188Sql,
     "q189_merge_intervals" -> graft.operators.EventAnalytics.q189Sql,
+    "q190_return_rate" -> graft.operators.EventAnalytics.q190Sql,
   )
 }

@@ -1003,4 +1003,65 @@ object EventAnalytics {
       |SELECT user_id, island_id, min(s) AS start, max(e) AS "end",
       |  CAST(count(*) AS BIGINT) AS n_merged
       |FROM i GROUP BY user_id, island_id""".stripMargin
+
+  /** N-day return rate per activity day — of the users active on day
+    * d, what fraction come back within the next `horizon` days: the
+    * product-health retention curve ([[cohortRetention]] is anchored
+    * to each user's FIRST week; this one re-anchors on every active
+    * day, the "bounded-window return" KPI).
+    *
+    * Scale shape: events collapse to distinct (user, day) once; the
+    * return probe is a bounded `horizon`-explode joined back to the
+    * same relation by (user, day) — shuffle volume is horizon ×
+    * user-days, independent of raw event count.
+    *
+    * @return per day: day, n_active, n_returning, return_rate
+    */
+  def returnRate(events: DataFrame, horizon: Int = 7): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val userDays = events
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .distinct()
+      // two consumers: probe side and the return target side
+      .localCheckpoint()
+    val probes = userDays.select(col("user_id"), col("day"),
+      explode(sequence(col("day") + 1, col("day") + horizon))
+        .as("__target"))
+    val returned = probes
+      .join(userDays.select(col("user_id").as("user_id"),
+        col("day").as("__target")), Seq("user_id", "__target"), "left_semi")
+      .select(col("user_id"), col("day")).distinct()
+      .withColumn("__ret", lit(1L))
+    userDays
+      .join(returned, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("__ret"), lit(0L))).as("n_returning"))
+      .select(col("day"), col("n_active"), col("n_returning"),
+        (col("n_returning").cast("double") / col("n_active"))
+          .as("return_rate"))
+  }
+
+  /** Declared q190: the 7-day return-rate curve. */
+  def q190ReturnRate(spark: SparkSession, d: String): DataFrame =
+    returnRate(Tables.events(spark, d), horizon = 7)
+
+  val q190Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |ret AS (
+      |  SELECT DISTINCT a.user_id, a.day
+      |  FROM ud a JOIN ud b
+      |    ON b.user_id = a.user_id
+      |    AND b.day BETWEEN a.day + 1 AND a.day + 7)
+      |SELECT ud.day, CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN ret.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_returning,
+      |  CAST(sum(CASE WHEN ret.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*) AS return_rate
+      |FROM ud LEFT JOIN ret ON ret.user_id = ud.user_id
+      |  AND ret.day = ud.day
+      |GROUP BY ud.day""".stripMargin
 }

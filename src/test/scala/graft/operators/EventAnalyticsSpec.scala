@@ -407,4 +407,27 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getAs[Long]("end") === 100L)
     assert(out.head.getAs[Long]("n_merged") === 3L)
   }
+
+  test("returnRate: window boundaries exact, multiple visits count once") {
+    val sp = spark; import sp.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L + 1000L)
+    val e = Seq(
+      (1L, ts(0)), (1L, ts(3)),            // returns within 7 → day 0 counts
+      (2L, ts(0)), (2L, ts(8)),            // day 8 is OUTSIDE (0, 7] → no
+      (3L, ts(0)), (3L, ts(7)),            // exactly day 7 → inside
+      (4L, ts(0)),                          // never returns
+      (5L, ts(0)), (5L, ts(1)), (5L, ts(2))) // several returns, counts once
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.returnRate(e, horizon = 7)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_returning"),
+          r.getAs[Double]("return_rate"))).toMap
+    // day 0: active {1..5}, returning {1, 3, 5} → 3/5
+    assert(out(0L)._1 === 5L && out(0L)._2 === 3L)
+    assert(math.abs(out(0L)._3 - 0.6) < 1e-12)
+    // day 1 (user 5): returns on day 2 → 1/1
+    assert(out(1L) === ((1L, 1L, 1.0)))
+    // day 8 (user 2): nothing after → 0
+    assert(out(8L)._2 === 0L)
+  }
 }
