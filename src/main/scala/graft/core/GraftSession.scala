@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * that matter on a real multi-executor cluster.
   */
 object GraftSession {
+  /** Drop known-noisy per-row warning loggers to ERROR. The bounded
+    * single-partition windows this engine uses deliberately (see
+    * BASELINE.md "Single-partition window inventory") make WindowExec
+    * emit `No Partition Defined` once per plan — at 190 queries × 3
+    * bench reps the flood drowned the round-6 driver artifact's summary
+    * JSON line (BENCH_r06 `parsed: null`). Must run AFTER
+    * `setLogLevel`, which reconfigures the root logger.
+    */
+  def quietNoisyLoggers(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel("org.apache.spark.sql.execution.window", Level.ERROR)
+  }
+
   def local(
       appName: String = "graft",
       cores: Int = Runtime.getRuntime.availableProcessors(),
@@ -25,6 +39,7 @@ object GraftSession {
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietNoisyLoggers()
     spark
   }
 }

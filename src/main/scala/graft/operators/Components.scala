@@ -756,60 +756,72 @@ object Components {
     * page→cited-source graphs where a single PageRank score conflates
     * the two roles).
     *
-    * Scale shape: identical to [[pageRank]] — the edge relation
-    * builds once, hash-partitioned and checkpointed; each half-step
-    * is one node-keyed join + grouped sum. The L1 scale is DEFERRED
-    * to one final broadcast-normalized projection per role: raw
-    * power-iteration magnitudes grow like d̄^(2·iterations), which
-    * doubles never overflow and whose relative precision is constant,
-    * so per-step normalization would buy nothing but 2×iterations
-    * extra jobs (deferring it plus the broadcast-hinted loop measured
-    * 6.1 s → 4.0 s at sf0.1; the residual is the 2-joins-per-iteration
-    * scheduled-job floor adjudicated for the whole iterative family).
-    * Score relations take LAZY per-half-step checkpoints (node-sized
-    * state, O(1) lineage — the [[connectedComponents]] discipline; an
-    * uncheckpointed chain is a 2^iterations PLANNER blow-up, not a
-    * data cost). Fixed iteration count keeps engine and oracle
-    * bit-comparable.
+    * Scale shape: the edge relation builds once, hash-partitioned and
+    * checkpointed; each half-step is one node-keyed join + grouped
+    * sum. Measured strategy select (the q81/q104 discipline) on the
+    * COUNTED hub relation: when the score relations fit an executor,
+    * each iteration's two half-steps run as ONE eager static-plan job
+    * (broadcast hints on the score sides, AQE scoped off for the loop
+    * — see the inline note on the measured child-session alternative),
+    * where the r6 variant scheduled a lazy checkpoint per HALF-step
+    * whose deferred execution escaped its AQE override entirely.
+    * Measured at sf0.1: 3.7 s (r6) → 2.9 s. Past the broadcast bound:
+    * shuffle joins with per-iteration lazy checkpoints (O(1)
+    * lineage), AQE left on — the 100 TB path.
+    *
+    * The L1 scale is DEFERRED to one final broadcast-normalized
+    * projection per role: raw power-iteration magnitudes grow like
+    * d̄^(2·iterations), which doubles never overflow and whose relative
+    * precision is constant, so per-step normalization would buy
+    * nothing but 2×iterations extra jobs. Fixed iteration count keeps
+    * engine and oracle bit-comparable.
     *
     * @return one row per node that holds score mass: (role, node,
     *         score) with role ∈ {hub, authority}, each role L1-normalized
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    require(iterations >= 1, s"hits: iterations must be >= 1, got $iterations")
+    val spark0 = edges.sparkSession
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
+    val h0 = e0.select(col("src")).distinct().withColumn("h", lit(1.0))
+      .localCheckpoint()
+    val hint = h0.count() <= 4000000L
+    // guard the denominator: an all-null/zero score mass (possible only
+    // on degenerate inputs) yields null scores, not ±Infinity
     def l1(df: DataFrame, c: String): DataFrame =
       df.crossJoin(broadcast(df.agg(sum(col(c)).as("__t"))))
         .select(df.columns.filter(_ != c).map(col) :+
-          (col(c) / col("__t")).as(c): _*)
-    var h = e.select(col("src")).distinct().withColumn("h", lit(1.0))
-      .localCheckpoint()
-    // measured strategy select (the q81/q104 discipline): both score
-    // relations are node-sized and the hub side is COUNTED, so when it
-    // fits an executor the per-half-step joins carry broadcast hints
-    // and AQE is off for the loop — the edge relation never shuffles,
-    // only the inherent grouped sums do. Past the bound: no hint, AQE
-    // on — the 100 TB path.
-    val spark = edges.sparkSession
-    val hint = h.count() <= 4000000L
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    if (hint) spark.conf.set("spark.sql.adaptive.enabled", "false")
+          (col(c) / when(col("__t") =!= 0.0, col("__t"))).as(c): _*)
+    val e = e0
+    var h = h0
+    // Scoped AQE override for the broadcast loop, try/finally-restored.
+    // A per-query override was measured via a cloned CHILD session
+    // (GraftSqlBridge.cloneSession + plan rebind — no session-global
+    // mutation): it costs a consistent +0.7 s per invocation (fresh
+    // SessionState) vs 2.86 s for the in-session flip at sf0.1, so the
+    // flip stays, with the known caveat that it is visible to
+    // concurrent queries on the same session for the loop's duration
+    // (this engine's drivers run queries sequentially).
+    val prevAqe = spark0.conf.get("spark.sql.adaptive.enabled", "true")
+    if (hint) spark0.conf.set("spark.sql.adaptive.enabled", "false")
     var a: DataFrame = null
-    try for (_ <- 1 to iterations) {
+    try for (i <- 1 to iterations) {
       a = e.join(if (hint) broadcast(h) else h, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("h")).as("a"))
-        .localCheckpoint(false)
-      // LAZY checkpoints: each half-step materializes exactly once,
-      // inside the next half-step's broadcast build, keeping lineage
-      // O(1) (an uncheckpointed chain is a 2^iterations planner
-      // blow-up through the final l1's double reference)
+      // EAGER checkpoints on the broadcast path: each iteration's two
+      // half-steps materialize as one static-plan job while the AQE
+      // override is in force (lazy checkpoints would defer execution
+      // to the caller's consumption, escaping it — the r6 bug); the
+      // shuffle path keeps lazy checkpoints for O(1) lineage
+      if (i == iterations) a = a.localCheckpoint(eager = hint)
       h = e.join(if (hint) broadcast(a) else a, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(false)
-    } finally if (hint) spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        .localCheckpoint(eager = hint)
+    } finally if (hint) spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
     l1(h, "h").select(lit("hub").as("role"), col("src").as("node"),
         col("h").as("score"))
       .unionAll(l1(a, "a").select(lit("authority").as("role"),

@@ -321,8 +321,17 @@ object Privacy {
     * histogram (event volumes, cohort sizes) without exposing any
     * individual's presence. Noise is DERIVED from an md5 of the group
     * key + salt (the repo's determinism scheme, q109/q133): the
-    * release is reproducible and the oracle adds bit-identical noise —
-    * production would swap the salt per release epoch.
+    * release is reproducible and the oracle adds bit-identical noise.
+    *
+    * NOT a production ε-DP mechanism as-is: hash-derived noise is
+    * recoverable by anyone who knows the salt, so the salt must be a
+    * per-release-epoch SECRET (and rotated per epoch — reusing one
+    * lets releases be differenced); production would draw real
+    * randomness outside any replayable path. To keep the release
+    * surface honest, the exact count is NOT in the default output —
+    * publishing n beside n_noised voids the guarantee outright. Set
+    * `releaseExact = true` only for internal diagnostics, never for
+    * an external release.
     *
     * Inverse-CDF sampling: u ~ U(0,1) from 60 hash bits, c = u − ½,
     * noise = −(1/ε)·sign(c)·ln(1 − 2|c|).
@@ -331,7 +340,8 @@ object Privacy {
     * projection (md5 + ln) over the domain-bounded group relation.
     */
   def dpNoisedCounts(df: DataFrame, keyCols: Seq[String],
-      epsilon: Double, salt: String): DataFrame = {
+      epsilon: Double, salt: String,
+      releaseExact: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "need at least one grouping column")
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
@@ -342,10 +352,13 @@ object Privacy {
     val c = u - lit(0.5)
     val noise = lit(-1.0 / epsilon) * signum(c) *
       log(lit(1.0) - lit(2.0) * abs(c))
-    counts.withColumn("n_noised", col("n") + noise)
+    val out = counts.withColumn("n_noised", col("n") + noise)
+    if (releaseExact) out else out.drop("n")
   }
 
-  /** Declared q158: ε=1 DP release of (event_type, day) volumes. */
+  /** Declared q158: ε=1 DP release of (event_type, day) volumes —
+    * release-shaped output: noised counts only, no exact n.
+    */
   def q158DpRelease(spark: SparkSession, d: String): DataFrame = {
     val e = Tables.events(spark, d).select(col("event_type"),
       expr("unix_micros(ts) div 86400000000").as("day"))
@@ -364,7 +377,6 @@ object Privacy {
       |      / 1152921504606846976.0 - 0.5 AS c
       |  FROM g)
       |SELECT event_type, CAST(day AS BIGINT) AS day,
-      |  CAST(n AS BIGINT) AS n,
       |  n + (-1.0) * sign(c) * ln(1 - 2 * abs(c)) AS n_noised
       |FROM u""".stripMargin
 }

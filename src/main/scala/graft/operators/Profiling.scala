@@ -517,6 +517,15 @@ object Profiling {
     * closed-form from exact-ish double sums — the identical expression
     * runs in the oracle, so the compare never rides on a library's
     * corr() implementation.
+    *
+    * Measured NON-fix (r7): fusing both midrank passes into one
+    * [[Relational.orderedPrefixSumsBy]] call (marginals union'd with a
+    * dim tag, ordered by (dim, value), y's running sum recovered by
+    * subtracting n) HALVES the scaffold jobs but benched 2.9 s → 3.7 s
+    * at sf0.1: the fused window sorts the full 600k-row union for BOTH
+    * dimensions (plus a checkpoint of its output for the double read),
+    * where the split passes sort 600k once and 50 once — per-marginal
+    * pruning beats job-count reduction here, so the split stays.
     */
   def spearmanCorrelation(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {

@@ -694,6 +694,16 @@ object Relational {
     */
   private[operators] def orderedPrefixSums(supportIn: DataFrame,
       orderCol: String, cums: Seq[(String, Column)],
+      smallSupportRows: Long = 1L << 22): DataFrame =
+    orderedPrefixSumsBy(supportIn, Seq(col(orderCol)), cums, smallSupportRows)
+
+  /** [[orderedPrefixSums]] with a COMPOSITE sort key — callers whose
+    * order column can tie (e.g. equal revenue totals in
+    * [[abcClassification]]) pass a deterministic tiebreak column so the
+    * running sum is identical run-to-run and across engines.
+    */
+  private[operators] def orderedPrefixSumsBy(supportIn: DataFrame,
+      orderCols: Seq[Column], cums: Seq[(String, Column)],
       smallSupportRows: Long = 1L << 22): DataFrame = {
     // localCheckpoint: the support feeds two jobs (size probe / totals,
     // then the windowed pass) — O(1) lineage, computed once
@@ -706,9 +716,9 @@ object Relational {
     }
     val out =
       if (support.count() <= smallSupportRows) {
-        val w = Window.orderBy(col(orderCol))
+        val w = Window.orderBy(orderCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val all = Window.orderBy(col(orderCol))
+        val all = Window.orderBy(orderCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         cums.zipWithIndex.foldLeft(measured) { case (df, ((name, _), i)) =>
           df.withColumn(name, sum(col(s"__m$i")).over(w))
@@ -717,7 +727,7 @@ object Relational {
       } else {
         val parts = support.sparkSession.sparkContext.defaultParallelism
         val ranged = measured
-          .repartitionByRange(parts, col(orderCol))
+          .repartitionByRange(parts, orderCols: _*)
           .withColumn("__pid", spark_partition_id())
           .localCheckpoint()
         val aggs = cums.indices.map(i => sum(col(s"__m$i")).as(s"t$i"))
@@ -733,7 +743,7 @@ object Relational {
             val o = pid -> accs(i); accs(i) += ts(i); o
           }.toMap
         }
-        val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+        val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         cums.zipWithIndex.foldLeft(ranged) { case (df, ((name, _), i)) =>
           df.withColumn(name,
@@ -1412,6 +1422,12 @@ object Relational {
     * only pass over the data — then the battery relation is
     * group-domain-bounded: the BH sort/rank runs over m rows.
     *
+    * Groups need n ≥ 2 in BOTH halves to enter the battery: a 1-row
+    * half has `var_samp = null` → null p-value, and null ordering
+    * differs between engines (Spark sorts nulls first ascending,
+    * DuckDB last), silently corrupting every p_rank below it. The
+    * inner join already drops groups missing a half entirely.
+    *
     * @return per group: z, p_value, p_rank, bh_threshold, rejected
     */
   def bhFdr(df: DataFrame, groupCol: String, halfCol: Column,
@@ -1420,6 +1436,7 @@ object Relational {
       .groupBy(col(groupCol), halfCol.as("__h"))
       .agg(count(lit(1)).as("__n"), avg(col(valueCol)).as("__mean"),
         var_samp(col(valueCol)).as("__var"))
+      .where(col("__n") >= 2)
     val a = halves.where(col("__h"))
       .select(col(groupCol), col("__n").as("__n1"),
         col("__mean").as("__m1"), col("__var").as("__v1"))
@@ -1475,8 +1492,8 @@ object Relational {
        |sc AS (
        |  SELECT a.event_type,
        |    (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS z
-       |  FROM (SELECT * FROM h WHERE h) a
-       |  JOIN (SELECT * FROM h WHERE NOT h) b USING (event_type)),
+       |  FROM (SELECT * FROM h WHERE h AND n >= 2) a
+       |  JOIN (SELECT * FROM h WHERE NOT h AND n >= 2) b USING (event_type)),
        |p AS (
        |  SELECT event_type, z, 2.0 * (1.0 - ($phi)) AS p_value
        |  FROM sc),
@@ -1502,10 +1519,11 @@ object Relational {
     * [[Profiling.giniCoefficient]] is the one-number summary.
     *
     * Scale shape: one hash aggregate to per-item totals, descending
-    * cumulative shares via [[orderedPrefixSums]] on the negated
-    * measure (ties share a run and classify consistently on both
-    * engines because the boundary is crossed at identical cumulative
-    * values), one projection.
+    * cumulative shares via [[orderedPrefixSumsBy]] on (negated
+    * measure, item) — the item tiebreak makes the prefix sum
+    * deterministic when totals tie (a ROWS frame ordered by the
+    * measure alone assigns tied items arbitrary cum_share values that
+    * can differ run-to-run and across engines), one projection.
     *
     * @return per item: item, total, cum_share, abc_class
     */
@@ -1514,7 +1532,8 @@ object Relational {
     val sup = df.groupBy(col(itemCol))
       .agg(sum(measure).cast("double").as("__v"))
       .withColumn("__negv", -col("__v"))
-    orderedPrefixSums(sup, "__negv", Seq("__cum" -> col("__v")))
+    orderedPrefixSumsBy(sup, Seq(col("__negv"), col(itemCol)),
+      Seq("__cum" -> col("__v")))
       .select(col(itemCol), col("__v").as("total"),
         (col("__cum") / col("__cum_total")).as("cum_share"),
         when(col("__cum") / col("__cum_total") <= 0.80, "A")
@@ -1535,7 +1554,7 @@ object Relational {
       |  FROM lineitem GROUP BY 1),
       |k AS (
       |  SELECT l_partkey, v,
-      |    sum(v) OVER (ORDER BY -v
+      |    sum(v) OVER (ORDER BY -v, l_partkey
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    (SELECT sum(v) FROM sup) AS tot
       |  FROM sup)

@@ -13,6 +13,14 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Clone a session INCLUDING its current SQL conf (unlike the public
+    * `newSession()`, which resets to the context defaults — losing e.g.
+    * the tuned shuffle-partition count). Used for per-operator conf
+    * overrides that must not mutate the caller's session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming = true`)
     * — what a DSv1 `Source.getBatch` must return so MicroBatchExecution
     * accepts the plan. The established custom-source pattern

@@ -153,13 +153,19 @@ class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("dpNoisedCounts: exact counts preserved, noise deterministic and Laplace-shaped") {
     val sp = spark; import sp.implicits._
     val df = (1 to 40).map(i => ("g" + (i % 4), i)).toDF("g", "x")
-    val rel = Privacy.dpNoisedCounts(df, Seq("g"), epsilon = 1.0, salt = "s")
+    // the RELEASE shape must not publish the exact count next to the
+    // noised one — that would void the privacy story outright
+    assert(!Privacy.dpNoisedCounts(df, Seq("g"), 1.0, "s")
+      .columns.contains("n"))
+    val rel = Privacy.dpNoisedCounts(df, Seq("g"), epsilon = 1.0,
+      salt = "s", releaseExact = true)
     val out = rel.collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out.keySet === Set("g0", "g1", "g2", "g3"))
     assert(out.values.forall(_._1 === 10L))
     // reproducible: the identical salted release
-    val again = Privacy.dpNoisedCounts(df, Seq("g"), 1.0, "s").collect()
+    val again = Privacy.dpNoisedCounts(df, Seq("g"), 1.0, "s",
+        releaseExact = true).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     out.foreach { case (g, (_, v)) => assert(again(g) === v) }
     // replicate the inverse-CDF arithmetic from first principles
@@ -172,9 +178,10 @@ class PrivacySpec extends AnyFunSuite with BeforeAndAfterAll {
       val want = n + -1.0 * math.signum(c) * math.log(1 - 2 * math.abs(c))
       assert(math.abs(noised - want) < 1e-9, s"group $g")
     }
-    // a different salt is a different release
+    // a different salt is a different release (default release shape:
+    // (keys..., n_noised) only)
     val resalted = Privacy.dpNoisedCounts(df, Seq("g"), 1.0, "s2").collect()
-      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out.exists { case (g, (_, v)) => resalted(g) != v })
   }
 }
