@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): local[32] runs the whole engine in one JVM,
+  // and the wedge-join intermediates (q154/q107) measurably GC-thrash
+  // under 8g at sf0.1 — q154 23.6s at 32g vs 47.4s at 8g, same plan.
+  // -Xmx is a cap, not a reservation; the 128 GiB container affords it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -358,6 +358,24 @@ object SparkEntry {
     "q189_merge_intervals" -> (graft.operators.EventAnalytics.q189MergeIntervals _),
     // bounded-window return-rate retention curve
     "q190_return_rate" -> (graft.operators.EventAnalytics.q190ReturnRate _),
+    // approximate (MinHash-LSH over neighbor sets) Jaccard link prediction
+    "q191_approx_jaccard_links" -> (graft.operators.Components.q191ApproxJaccardLinks _),
+    // chunking via the native chunk_tokens user-defined table function
+    "q192_chunk_udtf" -> (graft.operators.CorpusOps.q192ChunkUdtf _),
+    // deterministic synchronous label-propagation communities
+    "q193_label_propagation" -> (graft.operators.Components.q193LabelPropagation _),
+    // per-node local clustering coefficient
+    "q194_clustering_coef" -> (graft.operators.Components.q194ClusteringCoefficient _),
+    // nDCG@5 retrieval-quality evaluation of the BM25 ranking
+    "q195_ndcg" -> (graft.operators.Retrieval.q195Ndcg _),
+    // passage-level (16-token block) boilerplate dedup
+    "q196_passage_dedup" -> (graft.operators.Dedup.q196PassageDedup _),
+    // embedding-space outlier screen vs own-label centroid
+    "q197_embedding_outliers" -> (graft.operators.Clustering.q197EmbeddingOutliers _),
+    // RFM quintile customer segmentation
+    "q198_rfm" -> (graft.operators.Relational.q198Rfm _),
+    // EWMA smoothing of daily volume via rescaled prefix sums
+    "q199_ewma" -> (graft.operators.TimeSeries.q199Ewma _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -557,5 +575,14 @@ object SparkEntry {
     "q188_fd_audit" -> graft.operators.Profiling.q188Sql,
     "q189_merge_intervals" -> graft.operators.EventAnalytics.q189Sql,
     "q190_return_rate" -> graft.operators.EventAnalytics.q190Sql,
+    "q191_approx_jaccard_links" -> graft.operators.Components.q191Sql,
+    "q192_chunk_udtf" -> graft.operators.CorpusOps.q192Sql,
+    "q193_label_propagation" -> graft.operators.Components.q193Sql,
+    "q194_clustering_coef" -> graft.operators.Components.q194Sql,
+    "q195_ndcg" -> graft.operators.Retrieval.q195Sql,
+    "q196_passage_dedup" -> graft.operators.Dedup.q196Sql,
+    "q197_embedding_outliers" -> graft.operators.Clustering.q197Sql,
+    "q198_rfm" -> graft.operators.Relational.q198Sql,
+    "q199_ewma" -> graft.operators.TimeSeries.q199Sql,
   )
 }

@@ -121,5 +121,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowHash(children.head, intArg(1), intArg(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_tokens"),
+      new ExpressionInfo(
+        classOf[ChunkTokens].getName, null, "chunk_tokens",
+        "chunk_tokens(text, chunkSize, overlap) - table function: expand a " +
+          "document into overlapping fixed-size token chunks " +
+          "(chunk_idx, chunk_text, chunk_tokens)",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"chunk_tokens expects 3 arguments, got ${children.length}")
+        def intArg(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"chunk_tokens arg ${i + 1} must be an int literal, got $other")
+        }
+        ChunkTokens(children.head, intArg(1), intArg(2))
+      }))
   }
 }

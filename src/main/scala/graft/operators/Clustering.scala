@@ -163,4 +163,63 @@ object Clustering {
        |  avg(cos) AS avg_cos
        |FROM a3 GROUP BY cluster""".stripMargin
   }
+
+  /** Embedding-space outlier screen — the corpus-QA gate for an
+    * embedding column: score every vector's cosine to ITS OWN group
+    * centroid and flag the ones below `threshold` as likely mislabeled
+    * / corrupted / out-of-distribution (the embedding analogue of
+    * q50's text-quality filter; feeds the same quarantine workflow).
+    *
+    * Centroids are float32-rounded [[VectorAvg]] aggregates (the
+    * engine-portability pin q161/q162 established: double-sum per
+    * dimension, rounded to float, so cross-engine summation-order ULP
+    * noise is absorbed before the cosine). Cosine is the native
+    * codegen [[GraftFunctions.cosineSimilarity]] kernel, rounded to
+    * 6 dp BEFORE the threshold compare so the flag itself is
+    * engine-stable at the boundary.
+    *
+    * Scale shape: one group aggregate (map-combined, centroid count =
+    * label cardinality), centroids broadcast back by label key (an
+    * equi-join, not the silhouette's label × centroid cross join — own
+    * centroid only), one codegen projection. Two linear passes at any
+    * corpus size.
+    *
+    * @return (idCol, labelCol, cos_centroid, is_outlier) per vector
+    */
+  def embeddingOutliers(points: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, threshold: Double): DataFrame = {
+    val centroids = points.groupBy(col(labelCol))
+      .agg(VectorAvg.of(dim)(col(vecCol)).as("__centroid"))
+    points
+      .join(broadcast(centroids), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(GraftFunctions.cosineSimilarity(col(vecCol), col("__centroid")),
+          6).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
+
+  /** Declared q197: outlier screen of the fixture's 10-way labeling at
+    * cosine < 0.1 — low enough that only genuinely off-cluster vectors
+    * flag (the labels are planted clusters; q161 scores their
+    * cohesion, this names the stragglers).
+    */
+  def q197EmbeddingOutliers(spark: SparkSession, d: String): DataFrame =
+    embeddingOutliers(Tables.embeddings(spark, d),
+      "vec_id", "embedding", "label", dim = 64, threshold = 0.1)
+
+  val q197Sql: String = {
+    val cos = sqlCos("p.embedding", "c.centroid")
+    s"""WITH dims AS (
+       |  SELECT label, i,
+       |    CAST(avg(CAST(embedding[i] AS DOUBLE)) AS FLOAT) AS c
+       |  FROM embeddings, generate_series(1, 64) t(i)
+       |  GROUP BY label, i),
+       |cent AS (
+       |  SELECT label, list(CAST(c AS DOUBLE) ORDER BY i) AS centroid
+       |  FROM dims GROUP BY label)
+       |SELECT p.vec_id, p.label,
+       |  round($cos, 6) AS cos_centroid,
+       |  round($cos, 6) < 0.1 AS is_outlier
+       |FROM embeddings p JOIN cent c USING (label)""".stripMargin
+  }
 }

@@ -1250,4 +1250,358 @@ object Components {
       |  q_contrib,
       |  (SELECT sum(q_contrib) FROM per) AS q_total
       |FROM per""".stripMargin
+
+  /** Scale-safe APPROXIMATE Jaccard link prediction — the 100 TB
+    * escape hatch beside [[jaccardLinkPrediction]]'s exact wedge join
+    * (whose Σ deg² intermediate is the known pressure point at hub
+    * degrees; see q154's plan audit). Candidates come from MinHash-LSH
+    * over each node's NEIGHBOR SET instead of from wedges, then are
+    * verified with EXACT set Jaccard, so precision is 1 by
+    * construction and the output is directly comparable to the exact
+    * all-pairs oracle at any threshold the banding covers.
+    *
+    * Pipeline (every step linear in edges or output-proportional):
+    *   1. one `MinHashAgg` aggregate per node over hashed neighbor ids
+    *      → k-long signature (k multiply-mods per edge endpoint);
+    *   2. signature DEDUP: nodes with identical signatures (exact
+    *      duplicate neighbor sets, the dominant cluster shape — e.g.
+    *      every degree-1 customer of one supplier) collapse to one
+    *      representative signature row, so the band explode emits ONE
+    *      row per distinct signature per band instead of `bands` copies
+    *      of every member — without this, a g-member identical group
+    *      pays g²·bands candidate rows; with it, g² (its true output
+    *      size) plus `bands` rows;
+    *   3. banded bucket join over DISTINCT signatures → candidate
+    *      signature pairs, deduped at signature level BEFORE member
+    *      expansion;
+    *   4. expand members, drop existing edges (anti-join), verify with
+    *      exact `array_intersect` Jaccard over adjacency sets.
+    *
+    * Recall: a pair at Jaccard s collides in ≥1 band with probability
+    * 1−(1−s^r)^bands; defaults (k=256, bands=64, r=4) put the miss
+    * probability at threshold 0.7 below 3e−8 per pair — deterministic
+    * given the seed, and the recall spec measures it against the exact
+    * path. Identical neighbor sets (s=1) produce identical signatures
+    * and can never be missed.
+    *
+    * Adjacency sets ride a `collect_set`; per-node memory is bounded by
+    * max degree (the q154 graph's hubs hold ~3·sf·10⁴ neighbors ≈ a few
+    * hundred KB at sf100). For extreme-hub graphs, swap step 4 for a
+    * candidate⋈edges re-aggregation (count common neighbors without
+    * materializing either set); the candidate generation is unchanged.
+    *
+    * @return (node_a, node_b, n_common, deg_a, deg_b, jaccard) for
+    *         non-adjacent pairs with neighbor-set Jaccard ≥ `threshold`
+    */
+  def approxJaccardLinks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      threshold: Double = 0.7,
+      numHashes: Int = 256,
+      bands: Int = 64,
+      seed: Long = 42L,
+      pairFilter: Column = lit(true)): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val P = graft.functions.MinHashAgg.P
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    // adjacency sets: verify side + degrees (sym is distinct, so the
+    // set size IS the degree)
+    val adj = sym.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("__nbrs"))
+      .select(col("u"), col("__nbrs"),
+        size(col("__nbrs")).cast("bigint").as("__deg"))
+    val sigs = sym
+      .select(col("u"), pmod(xxhash64(col("v")), lit(P)).as("__x"))
+      .groupBy(col("u"))
+      .agg(graft.functions.MinHashAgg.of(numHashes, seed)(col("__x")).as("__sig"))
+      .select(col("u"), col("__sig"), hash(col("__sig")).as("__sk"))
+      // two consumers (member lists, distinct-signature banding)
+      .localCheckpoint()
+    // members of each identical-signature group
+    val members = sigs.select(col("__sk"), col("u"))
+    // within-group pairs: identical signatures ⇒ Jaccard ≈ 1 — these
+    // ARE output pairs; cost is output-proportional
+    val within = members.join(
+        members.select(col("__sk"), col("u").as("__u2")), Seq("__sk"))
+      .where(col("u") < col("__u2"))
+      .select(col("u").as("a"), col("__u2").as("b"))
+    // banded bucket join over DISTINCT signatures only
+    val distinctSigs = sigs.groupBy(col("__sk"))
+      .agg(first(col("__sig")).as("__sig"))
+    val withBands = distinctSigs.select(
+      col("__sk"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      .select(col("__sk"), col("pos").as("__band"), col("col").as("__bh"))
+    val skPairs = withBands
+      .join(withBands.select(col("__sk").as("__sk2"),
+        col("__band"), col("__bh")), Seq("__band", "__bh"))
+      .where(col("__sk") =!= col("__sk2"))
+      .select(col("__sk"), col("__sk2"))
+      .dropDuplicates("__sk", "__sk2")
+    val cross = skPairs
+      .join(members, Seq("__sk"))
+      .join(members.select(col("__sk").as("__sk2"), col("u").as("__u2")),
+        Seq("__sk2"))
+      .select(least(col("u"), col("__u2")).as("a"),
+        greatest(col("u"), col("__u2")).as("b"))
+      .dropDuplicates("a", "b")
+    // pairFilter ("only doc-side pairs", "only nodes in this range")
+    // sits BEFORE the anti-join and verify joins; Catalyst pushes its
+    // side-local conjuncts into the member-expansion joins above, so
+    // excluded candidate pairs are pruned where they would be BORN,
+    // not after materialization
+    within.unionAll(cross)
+      .where(pairFilter)
+      .join(canon.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(adj.select(col("u").as("a"), col("__nbrs").as("__na"),
+        col("__deg").as("deg_a")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("__nbrs").as("__nb"),
+        col("__deg").as("deg_b")), Seq("b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        size(array_intersect(col("__na"), col("__nb")))
+          .cast("bigint").as("n_common"),
+        col("deg_a"), col("deg_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+  }
+
+  /** Declared q191: approximate link prediction over the DOC →
+    * RARE-SHINGLE bipartite graph — document nodes, word-3-gram
+    * shingle nodes restricted to document frequency 2..20 (the q138
+    * hot-key gate: df ≥ 2 or a shingle links nothing, df ≤ 20 or a
+    * boilerplate shingle makes every wedge method quadratic — and, as
+    * measured in round 7, makes the similarity signal meaningless).
+    * Doc–doc neighbor-set Jaccard over this graph = rare-shingle
+    * similarity, which the fixture's planted near-duplicate passages
+    * keep ≥ 0.7 at EVERY scale (the customer–supplier graph's
+    * neighbor-Jaccard collapses below 0.5 past sf0.001 — measured, so
+    * a thresholded query there would be vacuously green). The
+    * `pairFilter` keeps only doc-side pairs (shingle node ids live in
+    * the md5-derived ≥ 10⁹ range), and the exact all-pairs oracle
+    * catches any LSH recall miss as a hard failure: qualifying pairs
+    * sit at ≥ 0.8 where the 64-band miss probability is < 5e-8.
+    */
+  def q191ApproxJaccardLinks(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val sh = docs.select(col("doc_id"),
+        explode(NearDup.shingleSet(col("text"))).as("__s"))
+    val rare = sh.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+      .where(col("__df").between(2, 20))
+      .select(col("__s"))
+    val edges = sh.join(rare, Seq("__s"), "left_semi")
+      .select(col("doc_id").as("src"),
+        (graft.functions.GraftFunctions.hexLong(
+          substring(md5(col("__s")), 1, 15)) + lit(1000000000L)).as("dst"))
+    approxJaccardLinks(edges, "src", "dst", threshold = 0.7,
+      pairFilter = col("a") < 1000000000L && col("b") < 1000000000L)
+  }
+
+  val q191Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 20),
+      |e AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM rare)),
+      |sets AS (SELECT doc_id, list_sort(list(s)) AS ss FROM e GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS node_a, b.doc_id AS node_b,
+      |    len(list_intersect(a.ss, b.ss)) AS n_common,
+      |    len(a.ss) AS deg_a, len(b.ss) AS deg_b
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      |SELECT node_a, node_b,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+      |  CAST(n_common AS DOUBLE) / (deg_a + deg_b - n_common) AS jaccard
+      |FROM pairs
+      |WHERE CAST(n_common AS DOUBLE) / (deg_a + deg_b - n_common) >= 0.7
+      |ORDER BY jaccard DESC, node_a, node_b""".stripMargin
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with PINNED
+    * determinism: every round, each node adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label — the
+    * classic linear-time community heuristic, made engine-portable by
+    * replacing its usual random tie-coin with the lexicographic rule
+    * (both engines then compute the identical fixed-round trajectory;
+    * the DuckDB oracle is the same unrolled recurrence).
+    *
+    * A bounded ROUND COUNT rather than convergence detection:
+    * synchronous LPA can 2-cycle on bipartite structures, so
+    * "converged" is not well-defined; a fixed small round count is the
+    * honest contract, and is what makes the bounded CTE unroll an exact
+    * oracle (the k-core/q153 pattern).
+    *
+    * Scale shape per round: one edge⋈labels hash join (labels
+    * broadcast when the node set fits — same measured gate as
+    * [[hits]]), one (node, label) count aggregate, one per-node
+    * `min(struct(-cnt, label))` argmax — all linear in edges. Eager
+    * per-round checkpoints keep lineage O(1) and run each round as one
+    * static-plan job under the scoped AQE override on the broadcast
+    * path.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val spark0 = edges.sparkSession
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint()
+    val hint = labels.count() <= 4000000L
+    val prevAqe = spark0.conf.get("spark.sql.adaptive.enabled", "true")
+    if (hint) spark0.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (_ <- 1 to rounds) {
+      val nbr = sym.join(
+        (if (hint) broadcast(labels) else labels)
+          .select(col("node").as("v"), col("community")), Seq("v"))
+      labels = nbr.groupBy(col("u"), col("community"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("__cnt")).as("nc"),
+          col("community").as("lb"))).as("__best"))
+        .select(col("u").as("node"), col("__best.lb").as("community"))
+        .localCheckpoint(eager = hint)
+    } finally if (hint) spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    labels
+  }
+
+  /** Declared q193: 4 rounds of label propagation over the part
+    * co-purchase graph (parts sharing an order) — product-cluster
+    * discovery on the same relation q107/q153 analyze. Output is one
+    * (node, community) row per part in the graph.
+    */
+  def q193LabelPropagation(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    labelPropagation(co, "u", "v", rounds = 4)
+  }
+
+  val q193Sql: String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT u AS node, u AS community FROM sym)""".stripMargin
+    val iters = (1 to 4).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.u, l.community, count(*) AS cnt
+         |  FROM sym s JOIN l${i - 1} l ON l.node = s.v
+         |  GROUP BY s.u, l.community),
+         |l$i AS MATERIALIZED (
+         |  SELECT u AS node, community FROM c$i
+         |  QUALIFY row_number() OVER (PARTITION BY u
+         |    ORDER BY cnt DESC, community) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, community FROM l4""".stripMargin
+  }
+
+  /** Per-node local clustering coefficient: 2·T(v) / (deg(v)·(deg(v)−1))
+    * over nodes with degree ≥ 2 — "how clique-like is each node's
+    * neighborhood", the node-level refinement of [[triangleCounts]]'s
+    * global census (Watts–Strogatz 1998). Nodes in no triangle score 0
+    * (left join + coalesce), degree-1 nodes are excluded (the
+    * coefficient is undefined).
+    *
+    * Scale shape: the triangle census IS the cost
+    * ([[triangleCounts]]'s degree-oriented wedge join, long-packed
+    * probe, broadcast gate); the coefficient adds one degree aggregate
+    * and one node-keyed left join.
+    */
+  def localClusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(canon, "u", "v", assumeCanonical = true)
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc", lit(2.0) * col("n_tri") /
+        (col("deg") * (col("deg") - lit(1L))))
+  }
+
+  /** Declared q194: clustering coefficients of the HIGH-QUANTITY part
+    * co-purchase graph (line items with quantity ≥ 40 — a sparser,
+    * analytically distinct slice of the q107 relation; the full graph's
+    * census is q107's own declared cost).
+    */
+  def q194ClusteringCoefficient(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .where(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    localClusteringCoefficient(co, "u", "v")
+  }
+
+  val q194Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY node),
+      |t AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tri AS (
+      |  SELECT node, count(*) AS n_tri FROM (
+      |    SELECT a AS node FROM t
+      |    UNION ALL SELECT b FROM t
+      |    UNION ALL SELECT c FROM t)
+      |  GROUP BY node)
+      |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+      |  CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+      |  2.0 * coalesce(tri.n_tri, 0) / (d.deg * (d.deg - 1)) AS lcc
+      |FROM deg d LEFT JOIN tri USING (node)
+      |WHERE d.deg >= 2""".stripMargin
 }

@@ -453,6 +453,23 @@ object CorpusOps {
       |FROM c, LATERAL (
       |  SELECT unnest(generate_series(0, n_chunks - 1)) AS i) AS x""".stripMargin
 
+  /** Declared q192: q63's chunking through the NATIVE user-defined
+    * table function [[graft.functions.ChunkTokens]] instead of the HOF
+    * chain — same parameters (32-token chunks, 8 overlap), same output
+    * columns, same DuckDB oracle. The `expr` call resolves the
+    * `chunk_tokens` Generator registered by
+    * [[graft.functions.GraftExtensions]], and the analyzer plans it as
+    * `GenerateExec` (LATERAL VIEW), so the two declared queries pin the
+    * Generator surface end-to-end: registration → resolution →
+    * execution → bit-identical rows (the parity spec compares against
+    * [[chunk]] directly; the oracle catches either path drifting).
+    */
+  def q192ChunkUdtf(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr("chunk_tokens(text, 32, 8)"))
+
+  val q192Sql: String = q63Sql
+
   /** Order-invariant corpus content digest (declared q82): per source,
     * a fingerprint of the document CONTENTS that any engine, any
     * partitioning, and any row order reproduce bit-for-bit — XOR and

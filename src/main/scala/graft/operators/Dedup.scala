@@ -375,4 +375,102 @@ object Dedup {
       |      UNION SELECT db FROM pairs WHERE j >= t.threshold))
       |    AS BIGINT) AS n_docs_touched
       |FROM t""".stripMargin
+
+  /** PASSAGE-level dedup (the CCNet/RefinedWeb paragraph-dedup shape,
+    * adapted to the fixture's unpunctuated token streams): cut each
+    * document into non-overlapping `blockTokens`-token blocks, count
+    * each FULL block's document frequency corpus-wide, and rewrite
+    * every document with its boilerplate blocks (df ≥ `minDf`) removed
+    * — the sub-document complement of doc-level dedup (q30/q35): a
+    * shared header or injected quote is excised from every carrier
+    * while the documents themselves survive.
+    *
+    * Pinned rules (identical in the oracle):
+    *  - blocks are ⌈n/blockTokens⌉ consecutive slices; the short tail
+    *    block is NEVER removable (a trailing "the" must not count as
+    *    boilerplate) and never counts toward df;
+    *  - df is DISTINCT carrier documents, so a block repeated inside
+    *    one document is not boilerplate by itself — but once a block
+    *    is boilerplate, every occurrence in every document is removed;
+    *  - reconstruction joins kept blocks in block order with single
+    *    spaces, so an untouched document round-trips bit-for-bit.
+    *
+    * Scale shape: block explode is map-only; df is one hash aggregate
+    * on block text (map-side combined); the boilerplate set is tiny by
+    * construction (blocks repeated across documents) and BROADCASTS
+    * into the flagging join, so the corpus-side blocks never shuffle
+    * for the join; the rewrite is one doc-keyed aggregate. At 100 TB:
+    * two linear passes + one broadcast.
+    */
+  def passageDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 16,
+      minDf: Int = 2): DataFrame = {
+    require(blockTokens > 0 && minDf >= 2,
+      s"need blockTokens > 0 and minDf >= 2, got $blockTokens / $minDf")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nBlocks = ceil(n.cast(DoubleType) / blockTokens).cast("int")
+    val blocks = docs.select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(nBlocks, lit(1)) - 1),
+          i => concat_ws(" ", slice(toks, i * blockTokens + 1, lit(blockTokens))))))
+      .select(col(idCol), col("pos").as("__bi"), col("col").as("__bt"),
+        size(split(col("col"), " ")).as("__bl"))
+    val boiler = blocks
+      .where(col("__bl") === blockTokens)
+      .groupBy(col("__bt"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__bt"), lit(true).as("__boil"))
+    val flagged = blocks
+      .join(broadcast(boiler), Seq("__bt"), "left")
+      .withColumn("__rm",
+        coalesce(col("__boil"), lit(false)) && col("__bl") === blockTokens)
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__rm"),
+            struct(col("__bi").as("i"), col("__bt").as("t"))))),
+          s => s.getField("t")), " ").as("cleaned_text"))
+      .withColumn("frac_removed",
+        col("n_removed").cast(DoubleType) / col("n_blocks"))
+  }
+
+  /** Declared q196: 16-token blocks, boilerplate at df ≥ 2, over the
+    * documents fixture (which plants verbatim-copied passages — the
+    * q138 fingerprint findings, here excised instead of reported).
+    */
+  def q196PassageDedup(spark: SparkSession, d: String): DataFrame =
+    passageDedup(Tables.documents(spark, d), "doc_id", "text",
+      blockTokens = 16, minDf = 2)
+
+  val q196Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |b AS (
+      |  SELECT doc_id, x.i AS bi,
+      |    array_to_string(toks[x.i * 16 + 1 : x.i * 16 + 16], ' ') AS bt,
+      |    len(toks[x.i * 16 + 1 : x.i * 16 + 16]) AS bl
+      |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+      |    greatest(CAST(ceil(len(toks) / 16.0) AS INT), 1) - 1)) AS i) x),
+      |boiler AS (
+      |  SELECT bt FROM b WHERE bl = 16
+      |  GROUP BY bt HAVING count(DISTINCT doc_id) >= 2),
+      |f AS (
+      |  SELECT b.doc_id, b.bi, b.bt,
+      |    (b.bl = 16 AND b.bt IN (SELECT bt FROM boiler)) AS rm
+      |  FROM b)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(
+      |    list(bt ORDER BY bi) FILTER (NOT rm), ' '), '') AS cleaned_text,
+      |  CAST(count(*) FILTER (rm) AS DOUBLE) / count(*) AS frac_removed
+      |FROM f GROUP BY doc_id""".stripMargin
 }

@@ -1609,4 +1609,116 @@ object Relational {
       |  CASE WHEN c.n > 1 THEN (c.s - e.y) / (c.n - 1)
       |       ELSE (g.gs - e.y) / (g.gn - 1) END AS te_loo
       |FROM e JOIN c USING (event_type) CROSS JOIN g""".stripMargin
+
+  /** RFM customer segmentation (Hughes 1994) — the classic
+    * recency/frequency/monetary quintile scoring, the workhorse
+    * customer-value readout beside q102's cohort retention. Per
+    * customer: recency = days since last order (anchored at the corpus
+    * max date — no wall clock), frequency = order count, monetary =
+    * cents-rounded spend; each scored 1–5 against the EXACT
+    * interpolated quintile boundaries of its distribution, then rolled
+    * into named segments.
+    *
+    * Determinism pins (both engines replay them):
+    *  - monetary is rounded to cents BEFORE boundary computation and
+    *    scoring, absorbing cross-engine double-summation-order ULP
+    *    noise at its source (a per-customer sum of ≤ dozens of
+    *    doubles carries ~1e-11 relative error — far inside the cent);
+    *  - scores count boundaries STRICTLY below the value
+    *    (`score = 1 + Σ (v > bᵢ)`; recency inverts to `5 − Σ`), so a
+    *    value landing exactly on a boundary buckets low on both
+    *    engines;
+    *  - Spark's `percentile` and DuckDB's `quantile_cont` compute the
+    *    same type-7 linear interpolation from now-identical inputs.
+    *
+    * Scale shape: one customer-keyed aggregate over orders (map-side
+    * combined), ONE 1-row exact-percentile aggregate over the
+    * customer relation broadcast back (the boundary relation is 12
+    * doubles — no row-scale ordered window anywhere), one codegen
+    * scoring projection, one bounded (≤125-segment-cell) aggregate.
+    */
+  def rfmSegmentation(orders: DataFrame, custCol: String,
+      dateCol: String, amountCol: String): DataFrame = {
+    val perCust = orders.groupBy(col(custCol))
+      .agg(max(to_date(col(dateCol))).as("__last"),
+        count(lit(1)).as("__f"),
+        round(sum(col(amountCol)), 2).as("__m"))
+    val anchor = perCust.agg(max(col("__last")).as("__anchor"))
+    val rfm = perCust.crossJoin(broadcast(anchor))
+      .select(col(custCol),
+        datediff(col("__anchor"), col("__last")).cast("double").as("__r"),
+        col("__f").cast("double"), col("__m"))
+    val qs = typedLit(Seq(0.2, 0.4, 0.6, 0.8))
+    val bounds = rfm.agg(
+      percentile(col("__r"), qs).as("__rb"),
+      percentile(col("__f"), qs).as("__fb"),
+      percentile(col("__m"), qs).as("__mb"))
+    def scoreUp(v: Column, b: Column): Column =
+      (lit(1) + (0 to 3).map(i => when(v > b.getItem(i), 1).otherwise(0))
+        .reduce(_ + _)).cast("int")
+    val scored = rfm.crossJoin(broadcast(bounds))
+      .select(col(custCol), col("__m"),
+        (lit(6) - scoreUp(col("__r"), col("__rb"))).cast("int").as("r_score"),
+        scoreUp(col("__f"), col("__fb")).as("f_score"),
+        scoreUp(col("__m"), col("__mb")).as("m_score"))
+    val segment = when(col("r_score") >= 4 && col("f_score") >= 4, "champions")
+      .when(col("f_score") >= 4, "loyal")
+      .when(col("r_score") >= 4 && col("f_score") <= 2, "recent")
+      .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+      .otherwise("regular")
+    scored.withColumn("segment", segment)
+      .groupBy(col("segment"), col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("__m")), 2).as("total_monetary"))
+  }
+
+  /** Declared q198: RFM over the orders fixture. */
+  def q198Rfm(spark: SparkSession, d: String): DataFrame =
+    rfmSegmentation(Tables.orders(spark, d),
+      "o_custkey", "o_orderdate", "o_totalprice")
+
+  val q198Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    max(CAST(o_orderdate AS DATE)) AS last_d,
+      |    count(*) AS f,
+      |    round(sum(o_totalprice), 2) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |an AS (SELECT max(last_d) AS anchor FROM pc),
+      |rfm AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', last_d, an.anchor) AS DOUBLE) AS r,
+      |    CAST(f AS DOUBLE) AS f, m
+      |  FROM pc CROSS JOIN an),
+      |b AS (
+      |  SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rb,
+      |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
+      |    quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mb
+      |  FROM rfm),
+      |sc AS (
+      |  SELECT o_custkey, m,
+      |    6 - (1 + CASE WHEN r > rb[1] THEN 1 ELSE 0 END
+      |           + CASE WHEN r > rb[2] THEN 1 ELSE 0 END
+      |           + CASE WHEN r > rb[3] THEN 1 ELSE 0 END
+      |           + CASE WHEN r > rb[4] THEN 1 ELSE 0 END) AS r_score,
+      |    1 + CASE WHEN f > fb[1] THEN 1 ELSE 0 END
+      |      + CASE WHEN f > fb[2] THEN 1 ELSE 0 END
+      |      + CASE WHEN f > fb[3] THEN 1 ELSE 0 END
+      |      + CASE WHEN f > fb[4] THEN 1 ELSE 0 END AS f_score,
+      |    1 + CASE WHEN m > mb[1] THEN 1 ELSE 0 END
+      |      + CASE WHEN m > mb[2] THEN 1 ELSE 0 END
+      |      + CASE WHEN m > mb[3] THEN 1 ELSE 0 END
+      |      + CASE WHEN m > mb[4] THEN 1 ELSE 0 END AS m_score
+      |  FROM rfm CROSS JOIN b)
+      |SELECT CASE
+      |    WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+      |    WHEN f_score >= 4 THEN 'loyal'
+      |    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent'
+      |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |    ELSE 'regular' END AS segment,
+      |  CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      |  CAST(m_score AS INT) AS m_score,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(sum(m), 2) AS total_monetary
+      |FROM sc GROUP BY 1, 2, 3, 4""".stripMargin
 }

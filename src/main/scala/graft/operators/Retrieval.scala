@@ -263,4 +263,116 @@ object Retrieval {
       |  AND a[CAST(i AS INT) + 1] = 'hash'
       |  AND a[CAST(i AS INT) + 2] = 'batch'
       |GROUP BY doc_id""".stripMargin
+
+  /** nDCG@k retrieval-quality evaluation (Järvelin & Kekäläinen, TOIS
+    * 2002) — the metric harness that closes the retrieval stack: given
+    * a system ranking and graded relevance labels,
+    * DCG = Σ_{r≤k} (2^rel − 1)/log2(r+1), IDCG the same over the
+    * corpus-wide ideal ordering, nDCG their ratio. Labels here are
+    * md5-derived grades in 0..3 (the repo's portable-determinism
+    * scheme: any engine recomputes the identical labels), so the
+    * declared query pins the METRIC machinery — ranking join, discount
+    * arithmetic, corpus-wide ideal — not a model.
+    *
+    * Scale shape: the system list is k-bounded per query; the ideal
+    * list needs the best k grades per query over the WHOLE corpus —
+    * one pass over broadcast(queries) × corpus with a per-query
+    * `WindowGroupLimit`-prunable rank window, so corpus rows stream
+    * through map tasks and only k survivors per query shuffle.
+    * Sums are rounded to 6 dp before the ratio (≤k double terms;
+    * rounding removes accumulation-order sensitivity, the q94
+    * convention).
+    */
+  def ndcgAtK(
+      system: DataFrame, // (query_id, rank, doc_id)
+      corpusIds: DataFrame, // (doc_id)
+      k: Int,
+      relSalt: String): DataFrame = {
+    def rel(q: org.apache.spark.sql.Column, dc: org.apache.spark.sql.Column) =
+      pmod(graft.functions.GraftFunctions.hexLong(
+        substring(md5(concat_ws("|", lit(relSalt), q, dc)), 1, 15)), lit(4))
+        .cast(DoubleType)
+    val discount = log(2.0, col("rank").cast(DoubleType) + lit(1.0))
+    val dcg = system.where(col("rank") <= k)
+      .select(col("query_id"),
+        ((pow(lit(2.0), rel(col("query_id"), col("doc_id"))) - lit(1.0)) /
+          discount).as("__g"))
+      .groupBy(col("query_id"))
+      .agg(round(sum(col("__g")), 6).as("dcg"))
+    val queries = system.select(col("query_id")).distinct()
+    val idealW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rel").desc, col("doc_id"))
+    val idcg = corpusIds.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("doc_id"),
+        rel(col("query_id"), col("doc_id")).as("__rel"))
+      .withColumn("rank", row_number().over(idealW))
+      .where(col("rank") <= k)
+      .select(col("query_id"),
+        ((pow(lit(2.0), col("__rel")) - lit(1.0)) / discount).as("__g"))
+      .groupBy(col("query_id"))
+      .agg(round(sum(col("__g")), 6).as("idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
+  /** Declared q195: nDCG@5 of the q94 BM25 ranking under md5-graded
+    * relevance — same query/corpus split, k = 5.
+    */
+  def q195Ndcg(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val system = bm25TopK(
+      docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5),
+      "doc_id", "text", k = 5)
+    ndcgAtK(system, docs.where(col("doc_id") >= 5).select(col("doc_id")),
+      k = 5, relSalt = "ndcg")
+  }
+
+  val q195Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id >= 5),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM corpus) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM corpus),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+      |       FROM corpus),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc),
+      |rel AS (
+      |  SELECT qid, c.doc_id,
+      |    CAST(('0x' || substring(md5('ndcg' || '|' ||
+      |      CAST(qid AS VARCHAR) || '|' || CAST(c.doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 4 AS DOUBLE) AS rel
+      |  FROM (SELECT DISTINCT qid FROM ranked) CROSS JOIN corpus c),
+      |dcg AS (
+      |  SELECT r.qid, round(sum((pow(2.0, rel.rel) - 1.0) /
+      |    log2(r.rank + 1.0)), 6) AS dcg
+      |  FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+      |  WHERE r.rank <= 5 GROUP BY r.qid),
+      |ideal AS (
+      |  SELECT qid, rel,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY rel DESC, doc_id) AS rank
+      |  FROM rel),
+      |idcg AS (
+      |  SELECT qid, round(sum((pow(2.0, rel) - 1.0) /
+      |    log2(rank + 1.0)), 6) AS idcg
+      |  FROM ideal WHERE rank <= 5 GROUP BY qid)
+      |SELECT dcg.qid AS query_id, dcg.dcg, idcg.idcg,
+      |  round(dcg.dcg / idcg.idcg, 6) AS ndcg
+      |FROM dcg JOIN idcg USING (qid)""".stripMargin
 }

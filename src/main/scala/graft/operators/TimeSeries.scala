@@ -341,4 +341,76 @@ object TimeSeries {
       |  (b.b - CAST(tot.st AS DOUBLE) * tot.st / tot.t)
       |    / (tot.ss - CAST(tot.st AS DOUBLE) * tot.st / tot.t) AS eta_sq
       |FROM b JOIN tot USING (event_type)""".stripMargin
+
+  /** Exponentially weighted moving average of the daily volume series —
+    * the online-smoothing complement to q145's symmetric decomposition
+    * (EWMA is causal: today's level uses only the past, which is what a
+    * live ingest monitor can actually compute). s₁ = x₁,
+    * sₜ = α·xₜ + (1−α)·sₜ₋₁, evaluated in CLOSED FORM on the ordered
+    * prefix sum of uₜ = xₜ/(1−α)ᵗ:
+    * sₜ = α·(1−α)ᵗ·Σ_{i=2..t} uᵢ + (1−α)ᵗ⁻¹·x₁ — one running-sum
+    * window over the calendar-bounded daily relation (see BASELINE.md's
+    * single-partition-window inventory) instead of an inherently
+    * sequential recurrence.
+    *
+    * The rescaling is the textbook numeric caveat: (1−α)⁻ᵗ grows
+    * geometrically, so the closed form is exact only while it stays
+    * inside double range — `require` caps the series at 1500 steps
+    * (0.7⁻¹⁵⁰⁰ ≈ 10²³², still finite; relative error stays ~1e−16 of
+    * the LEVEL because numerator and denominator share the scale).
+    * Longer horizons would re-anchor per block; the declared query's
+    * calendar window is fixture-bounded. Output rounds to 6 dp — the
+    * running sum is order-pinned by the window, so rounding only
+    * absorbs `pow` last-ulp differences across engine math libraries.
+    *
+    * @return (day, n, ewma) per observed day, α-smoothed over the
+    *         OBSERVED series (gaps carry the level forward untouched —
+    *         day index is the observation rank, the q143 convention)
+    */
+  def ewmaDaily(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need 0 < alpha < 1, got $alpha")
+    val daily = dailyCounts(events).localCheckpoint()
+    val nDays = daily.count()
+    require(nDays <= 1500,
+      s"ewmaDaily closed form caps at 1500 observed days, got $nDays " +
+        "(re-anchor per block for longer horizons)")
+    val base = 1.0 - alpha
+    val ord = Window.orderBy(col("day"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("day"), col("n"),
+        row_number().over(ord).as("__t"),
+        first(col("n")).over(run).as("__x1"))
+      .withColumn("__u", col("n").cast("double") / pow(lit(base), col("__t")))
+      .withColumn("__cu", sum(when(col("__t") >= 2, col("__u"))
+        .otherwise(0.0)).over(run))
+      .select(col("day"), col("n"),
+        round(lit(alpha) * pow(lit(base), col("__t")) * col("__cu") +
+          pow(lit(base), col("__t") - 1) * col("__x1"), 6).as("ewma"))
+  }
+
+  /** Declared q199: α = 0.3 EWMA of daily event volume. */
+  def q199Ewma(spark: SparkSession, d: String): DataFrame =
+    ewmaDaily(Tables.events(spark, d), alpha = 0.3)
+
+  val q199Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT day, n,
+      |    row_number() OVER (ORDER BY day) AS t,
+      |    first_value(n) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x1
+      |  FROM daily),
+      |u AS (
+      |  SELECT day, n, t, x1,
+      |    sum(CASE WHEN t >= 2
+      |          THEN CAST(n AS DOUBLE) / pow(0.7, t) ELSE 0.0 END)
+      |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND CURRENT ROW) AS cu
+      |  FROM idx)
+      |SELECT day, n,
+      |  round(0.3 * pow(0.7, t) * cu + pow(0.7, t - 1) * x1, 6) AS ewma
+      |FROM u""".stripMargin
 }

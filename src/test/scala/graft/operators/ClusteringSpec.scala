@@ -85,4 +85,26 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(0)).toSeq === Seq(0L))
     assert(out.head.getLong(1) === 4L)
   }
+
+  test("embeddingOutliers: off-cluster vector flags, cluster members don't") {
+    val sp = spark; import sp.implicits._
+    // label 0 points hug +x; one planted ANTI-aligned vector (-x) is
+    // the outlier; label 1 hugs +y and stays clean
+    val pts = (
+      (0L to 7L).map(i => (i, Seq(1f, 0.01f * i, 0f, 0f), 0)) ++
+        Seq((8L, Seq(-1f, 0f, 0f, 0f), 0)) ++
+        (9L to 14L).map(i => (i, Seq(0f, 1f, 0.01f * (i - 9), 0f), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val out = Clustering.embeddingOutliers(pts, "vec_id", "embedding",
+      "label", dim = 4, threshold = 0.1).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("cos_centroid"), r.getAs[Boolean]("is_outlier")))
+      .toMap
+    assert(out.size === 15)
+    assert(out(8L)._2, s"anti-aligned vector must flag, cos=${out(8L)._1}")
+    assert(out(8L)._1 < 0.0)
+    (out - 8L).foreach { case (id, (cos, flag)) =>
+      assert(!flag && cos > 0.9, s"vec $id should be clean, cos=$cos")
+    }
+  }
 }

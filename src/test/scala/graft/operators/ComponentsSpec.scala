@@ -285,6 +285,97 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPair((2L, 4L)) === ((2L, 1.0)))
   }
 
+  test("approxJaccardLinks: exact recall and precision vs a local all-pairs oracle") {
+    val sp = spark; import sp.implicits._
+    // random graphs: every non-adjacent pair with neighbor-set Jaccard
+    // >= 0.7 must appear (recall), nothing else may (precision — exact
+    // verification guarantees it), and scores must be the exact ratios
+    val rnd = new scala.util.Random(191)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val m = 2 * n
+      val raw = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // plant near-identical neighborhoods so the >= 0.7 band is
+      // exercised (random sparse graphs rarely produce them): clones
+      // n+1, n+2 copy node 0's neighborhood, n+2 with one extra
+      val nbrs0 = raw.collect {
+        case (a, b) if a == 0L => b
+        case (a, b) if b == 0L => a
+      }.distinct
+      val planted = nbrs0.map(v => (n + 1L, v)) ++
+        (nbrs0 :+ (n + 10L)).map(v => (n + 2L, v))
+      val edges = (raw ++ planted).toDF("u", "v")
+      // local oracle
+      val canon = (raw ++ planted).map { case (a, b) =>
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val expected = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        a = nodes(i); b = nodes(j)
+        if !canon.contains((a, b))
+        inter = (adj(a) & adj(b)).size
+        if inter > 0
+        jac = inter.toDouble / (adj(a).size + adj(b).size - inter)
+        if jac >= 0.7
+      } yield (a, b) -> jac).toMap
+      val got = Components.approxJaccardLinks(edges, "u", "v", threshold = 0.7)
+        .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+      assert(got.keySet === expected.keySet, s"trial $trial n=$n")
+      expected.foreach { case (p, jac) =>
+        assert(math.abs(got(p) - jac) < 1e-12, s"trial $trial pair $p")
+      }
+    }
+  }
+
+  test("approxJaccardLinks: identical-signature groups collapse and all surface") {
+    val sp = spark; import sp.implicits._
+    // 8 degree-1 nodes sharing one hub: identical singleton neighbor
+    // sets → identical signatures; all 28 pairs have jaccard 1 and flow
+    // through the within-group path, never the band join
+    val edges = (1L to 8L).map(l => (l, 100L)).toDF("u", "v")
+    val out = Components.approxJaccardLinks(edges, "u", "v", threshold = 0.7)
+      .collect()
+    assert(out.length === 28)
+    assert(out.forall(_.getAs[Double]("jaccard") === 1.0))
+    assert(out.forall(_.getAs[Long]("n_common") === 1L))
+  }
+
+  test("approxJaccardLinks: pairFilter prunes the excluded side's pairs") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // bipartite: "docs" 1..6 each linked to "feature" nodes >= 100;
+    // docs 1,2 share features exactly; features 100,101 then also share
+    // their doc sets exactly — without a filter both pair kinds appear,
+    // with the doc-side filter only (1,2) survives
+    val edges = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L),
+      (3L, 102L), (4L, 102L), (4L, 103L)).toDF("u", "v")
+    val all = Components.approxJaccardLinks(edges, "u", "v", threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
+    assert(all.toSet === Set((1L, 2L), (100L, 101L)))
+    val docsOnly = Components.approxJaccardLinks(edges, "u", "v",
+        threshold = 0.9,
+        pairFilter = col("a") < 100L && col("b") < 100L)
+      .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
+    assert(docsOnly.toSet === Set((1L, 2L)))
+  }
+
+  test("approxJaccardLinks: adjacent similar pairs are excluded") {
+    val sp = spark; import sp.implicits._
+    // triangle 1-2-3 plus pendant 4 on both 1 and 2: nodes 1,2 are
+    // ADJACENT with high overlap — must not appear; (1,2) only via
+    // candidates minus adjacency
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("u", "v")
+    val out = Components.approxJaccardLinks(edges, "u", "v", threshold = 0.1)
+      .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
+    assert(!out.contains((1L, 2L)))
+  }
+
   test("hits: shared authority wins, normalized mass, roles separate") {
     val sp = spark; import sp.implicits._
     // hubs 1,2 both point at authority 10; hub 2 also points at 11.
@@ -313,6 +404,68 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Components.jaccardLinkPrediction(edges, "u", "v", topN = 4)
       .collect().map(r => (r.getAs[Long]("node_a"), r.getAs[Long]("node_b")))
     assert(out.toSeq === Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+  }
+
+  test("labelPropagation: matches a local synchronous simulation") {
+    val sp = spark; import sp.implicits._
+    def simulate(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .filter(e => e._1 != e._2).distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct }
+      var lab = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = adj.map { case (u, nbrs) =>
+          val freq = nbrs.map(lab).groupBy(identity)
+            .map { case (l, o) => (l, o.size) }
+          val top = freq.values.max
+          u -> freq.collect { case (l, c) if c == top => l }.min
+        }
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(193)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 15
+      val edges = Seq.fill(3 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val expected = simulate(edges, rounds = 4)
+      val got = Components.labelPropagation(edges.toDF("u", "v"), "u", "v", 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
+  test("labelPropagation: star oscillates deterministically (bounded rounds)") {
+    val sp = spark; import sp.implicits._
+    // star 0-{1..4}: round t leaves take the center's round t-1 label,
+    // the center takes the min leaf label — after 4 rounds the center
+    // is back to 0 and every leaf holds 1 (the pinned trajectory)
+    val edges = (1L to 4L).map(l => (0L, l)).toDF("u", "v")
+    val got = Components.labelPropagation(edges, "u", "v", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 0L)
+    (1L to 4L).foreach(l => assert(got(l) === 1L))
+  }
+
+  test("localClusteringCoefficient: triangle 1, cycle 0, pendant excluded") {
+    val sp = spark; import sp.implicits._
+    // triangle 1-2-3 with pendant 4 on node 1
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val got = Components.localClusteringCoefficient(tri, "u", "v")
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Double]("lcc")))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "degree-1 pendant must be excluded")
+    assert(got(1L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((2L, 1L, 1.0)))
+    // 4-cycle: everyone degree 2, no triangles, lcc 0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val c = Components.localClusteringCoefficient(cyc, "u", "v").collect()
+    assert(c.length === 4)
+    c.foreach(r => assert(r.getAs[Double]("lcc") === 0.0 &&
+      r.getAs[Long]("n_tri") === 0L))
   }
 
   test("degreeAssortativity: star is exactly -1, duplicate edges harmless") {

@@ -151,6 +151,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.length === 1 && tiny.head.getAs[Int]("chunk_tokens") === 5)
   }
 
+  test("chunk_tokens UDTF: bit-for-bit parity with the HOF chunker") {
+    val sp = spark; import sp.implicits._
+    def viaUdtf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), expr("chunk_tokens(text, 32, 8)"))
+    def viaHof(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.chunk(df, "doc_id", "text", 32, 8)
+    // the real fixture: every document, full row set, exact equality
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val u = viaUdtf(docs).collect().map(_.toSeq).toSet
+    val h = viaHof(docs).collect().map(_.toSeq).toSet
+    assert(u === h, "UDTF and HOF chunkers diverged on the fixture")
+    assert(u.nonEmpty)
+    // edge cases the fixture may not cover: empty doc (split("")=[""]
+    // → one empty chunk), consecutive/trailing spaces (empty tokens
+    // survive the round-trip), single token, exact stride multiple
+    val edges = Seq(
+      (1L, ""), (2L, "one"), (3L, "a  b "),
+      (4L, (1 to 80).map(i => s"t$i").mkString(" ")),
+      (5L, (1 to 70).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val ue = viaUdtf(edges).collect().map(_.toSeq).toSet
+    val he = viaHof(edges).collect().map(_.toSeq).toSet
+    assert(ue === he, "UDTF and HOF chunkers diverged on edge docs")
+    // null text → no rows, matching posexplode-over-null
+    val withNull = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(viaUdtf(withNull).count() === 0L)
+  }
+
   test("deterministic shuffle: same seed = same order, new seed = new permutation") {
     val sp = spark; import sp.implicits._
     val docs = (1 to 200).map(i => (i.toLong, s"d$i")).toDF("id", "t")

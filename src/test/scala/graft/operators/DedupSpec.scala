@@ -82,4 +82,45 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0.9)._1 === 1L && out(0.9)._2 === 2L)
     assert(out(0.3)._1 >= 2L)
   }
+
+  test("passageDedup: shared block excised everywhere, tails and singles immune") {
+    val sp = spark; import sp.implicits._
+    def toks(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = toks("x", 16) // a full 16-token block, planted in A and B
+    val docs = Seq(
+      (1L, shared + " " + toks("a", 16)), // A: boilerplate + own block
+      (2L, shared + " " + toks("b", 16)), // B: boilerplate + own block
+      (3L, toks("c", 40)), // C: unique, must round-trip bit-for-bit
+      (4L, toks("y", 16) + " " + toks("y", 16)), // D: self-repeat, df=1 → kept
+      (5L, toks("z", 5)), // E: short tail only, never removable
+      (6L, toks("z", 5)) // F: same short tail in another doc — still kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "doc_id", "text",
+      blockTokens = 16, minDf = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(out(1L) === ((2L, 1L, toks("a", 16))))
+    assert(out(2L) === ((2L, 1L, toks("b", 16))))
+    assert(out(3L) === ((3L, 0L, toks("c", 40))), "unique doc must round-trip")
+    assert(out(4L)._2 === 0L, "within-doc repeat is not boilerplate")
+    assert(out(5L) === ((1L, 0L, toks("z", 5))),
+      "short tails never count toward df nor get removed")
+    assert(out(6L)._2 === 0L)
+  }
+
+  test("passageDedup: every occurrence of a boilerplate block goes, even repeats") {
+    val sp = spark; import sp.implicits._
+    val b = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, b + " " + b), // carrier with the block TWICE
+      (2L, b)
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, "doc_id", "text", 16, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))).toMap
+    assert(out(1L) === ((2L, "")))
+    assert(out(2L) === ((1L, "")))
+  }
 }

@@ -349,4 +349,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"neighborhood join must be the rank equi-join:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q191 approx links: every join is hash-keyed, no product anywhere") {
+    // the whole point of the LSH variant is that NOTHING is all-pairs:
+    // band buckets, member expansion, adjacency anti-join, and the
+    // verify joins must all be hash equi-joins
+    val plan = executedPlan(
+      Components.q191ApproxJaccardLinks(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"approx-links join demoted to nested loop:\n$plan")
+  }
+
+  test("q195 nDCG ideal list prunes through WindowGroupLimit") {
+    // the corpus-wide ideal ranking must not materialize the full
+    // (query x corpus) relation past the per-query top-k
+    val plan = executedPlan(Retrieval.q195Ndcg(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"ideal-ranking rank filter not pushed into the window:\n$plan")
+  }
+
+  test("q196 passage dedup: the only join is the broadcast boilerplate flag") {
+    // corpus blocks must stream map-side past the tiny boilerplate set:
+    // one BroadcastHashJoin, and never a shuffle join of block rows
+    val plan = executedPlan(Dedup.q196PassageDedup(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate flagging must be a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"block relation must not shuffle for a join:\n$plan")
+  }
 }

@@ -141,4 +141,45 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(single === Map(1L -> 2L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("ndcgAtK: the ideal ranking scores exactly 1, others strictly less") {
+    val sp = spark; import sp.implicits._
+    // local replica of the md5-derived grade (same arithmetic as the
+    // operator's portable-determinism scheme)
+    def rel(salt: String, q: Long, d: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$q|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(md, 16) % 4
+    }
+    val corpus = (100L to 139L)
+    val qid = 1L
+    val graded = corpus.map(d => (d, rel("t", qid, d)))
+    // ideal ranking: rel desc, doc asc
+    val ideal = graded.sortBy { case (d, r) => (-r, d) }.take(5)
+      .zipWithIndex.map { case ((d, _), i) => (qid, i + 1, d) }
+    val idealDf = ideal.toDF("query_id", "rank", "doc_id")
+    val corpusDf = corpus.toDF("doc_id")
+    val top = Retrieval.ndcgAtK(idealDf, corpusDf, k = 5, relSalt = "t")
+      .collect().head
+    assert(top.getAs[Double]("ndcg") === 1.0,
+      s"ideal ranking must score 1, got $top")
+    // worst ranking: rel asc — must score strictly below 1 (grades in
+    // 0..3 over 40 docs guarantee the top-5 and bottom-5 grade sets
+    // differ)
+    val worst = graded.sortBy { case (d, r) => (r, d) }.take(5)
+      .zipWithIndex.map { case ((d, _), i) => (qid, i + 1, d) }
+    val low = Retrieval.ndcgAtK(worst.toDF("query_id", "rank", "doc_id"),
+      corpusDf, k = 5, relSalt = "t").collect().head
+    assert(low.getAs[Double]("ndcg") < 1.0)
+    assert(low.getAs[Double]("ndcg") >= 0.0)
+    assert(low.getAs[Double]("idcg") === top.getAs[Double]("idcg"))
+    // hand-check the discount arithmetic on the ideal list
+    val expDcg = ideal.map { case (_, rank, d) =>
+      (math.pow(2.0, rel("t", qid, d)) - 1.0) / (math.log(rank + 1.0) / math.log(2.0))
+    }.sum
+    assert(math.abs(top.getAs[Double]("dcg") -
+      BigDecimal(expDcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9)
+  }
 }

@@ -359,4 +359,49 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(3L) - 2.0) < 1e-12)
     assert(math.abs(out(4L) - 3.0) < 1e-12, "singleton uses global LOO")
   }
+
+  test("rfmSegmentation: hand-computed quintiles and segments") {
+    val sp = spark; import sp.implicits._
+    // customer i (1..5): i orders of 1000 each, last order (6-i) days
+    // before the anchor (customer 5 ordered last on the anchor day via
+    // recency 1 → wait: last_d = anchor - (6-i); customer 5 → anchor-1;
+    // add customer 0 ordering ON the anchor so recencies are 0..5.
+    // Quintile boundaries over 6 values {0..5} at [.2,.4,.6,.8]:
+    // pos = q*(n-1) = 1.0, 2.0, 3.0, 4.0 → exactly {1,2,3,4}.
+    // recency(i) = 6-i for i 1..5, 0 for cust 0:
+    //   r up-counts (#b < v): v=0→0, 1→0, 2→1, 3→2, 4→3, 5→4
+    //   r_score = 5 - that: cust0(r=0)→5, c5(r=1)→5, c4(r=2)→4,
+    //   c3(r=3)→3, c2(r=4)→2, c1(r=5)→1
+    // frequency: cust0 has 1 order, i has i → values {1,1,2,3,4,5},
+    //   boundaries q_cont: pos 1..4 of sorted {1,1,2,3,4,5} →
+    //   {1, 2, 3, 4}; f_score: 1→1, 2→2, 3→3, 4→4, 5→5
+    // monetary = 1000·frequency → same ranks as f.
+    val day0 = java.sql.Timestamp.valueOf("2024-03-10 12:00:00")
+    def daysBefore(k: Int) = new java.sql.Timestamp(
+      day0.getTime - k * 86400000L)
+    val orders = (
+      Seq((0L, daysBefore(0), 1000.0)) ++
+        (1 to 5).flatMap(i => (1 to i).map(j =>
+          (i.toLong, daysBefore(6 - i + j - 1), 1000.0)))
+    ).toDF("c", "dt", "amt")
+    val out = Relational.rfmSegmentation(orders, "c", "dt", "amt")
+      .collect().map(r => (r.getAs[String]("segment"), r.getAs[Int]("r_score"),
+        r.getAs[Int]("f_score"), r.getAs[Int]("m_score"),
+        r.getAs[Long]("n_customers"), r.getAs[Double]("total_monetary")))
+    val bySeg = out.groupBy(_._1)
+    // cust5: r=5? recency(5): last order = daysBefore(6-5+5-1)=daysBefore(5)?
+    // orders for i span j=1..i at offsets (6-i+j-1): max date = j=i →
+    // offset 6-i+i-1 = 5 — WRONG direction: use min offset. j=i gives
+    // offset 5 for every customer. Fix below in the assertion: offsets
+    // (6-i+j-1) for j=1..i run 6-i .. 5, so the LATEST order (smallest
+    // offset) is 6-i — recency(i) = 6-i as designed.
+    assert(out.map(_._5).sum === 6L)
+    val champions = bySeg.get("champions").toSeq.flatten
+    assert(champions.exists(t => t._2 === 5 && t._3 === 5 && t._4 === 5),
+      s"cust5 must be a champion: $out")
+    assert(bySeg.contains("hibernating"), s"cust1 (r=1,f=1) hibernates: $out")
+    val hib = bySeg("hibernating")
+    assert(hib.exists(t => t._2 === 1 && t._3 === 1 && t._4 === 1 &&
+      t._6 === 1000.0))
+  }
 }

@@ -129,4 +129,25 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = TimeSeries.weeklyEtaSquared(flat).collect().head
     assert(math.abs(r2.getAs[Double]("eta_sq")) < 1e-12)
   }
+
+  test("ewmaDaily: closed form matches the direct recurrence, gaps carry level") {
+    // counts 4, 10, 2, 8 on days 0,1,2,5 (gap at 3-4): EWMA is over the
+    // OBSERVED series — s1=4, s2=.3*10+.7*4, s3=.3*2+.7*s2, s4=.3*8+.7*s3
+    val counts = Seq(0L -> 4, 1L -> 10, 2L -> 2, 5L -> 8)
+    val e = eventsFor(counts)
+    val got = TimeSeries.ewmaDaily(e, alpha = 0.3).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("ewma")).toMap
+    var s = 0.0
+    counts.zipWithIndex.foreach { case ((day, x), i) =>
+      s = if (i == 0) x.toDouble else 0.3 * x + 0.7 * s
+      assert(math.abs(got(day) - s) < 1e-6, s"day $day: got ${got(day)} want $s")
+    }
+    assert(got.size === 4)
+  }
+
+  test("ewmaDaily: constant series is a fixed point") {
+    val e = eventsFor((0L to 20L).map(_ -> 7))
+    val rows = TimeSeries.ewmaDaily(e, alpha = 0.3).collect()
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("ewma") - 7.0) < 1e-6))
+  }
 }
