@@ -70,6 +70,16 @@ object Bench {
           } catch { case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
             reps.remove(name)
+          } finally {
+            // localCheckpoint blocks outlive their query (the RDDs stay
+            // registered in the block manager until unpersisted) — after
+            // ~600 query runs the accumulated dead blocks evict live
+            // shuffle/storage memory and the big wedge joins GC-thrash:
+            // q154's median tripled from exactly this. Each query's
+            // checkpoints are dead the moment its count() returns, so
+            // sweep them between queries (async, non-blocking).
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
           }
         }
       }

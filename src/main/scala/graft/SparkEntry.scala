@@ -376,6 +376,10 @@ object SparkEntry {
     "q198_rfm" -> (graft.operators.Relational.q198Rfm _),
     // EWMA smoothing of daily volume via rescaled prefix sums
     "q199_ewma" -> (graft.operators.TimeSeries.q199Ewma _),
+    // perceptual (dHash) near-duplicate image pairs through the real PNG decode
+    "q200_dhash_pairs" -> (graft.operators.Multimodal.q200DhashPairs _),
+    // acoustic fingerprint near-duplicate pairs through the real WAV decode
+    "q201_wav_fingerprint" -> (graft.operators.Multimodal.q201WavFingerprintPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -584,5 +588,7 @@ object SparkEntry {
     "q197_embedding_outliers" -> graft.operators.Clustering.q197Sql,
     "q198_rfm" -> graft.operators.Relational.q198Sql,
     "q199_ewma" -> graft.operators.TimeSeries.q199Sql,
+    "q200_dhash_pairs" -> graft.operators.Multimodal.q200Sql,
+    "q201_wav_fingerprint" -> graft.operators.Multimodal.q201Sql,
   )
 }

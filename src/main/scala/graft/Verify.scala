@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // sweep each query's dead localCheckpoint blocks (see Bench)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // failures summarized on STDOUT, not just stderr — round 4's 14

@@ -1301,7 +1301,8 @@ object Components {
       numHashes: Int = 256,
       bands: Int = 64,
       seed: Long = 42L,
-      pairFilter: Column = lit(true)): DataFrame = {
+      pairFilter: Column = lit(true),
+      nodeFilter: Column => Column = _ => lit(true)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     val P = graft.functions.MinHashAgg.P
@@ -1312,13 +1313,20 @@ object Components {
       .distinct()
       .localCheckpoint()
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    // nodeFilter restricts which nodes get SIGNATURES (and thus may
+    // appear in output pairs) — filtered-out nodes still count as
+    // NEIGHBORS. On a bipartite graph where only one side's pairs are
+    // wanted (q191: docs, not shingles), this is a 30x saving: the
+    // feature side contributes hashes but never carries a k-long
+    // signature, a banded explode, or an adjacency set.
+    val eligible = sym.where(nodeFilter(col("u")))
     // adjacency sets: verify side + degrees (sym is distinct, so the
     // set size IS the degree)
-    val adj = sym.groupBy(col("u"))
+    val adj = eligible.groupBy(col("u"))
       .agg(collect_set(col("v")).as("__nbrs"))
       .select(col("u"), col("__nbrs"),
         size(col("__nbrs")).cast("bigint").as("__deg"))
-    val sigs = sym
+    val sigs = eligible
       .select(col("u"), pmod(xxhash64(col("v")), lit(P)).as("__x"))
       .groupBy(col("u"))
       .agg(graft.functions.MinHashAgg.of(numHashes, seed)(col("__x")).as("__sig"))
@@ -1405,8 +1413,11 @@ object Components {
       .select(col("doc_id").as("src"),
         (graft.functions.GraftFunctions.hexLong(
           substring(md5(col("__s")), 1, 15)) + lit(1000000000L)).as("dst"))
+    // doc nodes only get signatures/adjacency (nodeFilter); pairFilter
+    // is then redundant but kept as the belt to the brace
     approxJaccardLinks(edges, "src", "dst", threshold = 0.7,
-      pairFilter = col("a") < 1000000000L && col("b") < 1000000000L)
+      pairFilter = col("a") < 1000000000L && col("b") < 1000000000L,
+      nodeFilter = _ < 1000000000L)
   }
 
   val q191Sql: String =
@@ -1447,11 +1458,17 @@ object Components {
     *
     * Scale shape per round: one edge⋈labels hash join (labels
     * broadcast when the node set fits — same measured gate as
-    * [[hits]]), one (node, label) count aggregate, one per-node
-    * `min(struct(-cnt, label))` argmax — all linear in edges. Eager
-    * per-round checkpoints keep lineage O(1) and run each round as one
-    * static-plan job under the scoped AQE override on the broadcast
-    * path.
+    * [[hits]]; the co-partitioned shuffle-join alternative was
+    * measured SLOWER at sf0.1, 7.2 s vs 5.1 s, despite both sides
+    * hashing on the join key — the per-round labels exchange costs
+    * more than the 200k-row broadcast), then ONE node-keyed exchange:
+    * [[graft.functions.ModeMinAgg]] counts neighbor votes and takes
+    * the (max count, min label) argmax inside the aggregation buffer
+    * (the two-aggregation formulation paid a second full shuffle of
+    * the (node, label) relation every round — measured 5.8 → 5.1 s).
+    * Eager per-round checkpoints keep lineage O(1) and run each round
+    * as one static-plan job under the scoped AQE override on the
+    * broadcast path.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
@@ -1475,12 +1492,14 @@ object Components {
       val nbr = sym.join(
         (if (hint) broadcast(labels) else labels)
           .select(col("node").as("v"), col("community")), Seq("v"))
-      labels = nbr.groupBy(col("u"), col("community"))
-        .agg(count(lit(1)).as("__cnt"))
+      // ONE node-keyed exchange per round: the neighbor-vote count and
+      // the (max count, min label) argmax both live inside the
+      // ModeMinAgg buffer — the two-aggregation formulation paid a
+      // second full shuffle of the (node, label) relation every round
+      labels = nbr
         .groupBy(col("u"))
-        .agg(min(struct((-col("__cnt")).as("nc"),
-          col("community").as("lb"))).as("__best"))
-        .select(col("u").as("node"), col("__best.lb").as("community"))
+        .agg(graft.functions.ModeMinAgg.of(col("community")).as("community"))
+        .withColumnRenamed("u", "node")
         .localCheckpoint(eager = hint)
     } finally if (hint) spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
     labels

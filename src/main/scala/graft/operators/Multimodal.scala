@@ -88,7 +88,14 @@ object Multimodal {
     * length inconsistency — quarantines to null like every other
     * malformed payload.
     */
-  private def probePng(b: Array[Byte]): Option[Probe] = {
+  /** Full PNG decode to the reconstructed raster: (width, height,
+    * channels, pixels row-major). Shared by [[probePng]] (stats) and
+    * [[pngDHashBands]] (perceptual hash); all validation — chunk CRCs,
+    * zlib stream completeness, filter codes — identical for both
+    * consumers, quarantine-to-None on any malformation.
+    */
+  private[operators] def decodePngRaster(
+      b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     var off = 8
     var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
     var sawIhdr = false; var sawIend = false
@@ -165,12 +172,18 @@ object Multimodal {
       }
       y += 1
     }
-    var acc = 0.0
-    var i = 0
-    while (i < px.length) { acc += (px(i) & 0xff); i += 1 }
-    Some(Probe("png", None, None, None, None, None,
-      Some(w), Some(h), Some(bitDepth * channels), Some(acc / px.length)))
+    Some((w, h, channels, px))
   }
+
+  private def probePng(b: Array[Byte]): Option[Probe] =
+    decodePngRaster(b).map { case (w, h, channels, px) =>
+      var acc = 0.0
+      var i = 0
+      while (i < px.length) { acc += (px(i) & 0xff); i += 1 }
+      // bitDepth is 8 by decodePngRaster's validation
+      Probe("png", None, None, None, None, None,
+        Some(w), Some(h), Some(8 * channels), Some(acc / px.length))
+    }
 
   /** Minimal PNG encoder for the roundtrip path (gray or RGB, 8-bit):
     * real zlib DEFLATE via `java.util.zip.Deflater`, real chunk CRCs,
@@ -439,13 +452,16 @@ object Multimodal {
     * same batched binary-column shape as the rest of the module: no
     * shuffle, embarrassingly parallel at any scale.
     */
-  def q136PngStats(spark: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+  /** The q136/q200 encode stage: every document rendered as an
+    * 8-px-wide 8-bit grayscale PNG of its leading ASCII bytes (rows of
+    * 8, truncated to whole rows; < 8 bytes → null payload).
+    */
+  private def pngEncodedDocs(docs: DataFrame): DataFrame = {
     val encSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = true)))
     val enc = RowEncoder.encoderFor(encSchema)
-    val encoded = docs.mapPartitions { it =>
+    docs.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.map { row =>
           val id = row.getLong(0)
@@ -459,14 +475,18 @@ object Multimodal {
               pngEncode(java.util.Arrays.copyOf(bytes, 8 * h), 8, h, 1)
             }
           // schema-carrying row: the optimizer fuses this stage with
-          // decodeMedia's mapPartitions (serialization eliminated), so
-          // the downstream by-name accessor sees THIS object directly
+          // the downstream mapPartitions (serialization eliminated), so
+          // the by-name accessor sees THIS object directly
           new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
             Array[Any](id, png), encSchema): Row
         }
       }
     }(enc)
-    decodeMedia(encoded)
+  }
+
+  def q136PngStats(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    decodeMedia(pngEncodedDocs(docs))
       // a failed decode drops the row, so the oracle's row count
       // catches quarantine regressions too
       .where(col("decoded").isNotNull)
@@ -486,6 +506,354 @@ object Multimodal {
       |   i -> ascii(text[i]))) AS mean_byte
       |FROM documents
       |WHERE length(text) >= 8""".stripMargin
+
+  /** Difference-hash (dHash) of a decoded single-channel raster as four
+    * 16-bit band integers — the perceptual fingerprint image-dedup
+    * pipelines compute right after decode (Krawetz's dHash, the
+    * robust-to-reencoding cousin of aHash). The raster is box-sampled
+    * to an 8×8 grid of mean intensities (row band r = rows
+    * ⌊r·h/8⌋..⌊(r+1)·h/8⌋, columns likewise — identity when w = 8), and
+    * bit (r,c) = mean(r,c) > mean(r,(c+1) mod 8) (cyclic horizontal
+    * gradient, strict compare). Bits pack row-major into four 16-bit
+    * ints (rows 2k,2k+1 → band k) instead of one 64-bit word so both
+    * engines can manipulate them without signed-overflow edge cases.
+    *
+    * Requires w ≥ 8, h ≥ 8, single channel — anything else is None
+    * (quarantine, same convention as the decoders). Means are exact
+    * integer sums divided once, so the bit pattern is identical on any
+    * engine that replays the arithmetic.
+    */
+  def pngDHashBands(px: Array[Byte], w: Int, h: Int,
+      channels: Int): Option[(Int, Int, Int, Int)] = {
+    if (channels != 1 || w < 8 || h < 8) return None
+    val means = Array.ofDim[Double](8, 8)
+    var r = 0
+    while (r < 8) {
+      val r0 = r * h / 8; val r1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 8) {
+        val c0 = c * w / 8; val c1 = (c + 1) * w / 8
+        var sum = 0L; var cnt = 0L
+        var y = r0
+        while (y < r1) {
+          var x = c0
+          while (x < c1) { sum += px(y * w + x) & 0xff; cnt += 1; x += 1 }
+          y += 1
+        }
+        means(r)(c) = sum.toDouble / cnt
+        c += 1
+      }
+      r += 1
+    }
+    val bands = new Array[Int](4)
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (means(r)(c) > means(r)((c + 1) % 8))
+          bands(r / 2) |= 1 << ((r % 2) * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some((bands(0), bands(1), bands(2), bands(3)))
+  }
+
+  /** Declared q200: perceptual near-duplicate image pairs — documents
+    * rendered as PNGs ([[pngEncodedDocs]]), decoded through the REAL
+    * container path ([[decodePngRaster]]: CRC walk, Inflater,
+    * de-filter), dHashed, then paired at Hamming distance ≤ 3.
+    *
+    * Candidate generation is the Manku pigeonhole: with the 64 bits
+    * split into 4 bands, any pair within Hamming 3 agrees EXACTLY on
+    * ≥ 1 band (3 flips cannot touch 4 bands), so the band equi-join
+    * has recall 1 BY CONSTRUCTION — not probabilistically like
+    * MinHash — and the exact popcount verify keeps precision 1. The
+    * oracle recomputes hashes from text arithmetic (the raster is the
+    * text's bytes, same trick as q136) and pays the all-pairs join;
+    * the engine never does: candidates are O(n·4) band rows plus
+    * collisions.
+    */
+  def q200DhashPairs(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val hashSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("b0", IntegerType, nullable = false),
+      StructField("b1", IntegerType, nullable = false),
+      StructField("b2", IntegerType, nullable = false),
+      StructField("b3", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(hashSchema)
+    val hashed = pngEncodedDocs(docs).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]]("content")
+          val bandsOpt =
+            if (content == null) None
+            else decodePngRaster(content).flatMap { case (w, h, ch, px) =>
+              pngDHashBands(px, w, h, ch)
+            }
+          bandsOpt.map { case (b0, b1, b2, b3) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](row.getLong(0), b0, b1, b2, b3), hashSchema): Row
+          }
+        }
+      }
+    }(enc).localCheckpoint() // two consumers: band explode + verify joins
+    val bands = hashed.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .select(col("media_id"), col("pos").as("__k"), col("col").as("__bv"))
+    val cand = bands
+      .join(bands.select(col("media_id").as("__mb"), col("__k"), col("__bv")),
+        Seq("__k", "__bv"))
+      .where(col("media_id") < col("__mb"))
+      .select(col("media_id").as("id_a"), col("__mb").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    def ham(a: String, b: String) =
+      bit_count(col(a).bitwiseXOR(col(b)))
+    cand
+      .join(hashed.select(col("media_id").as("id_a"), col("b0").as("__a0"),
+        col("b1").as("__a1"), col("b2").as("__a2"), col("b3").as("__a3")),
+        Seq("id_a"))
+      .join(hashed.select(col("media_id").as("id_b"), col("b0").as("__c0"),
+        col("b1").as("__c1"), col("b2").as("__c2"), col("b3").as("__c3")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (ham("__a0", "__c0") + ham("__a1", "__c1") +
+          ham("__a2", "__c2") + ham("__a3", "__c3")).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q200Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) // 8 AS h
+      |  FROM documents WHERE length(text) >= 64),
+      |cell AS (
+      |  SELECT t.doc_id, rc.r, rc.c,
+      |    (SELECT avg(ascii(t.text[CAST(rw.rw * 8 + rc.c + 1 AS INT)]))
+      |     FROM (SELECT unnest(range(rc.r * t.h // 8, (rc.r + 1) * t.h // 8))
+      |           AS rw) rw) AS m
+      |  FROM t CROSS JOIN (
+      |    SELECT r.r, c.c FROM (SELECT unnest(range(0, 8)) AS r) r
+      |    CROSS JOIN (SELECT unnest(range(0, 8)) AS c) c) rc),
+      |bits AS (
+      |  SELECT a.doc_id, a.r, a.c,
+      |    CASE WHEN a.m > b.m THEN 1 ELSE 0 END AS bit
+      |  FROM cell a JOIN cell b
+      |    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = (a.c + 1) % 8),
+      |bands AS (
+      |  SELECT doc_id, r // 2 AS k,
+      |    CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS INT) AS bv
+      |  FROM bits GROUP BY doc_id, r // 2),
+      |vec AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN k = 0 THEN bv END) AS b0,
+      |    max(CASE WHEN k = 1 THEN bv END) AS b1,
+      |    max(CASE WHEN k = 2 THEN bv END) AS b2,
+      |    max(CASE WHEN k = 3 THEN bv END) AS b3
+      |  FROM bands GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+      |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      |    AS INT) AS hamming
+      |FROM vec a JOIN vec b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+      |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Minimal WAV (RIFF/PCM) encoder: 16-bit mono little-endian. Used by
+    * the q201 roundtrip the same way [[pngEncode]] feeds q136/q200 —
+    * the samples are a pure function of the input bytes
+    * ((b − 128) << 8, centering ASCII around silence), so oracles can
+    * recompute everything downstream of the REAL decode from text
+    * arithmetic.
+    */
+  def wavEncode(bytes: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val n = bytes.length
+    val out = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      out.putShort((((bytes(i) & 0xff) - 128) << 8).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Real WAV decode to raw samples: RIFF chunk walk (same validation
+    * as [[probeWav]]) restricted to 16-bit mono PCM; None otherwise
+    * (quarantine).
+    */
+  private[operators] def decodeWavSamples(b: Array[Byte]): Option[Array[Short]] = {
+    if (b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length) {
+      val id = ascii(b, off, 4)
+      val len = leInt(b, off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      if (id == "fmt " && len >= 16) {
+        if (leShort(b, off + 8) != 1) return None
+        fmt = Some((leShort(b, off + 10), leInt(b, off + 12), leShort(b, off + 22)))
+      } else if (id == "data") data = Some((off + 8, len))
+      off += 8 + len + (len & 1)
+    }
+    for ((channels, _, bits) <- fmt; (dOff, dLen) <- data
+        if channels == 1 && bits == 16) yield {
+      val n = dLen / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = leShort(b, dOff + 2 * i).toShort; i += 1 }
+      samples
+    }
+  }
+
+  /** Acoustic difference-fingerprint of a mono sample stream as four
+    * 8-bit band integers — the 1-D audio sibling of [[pngDHashBands]]
+    * (the energy-gradient shape Chromaprint-class fingerprints reduce
+    * to without a codec library): the stream is box-sampled to 32
+    * frames, frame energy = mean |sample| (exact integer sum, one
+    * divide), bit f = energy(f) > energy((f+1) mod 32), bits pack into
+    * four 8-bit bands. Requires ≥ 32 samples; None otherwise.
+    */
+  def wavFingerprintBands(samples: Array[Short]): Option[(Int, Int, Int, Int)] = {
+    val n = samples.length
+    if (n < 32) return None
+    val energy = new Array[Double](32)
+    var f = 0
+    while (f < 32) {
+      val f0 = f * n / 32; val f1 = (f + 1) * n / 32
+      var sum = 0L
+      var i = f0
+      while (i < f1) { sum += math.abs(samples(i).toLong); i += 1 }
+      energy(f) = sum.toDouble / (f1 - f0)
+      f += 1
+    }
+    val bands = new Array[Int](4)
+    f = 0
+    while (f < 32) {
+      if (energy(f) > energy((f + 1) % 32))
+        bands(f / 8) |= 1 << (f % 8)
+      f += 1
+    }
+    Some((bands(0), bands(1), bands(2), bands(3)))
+  }
+
+  /** Declared q201: acoustic near-duplicate pairs — documents rendered
+    * as 16-bit PCM WAVs ([[wavEncode]]), decoded through the real RIFF
+    * walk ([[decodeWavSamples]]), fingerprinted, paired at Hamming ≤ 3
+    * with the same Manku-pigeonhole band join as q200 (4 bands, 3
+    * flips → ≥ 1 band agrees exactly → recall 1 by construction).
+    * Completes the multimodal dedup pair: q200 images, q201 audio,
+    * both through genuine container decode paths with text-arithmetic
+    * oracles.
+    */
+  def q201WavFingerprintPairs(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val encSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true)))
+    val hashSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("b0", IntegerType, nullable = false),
+      StructField("b1", IntegerType, nullable = false),
+      StructField("b2", IntegerType, nullable = false),
+      StructField("b3", IntegerType, nullable = false)))
+    val encE = RowEncoder.encoderFor(encSchema)
+    val encH = RowEncoder.encoderFor(hashSchema)
+    val encoded = docs.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.map { row =>
+          val bytes = Option(row.getString(1))
+            .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .orNull
+          val wav = if (bytes == null || bytes.length < 32) null
+            else wavEncode(bytes)
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            Array[Any](row.getLong(0), wav), encSchema): Row
+        }
+      }
+    }(encE)
+    val hashed = encoded.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.flatMap { row =>
+          val content = row.getAs[Array[Byte]]("content")
+          val bandsOpt =
+            if (content == null) None
+            else decodeWavSamples(content).flatMap(wavFingerprintBands)
+          bandsOpt.map { case (b0, b1, b2, b3) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              Array[Any](row.getLong(0), b0, b1, b2, b3), hashSchema): Row
+          }
+        }
+      }
+    }(encH).localCheckpoint()
+    val bands = hashed.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .select(col("media_id"), col("pos").as("__k"), col("col").as("__bv"))
+    val cand = bands
+      .join(bands.select(col("media_id").as("__mb"), col("__k"), col("__bv")),
+        Seq("__k", "__bv"))
+      .where(col("media_id") < col("__mb"))
+      .select(col("media_id").as("id_a"), col("__mb").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    def ham(a: String, b: String) =
+      bit_count(col(a).bitwiseXOR(col(b)))
+    cand
+      .join(hashed.select(col("media_id").as("id_a"), col("b0").as("__a0"),
+        col("b1").as("__a1"), col("b2").as("__a2"), col("b3").as("__a3")),
+        Seq("id_a"))
+      .join(hashed.select(col("media_id").as("id_b"), col("b0").as("__c0"),
+        col("b1").as("__c1"), col("b2").as("__c2"), col("b3").as("__c3")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (ham("__a0", "__c0") + ham("__a1", "__c1") +
+          ham("__a2", "__c2") + ham("__a3", "__c3")).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q201Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, length(text) AS n
+      |  FROM documents WHERE length(text) >= 32),
+      |fr AS (
+      |  SELECT t.doc_id, f.f,
+      |    (SELECT 256.0 * avg(abs(ascii(t.text[CAST(i.i + 1 AS INT)]) - 128))
+      |     FROM (SELECT unnest(range(f.f * t.n // 32, (f.f + 1) * t.n // 32))
+      |           AS i) i) AS e
+      |  FROM t CROSS JOIN (SELECT unnest(range(0, 32)) AS f) f),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      |  FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.f = (a.f + 1) % 32),
+      |bands AS (
+      |  SELECT doc_id, f // 8 AS k,
+      |    CAST(sum(bit * (1 << (f % 8))) AS INT) AS bv
+      |  FROM bits GROUP BY doc_id, f // 8),
+      |vec AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN k = 0 THEN bv END) AS b0,
+      |    max(CASE WHEN k = 1 THEN bv END) AS b1,
+      |    max(CASE WHEN k = 2 THEN bv END) AS b2,
+      |    max(CASE WHEN k = 3 THEN bv END) AS b3
+      |  FROM bands GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+      |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+      |    AS INT) AS hamming
+      |FROM vec a JOIN vec b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+      |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** STUB resize: rewrites the metadata to the target box; a real
     * implementation would also transcode `content`. Pure projection —

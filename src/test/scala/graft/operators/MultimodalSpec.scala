@@ -241,4 +241,112 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(m >= 32.0 && m < 127.0, s"printable-ASCII mean, got $m")
     }
   }
+
+  test("dHash: local replica parity, box sampling, quarantine bounds") {
+    // local replica of the pinned band-mean arithmetic
+    def local(px: Array[Byte], w: Int, h: Int): (Int, Int, Int, Int) = {
+      val means = Array.ofDim[Double](8, 8)
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val rows = (r * h / 8) until ((r + 1) * h / 8)
+        val cols = (c * w / 8) until ((c + 1) * w / 8)
+        val vals = for (y <- rows; x <- cols) yield (px(y * w + x) & 0xff)
+        means(r)(c) = vals.sum.toDouble / vals.size
+      }
+      val b = new Array[Int](4)
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (means(r)(c) > means(r)((c + 1) % 8))
+          b(r / 2) |= 1 << ((r % 2) * 8 + c)
+      (b(0), b(1), b(2), b(3))
+    }
+    val rnd = new scala.util.Random(200)
+    // exact 8x8, ragged 8x13, and a wide 16x9 raster through the
+    // generic box-sampling path
+    for ((w, h) <- Seq((8, 8), (8, 13), (16, 9))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      assert(Multimodal.pngDHashBands(px, w, h, 1) === Some(local(px, w, h)),
+        s"dHash mismatch at ${w}x$h")
+    }
+    // quarantine: too small, or multi-channel
+    assert(Multimodal.pngDHashBands(Array.fill(56)(0.toByte), 8, 7, 1).isEmpty)
+    assert(Multimodal.pngDHashBands(Array.fill(7 * 8)(0.toByte), 7, 8, 1).isEmpty)
+    assert(Multimodal.pngDHashBands(Array.fill(64 * 3)(0.toByte), 8, 8, 3).isEmpty)
+    // a constant raster has no gradients: all-zero bands
+    assert(Multimodal.pngDHashBands(Array.fill(64)(7.toByte), 8, 8, 1)
+      === Some((0, 0, 0, 0)))
+  }
+
+  test("q200: identical rasters pair at hamming 0, perturbed stay close, pigeonhole holds") {
+    val sp = spark; import sp.implicits._
+    // doc 2 = doc 1 verbatim (hamming 0); doc 3 = doc 1 with a small
+    // byte-level perturbation deep in one row band; doc 4 unrelated
+    val base = (1 to 96).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val perturbed = base.updated(90, 'z')
+    val other = (1 to 96).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val docs = Seq((1L, base), (2L, base), (3L, perturbed), (4L, other))
+      .toDF("doc_id", "text")
+    // route through the declared pipeline shape by swapping the table
+    val out = {
+      val hashedPairs = {
+        // reuse the public pieces: encode -> decode -> dHash locally
+        val enc = docs.collect().map { r =>
+          val bytes = r.getString(1).getBytes("US-ASCII")
+          val h = bytes.length / 8
+          (r.getLong(0),
+            Multimodal.pngEncode(java.util.Arrays.copyOf(bytes, 8 * h), 8, h, 1))
+        }
+        enc.map { case (id, png) =>
+          val Some((w, h, ch, px)) = Multimodal.decodePngRaster(png)
+          id -> Multimodal.pngDHashBands(px, w, h, ch).get
+        }.toMap
+      }
+      hashedPairs
+    }
+    def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    assert(hamming(out(1L), out(2L)) === 0)
+    val d13 = hamming(out(1L), out(3L))
+    assert(d13 <= 3, s"small perturbation moved $d13 bits")
+    assert(hamming(out(1L), out(4L)) > 3, "unrelated rasters must not pair")
+    // pigeonhole: any pair at hamming <= 3 shares at least one band
+    for (Seq(x, y) <- Seq(1L, 2L, 3L, 4L).combinations(2)) {
+      if (hamming(out(x), out(y)) <= 3) {
+        val bx = out(x).productIterator.toSeq
+        val by = out(y).productIterator.toSeq
+        assert(bx.zip(by).exists { case (p, q) => p == q },
+          s"pigeonhole violated for ($x,$y)")
+      }
+    }
+  }
+
+  test("WAV fingerprint: encode/decode roundtrip, local replica, quarantine") {
+    // roundtrip: encoded samples come back bit-exact through the RIFF walk
+    val bytes = (0 until 100).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val wav = Multimodal.wavEncode(bytes)
+    val samples = Multimodal.decodeWavSamples(wav).get
+    assert(samples.length === 100)
+    assert(samples.toSeq === bytes.toSeq.map(b => (((b & 0xff) - 128) << 8).toShort))
+    // fingerprint parity with a local replica of the pinned arithmetic
+    def local(s: Array[Short]): (Int, Int, Int, Int) = {
+      val n = s.length
+      val e = (0 until 32).map { f =>
+        val r = (f * n / 32) until ((f + 1) * n / 32)
+        r.map(i => math.abs(s(i).toLong)).sum.toDouble / r.size
+      }
+      val b = new Array[Int](4)
+      for (f <- 0 until 32)
+        if (e(f) > e((f + 1) % 32)) b(f / 8) |= 1 << (f % 8)
+      (b(0), b(1), b(2), b(3))
+    }
+    assert(Multimodal.wavFingerprintBands(samples) === Some(local(samples)))
+    // identical content -> identical fingerprint (hamming 0)
+    val wav2 = Multimodal.wavEncode(bytes.clone())
+    assert(Multimodal.decodeWavSamples(wav2).flatMap(Multimodal.wavFingerprintBands)
+      === Multimodal.wavFingerprintBands(samples))
+    // quarantine: short streams, stereo/8-bit refused, corrupt header
+    assert(Multimodal.wavFingerprintBands(new Array[Short](31)).isEmpty)
+    assert(Multimodal.decodeWavSamples("RIFFxxxxWAVX".getBytes("US-ASCII")).isEmpty)
+    val corrupt = wav.clone(); corrupt(0) = 'X'.toByte
+    assert(Multimodal.decodeWavSamples(corrupt).isEmpty)
+  }
 }
