@@ -380,6 +380,10 @@ object SparkEntry {
     "q200_dhash_pairs" -> (graft.operators.Multimodal.q200DhashPairs _),
     // acoustic fingerprint near-duplicate pairs through the real WAV decode
     "q201_wav_fingerprint" -> (graft.operators.Multimodal.q201WavFingerprintPairs _),
+    // quality-aware dedup representative selection (keep-best per cluster)
+    "q202_keep_best" -> (graft.operators.Components.q202KeepBest _),
+    // stock session_window aggregation vs classic sessionization SQL
+    "q203_session_window" -> (graft.operators.EventAnalytics.q203SessionWindowAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -590,5 +594,7 @@ object SparkEntry {
     "q199_ewma" -> graft.operators.TimeSeries.q199Sql,
     "q200_dhash_pairs" -> graft.operators.Multimodal.q200Sql,
     "q201_wav_fingerprint" -> graft.operators.Multimodal.q201Sql,
+    "q202_keep_best" -> graft.operators.Components.q202Sql,
+    "q203_session_window" -> graft.operators.EventAnalytics.q203Sql,
   )
 }

@@ -820,7 +820,15 @@ object Components {
       if (i == iterations) a = a.localCheckpoint(eager = hint)
       h = e.join(if (hint) broadcast(a) else a, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(eager = hint)
+      // checkpoint every FOURTH iteration (and the last): four full
+      // iterations chain into one static-plan job on the broadcast
+      // path (the intermediate broadcast exchanges execute inside it),
+      // trimming job-scheduling overhead — measured 4.6 -> 4.0 s at
+      // sf0.1. Deeper chaining was flat; the co-partitioned
+      // shuffle-join alternative measured 3.9 s bare but 6.4 s with
+      // the dst-copy checkpoint it needs at scale, so broadcast stays
+      if (i % 4 == 0 || i == iterations)
+        h = h.localCheckpoint(eager = hint)
     } finally if (hint) spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
     l1(h, "h").select(lit("hub").as("role"), col("src").as("node"),
         col("h").as("score"))
@@ -1623,4 +1631,81 @@ object Components {
       |  2.0 * coalesce(tri.n_tri, 0) / (d.deg * (d.deg - 1)) AS lcc
       |FROM deg d LEFT JOIN tri USING (node)
       |WHERE d.deg >= 2""".stripMargin
+
+  /** QUALITY-AWARE dedup representative selection — the production
+    * keep rule q69's min-id placeholder stands in for: per duplicate
+    * cluster, keep the HIGHEST-QUALITY member, not the lowest id
+    * (pretraining pipelines keep the cleanest copy of a duplicated
+    * page, not the first-crawled one). Quality here is the pinned
+    * (ttr, n_tokens, −doc_id) lexicographic key — type-token ratio
+    * first (dirtier copies repeat themselves), length second, id as
+    * the deterministic tail — carried through ONE cluster-keyed
+    * `max(struct(...))` argmax, no window over the corpus.
+    *
+    * Scale shape: pair join (bucketed, [[Dedup.jaccardSimilarityJoin]])
+    * → pointer-jumping components → one quality projection over docs →
+    * one cluster-keyed aggregate + one doc-keyed join back. The
+    * quality projection is map-only; everything else is the q69
+    * machinery unchanged.
+    *
+    * @return one row per document: (doc_id, cluster_id, ttr, n_tokens,
+    *         keep) — exactly one keep=true per cluster
+    */
+  def q202KeepBest(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", threshold = 0.6)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val toks = split(col("text"), " ")
+    val quality = docs.select(col("doc_id"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      size(toks).cast("bigint").as("n_tokens"))
+    val clustered = quality
+      .join(cc.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+        col("ttr"), col("n_tokens"))
+      // two consumers: the per-cluster argmax and the final join back
+      .localCheckpoint()
+    val best = clustered.groupBy(col("cluster_id"))
+      .agg(max(struct(col("ttr").as("q1"), col("n_tokens").as("q2"),
+        (-col("doc_id")).as("q3"))).as("__best"))
+      .select(col("cluster_id"), (-col("__best.q3")).as("__keep_doc"))
+    clustered.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("ttr"), col("n_tokens"),
+        (col("doc_id") === col("__keep_doc")).as("keep"))
+  }
+
+  val q202Sql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |      len(string_split(text, ' ')) AS ttr,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cl AS (
+      |  SELECT q.doc_id, coalesce(c.cluster, q.doc_id) AS cluster_id,
+      |    q.ttr, q.n_tokens
+      |  FROM q LEFT JOIN comp c USING (doc_id)),
+      |best AS (
+      |  SELECT cluster_id, doc_id AS keep_doc FROM cl
+      |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY ttr DESC, n_tokens DESC, doc_id) = 1)
+      |SELECT cl.doc_id, cl.cluster_id, cl.ttr, cl.n_tokens,
+      |  cl.doc_id = best.keep_doc AS keep
+      |FROM cl JOIN best USING (cluster_id)""".stripMargin
 }

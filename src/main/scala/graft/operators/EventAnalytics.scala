@@ -1072,4 +1072,56 @@ object EventAnalytics {
       |FROM ud LEFT JOIN ret ON ret.user_id = ud.user_id
       |  AND ret.day = ud.day
       |GROUP BY ud.day""".stripMargin
+
+  /** Declared q203: Spark's BUILT-IN `session_window` aggregation,
+    * pinned against the classic lag/cumulative-flag sessionization SQL
+    * — the stock-API twin of q66's hand-rolled path (and of the
+    * streaming `mapGroupsWithState` sessionizer). Semantics under
+    * test (measured, spec-pinned): the window is [first event,
+    * last event + gap] with a CLOSED merge boundary — an event
+    * arriving EXACTLY at the current end still MERGES; only
+    * `diff > gap` opens a new session (the oracle's gap test is
+    * strictly-greater — note q66's hand-rolled rule uses `>=`, a
+    * deliberate one-microsecond semantic difference between the two
+    * declared sessionizers that both oracles pin).
+    *
+    * Scale shape: one user-keyed exchange; Spark plans
+    * `session_window` as UpdatingSessionsExec + merge — in-partition
+    * session assembly after the shuffle, no per-event window state.
+    * `total_value` rounds to 6 dp (per-session double sums,
+    * accumulation-order insurance).
+    */
+  def q203SessionWindowAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  val q203Sql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN prev IS NULL
+      |          OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM l),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM n)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 6) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
 }

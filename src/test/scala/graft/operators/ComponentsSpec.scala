@@ -468,6 +468,44 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Long]("n_tri") === 0L))
   }
 
+  test("q202 keep rule: highest-ttr member wins regardless of id, singletons keep") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // replicate the keep-best argmax on a hand cluster relation
+    // (cluster assignment itself is pinned by the CC specs above)
+    val clustered = Seq(
+      // cluster 10: doc 10 dirty (low ttr), doc 42 clean, doc 50 clean
+      // but shorter — 42 must win despite not being min id
+      (10L, 10L, 0.40, 30L), (42L, 10L, 0.90, 30L), (50L, 10L, 0.90, 20L),
+      // singleton
+      (7L, 7L, 0.5, 10L)
+    ).toDF("doc_id", "cluster_id", "ttr", "n_tokens")
+    val best = clustered.groupBy(col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(col("ttr").as("q1"),
+          col("n_tokens").as("q2"), (-col("doc_id")).as("q3"))).as("b"))
+      .select(col("cluster_id"), (-col("b.q3")).as("keep_doc"))
+    val keeps = clustered.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), (col("doc_id") === col("keep_doc")).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keeps === Map(10L -> false, 42L -> true, 50L -> false, 7L -> true))
+    // and the declared query end-to-end on the fixture: exactly one
+    // keep per cluster, clusters non-empty, keeps have max quality key
+    val out = Components.q202KeepBest(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) === 1, s"cluster $cid")
+      val kept = rows.find(_.getAs[Boolean]("keep")).get
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Double]("ttr"), r.getAs[Long]("n_tokens"),
+          -r.getAs[Long]("doc_id"))
+      val ord = Ordering[(Double, Long, Long)]
+      assert(rows.forall(r => ord.lteq(key(r), key(kept))),
+        s"cluster $cid: kept doc is not the max-quality member")
+    }
+  }
+
   test("degreeAssortativity: star is exactly -1, duplicate edges harmless") {
     val sp = spark; import sp.implicits._
     // K1,3: every symmetric endpoint pair is (3,1) or (1,3) → r = −1

@@ -430,4 +430,33 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // day 8 (user 2): nothing after → 0
     assert(out(8L)._2 === 0L)
   }
+
+  test("stock session_window: closed merge boundary — exactly-at-end merges, +1us opens") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // MEASURED Spark semantics (this pin is what keeps the q203 oracle
+    // honest): an event arriving EXACTLY at the session's current end
+    // (last + gap) MERGES; one microsecond later opens a new session.
+    // Note the deliberate contrast with q66's hand-rolled `>=` rule.
+    val gapUs = 30L * 60 * 1000000
+    val ts = Seq(0L, 10000000L, // base session [0s, 10s]
+      10000000L + gapUs, // exactly at end -> merges
+      10000000L + gapUs + gapUs + 1) // gap + 1us after the merged event -> NEW
+    val e = ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t, 1.0) }
+      .toDF("user_id", "event_id", "us", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = e.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("en"), col("n"))
+      .orderBy(col("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2, s"expected 2 sessions, got ${out.toSeq}")
+    // session 1: first 3 events, end = (10s + gap) + gap
+    assert(out(0) === ((0L, 10000000L + 2 * gapUs, 3L)))
+    // session 2: the +1us straggler alone
+    assert(out(1) === ((10000000L + 2 * gapUs + 1, 10000000L + 3 * gapUs + 1, 1L)))
+  }
 }
