@@ -384,6 +384,14 @@ object SparkEntry {
     "q202_keep_best" -> (graft.operators.Components.q202KeepBest _),
     // stock session_window aggregation vs classic sessionization SQL
     "q203_session_window" -> (graft.operators.EventAnalytics.q203SessionWindowAgg _),
+    // CUPED variance-reduced A/B readout (pre-period covariate adjustment)
+    "q204_cuped" -> (graft.operators.Relational.q204Cuped _),
+    // Kneser-Ney smoothed bigram LM self-scoring
+    "q205_kn_bigram" -> (graft.operators.TextAnalysis.q205KnBigram _),
+    // binary-segmentation changepoint localization on daily volumes
+    "q206_changepoint" -> (graft.operators.TimeSeries.q206Changepoint _),
+    // retrieval eval: MRR + recall@10 over the BM25 ranking
+    "q207_mrr_recall" -> (graft.operators.Retrieval.q207MrrRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -596,5 +604,9 @@ object SparkEntry {
     "q201_wav_fingerprint" -> graft.operators.Multimodal.q201Sql,
     "q202_keep_best" -> graft.operators.Components.q202Sql,
     "q203_session_window" -> graft.operators.EventAnalytics.q203Sql,
+    "q204_cuped" -> graft.operators.Relational.q204Sql,
+    "q205_kn_bigram" -> graft.operators.TextAnalysis.q205Sql,
+    "q206_changepoint" -> graft.operators.TimeSeries.q206Sql,
+    "q207_mrr_recall" -> graft.operators.Retrieval.q207Sql,
   )
 }

@@ -1721,4 +1721,84 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS n_customers,
       |  round(sum(m), 2) AS total_monetary
       |FROM sc GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** CUPED variance reduction for A/B readouts (Deng et al., WSDM'13):
+    * adjust each unit's experiment-period metric Y by its PRE-period
+    * covariate X, Y' = Y − θ(X − E[X]) with θ = cov(X,Y)/var(X), so
+    * the readout variance drops by the squared X–Y correlation without
+    * biasing the treatment contrast. The per-arm variance columns are
+    * the point: var_cuped/var_raw is the sensitivity win a metrics
+    * platform buys from one extra covariate join.
+    *
+    * Scale shape: one unit-keyed aggregate builds (X, Y) per unit —
+    * the only pass over events — then θ/E[X] is a single global
+    * scalar aggregate broadcast back, and the per-arm readout is a
+    * second metadata-scale aggregate over units. No window over the
+    * unit relation anywhere.
+    *
+    * @param units (unitCol, variantCol, xCol, yCol) one row per unit
+    * @return one row per variant: n, mean_raw, mean_cuped, var_raw,
+    *         var_cuped (6 dp — double accumulation-order insurance)
+    */
+  def cuped(units: DataFrame, variantCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val theta = units.agg(
+      (covar_samp(x, y) / var_samp(x)).as("__theta"),
+      avg(x).as("__mx"))
+    units.crossJoin(broadcast(theta))
+      .select(col(variantCol).as("variant"), y.as("__y"),
+        (y - col("__theta") * (x - col("__mx"))).as("__yc"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__y")), 6).as("mean_raw"),
+        round(avg(col("__yc")), 6).as("mean_cuped"),
+        round(var_samp(col("__y")), 6).as("var_raw"),
+        round(var_samp(col("__yc")), 6).as("var_cuped"))
+  }
+
+  /** Declared q204: CUPED over the events fixture — per user, the
+    * pre-period (first half of the observation window by global
+    * midpoint, the q179 split) total event value predicts the
+    * experiment-period total; arms are the q124 even/odd user split.
+    * Users carry 0 for a half they have no events in (absence IS the
+    * metric, not a missing covariate).
+    */
+  def q204Cuped(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("__us"))
+    val mid = e.agg(((min(col("__us")) + max(col("__us"))) / 2).as("__mid"))
+    val units = e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("__us") < col("__mid"), col("value"))
+          .otherwise(lit(0.0))).as("x"),
+        sum(when(col("__us") >= col("__mid"), col("value"))
+          .otherwise(lit(0.0))).as("y"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+        col("x"), col("y"))
+    cuped(units, "variant", "x", "y")
+  }
+
+  val q204Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (min(us) + max(us)) / 2 AS mid FROM e),
+      |u AS (
+      |  SELECT user_id % 2 AS variant,
+      |    sum(CASE WHEN us < mid.mid THEN value ELSE 0 END) AS x,
+      |    sum(CASE WHEN us >= mid.mid THEN value ELSE 0 END) AS y
+      |  FROM e CROSS JOIN mid GROUP BY user_id),
+      |th AS (
+      |  SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx
+      |  FROM u)
+      |SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(y), 6) AS mean_raw,
+      |  round(avg(y - th.theta * (x - th.mx)), 6) AS mean_cuped,
+      |  round(var_samp(y), 6) AS var_raw,
+      |  round(var_samp(y - th.theta * (x - th.mx)), 6) AS var_cuped
+      |FROM u CROSS JOIN th GROUP BY variant, th.theta, th.mx""".stripMargin
 }

@@ -375,4 +375,106 @@ object Retrieval {
       |SELECT dcg.qid AS query_id, dcg.dcg, idcg.idcg,
       |  round(dcg.dcg / idcg.idcg, 6) AS ndcg
       |FROM dcg JOIN idcg USING (qid)""".stripMargin
+
+  /** Binary-relevance retrieval eval — MRR and recall@k, the two
+    * numbers a retrieval stack is actually tuned on day-to-day
+    * ([[ndcgAtK]] is the graded-relevance sibling): reciprocal rank
+    * of the FIRST relevant hit, and the fraction of ALL relevant
+    * corpus docs surfaced in the top k. Relevance is the same
+    * md5-derived grade scheme as q195 (portable determinism),
+    * binarized at grade ≥ 2.
+    *
+    * Scale shape: the system side is k-bounded per query; the
+    * denominator (relevant docs per query over the WHOLE corpus) is
+    * one pass over broadcast(queries) × corpus collapsing straight
+    * into a per-query count — corpus rows stream through map tasks,
+    * only |queries| counter rows shuffle.
+    *
+    * @return per query: first_rel_rank (0 = none in top k), rr,
+    *         hits, n_rel, recall
+    */
+  def mrrRecallAtK(
+      system: DataFrame, // (query_id, rank, doc_id)
+      corpusIds: DataFrame, // (doc_id)
+      k: Int,
+      relSalt: String,
+      relThreshold: Int = 2): DataFrame = {
+    def rel(q: org.apache.spark.sql.Column, dc: org.apache.spark.sql.Column) =
+      pmod(graft.functions.GraftFunctions.hexLong(
+        substring(md5(concat_ws("|", lit(relSalt), q, dc)), 1, 15)), lit(4))
+    val sys = system.where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        (rel(col("query_id"), col("doc_id")) >= relThreshold).as("__r"))
+      .groupBy(col("query_id"))
+      .agg(min(when(col("__r"), col("rank"))).as("__fr"),
+        count(when(col("__r"), lit(1))).as("hits"))
+    val queries = system.select(col("query_id")).distinct()
+    val denom = corpusIds.crossJoin(broadcast(queries))
+      .where(rel(col("query_id"), col("doc_id")) >= relThreshold)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    sys.join(denom, Seq("query_id"))
+      .select(col("query_id"),
+        coalesce(col("__fr"), lit(0)).cast("long").as("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("__fr"), lit(0.0)), 6).as("rr"),
+        col("hits"), col("n_rel"),
+        round(col("hits").cast(DoubleType) / col("n_rel"), 6).as("recall"))
+  }
+
+  /** Declared q207: MRR / recall@10 of the q94 BM25 ranking under the
+    * q195 relevance scheme — same query/corpus split, k = 10.
+    */
+  def q207MrrRecall(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val system = bm25TopK(
+      docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5),
+      "doc_id", "text", k = 10)
+    mrrRecallAtK(system, docs.where(col("doc_id") >= 5).select(col("doc_id")),
+      k = 10, relSalt = "mrr")
+  }
+
+  val q207Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id >= 5),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS term FROM corpus) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM corpus),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(t) AS DOUBLE)) AS avgdl
+      |       FROM corpus),
+      |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |q AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents WHERE doc_id < 5),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    round(sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) *
+      |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc),
+      |rel AS (
+      |  SELECT qid, c.doc_id,
+      |    ('0x' || substring(md5('mrr' || '|' ||
+      |      CAST(qid AS VARCHAR) || '|' || CAST(c.doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 4 >= 2 AS r
+      |  FROM (SELECT DISTINCT qid FROM ranked) CROSS JOIN corpus c),
+      |sys AS (
+      |  SELECT r.qid,
+      |    min(CASE WHEN rel.r THEN r.rank END) AS fr,
+      |    count(CASE WHEN rel.r THEN 1 END) AS hits
+      |  FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+      |  WHERE r.rank <= 10 GROUP BY r.qid),
+      |denom AS (
+      |  SELECT qid, count(*) AS n_rel FROM rel WHERE r GROUP BY qid)
+      |SELECT sys.qid AS query_id,
+      |  CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+      |  round(coalesce(1.0 / fr, 0.0), 6) AS rr,
+      |  hits, n_rel,
+      |  round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall
+      |FROM sys JOIN denom USING (qid)""".stripMargin
 }

@@ -1610,4 +1610,80 @@ object TextAnalysis {
       |FROM pv
       |LEFT JOIN hits h ON h.t = pv.t
       |LEFT JOIN truth tr ON tr.t = pv.t""".stripMargin
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing that
+    * actually ships in n-gram LM filters (KenLM's default), one rung
+    * above [[bigramLogProb]]'s add-1: instead of pretending unseen
+    * transitions are uniformly cheap, mass discounted from every seen
+    * bigram (absolute discount D = 0.75) is re-spent proportional to
+    * each word's CONTINUATION fertility — how many distinct contexts
+    * it follows — so "Francisco" (frequent but only after "San")
+    * stops looking like a good continuation everywhere:
+    *
+    *   P(b|a) = (c(a,b) − D)/c(a) + D·N₁₊(a·)/c(a) · N₁₊(·b)/|bigram types|
+    *
+    * Every factor derives from the SAME bigram-count relation — no
+    * extra corpus pass over q90's shape: one explode, one (a,b)
+    * aggregate, two marginal aggregates of IT, one broadcast scalar.
+    * Self-scored (model trained on the corpus being scored), so
+    * c(a,b) ≥ 1 > D and every log is finite.
+    */
+  def knBigramLogProb(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // zip_with, not transform-with-index: see [[bigramLogProb]]
+    val bg = docs
+      .where(size(toks) >= 2)
+      .select(col(idCol).as("__id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__bg"))
+      .select(col("__id"), col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val bc = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bc.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1f"))
+    val cb = bc.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val tot = bc.agg(count(lit(1)).cast(DoubleType).as("nbg"))
+    val p = (col("c_ab").cast(DoubleType) - lit(discount)) /
+      col("c_a").cast(DoubleType) +
+      lit(discount) * col("n1f").cast(DoubleType) / col("c_a").cast(DoubleType) *
+        (col("n1b").cast(DoubleType) / col("nbg"))
+    bg.join(bc, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .join(cb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(p)).as("mean_logprob_kn"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("mean_logprob_kn"))
+  }
+
+  /** Declared q205 — KN-smoothed self-scored bigram log-probs. */
+  def q205KnBigram(spark: SparkSession, d: String): DataFrame =
+    knBigramLogProb(Tables.documents(spark, d), "doc_id", "text")
+
+  val q205Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[x.i] AS a, toks[x.i + 1] AS b
+      |  FROM t, LATERAL (
+      |    SELECT unnest(generate_series(1, len(toks) - 1)) AS i) AS x
+      |  WHERE len(toks) >= 2),
+      |bc AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+      |         count(*) AS n1f FROM bc GROUP BY 1),
+      |cb AS (SELECT b, count(*) AS n1b FROM bc GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nbg FROM bc)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |  avg(ln((CAST(c_ab AS DOUBLE) - 0.75) / CAST(c_a AS DOUBLE)
+      |    + 0.75 * CAST(n1f AS DOUBLE) / CAST(c_a AS DOUBLE)
+      |      * (CAST(n1b AS DOUBLE) / tot.nbg))) AS mean_logprob_kn
+      |FROM bg JOIN bc USING (a, b) JOIN ca USING (a) JOIN cb USING (b)
+      |CROSS JOIN tot
+      |GROUP BY bg.doc_id""".stripMargin
 }

@@ -413,4 +413,96 @@ object TimeSeries {
       |SELECT day, n,
       |  round(0.3 * pow(0.7, t) * cu + pow(0.7, t - 1) * x1, 6) AS ewma
       |FROM u""".stripMargin
+
+  /** Offline changepoint localization by binary segmentation (first
+    * split): per series, the split index k maximizing the
+    * between-segment sum of squares
+    * BSS(k) = k(μ_L−μ)² + (n−k)(μ_R−μ)² — i.e. the single mean-shift
+    * CUSUM's sequential alarm (q144) only FLAGS; this LOCATES the
+    * break for the drift postmortem. Everything derives from one
+    * ordered prefix sum per series.
+    *
+    * Determinism discipline: the series is the DAILY COUNT series, so
+    * prefix sums are exact longs and BSS is computed from identical
+    * integers on every engine — the 6 dp rounding + smallest-k
+    * tiebreak on the argmax is then genuinely deterministic, not
+    * float-accumulation-order roulette.
+    *
+    * Scale shape: one map-side-combined hash aggregate to dailies
+    * (the only full pass), then per-series windows over the
+    * calendar-bounded relation and one series-keyed `max(struct)`
+    * argmax — no corpus-scale window, no driver loop.
+    *
+    * @return per event_type: split day (last day of the left
+    *         segment), k, n_days, mean_left, mean_right, bss
+    */
+  def bestMeanShift(daily: DataFrame, seriesCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val bySeries = Window.partitionBy(col(seriesCol))
+    val ordered = bySeries.orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("__k", row_number().over(bySeries.orderBy(col(ordCol))))
+      .withColumn("__s", sum(col(valueCol)).over(ordered))
+      .withColumn("__n", count(lit(1)).over(bySeries))
+      .withColumn("__t", sum(col(valueCol)).over(bySeries))
+      .where(col("__k") < col("__n"))
+      .select(col(seriesCol), col(ordCol), col("__k"), col("__n"),
+        {
+          val k = col("__k").cast("double")
+          val n = col("__n").cast("double")
+          val ml = col("__s").cast("double") / k
+          val mr = (col("__t") - col("__s")).cast("double") / (n - k)
+          val m = col("__t").cast("double") / n
+          struct(
+            round(k * (ml - m) * (ml - m) + (n - k) * (mr - m) * (mr - m), 6)
+              .as("bss"),
+            (-col("__k")).as("negk"), col(ordCol).as("ord"),
+            round(ml, 6).as("ml"), round(mr, 6).as("mr")).as("__c")
+        })
+    scored.groupBy(col(seriesCol))
+      .agg(max(col("__c")).as("__b"), max(col("__n")).as("n_days"))
+      .select(col(seriesCol), col("__b.ord").as("split_" + ordCol),
+        (-col("__b.negk")).cast("long").as("k"),
+        col("n_days").cast("long").as("n_days"),
+        col("__b.ml").as("mean_left"), col("__b.mr").as("mean_right"),
+        col("__b.bss").as("bss"))
+  }
+
+  /** Declared q206: where did each event type's daily volume break. */
+  def q206Changepoint(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    bestMeanShift(daily, "event_type", "day", "n")
+  }
+
+  val q206Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    count(*) OVER (PARTITION BY event_type) AS nd,
+      |    sum(n) OVER (PARTITION BY event_type) AS t
+      |  FROM daily),
+      |sc AS (
+      |  SELECT event_type, day, k, nd,
+      |    round(CAST(k AS DOUBLE) *
+      |        pow(CAST(s AS DOUBLE) / k - CAST(t AS DOUBLE) / nd, 2)
+      |      + CAST(nd - k AS DOUBLE) *
+      |        pow(CAST(t - s AS DOUBLE) / (nd - k) - CAST(t AS DOUBLE) / nd, 2),
+      |      6) AS bss,
+      |    round(CAST(s AS DOUBLE) / k, 6) AS ml,
+      |    round(CAST(t - s AS DOUBLE) / (nd - k), 6) AS mr
+      |  FROM w WHERE k < nd)
+      |SELECT event_type, day AS split_day, CAST(k AS BIGINT) AS k,
+      |  CAST(nd AS BIGINT) AS n_days, ml AS mean_left, mr AS mean_right, bss
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |  ORDER BY bss DESC, k) = 1""".stripMargin
 }

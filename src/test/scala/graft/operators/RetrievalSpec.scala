@@ -182,4 +182,39 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       BigDecimal(expDcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       < 1e-9)
   }
+
+  test("mrrRecallAtK: matches an independent local replay of the grade scheme") {
+    val sp = spark; import sp.implicits._
+    def rel(salt: String, q: Long, d: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$q|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(md, 16) % 4
+    }
+    val corpus = (100L to 139L)
+    val k = 5
+    // two queries, system ranking = doc-id order over the first k docs
+    val system = for (q <- Seq(1L, 2L); i <- 0 until k)
+      yield (q, i + 1, 100L + i)
+    val out = Retrieval.mrrRecallAtK(
+      system.toDF("query_id", "rank", "doc_id"),
+      corpus.toDF("doc_id"), k = k, relSalt = "t")
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("first_rel_rank"), r.getAs[Double]("rr"),
+          r.getAs[Long]("hits"), r.getAs[Long]("n_rel"),
+          r.getAs[Double]("recall"))).toMap
+    for (q <- Seq(1L, 2L)) {
+      val grades = system.filter(_._1 == q)
+        .map { case (_, rank, d) => (rank, rel("t", q, d) >= 2) }
+      val fr = grades.collect { case (rank, true) => rank }
+        .minOption.getOrElse(0)
+      val hits = grades.count(_._2).toLong
+      val nRel = corpus.count(d => rel("t", q, d) >= 2).toLong
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val exp = (fr.toLong, if (fr == 0) 0.0 else r6(1.0 / fr),
+        hits, nRel, r6(hits.toDouble / nRel))
+      assert(out(q) === exp, s"query $q: got ${out(q)} want $exp")
+    }
+  }
 }

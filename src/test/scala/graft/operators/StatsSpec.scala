@@ -404,4 +404,24 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hib.exists(t => t._2 === 1 && t._3 === 1 && t._4 === 1 &&
       t._6 === 1000.0))
   }
+
+  test("cuped: perfect covariate kills all variance, contrast unbiased") {
+    val sp = spark; import sp.implicits._
+    // y = 3x + 10*arm with x symmetric across arms: cov(x, arm) = 0 so
+    // θ = 3 exactly, and the adjusted y' = 10*arm + 6 is CONSTANT per
+    // arm — var_cuped must be 0 while the arm contrast (10) survives
+    val units = Seq(
+      (0L, 1.0, 3.0), (0L, 2.0, 6.0), (0L, 3.0, 9.0),
+      (1L, 1.0, 13.0), (1L, 2.0, 16.0), (1L, 3.0, 19.0)
+    ).toDF("variant", "x", "y")
+    val out = Relational.cuped(units, "variant", "x", "y").collect()
+      .map(r => r.getAs[Long]("variant") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_raw"),
+          r.getAs[Double]("mean_cuped"), r.getAs[Double]("var_raw"),
+          r.getAs[Double]("var_cuped"))).toMap
+    assert(out(0L) === ((3L, 6.0, 6.0, 9.0, 0.0)))
+    assert(out(1L) === ((3L, 16.0, 16.0, 9.0, 0.0)))
+    // contrast identical raw vs adjusted (balanced x ⇒ no bias)
+    assert(out(1L)._3 - out(0L)._3 === 10.0)
+  }
 }

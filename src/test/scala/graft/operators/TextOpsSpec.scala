@@ -383,4 +383,23 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tiny.getAs[Double]("fp_rate") > 0.5,
       s"a saturated filter must false-positive: ${tiny.getAs[Double]("fp_rate")}")
   }
+
+  test("knBigramLogProb: hand-computed KN probabilities; continuation mass sums to 1") {
+    val sp = spark; import sp.implicits._
+    // corpus bigrams: (a,b)×2, (a,c)×1 → c(a)=3, N₁₊(a·)=2,
+    // N₁₊(·b)=N₁₊(·c)=1, |types|=2, D=0.75
+    //   P(b|a) = (2−.75)/3 + .75·2/3·(1/2) = 2/3
+    //   P(c|a) = (1−.75)/3 + .75·2/3·(1/2) = 1/3   (mass sums to 1)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramLogProb(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_logprob_kn"))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log(2.0 / 3.0)) < 1e-12)
+    assert(math.abs(out(2L)._2 - math.log(2.0 / 3.0)) < 1e-12)
+    assert(math.abs(out(3L)._2 - math.log(1.0 / 3.0)) < 1e-12)
+    // a 1-token doc has no bigrams and must be absent, not zero-scored
+    assert(!out.contains(4L))
+  }
 }

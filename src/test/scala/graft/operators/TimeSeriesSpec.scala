@@ -150,4 +150,23 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = TimeSeries.ewmaDaily(e, alpha = 0.3).collect()
     rows.foreach(r => assert(math.abs(r.getAs[Double]("ewma") - 7.0) < 1e-6))
   }
+
+  test("bestMeanShift: planted level shift located exactly; constant series ties to k=1") {
+    val sp = spark; import sp.implicits._
+    // series a: [10,10,10,50,50] → split after k=3; global mean 26,
+    // BSS = 3·(10−26)² + 2·(50−26)² = 768 + 1152 = 1920
+    // series b: constant → every BSS = 0, smallest-k tiebreak → k=1
+    val daily = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 50L), ("a", 5L, 50L),
+      ("b", 1L, 5L), ("b", 2L, 5L), ("b", 3L, 5L)
+    ).toDF("et", "day", "n")
+    val out = TimeSeries.bestMeanShift(daily, "et", "day", "n").collect()
+      .map(r => r.getAs[String]("et") ->
+        (r.getAs[Long]("split_day"), r.getAs[Long]("k"),
+          r.getAs[Long]("n_days"), r.getAs[Double]("mean_left"),
+          r.getAs[Double]("mean_right"), r.getAs[Double]("bss"))).toMap
+    assert(out("a") === ((3L, 3L, 5L, 10.0, 50.0, 1920.0)))
+    assert(out("b") === ((1L, 1L, 3L, 5.0, 5.0, 0.0)))
+  }
 }
