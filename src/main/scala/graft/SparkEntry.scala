@@ -392,6 +392,10 @@ object SparkEntry {
     "q206_changepoint" -> (graft.operators.TimeSeries.q206Changepoint _),
     // retrieval eval: MRR + recall@10 over the BM25 ranking
     "q207_mrr_recall" -> (graft.operators.Retrieval.q207MrrRecall _),
+    // Johnson-Lindenstrauss +/-1 random projection (map-only sketch)
+    "q208_random_projection" -> (graft.operators.Similarity.q208RandomProjection _),
+    // 4-truss pruning (fixed 2 rounds) of the part co-purchase graph
+    "q209_ktruss" -> (graft.operators.Components.q209Ktruss _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,5 +612,7 @@ object SparkEntry {
     "q205_kn_bigram" -> graft.operators.TextAnalysis.q205Sql,
     "q206_changepoint" -> graft.operators.TimeSeries.q206Sql,
     "q207_mrr_recall" -> graft.operators.Retrieval.q207Sql,
+    "q208_random_projection" -> graft.operators.Similarity.q208Sql,
+    "q209_ktruss" -> graft.operators.Components.q209Sql,
   )
 }

@@ -633,6 +633,17 @@ object Components {
     * count) into a hash aggregate. No driver state, no all-pairs.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeCanonical: Boolean = false): DataFrame =
+    triangleList(edges, srcCol, dstCol, assumeCanonical)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+
+  /** Triangle ENUMERATION under the same degree-ordered orientation —
+    * one row per triangle {a,b,c} (a the (deg,id)-minimum corner).
+    * Factored out of [[triangleCounts]] so edge-support consumers
+    * ([[ktruss]]) reuse the O(m^1.5)-bounded wedge machinery.
+    */
+  def triangleList(edges: DataFrame, srcCol: String, dstCol: String,
       assumeCanonical: Boolean = false): DataFrame = {
     // canonical undirected edges {lo, hi}, self-loops dropped; callers
     // that already produce distinct lo<hi pairs skip the extra shuffle
@@ -696,12 +707,9 @@ object Components {
       else (x, y) => struct(x, y)
     val closing = oriented.select(key(col("src"), col("dst")).as("bc"))
     val closingSide = if (nEdges <= 20000000L) broadcast(closing) else closing
-    val triangles = wedges
+    wedges
       .join(closingSide, key(col("b"), col("c")) === col("bc"))
       .select(col("src").as("a"), col("b"), col("c"))
-    triangles
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
   /** Declared q107: per-node triangle counts of the part co-purchase
@@ -1708,4 +1716,96 @@ object Components {
       |SELECT cl.doc_id, cl.cluster_id, cl.ttr, cl.n_tokens,
       |  cl.doc_id = best.keep_doc AS keep
       |FROM cl JOIN best USING (cluster_id)""".stripMargin
+
+  /** k-truss edge pruning (Cohen 2008) with a FIXED round budget:
+    * repeatedly drop edges supported by fewer than k−2 triangles in
+    * the surviving graph. The truss is the standard cohesive-subgraph
+    * upgrade over [[kcore]] — degree can be faked by one hub, triangle
+    * support cannot — and the pruning round count is pinned (not
+    * run-to-fixpoint) so the oracle is expressible and the cluster job
+    * has a deterministic stage count; COVERAGE.md records the
+    * fixed-rounds semantics.
+    *
+    * Scale shape per round: one [[triangleList]] pass (degree-ordered
+    * wedges, O(m^1.5) bound), a 3×-triangles explode into an
+    * edge-keyed hash aggregate, one filter. Each round's survivor set
+    * is localCheckpoint'd so round r+1's plan does not replay round r.
+    *
+    * @return surviving edges after `rounds` prunes with the support
+    *         that qualified them in the final round: (u, v, support)
+    */
+  def ktruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"ktruss: k must be >= 3, got $k")
+    require(rounds >= 1, s"ktruss: rounds must be >= 1, got $rounds")
+    val pair = (x: Column, y: Column) =>
+      struct(least(x, y).as("u"), greatest(x, y).as("v"))
+    var canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sup: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tri = triangleList(canon, "u", "v", assumeCanonical = true)
+      sup = tri
+        .select(explode(array(pair(col("a"), col("b")),
+          pair(col("a"), col("c")), pair(col("b"), col("c")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= k - 2)
+      canon = sup.select(col("u"), col("v")).localCheckpoint()
+    }
+    sup
+  }
+
+  /** Declared q209: the 4-truss (2 pruning rounds) of the q107 part
+    * co-purchase graph — edges that sit in ≥ 2 triangles even after
+    * their weakly-supported neighbors are removed.
+    */
+  def q209Ktruss(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.groupBy(col("ok"))
+      .agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+    ktruss(co, "u", "v", k = 4, rounds = 2)
+  }
+
+  val q209Sql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |t1 AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e0 e1
+      |  JOIN e0 e2 ON e2.a = e1.b
+      |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |s1 AS (
+      |  SELECT u, v, count(*) AS sup FROM (
+      |    SELECT a AS u, b AS v FROM t1
+      |    UNION ALL SELECT a, c FROM t1
+      |    UNION ALL SELECT b, c FROM t1)
+      |  GROUP BY 1, 2),
+      |e1g AS (SELECT u AS a, v AS b FROM s1 WHERE sup >= 2),
+      |t2 AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e1g e1
+      |  JOIN e1g e2 ON e2.a = e1.b
+      |  JOIN e1g e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |s2 AS (
+      |  SELECT u, v, count(*) AS sup FROM (
+      |    SELECT a AS u, b AS v FROM t2
+      |    UNION ALL SELECT a, c FROM t2
+      |    UNION ALL SELECT b, c FROM t2)
+      |  GROUP BY 1, 2)
+      |SELECT u, v, CAST(sup AS BIGINT) AS support
+      |FROM s2 WHERE sup >= 2""".stripMargin
 }

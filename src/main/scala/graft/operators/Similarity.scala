@@ -340,4 +340,59 @@ object Similarity {
       |  CAST(list_sum(list_transform(generate_series(1, n),
       |    i -> CAST(qs[i] AS BIGINT) * i)) AS BIGINT) AS q_checksum
       |FROM q""".stripMargin
+
+  /** Johnson–Lindenstrauss random projection with a ±1 (Achlioptas,
+    * JCSS 2003) sign matrix: p_j = Σ_i s(j,i)·x_i / √d_out. The signs
+    * come from the repo's md5 portable-determinism scheme, so the
+    * "random" matrix is a 512-entry CONSTANT any engine recomputes —
+    * and on the Spark side it is baked into the plan as literal
+    * arrays: the whole projection is one codegen'd
+    * `aggregate(zip_with(...))` per output dim. Map-only, zero
+    * shuffles, zero joins — the preprocessing step that makes
+    * downstream ANN/clustering 8× narrower at 100 TB.
+    *
+    * @param inDims  input dimensionality (signs are plan constants,
+    *                so the width is fixed up front; rows are required
+    *                to match)
+    * @return idCol plus p0..p{outDims−1} doubles (6 dp)
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int, salt: String): DataFrame = {
+    require(outDims >= 1 && inDims >= 1)
+    def sgn(j: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0L) 1.0 else -1.0
+    }
+    val scale = math.sqrt(outDims.toDouble)
+    val projs = (0 until outDims).map { j =>
+      val signs = array((1 to inDims).map(i => lit(sgn(j, i))): _*)
+      round(
+        aggregate(
+          zip_with(col(vecCol), signs,
+            (x, s) => x.cast(DoubleType) * s),
+          lit(0.0), (acc, x) => acc + x) / scale,
+        6).as(s"p$j")
+    }
+    df.where(size(col(vecCol)) === inDims)
+      .select(col(idCol) +: projs: _*)
+  }
+
+  /** Declared q208: the 64-dim fixture embeddings sketched to 8 dims. */
+  def q208RandomProjection(spark: SparkSession, d: String): DataFrame =
+    randomProjection(Tables.embeddings(spark, d), "vec_id", "embedding",
+      inDims = 64, outDims = 8, salt = "rp")
+
+  val q208Sql: String = {
+    // single-line column expressions: a line starting with "||" would
+    // be mangled by stripMargin, so no margins anywhere in this SQL
+    val cols = (0 until 8).map { j =>
+      s"round(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * " +
+        s"(CASE WHEN ('0x' || substring(md5('rp|$j|' || CAST(i AS VARCHAR)), " +
+        s"1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END))) / sqrt(8), 6) AS p$j"
+    }.mkString(",\n  ")
+    s"SELECT vec_id,\n  $cols\nFROM embeddings WHERE len(embedding) = 64"
+  }
 }

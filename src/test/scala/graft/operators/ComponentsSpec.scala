@@ -506,6 +506,27 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ktruss: K4 is its own 4-truss; K4 minus an edge unravels in 2 rounds") {
+    val sp = spark; import sp.implicits._
+    // K4: every edge closes 2 triangles → all 6 edges survive, support 2
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+    val out = Components.ktruss(k4.toDF("a", "b"), "a", "b", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support"))
+      .toMap
+    assert(out.keySet === k4.toSet)
+    assert(out.values.forall(_ === 2L))
+    // K4 minus (3,4): only (1,2) has support 2 in round 1; with its
+    // neighbors gone round 2 finds no triangles at all → empty truss
+    val broken = k4.filterNot(_ == ((3L, 4L)))
+    val out2 = Components.ktruss(broken.toDF("a", "b"), "a", "b",
+      k = 4, rounds = 2).collect()
+    assert(out2.isEmpty, s"expected empty 4-truss, got ${out2.toSeq}")
+    // but round 1 alone keeps exactly (1,2) — the fixed-round contract
+    val r1 = Components.ktruss(broken.toDF("a", "b"), "a", "b",
+      k = 4, rounds = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r1.toSeq === Seq((1L, 2L)))
+  }
+
   test("degreeAssortativity: star is exactly -1, duplicate edges harmless") {
     val sp = spark; import sp.implicits._
     // K1,3: every symmetric endpoint pair is (3,1) or (1,3) → r = −1

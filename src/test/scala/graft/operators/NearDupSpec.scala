@@ -442,4 +442,32 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the duplicate "same name" contributes only its min id (5)
     assert(out === Set((5L, 2L)))
   }
+
+  test("randomProjection: matches a local replay of the sign matrix; linear; width-gated") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    def sgn(salt: String, j: Int, i: Int): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0L) 1.0 else -1.0
+    }
+    val v = Seq(1.0f, 2.0f, -3.0f, 0.5f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2)), (9L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "vec_id", "embedding",
+      inDims = 4, outDims = 2, salt = "t").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def proj(j: Int, xs: Seq[Float]): Double = r6(
+      xs.zipWithIndex.map { case (x, i0) =>
+        x.toDouble * sgn("t", j, i0 + 1) }.sum / math.sqrt(2.0))
+    assert(out(1L) === ((proj(0, v), proj(1, v))))
+    // linearity: doubling the vector doubles every projection
+    assert(math.abs(out(2L)._1 - 2 * out(1L)._1) < 2e-6)
+    assert(math.abs(out(2L)._2 - 2 * out(1L)._2) < 2e-6)
+    // a row with the wrong width is gated out, not mis-projected
+    assert(!out.contains(9L))
+  }
 }
