@@ -396,6 +396,10 @@ object SparkEntry {
     "q208_random_projection" -> (graft.operators.Similarity.q208RandomProjection _),
     // 4-truss pruning (fixed 2 rounds) of the part co-purchase graph
     "q209_ktruss" -> (graft.operators.Components.q209Ktruss _),
+    // cross-document duplicated 8-token span inventory (memorization report)
+    "q210_dup_spans" -> (graft.operators.Dedup.q210DupSpans _),
+    // SAX symbolization of daily volume series (z-norm + PAA + quartile bins)
+    "q211_sax" -> (graft.operators.TimeSeries.q211Sax _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -614,5 +618,7 @@ object SparkEntry {
     "q207_mrr_recall" -> graft.operators.Retrieval.q207Sql,
     "q208_random_projection" -> graft.operators.Similarity.q208Sql,
     "q209_ktruss" -> graft.operators.Components.q209Sql,
+    "q210_dup_spans" -> graft.operators.Dedup.q210Sql,
+    "q211_sax" -> graft.operators.TimeSeries.q211Sql,
   )
 }

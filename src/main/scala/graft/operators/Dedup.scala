@@ -473,4 +473,68 @@ object Dedup {
       |    list(bt ORDER BY bi) FILTER (NOT rm), ' '), '') AS cleaned_text,
       |  CAST(count(*) FILTER (rm) AS DOUBLE) / count(*) AS frac_removed
       |FROM f GROUP BY doc_id""".stripMargin
+
+  /** Sliding n-token spans (ALL positions, duplicates kept — unlike
+    * [[shingles]]' distinct set): built by folding n−1 `zip_with`s
+    * over shifted slices so every array argument evaluates once per
+    * row (the [[shingles]] O(len²) lambda trap, avoided the same way).
+    */
+  def spanGrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"spanGrams: n must be >= 2, got $n")
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m),
+        (xy, z) => concat(xy, lit(" "), z))
+    }
+  }
+
+  /** Cross-document duplicated-span inventory — the memorization-risk
+    * report run before a pretraining cut (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 measures
+    * exactly these repeated spans): every n-token span occurring in
+    * ≥ minDocs distinct documents, with its document reach, total
+    * occurrence count, and earliest document. Complements the PAIRWISE
+    * near-dup detectors (q34–q36): those say which docs overlap, this
+    * says which CONTENT is duplicated — boilerplate, licenses, chain
+    * letters — ranked for a removal pass.
+    *
+    * Scale shape: one explode (token-count rows) into TWO map-side-
+    * combinable hash aggregates — (span, doc) partial counts, then
+    * span-keyed rollup; the multi-doc filter prunes the long unique
+    * tail in the final aggregate. No joins, no windows; hot spans are
+    * exactly what survives, and they arrive pre-combined per
+    * partition.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(spanGrams(split(col(textCol), " "), n)).as("span"))
+      .groupBy(col("span"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+    perDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_occ"),
+        min(col("__id")).as("min_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Declared q210: 8-token spans shared by ≥ 2 fixture documents. */
+  def q210DupSpans(spark: SparkSession, d: String): DataFrame =
+    duplicatedSpans(Tables.documents(spark, d), "doc_id", "text",
+      n = 8, minDocs = 2)
+
+  val q210Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 7),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |           toks[i+6] || ' ' || toks[i+7])) AS span
+      |  FROM t),
+      |pd AS (SELECT span, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT span, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(c) AS BIGINT) AS n_occ, min(doc_id) AS min_doc
+      |FROM pd GROUP BY span HAVING count(*) >= 2""".stripMargin
 }

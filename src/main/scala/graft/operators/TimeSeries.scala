@@ -505,4 +505,86 @@ object TimeSeries {
       |FROM sc
       |QUALIFY row_number() OVER (PARTITION BY event_type
       |  ORDER BY bss DESC, k) = 1""".stripMargin
+
+  /** SAX symbolization (Lin/Keogh et al., DMKD 2007): z-normalize a
+    * series, average it into w equal-occupancy PAA segments, and bin
+    * each segment mean into an alphabet by standard-normal
+    * breakpoints (4 symbols: −0.6745, 0, 0.6745 — the quartiles).
+    * The discrete word is what makes series comparable symbolically —
+    * motif mining, anomaly grammars, series indexing — and two series
+    * of wildly different volume get the SAME word when their shapes
+    * match (the z-normalization's entire point).
+    *
+    * Determinism discipline: the series is the integer daily-count
+    * series; μ/σ are per-series scalar aggregates and every
+    * downstream value rounds to 6 dp before compare. A constant
+    * series (σ = 0) maps to z = 0 (not nulls), which bins UP to 'c'
+    * — breakpoint values take the upper symbol by convention.
+    *
+    * Scale shape: one hash aggregate to dailies, per-series windows
+    * over the calendar-bounded relation, one (series, segment)
+    * aggregate. Series count scales out; series LENGTH is
+    * calendar-bounded, so per-series windows never concentrate data-
+    * proportional volume on one task.
+    *
+    * @return per (series, segment): paa (6 dp) and symbol a..d
+    */
+  def saxWords(daily: DataFrame, seriesCol: String, ordCol: String,
+      valueCol: String, segments: Int): DataFrame = {
+    require(segments >= 1)
+    val bySeries = Window.partitionBy(col(seriesCol))
+    val stats = daily.groupBy(col(seriesCol))
+      .agg(avg(col(valueCol)).as("__mu"),
+        stddev_samp(col(valueCol)).as("__sd"),
+        count(lit(1)).as("__nd"))
+    val z = when(col("__sd").isNull || col("__sd") === 0.0, lit(0.0))
+      .otherwise((col(valueCol).cast("double") - col("__mu")) / col("__sd"))
+    val seg = ((row_number().over(bySeries.orderBy(col(ordCol))) - 1)
+      .cast("long") * segments / col("__nd")).cast("long")
+    val paa = daily.join(stats, Seq(seriesCol))
+      .select(col(seriesCol), seg.as("segment"), z.as("__z"))
+      .groupBy(col(seriesCol), col("segment"))
+      .agg(round(avg(col("__z")), 6).as("paa"))
+    paa.select(col(seriesCol), col("segment"), col("paa"),
+      when(col("paa") < -0.6745, "a")
+        .when(col("paa") < 0.0, "b")
+        .when(col("paa") < 0.6745, "c")
+        .otherwise("d").as("symbol"))
+  }
+
+  /** Declared q211: each event type's daily volume as an 8-symbol
+    * SAX word.
+    */
+  def q211Sax(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    saxWords(daily, "event_type", "day", "n", segments = 8)
+  }
+
+  val q211Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd,
+      |    count(*) AS nd
+      |  FROM daily GROUP BY 1),
+      |z AS (
+      |  SELECT d.event_type,
+      |    ((row_number() OVER (PARTITION BY d.event_type ORDER BY day)
+      |      - 1) * 8) // nd AS segment,
+      |    CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+      |         ELSE (CAST(n AS DOUBLE) - mu) / sd END AS z
+      |  FROM daily d JOIN st USING (event_type)),
+      |paa AS (
+      |  SELECT event_type, CAST(segment AS BIGINT) AS segment,
+      |    round(avg(z), 6) AS paa
+      |  FROM z GROUP BY 1, 2)
+      |SELECT event_type, segment, paa,
+      |  CASE WHEN paa < -0.6745 THEN 'a'
+      |       WHEN paa < 0.0 THEN 'b'
+      |       WHEN paa < 0.6745 THEN 'c'
+      |       ELSE 'd' END AS symbol
+      |FROM paa""".stripMargin
 }

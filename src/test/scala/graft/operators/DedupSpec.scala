@@ -123,4 +123,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === ((2L, "")))
     assert(out(2L) === ((1L, "")))
   }
+
+  test("duplicatedSpans: shared span surfaces with doc reach + occurrences; solo spans pruned") {
+    val sp = spark; import sp.implicits._
+    val span = "w1 w2 w3 w4"
+    val docs = Seq(
+      (1L, s"a $span b"), // one occurrence
+      (2L, s"$span c $span"), // two occurrences, same doc
+      (3L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => r.getAs[String]("span") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("min_doc"))).toMap
+    // the only span in >= 2 docs is the planted one: docs {1,2},
+    // three total occurrences (doc 2 contributes two), earliest doc 1
+    assert(out === Map(span -> ((2L, 3L, 1L))))
+    // spanGrams emits ALL positions (no distinct): doc with a repeat
+    val grams = Seq((9L, "x y x y x")).toDF("doc_id", "text")
+    val all = Dedup.duplicatedSpans(grams, "doc_id", "text", n = 2, minDocs = 1)
+      .collect().map(r => r.getAs[String]("span") -> r.getAs[Long]("n_occ"))
+      .toMap
+    assert(all === Map("x y" -> 2L, "y x" -> 2L))
+  }
 }

@@ -169,4 +169,31 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("a") === ((3L, 3L, 5L, 10.0, 50.0, 1920.0)))
     assert(out("b") === ((1L, 1L, 3L, 5.0, 5.0, 0.0)))
   }
+
+  test("saxWords: z-norm + PAA replayed by hand; constant series is all-'b'; shape invariance") {
+    val sp = spark; import sp.implicits._
+    // series s: 4 days [1,2,3,4] into 2 segments; μ=2.5, σ=std([1..4]);
+    // PAA = mean of z over each half → symmetric ±v
+    val daily = Seq(
+      ("s", 1L, 1L), ("s", 2L, 2L), ("s", 3L, 3L), ("s", 4L, 4L),
+      // 10× the volume, same shape → identical word
+      ("t", 1L, 10L), ("t", 2L, 20L), ("t", 3L, 30L), ("t", 4L, 40L),
+      // constant → z defined 0; a breakpoint value bins UP (0 → 'c')
+      ("c", 1L, 7L), ("c", 2L, 7L)
+    ).toDF("et", "day", "n")
+    val out = TimeSeries.saxWords(daily, "et", "day", "n", segments = 2)
+      .collect().map(r => (r.getAs[String]("et"), r.getAs[Long]("segment")) ->
+        (r.getAs[Double]("paa"), r.getAs[String]("symbol"))).toMap
+    val sd = math.sqrt(Seq(1.0, 2, 3, 4).map(x => (x - 2.5) * (x - 2.5)).sum / 3)
+    val v = (1.5 / sd + 0.5 / sd) / 2 // ≈ 0.7746 > 0.6745
+    assert(math.abs(out(("s", 0L))._1 + v) < 1e-6)
+    assert(out(("s", 0L))._2 === "a")
+    assert(math.abs(out(("s", 1L))._1 - v) < 1e-6)
+    assert(out(("s", 1L))._2 === "d")
+    // shape invariance: 10× volume, same word
+    assert(out(("t", 0L)) === out(("s", 0L)))
+    assert(out(("t", 1L)) === out(("s", 1L)))
+    assert(out(("c", 0L)) === ((0.0, "c")))
+    assert(out(("c", 1L)) === ((0.0, "c")))
+  }
 }
