@@ -400,6 +400,10 @@ object SparkEntry {
     "q210_dup_spans" -> (graft.operators.Dedup.q210DupSpans _),
     // SAX symbolization of daily volume series (z-norm + PAA + quartile bins)
     "q211_sax" -> (graft.operators.TimeSeries.q211Sax _),
+    // landmark-sampled harmonic closeness (labeled multi-source BFS)
+    "q212_closeness" -> (graft.operators.Components.q212Closeness _),
+    // grid-blocked DBSCAN on the 2-D random-projection sketch
+    "q213_dbscan" -> (graft.operators.Clustering.q213Dbscan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -620,5 +624,7 @@ object SparkEntry {
     "q209_ktruss" -> graft.operators.Components.q209Sql,
     "q210_dup_spans" -> graft.operators.Dedup.q210Sql,
     "q211_sax" -> graft.operators.TimeSeries.q211Sql,
+    "q212_closeness" -> graft.operators.Components.q212Sql,
+    "q213_dbscan" -> graft.operators.Clustering.q213Sql,
   )
 }

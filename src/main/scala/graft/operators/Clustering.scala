@@ -222,4 +222,146 @@ object Clustering {
        |  round($cos, 6) < 0.1 AS is_outlier
        |FROM embeddings p JOIN cent c USING (label)""".stripMargin
   }
+
+  /** Grid-blocked DBSCAN over a 2-D point set — density clustering,
+    * the shape-agnostic complement to [[sphericalKMeans]] (k-means
+    * carves convex cells; DBSCAN finds arbitrarily-shaped dense
+    * regions and EXPLICITLY labels noise). The classic algorithm is a
+    * sequential region-grow; the scale form here is the standard
+    * parallel decomposition:
+    *
+    *   1. bin points into eps-width grid cells — neighbor candidates
+    *      can only live in the 3×3 cell block, so the candidate join
+    *      is cell-keyed (never all-pairs; the grid IS the index);
+    *   2. neighborhood counts → core flags (|N_eps(p)| ≥ minPts,
+    *      self included — pinned convention);
+    *   3. connected components over core–core eps-edges (the
+    *      pointer-jumping [[Components.connectedComponents]]);
+    *   4. border points attach to their minimum neighboring core
+    *      cluster (deterministic tie-break); the rest is noise
+    *      (cluster −1).
+    *
+    * Equivalence to sequential DBSCAN: core sets and core-cluster
+    * merges are order-independent; only border ties are
+    * order-dependent in the textbook version, pinned here to min.
+    *
+    * @param points (idCol, x, y) — x/y already rounded enough that
+    *               cross-engine doubles are identical (q208's 6 dp)
+    */
+  def gridDbscan(points: DataFrame, idCol: String, eps: Double,
+      minPts: Int): DataFrame = {
+    require(eps > 0 && minPts >= 1)
+    val cellX = floor(col("x") / eps).cast("long")
+    val cellY = floor(col("y") / eps).cast("long")
+    val pts = points
+      .select(col(idCol).as("__id"), col("x"), col("y"),
+        cellX.as("cx"), cellY.as("cy"))
+      .localCheckpoint()
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct((col("cx") + dx).as("gx"), (col("cy") + dy).as("gy"))
+    val probes = pts.select(col("__id").as("a"), col("x").as("ax"),
+        col("y").as("ay"), explode(array(offsets: _*)).as("g"))
+      .select(col("a"), col("ax"), col("ay"),
+        col("g.gx").as("gx"), col("g.gy").as("gy"))
+    val build = pts.select(col("__id").as("b"), col("x").as("bx"),
+      col("y").as("by"), col("cx").as("gx"), col("cy").as("gy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val pairs = probes.join(build, Seq("gx", "gy"))
+      .where(d2 <= eps * eps)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // consumed by counts, core edges, and borders
+    val core = pairs.groupBy(col("a")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minPts)
+      .select(col("a").as("__core"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(core.select(col("__core").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("__core").as("b")), Seq("b"), "left_semi")
+      .where(col("a") < col("b"))
+    val comp = Components.connectedComponents(coreEdges, "a", "b")
+    // isolated cores (enough non-core neighbors, no core neighbor)
+    // keep their own id as cluster
+    val coreClu = core.select(col("__core").as("id"))
+      .join(comp.select(col("node").as("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .localCheckpoint()
+    val borderClu = pairs
+      .join(core.select(col("__core").as("a")), Seq("a"), "left_anti")
+      .join(coreClu.select(col("id").as("b"), col("cluster")), Seq("b"))
+      .groupBy(col("a")).agg(min(col("cluster")).as("cluster"))
+      .select(col("a").as("id"), col("cluster"))
+    val labeled = coreClu.select(col("id"), lit("core").as("role"),
+        col("cluster"))
+      .unionAll(borderClu.select(col("id"), lit("border").as("role"),
+        col("cluster")))
+    pts.select(col("__id").as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
+  /** Declared q213: DBSCAN(eps 0.2, minPts 5) on the q208 2-D
+    * random-projection sketch of the fixture embeddings — projection
+    * and clustering compose into one density map of the corpus.
+    */
+  def q213Dbscan(spark: SparkSession, d: String): DataFrame =
+    gridDbscan(
+      Similarity.randomProjection(Tables.embeddings(spark, d),
+        "vec_id", "embedding", inDims = 64, outDims = 2, salt = "rp")
+        .select(col("vec_id"), col("p0").as("x"), col("p1").as("y")),
+      "vec_id", eps = 0.2, minPts = 5)
+      .select(col("id").as("vec_id"), col("role"), col("cluster"))
+
+  val q213Sql: String = {
+    def proj(j: Int) =
+      s"round(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * " +
+        s"(CASE WHEN ('0x' || substring(md5('rp|$j|' || CAST(i AS VARCHAR)), " +
+        s"1, 15))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END))) / sqrt(2), 6)"
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT vec_id AS id, ${proj(0)} AS x, ${proj(1)} AS y
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |g AS (
+       |  SELECT id, x, y, CAST(floor(x / 0.2) AS BIGINT) AS cx,
+       |    CAST(floor(y / 0.2) AS BIGINT) AS cy
+       |  FROM pts),
+       |pairs AS (
+       |  SELECT p.id AS a, q.id AS b
+       |  FROM g p JOIN g q
+       |    ON q.cx BETWEEN p.cx - 1 AND p.cx + 1
+       |   AND q.cy BETWEEN p.cy - 1 AND p.cy + 1
+       |   AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+       |       <= 0.2 * 0.2),
+       |core AS (SELECT a AS id FROM pairs GROUP BY a
+       |         HAVING count(*) >= 5),
+       |ce AS (
+       |  SELECT p.a AS u, p.b AS v FROM pairs p
+       |  JOIN core c1 ON c1.id = p.a JOIN core c2 ON c2.id = p.b
+       |  WHERE p.a < p.b),
+       |edges AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |  WHERE e.v <> r.u),
+       |comp AS (SELECT u AS id, least(u, min(v)) AS cluster
+       |         FROM reach GROUP BY u),
+       |coreclu AS (
+       |  SELECT c.id, coalesce(k.cluster, c.id) AS cluster
+       |  FROM core c LEFT JOIN comp k USING (id)),
+       |borderclu AS (
+       |  SELECT p.a AS id, min(k.cluster) AS cluster
+       |  FROM pairs p
+       |  JOIN coreclu k ON k.id = p.b
+       |  LEFT JOIN core sc ON sc.id = p.a
+       |  WHERE sc.id IS NULL GROUP BY p.a),
+       |lab AS (
+       |  SELECT id, 'core' AS role, cluster FROM coreclu
+       |  UNION ALL
+       |  SELECT id, 'border', cluster FROM borderclu)
+       |SELECT g.id AS vec_id, coalesce(lab.role, 'noise') AS role,
+       |  coalesce(lab.cluster, -1) AS cluster
+       |FROM g LEFT JOIN lab ON lab.id = g.id""".stripMargin
+  }
 }

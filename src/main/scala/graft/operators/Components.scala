@@ -1808,4 +1808,93 @@ object Components {
       |  GROUP BY 1, 2)
       |SELECT u, v, CAST(sup AS BIGINT) AS support
       |FROM s2 WHERE sup >= 2""".stripMargin
+
+  /** Landmark-sampled harmonic closeness (Boldi–Vigna's centrality
+    * under the standard landmark/pivot estimation): run ONE labeled
+    * multi-source BFS from a fixed small landmark set and score every
+    * node by Σ_l 1/d(l, n) over the landmarks that reach it within
+    * maxHops. Exact closeness is all-pairs (hopeless at 100 TB);
+    * landmarks make it |L| BFS labels carried through the SAME
+    * frontier machinery as [[bfsHops]] — the frontier key is
+    * (landmark, node), per-hop dedup anti-joins only the last two
+    * frontiers (the undirected-parity invariant, per label).
+    *
+    * @param landmarks one column `lm` — node ids; KEEP SMALL (each
+    *                  label multiplies frontier size)
+    * @return per reached node: harmonic (6 dp), n_reached landmarks
+    */
+  def landmarkHarmonicCloseness(edges: DataFrame, srcCol: String,
+      dstCol: String, landmarks: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val dir = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val sym = dir
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seed = landmarks.select(col("lm")).distinct()
+      .select(col("lm"), col("lm").as("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var acc = List(seed)
+    var frontier = seed.select(col("lm"), col("node"))
+    var prevFrontier = frontier.limit(0)
+    var hop = 1
+    var frontierRows = frontier.count()
+    while (hop <= maxHops && frontierRows > 0) {
+      val expanded = frontier.join(sym, frontier("node") === sym("src"))
+        .select(col("lm"), col("dst").as("node"))
+        .distinct()
+      val next = expanded
+        .join(frontier, Seq("lm", "node"), "left_anti")
+        .join(prevFrontier, Seq("lm", "node"), "left_anti")
+        .localCheckpoint()
+      acc = next.select(col("lm"), col("node"), lit(hop).as("hops")) :: acc
+      prevFrontier = frontier
+      frontier = next
+      frontierRows = next.count()
+      hop += 1
+    }
+    acc.reduce(_ unionAll _)
+      .where(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(round(sum(lit(1.0) / col("hops")), 6).as("harmonic"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /** Declared q212: harmonic closeness of the q98 customer–supplier
+    * bipartite graph from the landmark set {custkey < 8}, 4 hops.
+    */
+  def q212Closeness(spark: SparkSession, d: String): DataFrame = {
+    val o = graft.core.Tables.orders(spark, d)
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = graft.core.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val lms = edges.select(col("src").as("lm"))
+      .where(col("lm") < 8).distinct()
+    landmarkHarmonicCloseness(edges, "src", "dst", lms, maxHops = 4)
+  }
+
+  val q212Sql: String =
+    """WITH RECURSIVE edges0 AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_totalprice > 150000),
+      |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+      |lms AS (SELECT DISTINCT src AS lm FROM edges0 WHERE src < 8),
+      |reach(lm, node, d) AS (
+      |  SELECT lm, lm, 0 FROM lms
+      |  UNION
+      |  SELECT r.lm, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.d < 4),
+      |m AS (SELECT lm, node, min(d) AS d FROM reach GROUP BY 1, 2)
+      |SELECT node, round(sum(1.0 / d), 6) AS harmonic,
+      |  CAST(count(*) AS BIGINT) AS n_reached
+      |FROM m WHERE d > 0 GROUP BY node""".stripMargin
 }

@@ -107,4 +107,31 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!flag && cos > 0.9, s"vec $id should be clean, cos=$cos")
     }
   }
+
+  test("gridDbscan: planted blobs, border attaches to min cluster, cross-cell pairs, noise") {
+    val sp = spark; import sp.implicits._
+    // eps=1, minPts=3. Blob A {1,2,3} tight triangle → all core.
+    // Point 4 at (1.2, 0): within eps of core 2 only (2 neighbors incl
+    // self < minPts) → border of A. Blob B {10,11} straddles the cell
+    // boundary at x=1·eps (0.95 vs 1.05 land in DIFFERENT grid cells,
+    // distance 0.1) — plus 12 nearby → core; pairs MUST cross cells.
+    // Point 99 far away → noise.
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 0.0, 0.5),
+      (4L, 1.2, 0.0),
+      (10L, 0.95, 5.0), (11L, 1.05, 5.0), (12L, 1.0, 5.5),
+      (99L, 50.0, 50.0)
+    ).toDF("vec_id", "x", "y")
+    val out = Clustering.gridDbscan(pts, "vec_id", eps = 1.0, minPts = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("role"), r.getAs[Long]("cluster"))).toMap
+    assert(out(1L) === (("core", 1L)))
+    assert(out(2L) === (("core", 1L)))
+    assert(out(3L) === (("core", 1L)))
+    assert(out(4L) === (("border", 1L)))
+    assert(out(10L) === (("core", 10L)))
+    assert(out(11L) === (("core", 10L)))
+    assert(out(12L) === (("core", 10L)))
+    assert(out(99L) === (("noise", -1L)))
+  }
 }

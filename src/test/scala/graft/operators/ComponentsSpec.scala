@@ -527,6 +527,28 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.toSeq === Seq((1L, 2L)))
   }
 
+  test("landmarkHarmonicCloseness: path graph distances by hand; landmarks score each other") {
+    val sp = spark; import sp.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    def run(lms: Seq[Long], hops: Int) =
+      Components.landmarkHarmonicCloseness(path, "s", "t",
+        lms.toDF("lm"), maxHops = hops)
+        .collect().map(r => r.getAs[Long]("node") ->
+          (r.getAs[Double]("harmonic"), r.getAs[Long]("n_reached"))).toMap
+    val one = run(Seq(1L), 4)
+    assert(one(2L) === ((1.0, 1L)))
+    assert(one(3L) === ((0.5, 1L)))
+    assert(math.abs(one(4L)._1 - 1.0 / 3) < 1e-6)
+    assert(one(5L) === ((0.25, 1L)))
+    assert(!one.contains(1L)) // d=0 rows excluded, landmark unscored by itself
+    val two = run(Seq(1L, 5L), 4)
+    assert(two(3L) === ((1.0, 2L))) // 1/2 + 1/2 from both ends
+    assert(two(1L) === ((0.25, 1L))) // reached only by the OTHER landmark
+    // hop budget respected: maxHops=2 never reaches distance 3+
+    val short = run(Seq(1L), 2)
+    assert(!short.contains(4L) && !short.contains(5L))
+  }
+
   test("degreeAssortativity: star is exactly -1, duplicate edges harmless") {
     val sp = spark; import sp.implicits._
     // K1,3: every symmetric endpoint pair is (3,1) or (1,3) → r = −1
