@@ -404,6 +404,10 @@ object SparkEntry {
     "q212_closeness" -> (graft.operators.Components.q212Closeness _),
     // grid-blocked DBSCAN on the 2-D random-projection sketch
     "q213_dbscan" -> (graft.operators.Clustering.q213Dbscan _),
+    // accuracy-weighted crowd-label consensus (one Dawid-Skene round)
+    "q214_consensus" -> (graft.operators.Labeling.q214Consensus _),
+    // Bradley-Terry preference strengths (2 pinned MM iterations)
+    "q215_bradley_terry" -> (graft.operators.Labeling.q215BradleyTerry _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -626,5 +630,7 @@ object SparkEntry {
     "q211_sax" -> graft.operators.TimeSeries.q211Sql,
     "q212_closeness" -> graft.operators.Components.q212Sql,
     "q213_dbscan" -> graft.operators.Clustering.q213Sql,
+    "q214_consensus" -> graft.operators.Labeling.q214Sql,
+    "q215_bradley_terry" -> graft.operators.Labeling.q215Sql,
   )
 }
