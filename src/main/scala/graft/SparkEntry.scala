@@ -408,6 +408,10 @@ object SparkEntry {
     "q214_consensus" -> (graft.operators.Labeling.q214Consensus _),
     // Bradley-Terry preference strengths (2 pinned MM iterations)
     "q215_bradley_terry" -> (graft.operators.Labeling.q215BradleyTerry _),
+    // ROUGE-1/2 clipped n-gram overlap over a pinned doc pairing
+    "q216_rouge" -> (graft.operators.TextAnalysis.q216Rouge _),
+    // univariate logistic regression, 2 pinned IRLS iterations
+    "q217_logistic" -> (graft.operators.Relational.q217Logistic _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -632,5 +636,7 @@ object SparkEntry {
     "q213_dbscan" -> graft.operators.Clustering.q213Sql,
     "q214_consensus" -> graft.operators.Labeling.q214Sql,
     "q215_bradley_terry" -> graft.operators.Labeling.q215Sql,
+    "q216_rouge" -> graft.operators.TextAnalysis.q216Sql,
+    "q217_logistic" -> graft.operators.Relational.q217Sql,
   )
 }

@@ -1801,4 +1801,110 @@ object Relational {
       |  round(var_samp(y), 6) AS var_raw,
       |  round(var_samp(y - th.theta * (x - th.mx)), 6) AS var_cuped
       |FROM u CROSS JOIN th GROUP BY variant, th.theta, th.mx""".stripMargin
+
+  /** Univariate logistic regression by IRLS with a PINNED iteration
+    * budget — [[olsRegression]]'s classification sibling, and the
+    * fitting loop under every calibrated quality-filter threshold
+    * (q91 buckets calibration; this fits the curve). Each iteration
+    * is one weighted-least-squares solve whose 2×2 normal equations
+    * close over FIVE scalar sums:
+    *
+    *   β ← (XᵀWX)⁻¹ XᵀWz,  w = p(1−p),  z = η + (y−p)/w
+    *
+    * so an iteration is ONE map-side-combined aggregate over the
+    * rows and a driver-free broadcast of the 1-row β relation —
+    * nothing driver-side, nothing quadratic, iterations=2 from β=0
+    * (pinned: run-to-convergence is neither oracle-expressible nor
+    * stage-count-deterministic).
+    *
+    * @param rows (xCol, yCol): y ∈ {0,1}
+    * @return one row: b0, b1, n, mean log-likelihood (6 dp)
+    */
+  def logisticIrls(rows: DataFrame, xCol: String, yCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1)
+    val base = rows.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).localCheckpoint()
+    var beta = base.sparkSession.range(1)
+      .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+    for (_ <- 1 to iterations) {
+      val eta = col("b0") + col("b1") * col("x")
+      val p = lit(1.0) / (lit(1.0) + exp(-eta))
+      val w = p * (lit(1.0) - p)
+      val z = eta + (col("y") - p) / w
+      val sums = base.crossJoin(broadcast(beta))
+        .select(w.as("w"), (w * col("x")).as("wx"),
+          (w * col("x") * col("x")).as("wxx"),
+          (w * z).as("wz"), (w * col("x") * z).as("wxz"))
+        .agg(sum(col("w")).as("sw"), sum(col("wx")).as("swx"),
+          sum(col("wxx")).as("swxx"), sum(col("wz")).as("swz"),
+          sum(col("wxz")).as("swxz"))
+      val det = col("sw") * col("swxx") - col("swx") * col("swx")
+      beta = sums.select(
+        ((col("swxx") * col("swz") - col("swx") * col("swxz")) / det)
+          .as("b0"),
+        ((col("sw") * col("swxz") - col("swx") * col("swz")) / det)
+          .as("b1"))
+    }
+    val eta = col("b0") + col("b1") * col("x")
+    base.crossJoin(broadcast(beta))
+      .select(col("b0"), col("b1"),
+        (col("y") * eta - log(lit(1.0) + exp(eta))).as("__ll"))
+      .groupBy(col("b0"), col("b1"))
+      .agg(count(lit(1)).as("n"), round(avg(col("__ll")), 6).as("mean_loglik"))
+      .select(round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+        col("n"), col("mean_loglik"))
+  }
+
+  /** Declared q217: does event volume predict heavy purchasing —
+    * x = ln(1 + user's event count), y = the q124 conversion flag.
+    */
+  def q217Logistic(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .select(log(lit(1.0) + col("ne")).as("x"),
+        when(col("np") >= 14L, 1.0).otherwise(0.0).as("y"))
+    logisticIrls(users, "x", "y", iterations = 2)
+  }
+
+  val q217Sql: String =
+    """WITH u AS (
+      |  SELECT ln(1.0 + count(*)) AS x,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+      |                       ELSE 0 END) >= 14
+      |         THEN 1.0 ELSE 0.0 END AS y
+      |  FROM events GROUP BY user_id),
+      |s1 AS (
+      |  SELECT sum(0.25) AS sw, sum(0.25 * x) AS swx,
+      |    sum(0.25 * x * x) AS swxx,
+      |    sum(0.25 * ((y - 0.5) / 0.25)) AS swz,
+      |    sum(0.25 * x * ((y - 0.5) / 0.25)) AS swxz
+      |  FROM u),
+      |b1 AS (
+      |  SELECT (swxx * swz - swx * swxz) / (sw * swxx - swx * swx) AS b0,
+      |    (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+      |  FROM s1),
+      |s2 AS (
+      |  SELECT
+      |    sum(p * (1 - p)) AS sw,
+      |    sum(p * (1 - p) * x) AS swx,
+      |    sum(p * (1 - p) * x * x) AS swxx,
+      |    sum(p * (1 - p) * (eta + (y - p) / (p * (1 - p)))) AS swz,
+      |    sum(p * (1 - p) * x * (eta + (y - p) / (p * (1 - p)))) AS swxz
+      |  FROM (
+      |    SELECT x, y, b.b0 + b.b1 * x AS eta,
+      |      1.0 / (1.0 + exp(-(b.b0 + b.b1 * x))) AS p
+      |    FROM u CROSS JOIN b1 b)),
+      |b2 AS (
+      |  SELECT (swxx * swz - swx * swxz) / (sw * swxx - swx * swx) AS b0,
+      |    (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
+      |  FROM s2)
+      |SELECT round(b2.b0, 6) AS b0, round(b2.b1, 6) AS b1,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(avg(u.y * (b2.b0 + b2.b1 * u.x)
+      |    - ln(1.0 + exp(b2.b0 + b2.b1 * u.x))), 6) AS mean_loglik
+      |FROM u CROSS JOIN b2 GROUP BY b2.b0, b2.b1""".stripMargin
 }

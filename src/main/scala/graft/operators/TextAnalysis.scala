@@ -1667,6 +1667,144 @@ object TextAnalysis {
   def q205KnBigram(spark: SparkSession, d: String): DataFrame =
     knBigramLogProb(Tables.documents(spark, d), "doc_id", "text")
 
+  /** ROUGE-1/ROUGE-2 (Lin 2004) between paired texts — the n-gram
+    * overlap score summarization/distillation evals run over
+    * hypothesis/reference pairs: clipped overlap
+    * Σ_g min(c_hyp(g), c_ref(g)), precision over hypothesis mass,
+    * recall over reference mass, F1. Distinct from the near-dup
+    * detectors: those find WHICH texts overlap; this SCORES a known
+    * pairing for generation quality.
+    *
+    * Scale shape: both sides explode to (pair, gram) count relations
+    * (map-side combined), the clipped overlap is one (pair, gram)-
+    * keyed equi-join + per-pair sum — never a text×text product; the
+    * pairing relation is the caller's and arbitrary.
+    *
+    * @param pairs (pairIdCol, hypCol, refCol) — one row per pair
+    * @return per pair: r1/r2 overlap + precision/recall/F1 (6 dp);
+    *         empty gram sides score 0, not null
+    */
+  def rougeN(pairs: DataFrame, pairIdCol: String, hypCol: String,
+      refCol: String): DataFrame = {
+    val p = pairs.select(col(pairIdCol).as("pid"),
+      col(hypCol).as("__h"), col(refCol).as("__r"))
+      .localCheckpoint() // both gram sizes consume it twice
+    def gramCounts(textCol: String, n: Int, side: String) = {
+      val toks = split(col(textCol), " ")
+      val grams = if (n == 1) toks else Dedup.spanGrams(toks, n)
+      p.select(col("pid"), explode(grams).as("g"))
+        .groupBy(col("pid"), col("g"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    def scores(n: Int, tag: String) = {
+      val h = gramCounts("__h", n, "h")
+      val r = gramCounts("__r", n, "r")
+      val ov = h.join(r, Seq("pid", "g"))
+        .groupBy(col("pid"))
+        .agg(sum(least(col("c_h"), col("c_r"))).as("__ov"))
+      val th = h.groupBy(col("pid")).agg(sum(col("c_h")).as("__th"))
+      val tr = r.groupBy(col("pid")).agg(sum(col("c_r")).as("__tr"))
+      val pr = when(col("__th") > 0,
+        col("__ov").cast("double") / col("__th")).otherwise(lit(0.0))
+      val rc = when(col("__tr") > 0,
+        col("__ov").cast("double") / col("__tr")).otherwise(lit(0.0))
+      p.select(col("pid"))
+        .join(th, Seq("pid"), "left").join(tr, Seq("pid"), "left")
+        .join(ov, Seq("pid"), "left")
+        .select(col("pid"),
+          coalesce(col("__ov"), lit(0L)).as(s"${tag}_overlap"),
+          round(coalesce(pr, lit(0.0)), 6).as(s"${tag}_precision"),
+          round(coalesce(rc, lit(0.0)), 6).as(s"${tag}_recall"),
+          round(when(coalesce(pr, lit(0.0)) + coalesce(rc, lit(0.0)) > 0,
+            lit(2.0) * pr * rc / (pr + rc)).otherwise(lit(0.0)), 6)
+            .as(s"${tag}_f1"))
+    }
+    scores(1, "r1").join(scores(2, "r2"), Seq("pid"))
+      .withColumnRenamed("pid", pairIdCol)
+  }
+
+  /** Declared q216: each even-id document scored as a "hypothesis"
+    * against the next odd-id document as "reference" — an arbitrary
+    * but engine-replayable pairing that pins the metric machinery.
+    */
+  def q216Rouge(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val hyp = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(col("doc_id").as("pair_id"), col("text").as("hyp"))
+    val ref = docs.select((col("doc_id") - 1).as("pair_id"),
+      col("text").as("ref"))
+    rougeN(hyp.join(ref, Seq("pair_id")), "pair_id", "hyp", "ref")
+  }
+
+  val q216Sql: String =
+    """WITH hyp AS (
+      |  SELECT doc_id AS pid, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |ref AS (
+      |  SELECT doc_id - 1 AS pid, string_split(text, ' ') AS t
+      |  FROM documents WHERE (doc_id - 1) % 2 = 0),
+      |pairs AS (SELECT hyp.pid FROM hyp JOIN ref USING (pid)),
+      |h1 AS (SELECT pid, g, count(*) AS c FROM
+      |  (SELECT pid, unnest(t) AS g FROM hyp
+      |   WHERE pid IN (SELECT pid FROM pairs)) GROUP BY 1, 2),
+      |r1 AS (SELECT pid, g, count(*) AS c FROM
+      |  (SELECT pid, unnest(t) AS g FROM ref
+      |   WHERE pid IN (SELECT pid FROM pairs)) GROUP BY 1, 2),
+      |h2 AS (SELECT pid, g, count(*) AS c FROM
+      |  (SELECT pid, unnest(list_transform(generate_series(1, len(t) - 1),
+      |     i -> t[i] || ' ' || t[i+1])) AS g FROM hyp
+      |   WHERE pid IN (SELECT pid FROM pairs)) GROUP BY 1, 2),
+      |r2 AS (SELECT pid, g, count(*) AS c FROM
+      |  (SELECT pid, unnest(list_transform(generate_series(1, len(t) - 1),
+      |     i -> t[i] || ' ' || t[i+1])) AS g FROM ref
+      |   WHERE pid IN (SELECT pid FROM pairs)) GROUP BY 1, 2),
+      |m1 AS (
+      |  SELECT p.pid,
+      |    coalesce(ov.ov, 0) AS ov, coalesce(th.th, 0) AS th,
+      |    coalesce(tr.tr, 0) AS tr
+      |  FROM pairs p
+      |  LEFT JOIN (SELECT h1.pid, sum(least(h1.c, r1.c)) AS ov
+      |             FROM h1 JOIN r1 USING (pid, g) GROUP BY 1) ov
+      |    ON ov.pid = p.pid
+      |  LEFT JOIN (SELECT pid, sum(c) AS th FROM h1 GROUP BY 1) th
+      |    ON th.pid = p.pid
+      |  LEFT JOIN (SELECT pid, sum(c) AS tr FROM r1 GROUP BY 1) tr
+      |    ON tr.pid = p.pid),
+      |m2 AS (
+      |  SELECT p.pid,
+      |    coalesce(ov.ov, 0) AS ov, coalesce(th.th, 0) AS th,
+      |    coalesce(tr.tr, 0) AS tr
+      |  FROM pairs p
+      |  LEFT JOIN (SELECT h2.pid, sum(least(h2.c, r2.c)) AS ov
+      |             FROM h2 JOIN r2 USING (pid, g) GROUP BY 1) ov
+      |    ON ov.pid = p.pid
+      |  LEFT JOIN (SELECT pid, sum(c) AS th FROM h2 GROUP BY 1) th
+      |    ON th.pid = p.pid
+      |  LEFT JOIN (SELECT pid, sum(c) AS tr FROM r2 GROUP BY 1) tr
+      |    ON tr.pid = p.pid),
+      |sc1 AS (
+      |  SELECT pid, CAST(ov AS BIGINT) AS r1_overlap,
+      |    CASE WHEN th > 0 THEN CAST(ov AS DOUBLE) / th ELSE 0.0 END AS p,
+      |    CASE WHEN tr > 0 THEN CAST(ov AS DOUBLE) / tr ELSE 0.0 END AS r
+      |  FROM m1),
+      |sc2 AS (
+      |  SELECT pid, CAST(ov AS BIGINT) AS r2_overlap,
+      |    CASE WHEN th > 0 THEN CAST(ov AS DOUBLE) / th ELSE 0.0 END AS p,
+      |    CASE WHEN tr > 0 THEN CAST(ov AS DOUBLE) / tr ELSE 0.0 END AS r
+      |  FROM m2)
+      |SELECT sc1.pid AS pair_id,
+      |  sc1.r1_overlap, round(sc1.p, 6) AS r1_precision,
+      |  round(sc1.r, 6) AS r1_recall,
+      |  round(CASE WHEN sc1.p + sc1.r > 0
+      |    THEN 2.0 * sc1.p * sc1.r / (sc1.p + sc1.r) ELSE 0.0 END, 6)
+      |    AS r1_f1,
+      |  sc2.r2_overlap, round(sc2.p, 6) AS r2_precision,
+      |  round(sc2.r, 6) AS r2_recall,
+      |  round(CASE WHEN sc2.p + sc2.r > 0
+      |    THEN 2.0 * sc2.p * sc2.r / (sc2.p + sc2.r) ELSE 0.0 END, 6)
+      |    AS r2_f1
+      |FROM sc1 JOIN sc2 USING (pid)""".stripMargin
+
   val q205Sql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bg AS (

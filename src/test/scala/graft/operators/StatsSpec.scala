@@ -424,4 +424,39 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // contrast identical raw vs adjusted (balanced x ⇒ no bias)
     assert(out(1L)._3 - out(0L)._3 === 10.0)
   }
+
+  test("logisticIrls: matches a local replay of 2 IRLS steps; slope sign is right") {
+    val sp = spark; import sp.implicits._
+    val data = Seq((0.0, 0.0), (1.0, 0.0), (2.0, 1.0), (3.0, 1.0))
+    val out = Relational.logisticIrls(
+      data.toDF("x", "y"), "x", "y", iterations = 2).collect().head
+    // local replica of the pinned recurrence
+    var (b0, b1) = (0.0, 0.0)
+    for (_ <- 1 to 2) {
+      val rows = data.map { case (x, y) =>
+        val eta = b0 + b1 * x
+        val p = 1.0 / (1.0 + math.exp(-eta))
+        val w = p * (1 - p)
+        (x, w, eta + (y - p) / w)
+      }
+      val sw = rows.map(_._2).sum
+      val swx = rows.map(r => r._2 * r._1).sum
+      val swxx = rows.map(r => r._2 * r._1 * r._1).sum
+      val swz = rows.map(r => r._2 * r._3).sum
+      val swxz = rows.map(r => r._2 * r._1 * r._3).sum
+      val det = sw * swxx - swx * swx
+      val nb0 = (swxx * swz - swx * swxz) / det
+      val nb1 = (sw * swxz - swx * swz) / det
+      b0 = nb0; b1 = nb1
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.getAs[Double]("b0") - r6(b0)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("b1") - r6(b1)) < 1e-9)
+    assert(out.getAs[Long]("n") === 4L)
+    assert(out.getAs[Double]("b1") > 0, "separating data needs a positive slope")
+    val ll = data.map { case (x, y) =>
+      y * (b0 + b1 * x) - math.log(1 + math.exp(b0 + b1 * x)) }.sum / 4
+    assert(math.abs(out.getAs[Double]("mean_loglik") - r6(ll)) < 1e-6)
+  }
 }

@@ -402,4 +402,34 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a 1-token doc has no bigrams and must be absent, not zero-scored
     assert(!out.contains(4L))
   }
+
+  test("rougeN: hand-computed clipped overlaps; repeats clip; empty bigram side scores 0") {
+    val sp = spark; import sp.implicits._
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat ate food"),
+      (2L, "a a a", "a"), // clipping: overlap is min(3,1)=1, not 3
+      (3L, "solo", "solo") // no bigrams on either side
+    ).toDF("pair_id", "hyp", "ref")
+    val out = TextAnalysis.rougeN(pairs, "pair_id", "hyp", "ref")
+      .collect().map(r => r.getAs[Long]("pair_id") -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p1 = out(1L)
+    assert(p1.getAs[Long]("r1_overlap") === 2L) // the, cat
+    assert(p1.getAs[Double]("r1_precision") === r6(2.0 / 3))
+    assert(p1.getAs[Double]("r1_recall") === 0.5)
+    assert(p1.getAs[Double]("r1_f1") ===
+      r6(2 * (2.0 / 3) * 0.5 / (2.0 / 3 + 0.5)))
+    assert(p1.getAs[Long]("r2_overlap") === 1L) // "the cat"
+    assert(p1.getAs[Double]("r2_precision") === 0.5)
+    assert(p1.getAs[Double]("r2_recall") === r6(1.0 / 3))
+    val p2 = out(2L)
+    assert(p2.getAs[Long]("r1_overlap") === 1L)
+    assert(p2.getAs[Double]("r1_precision") === r6(1.0 / 3))
+    assert(p2.getAs[Double]("r1_recall") === 1.0)
+    val p3 = out(3L)
+    assert(p3.getAs[Long]("r1_overlap") === 1L)
+    assert(p3.getAs[Long]("r2_overlap") === 0L)
+    assert(p3.getAs[Double]("r2_f1") === 0.0)
+  }
 }
