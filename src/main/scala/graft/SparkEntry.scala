@@ -412,6 +412,10 @@ object SparkEntry {
     "q216_rouge" -> (graft.operators.TextAnalysis.q216Rouge _),
     // univariate logistic regression, 2 pinned IRLS iterations
     "q217_logistic" -> (graft.operators.Relational.q217Logistic _),
+    // mutual-best 1:1 assignment over the q140 linkage scores
+    "q218_mutual_best" -> (graft.operators.Linkage.q218MutualBest _),
+    // per-document span novelty (doc-level readout of q210's inventory)
+    "q219_novelty" -> (graft.operators.Dedup.q219SpanNovelty _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -638,5 +642,7 @@ object SparkEntry {
     "q215_bradley_terry" -> graft.operators.Labeling.q215Sql,
     "q216_rouge" -> graft.operators.TextAnalysis.q216Sql,
     "q217_logistic" -> graft.operators.Relational.q217Sql,
+    "q218_mutual_best" -> graft.operators.Linkage.q218Sql,
+    "q219_novelty" -> graft.operators.Dedup.q219Sql,
   )
 }

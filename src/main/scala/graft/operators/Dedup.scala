@@ -523,6 +523,65 @@ object Dedup {
     duplicatedSpans(Tables.documents(spark, d), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  /** Per-document span NOVELTY — the document-level readout of the
+    * q210 inventory: what fraction of a document's n-token span
+    * positions is content seen in NO other document. The Gopher/
+    * RefinedWeb-style duplication filters threshold exactly this
+    * number (docs that are mostly recycled boilerplate score low and
+    * get dropped or down-weighted).
+    *
+    * Scale shape: the same (span, doc) partial-count aggregate as
+    * [[duplicatedSpans]], a span-keyed doc-count rollup, one join
+    * back on the span key, one doc-keyed sum. The join's build side
+    * is span-domain-bounded per key; hot boilerplate spans are high
+    * doc-count keys that arrive pre-combined.
+    *
+    * @return per doc with ≥ 1 span: n_spans, dup_spans (positions
+    *         whose text recurs elsewhere), novelty ∈ [0,1] (6 dp)
+    */
+  def spanNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(spanGrams(split(col(textCol), " "), n)).as("span"))
+      .groupBy(col("span"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumed by the rollup and the join back
+    val reach = perDoc.groupBy(col("span"))
+      .agg(count(lit(1)).as("__docs"))
+    perDoc.join(reach, Seq("span"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_spans"),
+        sum(when(col("__docs") >= 2, col("__c")).otherwise(0L))
+          .as("dup_spans"))
+      .select(col("__id").as(idCol), col("n_spans"), col("dup_spans"),
+        round(lit(1.0) - col("dup_spans").cast("double") / col("n_spans"), 6)
+          .as("novelty"))
+  }
+
+  /** Declared q219: 8-token span novelty per fixture document. */
+  def q219SpanNovelty(spark: SparkSession, d: String): DataFrame =
+    spanNovelty(Tables.documents(spark, d), "doc_id", "text", n = 8)
+
+  val q219Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 7),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |           toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |           toks[i+6] || ' ' || toks[i+7])) AS span
+      |  FROM t),
+      |pd AS (SELECT span, doc_id, count(*) AS c FROM g GROUP BY 1, 2),
+      |reach AS (SELECT span, count(*) AS docs FROM pd GROUP BY 1)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+      |    AS dup_spans,
+      |  round(1.0 - CAST(sum(CASE WHEN docs >= 2 THEN c ELSE 0 END)
+      |    AS DOUBLE) / sum(c), 6) AS novelty
+      |FROM pd JOIN reach USING (span) GROUP BY doc_id""".stripMargin
+
   val q210Sql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
       |           FROM documents),

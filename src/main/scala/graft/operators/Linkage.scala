@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -130,4 +131,63 @@ object Linkage {
        | AND a.p_partkey < b.p_partkey
        |WHERE ($weight) > $floor""".stripMargin
   }
+
+  /** Mutual-best 1:1 assignment over scored candidate pairs — the step
+    * BETWEEN pairwise linkage scores ([[felligiSunterScores]]) and a
+    * merged entity: each record may link to many candidates, but a
+    * golden-record merge needs at most ONE partner, and the standard
+    * deterministic rule is symmetric-best ("stable roommates, round
+    * one"): keep a pair iff each side is the other's argmax. Scores
+    * round to 6 dp before the argmax and ties break to the smaller
+    * partner id, so the assignment is engine-reproducible.
+    *
+    * Scale shape: one explode to directed proposals, one per-node
+    * rank window (WindowGroupLimit prunes to the top row per node
+    * inside each partition), one self-equi-join of the |nodes|-sized
+    * best relation. Never quadratic beyond the input pair relation.
+    */
+  def mutualBestMatch(scored: DataFrame, aCol: String, bCol: String,
+      scoreCol: String): DataFrame = {
+    val pairs = scored.select(col(aCol).as("a"), col(bCol).as("b"),
+      round(col(scoreCol), 6).as("w"))
+    val directed = pairs
+      .select(explode(array(
+        struct(col("a").as("me"), col("b").as("partner"), col("w")),
+        struct(col("b").as("me"), col("a").as("partner"), col("w"))))
+        .as("e"))
+      .select(col("e.me").as("me"), col("e.partner").as("partner"),
+        col("e.w").as("w"))
+    val byScore = Window.partitionBy(col("me"))
+      .orderBy(col("w").desc, col("partner"))
+    val best = directed
+      .withColumn("__rk", row_number().over(byScore))
+      .where(col("__rk") === 1)
+      .select(col("me"), col("partner"), col("w"))
+    best.as("x").join(best.as("y"),
+        col("x.me") === col("y.partner") && col("x.partner") === col("y.me"))
+      .where(col("x.me") < col("x.partner"))
+      .select(col("x.me").as(aCol), col("x.partner").as(bCol),
+        col("x.w").as("match_weight"))
+  }
+
+  /** Declared q218: the q140 scored pairs resolved to a 1:1 matching. */
+  def q218MutualBest(spark: SparkSession, d: String): DataFrame =
+    mutualBestMatch(q140LinkageScores(spark, d),
+      "a_id", "b_id", "match_weight")
+
+  val q218Sql: String =
+    s"""WITH scored AS (${q140Sql}),
+       |directed AS (
+       |  SELECT a_id AS me, b_id AS partner,
+       |    round(match_weight, 6) AS w FROM scored
+       |  UNION ALL
+       |  SELECT b_id, a_id, round(match_weight, 6) FROM scored),
+       |best AS (
+       |  SELECT me, partner, w FROM directed
+       |  QUALIFY row_number() OVER (PARTITION BY me
+       |    ORDER BY w DESC, partner) = 1)
+       |SELECT x.me AS a_id, x.partner AS b_id, x.w AS match_weight
+       |FROM best x JOIN best y
+       |  ON y.me = x.partner AND y.partner = x.me
+       |WHERE x.me < x.partner""".stripMargin
 }

@@ -146,4 +146,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(all === Map("x y" -> 2L, "y x" -> 2L))
   }
+
+  test("spanNovelty: shared spans count against novelty; unique doc scores 1; short docs absent") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 x"), // spans: [w1..w4] (shared), [w2..x] (unique)
+      (2L, "a w1 w2 w3 w4"), // spans: [a..w3] (unique), [w1..w4] (shared)
+      (3L, "p q r s t"), // both spans unique -> novelty 1
+      (4L, "too short") // no 4-token span -> absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanNovelty(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 1.0)))
+    assert(!out.contains(4L))
+  }
 }

@@ -45,4 +45,22 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((1L, 3L))._2 === "non_match")
     assert(math.abs(out((2L, 3L))._1 - none) < 1e-12)
   }
+
+  test("mutualBestMatch: only symmetric argmaxes survive; ties break to min partner") {
+    val sp = spark; import sp.implicits._
+    // chain 1-2-3-4 with weights 5,7,6: best(2)=3 and best(3)=2 agree;
+    // 1 wants 2 (unreciprocated), 4 wants 3 (unreciprocated)
+    val chain = Seq((1L, 2L, 5.0), (2L, 3L, 7.0), (3L, 4L, 6.0))
+      .toDF("a_id", "b_id", "match_weight")
+    val out = Linkage.mutualBestMatch(chain, "a_id", "b_id", "match_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 3L, 7.0)))
+    // exact tie: 1's candidates 2 and 3 at equal weight -> min partner
+    // (2) wins, and since 1 is 2's only candidate the pair is mutual
+    val tie = Seq((1L, 2L, 5.0), (1L, 3L, 5.0))
+      .toDF("a_id", "b_id", "match_weight")
+    val out2 = Linkage.mutualBestMatch(tie, "a_id", "b_id", "match_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out2.toSeq === Seq((1L, 2L)))
+  }
 }
