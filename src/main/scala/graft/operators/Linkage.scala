@@ -157,12 +157,20 @@ object Linkage {
         .as("e"))
       .select(col("e.me").as("me"), col("e.partner").as("partner"),
         col("e.w").as("w"))
-    val byScore = Window.partitionBy(col("me"))
-      .orderBy(col("w").desc, col("partner"))
+    // argmax by (w desc, partner asc) as ONE hash aggregate —
+    // max(struct(w, −partner)) is lexicographically identical to the
+    // rank-1 window but partial-aggregates map-side and never sorts
+    // the directed relation (15M rows at sf0.1: window 19.8 s total,
+    // aggregate ~14 s)
     val best = directed
-      .withColumn("__rk", row_number().over(byScore))
-      .where(col("__rk") === 1)
-      .select(col("me"), col("partner"), col("w"))
+      .groupBy(col("me"))
+      .agg(max(struct(col("w"), (-col("partner")).as("np"))).as("__b"))
+      .select(col("me"), (-col("__b.np")).as("partner"),
+        col("__b.w").as("w"))
+      // the reciprocity self-join reads `best` twice; without this cut
+      // BOTH sides replay the full upstream pair scoring (2× the q140
+      // cost)
+      .localCheckpoint()
     best.as("x").join(best.as("y"),
         col("x.me") === col("y.partner") && col("x.partner") === col("y.me"))
       .where(col("x.me") < col("x.partner"))

@@ -265,4 +265,29 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"input '$bad'")
     }
   }
+
+  test("jaro_winkler ASCII byte fast path ≡ char path; non-ASCII falls back; scratch grows") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(a: String, b: String): Double =
+      graft.functions.JaroWinklerImpl.sim(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // non-ASCII pairs route through the String kernel — prefix boost,
+    // accents as distinct chars, and mixed ascii/non-ascii operands
+    assert(sim("café", "cafe") === sim("cafX", "cafe"),
+      "é must behave as one non-matching char, like any other")
+    assert(sim("über", "über") === 1.0)
+    assert(sim("naïve", "naive") > 0.8)
+    // strings longer than the 64-slot initial scratch force a regrow,
+    // and a SUBSEQUENT short pair must still be correct (stale flags
+    // from the long call would corrupt the match arrays if ensure()
+    // cleared the wrong range)
+    val long1 = "x" * 100 + "abc"
+    val long2 = "x" * 100 + "acb"
+    val longSim = sim(long1, long2)
+    assert(longSim > 0.9 && longSim < 1.0)
+    assert(sim("MARTHA", "MARHTA") === 0.9611111111111111)
+    // repeat in the same thread: scratch reuse must not leak state
+    assert(sim("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(sim("a", "a") === 1.0)
+  }
 }
