@@ -57,7 +57,8 @@ object Linkage {
       nameU: Double,
       fields: Seq[(String, Double, Double)],
       upperT: Double,
-      lowerT: Double): DataFrame = {
+      lowerT: Double,
+      informativeOnly: Boolean = false): DataFrame = {
     val fieldCols = fields.map(_._1)
     val a = records.select(
       (col(idCol).as("a_id") +: col(nameCol).as("a_name") +:
@@ -76,8 +77,28 @@ object Linkage {
       case (acc, (f, m, u)) =>
         acc + fieldWeight(col(s"a_$f") === col(s"b_$f"), m, u)
     }
-    a.join(b, Seq("block"))
+    // informativeOnly drops the all-disagree mass BEFORE the jw/weight
+    // projection, as a disjunction over RAW columns: a floor filter
+    // applied after the projection gets its weight expression (jw
+    // included) inlined back into the filter by CollapseProject +
+    // predicate pushdown, running the full kernel on every blocked
+    // pair AND again per survivor (32.5M kernels for 25M pairs at
+    // sf0.1). The cheap field-equality terms short-circuit first, so
+    // the name kernel runs only on field-disagree pairs plus once per
+    // survivor (~27.5M) — measured 8.1 → 7.7 s. The histogram-gated
+    // kernel (jaroWinklerGte) measured WORSE here (9.4 s): same-block
+    // names share most letters, so the admission bound almost never
+    // rejects and its histograms are pure overhead.
+    val pairs0 = a.join(b, Seq("block"))
       .where(col("a_id") < col("b_id"))
+    val pairs =
+      if (!informativeOnly) pairs0
+      else pairs0.where(fieldCols
+        .map(f => col(s"a_$f") === col(s"b_$f"))
+        .reduce(_ || _) ||
+        graft.functions.GraftFunctions.jaroWinkler(
+          col("a_name"), col("b_name")) >= nameTheta)
+    pairs
       .withColumn("jw", jw)
       .withColumn("match_weight", weight)
       .select(
@@ -101,14 +122,12 @@ object Linkage {
       substring_index(col("name"), " ", 1),
       nameTheta = 0.92, nameM = 0.9, nameU = 0.05,
       fields = Seq(("p_brand", 0.95, 0.2), ("p_type", 0.9, 0.25)),
-      upperT = 6.0, lowerT = 2.0)
+      upperT = 6.0, lowerT = 2.0,
       // volume control for the declared relation: keep scored pairs
-      // that agree on at least one axis (weight above the all-disagree
-      // floor) — the all-disagree mass carries no linkage information
-      .where(col("match_weight") > lit(
-        math.log((1 - 0.9) / (1 - 0.05)) / math.log(2.0) +
-          math.log((1 - 0.95) / (1 - 0.2)) / math.log(2.0) +
-          math.log((1 - 0.9) / (1 - 0.25)) / math.log(2.0) + 0.001))
+      // that agree on at least one axis — exactly "weight above the
+      // all-disagree floor" (any agreement term is positive), pushed
+      // into the builder so the filter never re-inlines the kernel
+      informativeOnly = true)
 
   val q140Sql: String = {
     def w(agree: String, m: Double, u: Double): String =
