@@ -416,6 +416,10 @@ object SparkEntry {
     "q218_mutual_best" -> (graft.operators.Linkage.q218MutualBest _),
     // per-document span novelty (doc-level readout of q210's inventory)
     "q219_novelty" -> (graft.operators.Dedup.q219SpanNovelty _),
+    // longest-shared-passage depth estimate (pinned 8/16/32 levels)
+    "q220_passage_depth" -> (graft.operators.Dedup.q220PassageDepth _),
+    // sampling-temperature mixture weights (n^alpha balance)
+    "q221_temperature_mix" -> (graft.operators.CorpusOps.q221TemperatureMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -644,5 +648,7 @@ object SparkEntry {
     "q217_logistic" -> graft.operators.Relational.q217Sql,
     "q218_mutual_best" -> graft.operators.Linkage.q218Sql,
     "q219_novelty" -> graft.operators.Dedup.q219Sql,
+    "q220_passage_depth" -> graft.operators.Dedup.q220Sql,
+    "q221_temperature_mix" -> graft.operators.CorpusOps.q221Sql,
   )
 }

@@ -1115,4 +1115,52 @@ object CorpusOps {
       |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
       |  count(*) / max(n.n) AS frac
       |FROM f CROSS JOIN n GROUP BY stage""".stripMargin
+
+  /** Sampling-temperature mixture weights (mBERT/XLM-R's
+    * exponentiated-share scheme): a group's sampling share is
+    * p_g ∝ n_g^α with α ∈ (0,1] — α = 1 reproduces the natural
+    * distribution, α → 0 flattens it, and the boost column
+    * (temp share / natural share) is the per-group up/down-sampling
+    * factor the q75 mixer would be fed. THE multilingual-balance
+    * knob: without it, low-resource languages starve.
+    *
+    * Scale shape: one hash aggregate to group counts, one broadcast
+    * scalar normalizer, one projection — group-domain-bounded after
+    * the single pass.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__tot"),
+      sum(pow(col("n_docs").cast("double"), alpha)).as("__ptot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__tot"), 6)
+          .as("natural_share"),
+        round(pow(col("n_docs").cast("double"), alpha) / col("__ptot"), 6)
+          .as("temp_share"),
+        round((pow(col("n_docs").cast("double"), alpha) / col("__ptot")) /
+          (col("n_docs").cast("double") / col("__tot")), 6).as("boost"))
+  }
+
+  /** Declared q221: language balance at temperature α = 0.5. */
+  def q221TemperatureMix(spark: SparkSession, d: String): DataFrame =
+    temperatureMixture(
+      graft.core.Tables.documents(spark, d), "lang", alpha = 0.5)
+
+  val q221Sql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n_docs) AS DOUBLE) AS tot,
+      |    sum(pow(CAST(n_docs AS DOUBLE), 0.5)) AS ptot
+      |  FROM c)
+      |SELECT lang, n_docs,
+      |  round(n_docs / t.tot, 6) AS natural_share,
+      |  round(pow(CAST(n_docs AS DOUBLE), 0.5) / t.ptot, 6) AS temp_share,
+      |  round((pow(CAST(n_docs AS DOUBLE), 0.5) / t.ptot) /
+      |    (n_docs / t.tot), 6) AS boost
+      |FROM c CROSS JOIN t""".stripMargin
 }

@@ -582,6 +582,96 @@ object Dedup {
       |    AS DOUBLE) / sum(c), 6) AS novelty
       |FROM pd JOIN reach USING (span) GROUP BY doc_id""".stripMargin
 
+  /** Longest-shared-passage DEPTH estimate between document pairs —
+    * pinned span levels (8/16/32 tokens) instead of a suffix-array
+    * LCS: a pair's depth is the largest level at which they share a
+    * verbatim span. The level ladder is the scalable stand-in for
+    * "how long is the longest common passage" (exact LCS is
+    * quadratic per pair; levels are three linear passes), and the
+    * answer drives the same decision — dedup at depth 32, attribute
+    * at 16, ignore at 8.
+    *
+    * Scale shape per level: distinct (doc, span) → span-keyed
+    * document-frequency cap (df ≤ maxDf, the q138 lesson: boilerplate
+    * spans are hot keys whose pair blowup is quadratic — they carry
+    * no pair-specific signal and are DROPPED, documented behavior) →
+    * span-keyed self-join → pair aggregate. Union of three levels,
+    * one final pair-keyed rollup.
+    *
+    * @return per sharing pair (a < b): n_shared_8 (distinct capped
+    *         8-spans shared; 0 when only a longer uncapped span
+    *         survives the cap), depth ∈ {8, 16, 32}
+    */
+  def passageOverlapDepth(docs: DataFrame, idCol: String,
+      textCol: String, levels: Seq[Int] = Seq(8, 16, 32),
+      maxDf: Int = 50): DataFrame = {
+    require(levels.nonEmpty && levels == levels.sorted)
+    val toks = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
+      .localCheckpoint() // re-tokenize once, not once per level
+    def pairsAt(n: Int): DataFrame = {
+      val perDoc = toks
+        .select(col("__id"),
+          explode(array_distinct(spanGrams(col("__t"), n))).as("span"))
+      val kept = perDoc.join(
+        perDoc.groupBy(col("span")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDf)
+          .select(col("span")),
+        Seq("span"), "left_semi")
+      kept.select(col("span"), col("__id").as("a"))
+        .join(kept.select(col("span"), col("__id").as("b")), Seq("span"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("__n"))
+        .select(col("a"), col("b"), col("__n"), lit(n).as("__lvl"))
+    }
+    levels.map(pairsAt).reduce(_ unionAll _)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("__lvl") === levels.head, col("__n"))
+        .otherwise(0L)).as("n_shared_base"),
+        max(col("__lvl")).as("depth"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("n_shared_base").as("n_shared_8"),
+        col("depth").cast("long").as("depth"))
+  }
+
+  /** Declared q220: shared-passage depth over the fixture corpus. */
+  def q220PassageDepth(spark: SparkSession, d: String): DataFrame =
+    passageOverlapDepth(Tables.documents(spark, d), "doc_id", "text")
+
+  val q220Sql: String = {
+    def lvl(n: Int): String =
+      s"""  SELECT a.id AS a, b.id AS b, count(*) AS n, $n AS lvl
+         |  FROM sp$n a JOIN sp$n b ON a.span = b.span AND a.id < b.id
+         |  WHERE a.span IN (SELECT span FROM sp$n GROUP BY span
+         |                   HAVING count(*) <= 50)
+         |  GROUP BY 1, 2""".stripMargin
+    def spans(n: Int): String = {
+      val cat = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""sp$n AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |    unnest(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - ${n - 1}), i -> $cat))) AS span
+         |  FROM t)""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |${spans(8)},
+       |${spans(16)},
+       |${spans(32)},
+       |u AS (
+       |${lvl(8)}
+       |  UNION ALL
+       |${lvl(16)}
+       |  UNION ALL
+       |${lvl(32)})
+       |SELECT a AS doc_a, b AS doc_b,
+       |  CAST(sum(CASE WHEN lvl = 8 THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_shared_8,
+       |  CAST(max(lvl) AS BIGINT) AS depth
+       |FROM u GROUP BY 1, 2""".stripMargin
+  }
+
   val q210Sql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
       |           FROM documents),

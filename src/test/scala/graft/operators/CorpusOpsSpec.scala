@@ -551,4 +551,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "1_too_short" -> ((1L, 0.25)), "2_repetitive" -> ((1L, 0.25)),
       "3_token_soup" -> ((1L, 0.25)), "4_pass" -> ((1L, 0.25))))
   }
+
+  test("temperatureMixture: closed-form 81/1 split at alpha=0.5; alpha=1 is natural") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 81).map(_ => "big") ++ Seq("small")).toDF("g")
+    val out = CorpusOps.temperatureMixture(df, "g", alpha = 0.5)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("natural_share"),
+          r.getAs[Double]("temp_share"), r.getAs[Double]("boost"))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ptot = sqrt(81) + sqrt(1) = 10
+    assert(out("big") === ((81L, r6(81.0 / 82), 0.9, r6(0.9 / (81.0 / 82)))))
+    assert(out("small") === ((1L, r6(1.0 / 82), 0.1, r6(0.1 * 82))))
+    // alpha = 1 reproduces the natural distribution exactly (boost 1)
+    val nat = CorpusOps.temperatureMixture(df, "g", alpha = 1.0)
+      .collect().map(r => r.getAs[Double]("boost"))
+    assert(nat.forall(_ === 1.0))
+  }
 }

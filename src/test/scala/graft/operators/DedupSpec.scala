@@ -164,4 +164,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ((2L, 0L, 1.0)))
     assert(!out.contains(4L))
   }
+
+  test("passageOverlapDepth: deeper shared spans raise depth; hot spans capped out") {
+    val sp = spark; import sp.implicits._
+    // levels (2,4): docs 1/2 share a 4-token passage -> depth 4 with
+    // three shared base (2-token) spans; docs 1/3 share ONLY the
+    // 2-token span "d x1" -> depth 2; docs 5/6/7 share a span in
+    // 3 docs > maxDf=2 -> capped away, no pairs at all
+    val docs = Seq(
+      (1L, "a b c d x1"), (2L, "y1 a b c d"), (3L, "d x1 z1 z2 z3"),
+      (5L, "hot span p1"), (6L, "hot span p2"), (7L, "hot span p3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageOverlapDepth(docs, "doc_id", "text",
+      levels = Seq(2, 4), maxDf = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_shared_8"), r.getAs[Long]("depth"))).toMap
+    assert(out((1L, 2L)) === ((3L, 4L))) // "a b","b c","c d" + the 4-span
+    assert(out((1L, 3L)) === ((1L, 2L))) // only "d x1"
+    assert(!out.keys.exists(p => p._1 >= 5L),
+      s"capped hot span must produce no pairs: ${out.keys}")
+    assert(out.size === 2)
+  }
 }
