@@ -420,6 +420,12 @@ object SparkEntry {
     "q220_passage_depth" -> (graft.operators.Dedup.q220PassageDepth _),
     // sampling-temperature mixture weights (n^alpha balance)
     "q221_temperature_mix" -> (graft.operators.CorpusOps.q221TemperatureMix _),
+    // kNN label probe (majority vote over brute cosine top-10)
+    "q222_knn_label" -> (graft.operators.Similarity.q222KnnLabel _),
+    // per-label classifier report over the kNN predictions
+    "q223_knn_report" -> (graft.operators.Similarity.q223KnnReport _),
+    // c-TF-IDF cluster keywords (top-5 per embedding label)
+    "q224_ctfidf" -> (graft.operators.Clustering.q224CtfidfKeywords _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -650,5 +656,8 @@ object SparkEntry {
     "q219_novelty" -> graft.operators.Dedup.q219Sql,
     "q220_passage_depth" -> graft.operators.Dedup.q220Sql,
     "q221_temperature_mix" -> graft.operators.CorpusOps.q221Sql,
+    "q222_knn_label" -> graft.operators.Similarity.q222Sql,
+    "q223_knn_report" -> graft.operators.Similarity.q223Sql,
+    "q224_ctfidf" -> graft.operators.Clustering.q224Sql,
   )
 }

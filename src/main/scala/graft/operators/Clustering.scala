@@ -223,6 +223,81 @@ object Clustering {
        |FROM embeddings p JOIN cent c USING (label)""".stripMargin
   }
 
+  /** Class-based TF-IDF cluster keywords (BERTopic's c-TF-IDF,
+    * Grootendorst 2022): treat each class as ONE concatenated
+    * document and score term t in class c as
+    *
+    *   tf_{t,c} · ln(1 + A / f_t)
+    *
+    * with A the mean token count per class and f_t the term's corpus
+    * frequency — the top-scoring terms ARE the cluster's label. This
+    * is the "what is this cluster about" step after q162/q213 produce
+    * cluster assignments.
+    *
+    * Scale shape: one token explode → (class, term) hash aggregate
+    * (map-combined) → term-keyed marginal + two broadcast scalars →
+    * per-class rank window (WindowGroupLimit prunes to k inside each
+    * partition). Class count scales out; nothing is ever pairwise.
+    *
+    * @return top-k per class: label, term, rank, score (6 dp)
+    */
+  def cTfIdfKeywords(docs: DataFrame, classCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tc = docs
+      .select(col(classCol).as("label"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("label"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // feeds the term marginal, class sizes, and scoring
+    val ft = tc.groupBy(col("term")).agg(sum(col("__tf")).as("__ft"))
+    val a = tc.groupBy(col("label")).agg(sum(col("__tf")).as("__sz"))
+      .agg(avg(col("__sz")).as("__a"))
+    val byScore = Window.partitionBy(col("label"))
+      .orderBy(col("__score").desc, col("term"))
+    tc.join(ft, Seq("term"))
+      .crossJoin(broadcast(a))
+      .withColumn("__score",
+        round(col("__tf") * log(lit(1.0) + col("__a") / col("__ft")), 6))
+      .withColumn("rank", row_number().over(byScore))
+      .where(col("rank") <= k)
+      .select(col("label"), col("term"), col("rank").cast("long").as("rank"),
+        col("__score").as("score"))
+  }
+
+  /** Declared q224: top-5 keywords per embedding label, using the
+    * document text paired by id (vec_id ↔ doc_id).
+    */
+  def q224CtfidfKeywords(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val labels = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    cTfIdfKeywords(docs.join(labels, Seq("doc_id")), "label", "text", k = 5)
+  }
+
+  val q224Sql: String =
+    """WITH j AS (
+      |  SELECT e.label, d.text FROM documents d
+      |  JOIN embeddings e ON e.vec_id = d.doc_id),
+      |tc AS (
+      |  SELECT label, unnest(string_split(text, ' ')) AS term
+      |  FROM j),
+      |cnt AS (SELECT label, term, count(*) AS tf FROM tc GROUP BY 1, 2),
+      |ft AS (SELECT term, sum(tf) AS ft FROM cnt GROUP BY 1),
+      |a AS (SELECT avg(sz) AS a FROM
+      |  (SELECT label, sum(tf) AS sz FROM cnt GROUP BY 1)),
+      |sc AS (
+      |  SELECT cnt.label, cnt.term,
+      |    round(cnt.tf * ln(1.0 + a.a / ft.ft), 6) AS score
+      |  FROM cnt JOIN ft USING (term) CROSS JOIN a)
+      |SELECT label, term,
+      |  CAST(row_number() OVER (PARTITION BY label
+      |    ORDER BY score DESC, term) AS BIGINT) AS rank,
+      |  score
+      |FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY label
+      |  ORDER BY score DESC, term) <= 5""".stripMargin
+
   /** Grid-blocked DBSCAN over a 2-D point set — density clustering,
     * the shape-agnostic complement to [[sphericalKMeans]] (k-means
     * carves convex cells; DBSCAN finds arbitrarily-shaped dense

@@ -384,6 +384,140 @@ object Similarity {
     randomProjection(Tables.embeddings(spark, d), "vec_id", "embedding",
       inDims = 64, outDims = 8, salt = "rp")
 
+  /** k-NN label probe — the standard embedding-quality eval: predict
+    * each held-out vector's label by majority vote over its k nearest
+    * corpus neighbors (tie → smaller label id; vote counts over the
+    * [[bruteCosineTopK]] list). A kNN probe that beats chance means
+    * the embedding space actually encodes the labels — run before
+    * trusting the space for retrieval or clustering.
+    *
+    * Scale shape: the query side is small (broadcast through the
+    * top-k), the vote is a (query, label)-keyed hash aggregate over
+    * k·|queries| rows, argmax via one rank window over the same tiny
+    * relation.
+    */
+  def knnLabelVote(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int): DataFrame = {
+    val top = bruteCosineTopK(corpus, queries, idCol, embCol, k)
+    val votes = top
+      .join(corpus.select(col(idCol).as("vec_id"),
+        col(labelCol).as("__nl")), Seq("vec_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("__v").desc, col("__nl"))
+    val pred = votes
+      .withColumn("__rk", row_number().over(byVotes))
+      .where(col("__rk") === 1)
+      .select(col("query_id"), col("__nl").as("predicted"),
+        col("__v").as("votes"))
+    pred.join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("predicted").cast("int").as("predicted"),
+        col("votes"), col("true_label").cast("int").as("true_label"),
+        (col("predicted") === col("true_label")).as("correct"))
+  }
+
+  /** Declared q222: 10-NN label vote for vec_id < 10 probes. */
+  def q222KnnLabel(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(spark, d)
+    knnLabelVote(e.where(col("vec_id") >= 10), e.where(col("vec_id") < 10),
+      "vec_id", "embedding", "label", k = 10)
+  }
+
+  private val knnCoreSql: String =
+    """sc AS (
+      | SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS nl,
+      |  list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                   list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+      |   / (sqrt(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |                            list_transform(c.embedding, x -> CAST(x AS DOUBLE))))
+      |    * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+      |                            list_transform(q.embedding, x -> CAST(x AS DOUBLE)))))
+      |   AS cos_sim
+      | FROM embeddings c CROSS JOIN embeddings q
+      | WHERE q.vec_id < 10 AND c.vec_id >= 10),
+      |top AS (
+      | SELECT query_id, nl FROM sc
+      | QUALIFY row_number() OVER (PARTITION BY query_id
+      |   ORDER BY cos_sim DESC, vec_id) <= 10),
+      |votes AS (
+      | SELECT query_id, nl, count(*) AS v FROM top GROUP BY 1, 2),
+      |pred AS (
+      | SELECT query_id, nl AS predicted, v AS votes FROM votes
+      | QUALIFY row_number() OVER (PARTITION BY query_id
+      |   ORDER BY v DESC, nl) = 1),
+      |labeled AS (
+      | SELECT p.query_id, CAST(p.predicted AS INT) AS predicted, p.votes,
+      |   CAST(q.label AS INT) AS true_label,
+      |   p.predicted = q.label AS correct
+      | FROM pred p JOIN embeddings q ON q.vec_id = p.query_id)""".stripMargin
+
+  val q222Sql: String =
+    s"""WITH $knnCoreSql
+       |SELECT query_id, predicted, votes, true_label, correct
+       |FROM labeled""".stripMargin
+
+  /** Per-label classifier report over the q222 predictions —
+    * support / tp / fp / fn / precision / recall / F1 per TRUE label
+    * (zero-denominator conventions pinned to 0). The report relation
+    * is label-domain-bounded; everything reduces to two tiny hash
+    * aggregates over the prediction relation.
+    */
+  def q223KnnReport(spark: SparkSession, d: String): DataFrame =
+    classifierReport(q222KnnLabel(spark, d))
+
+  /** Per-label precision/recall/F1 from a (true_label, predicted)
+    * relation — the report half of [[q223KnnReport]], reusable for
+    * any classifier's predictions.
+    */
+  def classifierReport(predictions: DataFrame): DataFrame = {
+    val preds = predictions
+      .select(col("true_label"), col("predicted"))
+      .localCheckpoint() // consumed by the per-true and per-pred rollups
+    val byTrue = preds.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("support"),
+        count(when(col("predicted") === col("true_label"), 1)).as("tp"))
+    val byPred = preds.groupBy(col("predicted").as("label"))
+      .agg(count(lit(1)).as("__npred"))
+    val p = col("tp").cast("double") /
+      when(col("__npred") > 0, col("__npred"))
+    val r = col("tp").cast("double") / col("support")
+    byTrue.join(byPred, Seq("label"), "left")
+      .select(col("label"), col("support"), col("tp"),
+        (coalesce(col("__npred"), lit(0L)) - col("tp")).as("fp"),
+        (col("support") - col("tp")).as("fn"),
+        round(coalesce(p, lit(0.0)), 6).as("precision"),
+        round(r, 6).as("recall"),
+        round(when(coalesce(p, lit(0.0)) + r > 0,
+          lit(2.0) * coalesce(p, lit(0.0)) * r / (coalesce(p, lit(0.0)) + r))
+          .otherwise(lit(0.0)), 6).as("f1"))
+  }
+
+  val q223Sql: String =
+    s"""WITH $knnCoreSql,
+       |byt AS (
+       | SELECT true_label AS label, count(*) AS support,
+       |   sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END) AS tp
+       | FROM labeled GROUP BY 1),
+       |byp AS (
+       | SELECT predicted AS label, count(*) AS npred FROM labeled GROUP BY 1)
+       |SELECT byt.label, CAST(support AS BIGINT) AS support,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CAST(coalesce(npred, 0) - tp AS BIGINT) AS fp,
+       |  CAST(support - tp AS BIGINT) AS fn,
+       |  round(coalesce(CAST(tp AS DOUBLE) / nullif(npred, 0), 0.0), 6)
+       |    AS precision,
+       |  round(CAST(tp AS DOUBLE) / support, 6) AS recall,
+       |  round(CASE WHEN coalesce(CAST(tp AS DOUBLE) / nullif(npred, 0), 0.0)
+       |      + CAST(tp AS DOUBLE) / support > 0
+       |    THEN 2.0 * coalesce(CAST(tp AS DOUBLE) / nullif(npred, 0), 0.0)
+       |      * (CAST(tp AS DOUBLE) / support)
+       |      / (coalesce(CAST(tp AS DOUBLE) / nullif(npred, 0), 0.0)
+       |        + CAST(tp AS DOUBLE) / support)
+       |    ELSE 0.0 END, 6) AS f1
+       |FROM byt LEFT JOIN byp ON byp.label = byt.label""".stripMargin
+
   val q208Sql: String = {
     // single-line column expressions: a line starting with "||" would
     // be mangled by stripMargin, so no margins anywhere in this SQL

@@ -134,4 +134,27 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(12L) === (("core", 10L)))
     assert(out(99L) === (("noise", -1L)))
   }
+
+  test("cTfIdfKeywords: hand-computed scores; within-class tf beats corpus-common terms") {
+    val sp = spark; import sp.implicits._
+    // class 1: "apple apple banana" (size 3), class 2: "carrot" (size 1)
+    // A = 2; f: apple 2, banana 1, carrot 1
+    // score(1, apple) = 2·ln(1 + 2/2), score(1, banana) = ln(3),
+    // score(2, carrot) = ln(3)
+    val docs = Seq((1, "apple apple banana"), (2, "carrot"))
+      .toDF("label", "text")
+    val out = Clustering.cTfIdfKeywords(docs, "label", "text", k = 5)
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("rank"), r.getAs[Double]("score"))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1, "apple")) === ((1L, r6(2 * math.log(2.0)))))
+    assert(out((1, "banana")) === ((2L, r6(math.log(3.0)))))
+    assert(out((2, "carrot")) === ((1L, r6(math.log(3.0)))))
+    assert(out.size === 3)
+    // k truncation: a class with 6 distinct terms keeps only 5
+    val wide = Seq((1, "t1 t2 t3 t4 t5 t6")).toDF("label", "text")
+    assert(Clustering.cTfIdfKeywords(wide, "label", "text", k = 5)
+      .count() === 5L)
+  }
 }

@@ -470,4 +470,53 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a row with the wrong width is gated out, not mis-projected
     assert(!out.contains(9L))
   }
+
+  test("knnLabelVote: planted geometry classifies; 1-1 vote tie takes min label") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = (
+      (100L to 104L).map(i => (i, Seq(1.0f, 0.0f + (i - 100) * 0.01f), 1)) ++
+      (110L to 114L).map(i => (i, Seq(0.0f + (i - 110) * 0.01f, 1.0f), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Seq(1.0f, 0.05f), 1), // deep in the label-1 cone
+      (2L, Seq(0.05f, 1.0f), 2) // deep in the label-2 cone
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelVote(corpus, queries,
+      "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("predicted"), r.getAs[Long]("votes"),
+          r.getAs[Boolean]("correct"))).toMap
+    assert(out(1L) === ((1, 3L, true)))
+    assert(out(2L) === ((2, 3L, true)))
+    // exact 1-1 vote tie (k=2, one neighbor per label) -> min label
+    val two = Seq((100L, Seq(1.0f, 0.0f), 5), (101L, Seq(0.0f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Seq(0.7f, 0.7f), 5)).toDF("vec_id", "embedding", "label")
+    val tie = Similarity.knnLabelVote(two, q, "vec_id", "embedding",
+      "label", k = 2).collect().head
+    assert(tie.getAs[Int]("predicted") === 3)
+    assert(!tie.getAs[Boolean]("correct"))
+  }
+
+  test("classifierReport: hand confusion counts, zero-denominator conventions") {
+    val sp = spark; import sp.implicits._
+    val preds = Seq(
+      (1, 1), (1, 1), (1, 2), // label 1: 2 tp, 1 fn(as 2)
+      (2, 1), // label 2: 0 tp, predicted as 1
+      (3, 3) // label 3: perfect
+    ).toDF("true_label", "predicted")
+    val out = Similarity.classifierReport(preds)
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("support"), r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Double]("precision"),
+          r.getAs[Double]("recall"), r.getAs[Double]("f1"))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // label 1: tp=2, npred=3 (two true-1 + one true-2) -> p=2/3, r=2/3
+    assert(out(1) === ((3L, 2L, 1L, 1L, r6(2.0 / 3), r6(2.0 / 3), r6(2.0 / 3))))
+    // label 2: tp=0, npred=1 -> p=0, r=0, f1=0
+    assert(out(2) === ((1L, 0L, 1L, 1L, 0.0, 0.0, 0.0)))
+    assert(out(3) === ((1L, 1L, 0L, 0L, 1.0, 1.0, 1.0)))
+  }
 }
