@@ -93,6 +93,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneBuckets(children.head, intArg(1), intArg(2), intArg(3), longArg(4))
       }))
     ext.injectFunction((
+      FunctionIdentifier("signed_dot"),
+      new ExpressionInfo(
+        classOf[SignedDot].getName, null, "signed_dot",
+        "signed_dot(e, salt, j, inDims, outDims) - one JL +/-1 projection " +
+          "dim as a raw signed sum (divide by sqrt(outDims) outside)",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 5,
+          s"signed_dot expects 5 arguments, got ${children.length}")
+        def strArg(i: Int): String = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"signed_dot arg ${i + 1} must be a string literal, got $other")
+        }
+        def intArg(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"signed_dot arg ${i + 1} must be an int literal, got $other")
+        }
+        SignedDot(children.head, strArg(1), intArg(2), intArg(3), intArg(4))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("hex_long"),
       new ExpressionInfo(
         classOf[HexLong].getName, null, "hex_long",

@@ -46,6 +46,14 @@ object GraftFunctions {
   def hexLong(s: Column): Column =
     call_function("hex_long", s)
 
+  /** One JL ±1 projection dimension as a codegen'd signed sum (see
+    * [[SignedDot]]); divide by √outDims OUTSIDE so the arithmetic
+    * order matches the SQL oracle's list_sum/sqrt exactly.
+    */
+  def signedDot(e: Column, salt: String, j: Int, inDims: Int,
+      outDims: Int): Column =
+    call_function("signed_dot", e, lit(salt), lit(j), lit(inDims), lit(outDims))
+
   /** Native winnowing fingerprints (see [[WinnowHash]]; semantics
     * pinned to the portable base-31 SQL formulation the q46/q138
     * oracles recompute).

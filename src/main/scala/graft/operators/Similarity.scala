@@ -359,21 +359,16 @@ object Similarity {
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
       inDims: Int, outDims: Int, salt: String): DataFrame = {
     require(outDims >= 1 && inDims >= 1)
-    def sgn(j: Int, i: Int): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$salt|$j|$i".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 15)
-      if (java.lang.Long.parseLong(hex, 16) % 2 == 0L) 1.0 else -1.0
-    }
+    // native codegen'd signed dot per output dim — the HOF
+    // aggregate(zip_with(...)) formulation is CodegenFallback and left
+    // the whole projection interpreted (PlanShapeSpec pins the fix);
+    // division happens AFTER the sum so term arithmetic stays bitwise
+    // identical to the SQL oracle
     val scale = math.sqrt(outDims.toDouble)
     val projs = (0 until outDims).map { j =>
-      val signs = array((1 to inDims).map(i => lit(sgn(j, i))): _*)
-      round(
-        aggregate(
-          zip_with(col(vecCol), signs,
-            (x, s) => x.cast(DoubleType) * s),
-          lit(0.0), (acc, x) => acc + x) / scale,
-        6).as(s"p$j")
+      round(graft.functions.GraftFunctions
+        .signedDot(col(vecCol), salt, j, inDims, outDims) / scale, 6)
+        .as(s"p$j")
     }
     df.where(size(col(vecCol)) === inDims)
       .select(col(idCol) +: projs: _*)

@@ -378,4 +378,54 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"block relation must not shuffle for a join:\n$plan")
   }
+
+  test("q208 random projection is a map-only codegen pass: no exchange, no join") {
+    // the sign matrix is plan literals; the whole sketch must compile
+    // to scan → project with zero shuffles — at 100 TB this is the
+    // difference between a free preprocessing pass and a shuffle
+    val plan = executedPlan(
+      Similarity.q208RandomProjection(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"projection must not join:\n$plan")
+    // shuffle-free plans skip AQE, so codegen shows as the `*(n)`
+    // stage marker on the Project itself rather than a
+    // WholeStageCodegen header line
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      s"the signed_dot projection must participate in codegen:\n$plan")
+  }
+
+  test("q210 duplicated spans: two partial-aggregate rounds, no join, no window") {
+    val plan = executedPlan(Dedup.q210DupSpans(spark, sfDir))
+    assert(!plan.contains("Join"), s"span inventory must not join:\n$plan")
+    assert(!plan.contains("Window"), s"span inventory must not window:\n$plan")
+    assert(plan.contains("partial_"), s"aggregates must map-side combine:\n$plan")
+  }
+
+  test("q204 CUPED: theta is a broadcast scalar, units aggregate once") {
+    // the covariate adjustment must NOT shuffle units twice: one
+    // user-keyed aggregate, then theta/E[X] broadcast back
+    val plan = executedPlan(Relational.q204Cuped(spark, sfDir))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"theta must broadcast, not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no unit-relation shuffle join:\n$plan")
+  }
+
+  test("q222 kNN probe: queries broadcast, vote rank carries WindowGroupLimit") {
+    val plan = executedPlan(Similarity.q222KnnLabel(spark, sfDir))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast into the corpus scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank must prune through WindowGroupLimit:\n$plan")
+  }
+
+  test("q214 consensus: every argmax prunes through WindowGroupLimit") {
+    // the three rank-1 selections (modal vote, majority, best score)
+    // must all push the rank filter into the window sort
+    val plan = executedPlan(Labeling.q214Consensus(spark, sfDir))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 3,
+      s"rank-1 argmaxes must carry WindowGroupLimit:\n$plan")
+  }
 }
