@@ -426,6 +426,12 @@ object SparkEntry {
     "q223_knn_report" -> (graft.operators.Similarity.q223KnnReport _),
     // c-TF-IDF cluster keywords (top-5 per embedding label)
     "q224_ctfidf" -> (graft.operators.Clustering.q224CtfidfKeywords _),
+    // split-conformal interval calibration over the q217 model
+    "q225_conformal" -> (graft.operators.Relational.q225Conformal _),
+    // population stability index drift per event type
+    "q226_psi" -> (graft.operators.Relational.q226Psi _),
+    // expected calibration error of the q217 model (10-bin reliability)
+    "q227_ece" -> (graft.operators.Relational.q227Ece _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -659,5 +665,8 @@ object SparkEntry {
     "q222_knn_label" -> graft.operators.Similarity.q222Sql,
     "q223_knn_report" -> graft.operators.Similarity.q223Sql,
     "q224_ctfidf" -> graft.operators.Clustering.q224Sql,
+    "q225_conformal" -> graft.operators.Relational.q225Sql,
+    "q226_psi" -> graft.operators.Relational.q226Sql,
+    "q227_ece" -> graft.operators.Relational.q227Sql,
   )
 }

@@ -1856,23 +1856,49 @@ object Relational {
         col("n"), col("mean_loglik"))
   }
 
-  /** Declared q217: does event volume predict heavy purchasing —
-    * x = ln(1 + user's event count), y = the q124 conversion flag.
+  /** The q217 feature build: one row per user with the volume feature,
+    * the q124 conversion label, and the user id (so downstream evals
+    * can split deterministically). Shared by q217/q225/q227.
     */
-  def q217Logistic(spark: SparkSession, d: String): DataFrame = {
-    val users = Tables.events(spark, d)
+  private[operators] def logisticUsers(spark: SparkSession,
+      d: String): DataFrame =
+    Tables.events(spark, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("ne"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("np"))
-      .select(log(lit(1.0) + col("ne")).as("x"),
+      .select(col("user_id"), log(lit(1.0) + col("ne")).as("x"),
         when(col("np") >= 14L, 1.0).otherwise(0.0).as("y"))
-    logisticIrls(users, "x", "y", iterations = 2)
+
+  /** q217's fitted model applied back to every user: (user_id, x, y,
+    * p). The fit is the 2-iteration pinned IRLS over ALL users, and
+    * scoring uses the PUBLISHED (6 dp-rounded) coefficients — the
+    * q225/q227 oracles round identically, so downstream order
+    * statistics never ride on sub-rounding β noise.
+    */
+  private[operators] def logisticScoredUsers(spark: SparkSession,
+      d: String): DataFrame = {
+    val users = logisticUsers(spark, d).localCheckpoint()
+    val beta = logisticIrls(users, "x", "y", iterations = 2)
+      .select(col("b0"), col("b1"))
+    users.crossJoin(broadcast(beta))
+      .select(col("user_id"), col("x"), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x")))))
+          .as("p"))
   }
 
-  val q217Sql: String =
-    """WITH u AS (
-      |  SELECT ln(1.0 + count(*)) AS x,
+  /** Declared q217: does event volume predict heavy purchasing —
+    * x = ln(1 + user's event count), y = the q124 conversion flag.
+    */
+  def q217Logistic(spark: SparkSession, d: String): DataFrame =
+    logisticIrls(logisticUsers(spark, d), "x", "y", iterations = 2)
+
+  /** The q217 users + 2-step IRLS fit as reusable SQL CTEs (u through
+    * b2); q217/q225/q227 compose their final selects over these.
+    */
+  private val logisticFitCte: String =
+    """u AS (
+      |  SELECT user_id, ln(1.0 + count(*)) AS x,
       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
       |                       ELSE 0 END) >= 14
       |         THEN 1.0 ELSE 0.0 END AS y
@@ -1901,10 +1927,249 @@ object Relational {
       |b2 AS (
       |  SELECT (swxx * swz - swx * swxz) / (sw * swxx - swx * swx) AS b0,
       |    (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS b1
-      |  FROM s2)
-      |SELECT round(b2.b0, 6) AS b0, round(b2.b1, 6) AS b1,
-      |  CAST(count(*) AS BIGINT) AS n,
-      |  round(avg(u.y * (b2.b0 + b2.b1 * u.x)
-      |    - ln(1.0 + exp(b2.b0 + b2.b1 * u.x))), 6) AS mean_loglik
-      |FROM u CROSS JOIN b2 GROUP BY b2.b0, b2.b1""".stripMargin
+      |  FROM s2)""".stripMargin
+
+  val q217Sql: String =
+    s"""WITH $logisticFitCte
+       |SELECT round(b2.b0, 6) AS b0, round(b2.b1, 6) AS b1,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  round(avg(u.y * (b2.b0 + b2.b1 * u.x)
+       |    - ln(1.0 + exp(b2.b0 + b2.b1 * u.x))), 6) AS mean_loglik
+       |FROM u CROSS JOIN b2 GROUP BY b2.b0, b2.b1""".stripMargin
+
+  /** Split-conformal prediction interval calibration (Vovk et al.;
+    * the modern distribution-free coverage recipe): with the q217
+    * model scoring every user, the CALIBRATION half (even user ids)
+    * yields nonconformity scores s = |y − p|, q̂ is the
+    * ⌈(n+1)(1−α)⌉-th smallest calibration score, and the TEST half
+    * (odd ids) reports empirical coverage of {s ≤ q̂} — which the
+    * conformal guarantee says is ≥ 1−α in expectation. Honest scope
+    * note: the coefficients are fit on ALL users (the pinned q217
+    * fit); the exchangeability split here covers calibration vs test
+    * only, and the protocol is pinned, not asymptotically tuned.
+    *
+    * Scale shape: score projection is map-only over the broadcast β;
+    * the order statistic is one rank window over the calibration
+    * HALF's score relation (user-domain-bounded — at 100 TB of events
+    * this relation is |users|, already collapsed by the q217
+    * aggregate); coverage is one more scalar aggregate.
+    */
+  def q225Conformal(spark: SparkSession, d: String): DataFrame =
+    conformalCoverage(
+      logisticScoredUsers(spark, d)
+        .select(col("user_id"), abs(col("y") - col("p")).as("s")),
+      alpha = 0.1)
+
+  /** The split/quantile/coverage half of [[q225Conformal]], reusable
+    * for any (user_id, s) nonconformity relation: even ids calibrate,
+    * odd ids report coverage.
+    */
+  def conformalCoverage(scoredIn: DataFrame, alpha: Double): DataFrame = {
+    val scored = scoredIn.select(col("user_id"), col("s"))
+      .localCheckpoint() // calibration and test halves both read it
+    val cal = scored.where(pmod(col("user_id"), lit(2L)) === 0)
+    val test = scored.where(pmod(col("user_id"), lit(2L)) === 1)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val k = ceil((col("n_cal") + 1) * (1.0 - alpha)).cast("long")
+    val qhat = cal
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("s"), col("user_id"))))
+      .crossJoin(broadcast(nCal))
+      .where(col("__rk") === least(k, col("n_cal")))
+      .select(col("n_cal"), round(col("s"), 6).as("qhat"))
+    test.crossJoin(broadcast(qhat))
+      .groupBy(col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        round(avg(when(round(col("s"), 6) <= col("qhat"), 1.0)
+          .otherwise(0.0)), 6).as("coverage"))
+      .select(col("n_cal"), col("n_test"), col("qhat"), col("coverage"))
+  }
+
+  val q225Sql: String =
+    s"""WITH $logisticFitCte,
+       |scored AS (
+       |  SELECT u.user_id,
+       |    abs(u.y - 1.0 / (1.0 + exp(-(round(b2.b0, 6)
+       |      + round(b2.b1, 6) * u.x)))) AS s
+       |  FROM u CROSS JOIN b2),
+       |cal AS (SELECT * FROM scored WHERE user_id % 2 = 0),
+       |nc AS (SELECT count(*) AS n_cal FROM cal),
+       |qh AS (
+       |  SELECT nc.n_cal, round(c.s, 6) AS qhat
+       |  FROM (SELECT s, row_number() OVER (ORDER BY s, user_id) AS rk
+       |        FROM cal) c CROSS JOIN nc
+       |  WHERE c.rk = least(CAST(ceil((nc.n_cal + 1) * 0.9) AS BIGINT),
+       |                     nc.n_cal))
+       |SELECT qh.n_cal, CAST(count(*) AS BIGINT) AS n_test, qh.qhat,
+       |  round(avg(CASE WHEN round(t.s, 6) <= qh.qhat
+       |    THEN 1.0 ELSE 0.0 END), 6) AS coverage
+       |FROM scored t CROSS JOIN qh
+       |WHERE t.user_id % 2 = 1
+       |GROUP BY qh.n_cal, qh.qhat""".stripMargin
+
+  /** Population stability index per series — the scorecard-industry
+    * drift metric (what model-monitoring dashboards alarm on):
+    * decile-bin the REFERENCE window (first half by global event-time
+    * midpoint, the q179 split), re-bin the CURRENT window with the
+    * reference cuts, and report Σ (q−p)·ln(q/p) over the 10 bins with
+    * proportions floored at 1e-6 (the standard empty-bin convention;
+    * pinned). Rule of thumb the output encodes: < 0.1 stable,
+    * 0.1–0.25 investigate, > 0.25 shifted.
+    *
+    * Scale shape: one pass builds both halves; the reference cuts are
+    * an exact-`percentile` aggregate per series (oracle-matched to
+    * quantile_cont, the q51 pin) broadcast back; binning is nine
+    * codegen'd comparisons per row into a (series, bin) hash
+    * aggregate; the PSI sum runs over the series×10 relation.
+    */
+  def q226Psi(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value").as("v"),
+        unix_micros(col("ts")).as("__us"))
+    val mid = e.agg(((min(col("__us")) + max(col("__us"))) / 2).as("__mid"))
+    psiBySeries(e.crossJoin(broadcast(mid))
+      .select(col("event_type"), col("v"),
+        (col("__us") < col("__mid")).as("__ref")))
+  }
+
+  /** The decile-bin/floor/sum half of [[q226Psi]], reusable for any
+    * (event_type, v, __ref) relation.
+    */
+  def psiBySeries(halvesIn: DataFrame): DataFrame = {
+    val halves = halvesIn
+      .select(col("event_type"), col("v"), col("__ref"))
+      .localCheckpoint() // cuts, both bin passes, and the spine read it
+    val cuts = halves.where(col("__ref"))
+      .groupBy(col("event_type"))
+      .agg(percentile(col("v"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("__cuts"))
+    val bin = (1 to 9).map(i =>
+      when(col("v") > element_at(col("__cuts"), i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    val binned = halves.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("__ref"), bin.cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("__ref"), 1)).as("__nr"),
+        count(when(!col("__ref"), 1)).as("__nc"))
+    // full 10-bin spine per series: a bin empty on one side must still
+    // contribute its floored proportion, not silently vanish
+    val spine = halves.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(1L), lit(10L))).as("bin"))
+    val tot = halves.groupBy(col("event_type"))
+      .agg(count(when(col("__ref"), 1)).as("n_ref"),
+        count(when(!col("__ref"), 1)).as("n_cur"))
+    val p = greatest(coalesce(col("__nr"), lit(0L)).cast("double") /
+      col("n_ref"), lit(1e-6))
+    val q = greatest(coalesce(col("__nc"), lit(0L)).cast("double") /
+      col("n_cur"), lit(1e-6))
+    spine.join(binned, Seq("event_type", "bin"), "left")
+      .join(tot, Seq("event_type"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        ((q - p) * log(q / p)).as("__t"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("__t")), 6).as("psi"))
+  }
+
+  val q226Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value AS v, epoch_us(ts) AS us
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (min(us) + max(us)) / 2 AS mid FROM e),
+      |h AS (
+      |  SELECT event_type, v, us < mid.mid AS ref
+      |  FROM e CROSS JOIN mid),
+      |cuts AS (
+      |  SELECT event_type,
+      |    quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+      |      AS c
+      |  FROM h WHERE ref GROUP BY 1),
+      |binned AS (
+      |  SELECT h.event_type, h.ref,
+      |    1 + CASE WHEN h.v > c[1] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[2] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[3] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[4] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[5] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[6] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[7] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[8] THEN 1 ELSE 0 END
+      |      + CASE WHEN h.v > c[9] THEN 1 ELSE 0 END AS bin
+      |  FROM h JOIN cuts USING (event_type)),
+      |bc AS (
+      |  SELECT event_type, bin,
+      |    count(CASE WHEN ref THEN 1 END) AS nr,
+      |    count(CASE WHEN NOT ref THEN 1 END) AS nc
+      |  FROM binned GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT DISTINCT event_type, b.range AS bin
+      |  FROM h CROSS JOIN range(1, 11) b),
+      |tot AS (
+      |  SELECT event_type,
+      |    count(CASE WHEN ref THEN 1 END) AS n_ref,
+      |    count(CASE WHEN NOT ref THEN 1 END) AS n_cur
+      |  FROM h GROUP BY 1)
+      |SELECT s.event_type, CAST(tot.n_ref AS BIGINT) AS n_ref,
+      |  CAST(tot.n_cur AS BIGINT) AS n_cur,
+      |  round(sum(
+      |    (greatest(coalesce(bc.nc, 0) / CAST(tot.n_cur AS DOUBLE), 1e-6)
+      |     - greatest(coalesce(bc.nr, 0) / CAST(tot.n_ref AS DOUBLE), 1e-6))
+      |    * ln(greatest(coalesce(bc.nc, 0) / CAST(tot.n_cur AS DOUBLE), 1e-6)
+      |       / greatest(coalesce(bc.nr, 0) / CAST(tot.n_ref AS DOUBLE), 1e-6))
+      |  ), 6) AS psi
+      |FROM spine s
+      |LEFT JOIN bc ON bc.event_type = s.event_type AND bc.bin = s.bin
+      |JOIN tot ON tot.event_type = s.event_type
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Expected calibration error of the q217 model — the reliability
+    * diagram's summary number (Guo et al., ICML'17): 10 equal-width
+    * confidence bins, per bin the |accuracy − mean confidence| gap,
+    * ECE the row-count-weighted sum. A probe with low log-loss but
+    * high ECE is CONFIDENTLY wrong — this is the monitoring readout
+    * that catches it.
+    *
+    * Scale shape: one map-only score projection, one 10-key hash
+    * aggregate, one metadata-scale window for the weighted sum.
+    */
+  def q227Ece(spark: SparkSession, d: String): DataFrame =
+    expectedCalibrationError(logisticScoredUsers(spark, d))
+
+  /** The 10-bin reliability aggregation of [[q227Ece]], reusable for
+    * any (y, p) prediction relation.
+    */
+  def expectedCalibrationError(scored: DataFrame): DataFrame = {
+    val bins = scored
+      .select(col("y"), col("p"),
+        least(floor(col("p") * 10).cast("long"), lit(9L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_conf"),
+        round(avg(col("y")), 6).as("accuracy"))
+      .withColumn("abs_gap",
+        round(abs(col("accuracy") - col("mean_conf")), 6))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ≤ 10 rows: the global window is metadata-scale by construction
+    bins.withColumn("ece",
+      round(sum(col("abs_gap") * col("n")).over(all) /
+        sum(col("n")).over(all), 6))
+  }
+
+  val q227Sql: String =
+    s"""WITH $logisticFitCte,
+       |scored AS (
+       |  SELECT u.y, 1.0 / (1.0 + exp(-(round(b2.b0, 6)
+       |    + round(b2.b1, 6) * u.x))) AS p
+       |  FROM u CROSS JOIN b2),
+       |bins AS (
+       |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+       |    count(*) AS n, round(avg(p), 6) AS mean_conf,
+       |    round(avg(y), 6) AS accuracy
+       |  FROM scored GROUP BY 1)
+       |SELECT bin, n, mean_conf, accuracy,
+       |  round(abs(accuracy - mean_conf), 6) AS abs_gap,
+       |  round(sum(round(abs(accuracy - mean_conf), 6) * n) OVER ()
+       |    / sum(n) OVER (), 6) AS ece
+       |FROM bins""".stripMargin
 }

@@ -459,4 +459,55 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       y * (b0 + b1 * x) - math.log(1 + math.exp(b0 + b1 * x)) }.sum / 4
     assert(math.abs(out.getAs[Double]("mean_loglik") - r6(ll)) < 1e-6)
   }
+
+  test("conformalCoverage: finite-sample order statistic and test coverage by hand") {
+    val sp = spark; import sp.implicits._
+    // calibration (even ids 0..18): s = 0.05·(k+1) for k = 0..9 →
+    // sorted scores 0.05..0.50; n_cal = 10, ⌈11·0.9⌉ = 10 → q̂ = 0.50
+    val cal = (0 until 10).map(k => (2L * k, 0.05 * (k + 1)))
+    // test (odd ids): three under q̂, one over
+    val test = Seq((1L, 0.10), (3L, 0.49), (5L, 0.50), (7L, 0.51))
+    val out = Relational.conformalCoverage(
+      (cal ++ test).toDF("user_id", "s"), alpha = 0.1).collect().head
+    assert(out.getAs[Long]("n_cal") === 10L)
+    assert(out.getAs[Long]("n_test") === 4L)
+    assert(out.getAs[Double]("qhat") === 0.5)
+    assert(out.getAs[Double]("coverage") === 0.75) // 0.51 escapes
+  }
+
+  test("expectedCalibrationError: hand bins; perfect calibration gives 0 gaps") {
+    val sp = spark; import sp.implicits._
+    // bin 1 (p 0.12/0.18): conf mean 0.15, accuracy 0.5 → gap 0.35 (n=2)
+    // bin 9 (p 0.92 and p=1.0 clamped): conf 0.96, acc 1.0 → gap 0.04 (n=2)
+    val scored = Seq((0.0, 0.12), (1.0, 0.18), (1.0, 0.92), (1.0, 1.0))
+      .toDF("y", "p")
+    val out = Relational.expectedCalibrationError(scored).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_conf"),
+          r.getAs[Double]("accuracy"), r.getAs[Double]("abs_gap"),
+          r.getAs[Double]("ece"))).toMap
+    assert(out(1L)._1 === 2L && out(1L)._2 === 0.15 && out(1L)._3 === 0.5)
+    assert(out(1L)._4 === 0.35)
+    assert(out(9L)._1 === 2L && out(9L)._2 === 0.96 && out(9L)._4 === 0.04)
+    // ece = (2·0.35 + 2·0.04) / 4 = 0.195, same constant on every row
+    assert(out.values.forall(_._5 === 0.195))
+  }
+
+  test("psiBySeries: identical halves are 0; a planted shift raises psi past 0.25") {
+    val sp = spark; import sp.implicits._
+    // series A: ref and cur are the SAME 100-value staircase → every
+    // decile bin matches → psi exactly 0
+    val same = (1 to 100).flatMap(i =>
+      Seq(("A", i.toDouble, true), ("A", i.toDouble, false)))
+    // series B: cur shifted far right of ref → mass leaves low bins
+    val shift = (1 to 100).map(i => ("B", i.toDouble, true)) ++
+      (1 to 100).map(i => ("B", i + 1000.0, false))
+    val out = Relational.psiBySeries(
+      (same ++ shift).toDF("event_type", "v", "__ref"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("psi"))).toMap
+    assert(out("A") === ((100L, 100L, 0.0)))
+    assert(out("B")._3 > 0.25, s"shifted series must alarm: ${out("B")}")
+  }
 }
