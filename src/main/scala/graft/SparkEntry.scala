@@ -432,6 +432,12 @@ object SparkEntry {
     "q226_psi" -> (graft.operators.Relational.q226Psi _),
     // expected calibration error of the q217 model (10-bin reliability)
     "q227_ece" -> (graft.operators.Relational.q227Ece _),
+    // difference-in-differences on the arm x period 2x2 design
+    "q228_did" -> (graft.operators.Relational.q228Did _),
+    // Qini uplift deciles over the q217 score ranking
+    "q229_qini" -> (graft.operators.Relational.q229Qini _),
+    // seasonal-naive backtest with MASE scoring per event type
+    "q230_mase" -> (graft.operators.TimeSeries.q230Mase _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -668,5 +674,8 @@ object SparkEntry {
     "q225_conformal" -> graft.operators.Relational.q225Sql,
     "q226_psi" -> graft.operators.Relational.q226Sql,
     "q227_ece" -> graft.operators.Relational.q227Sql,
+    "q228_did" -> graft.operators.Relational.q228Sql,
+    "q229_qini" -> graft.operators.Relational.q229Sql,
+    "q230_mase" -> graft.operators.TimeSeries.q230Sql,
   )
 }

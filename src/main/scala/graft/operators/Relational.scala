@@ -2122,6 +2122,191 @@ object Relational {
       |JOIN tot ON tot.event_type = s.event_type
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Difference-in-differences on the 2×2 (arm × period) design — the
+    * workhorse quasi-experimental estimator: with Y the per-user
+    * period total (absence = 0, the q204 convention), the effect is
+    *
+    *   ATT = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * with the four-cell pooled standard error √Σ s²_i/n_i. Arms are
+    * the q124 parity split, periods the q179 midpoint split — both
+    * pinned, engine-replayable assignments.
+    *
+    * Scale shape: one user×period aggregate (the only full pass), a
+    * four-row cell aggregate, and a closed-form projection — the DiD
+    * algebra itself is metadata-scale.
+    */
+  def q228Did(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("__us"))
+    val mid = e.agg(((min(col("__us")) + max(col("__us"))) / 2).as("__mid"))
+    didFromUserPeriods(e.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("__us") < col("__mid"), col("value"))
+          .otherwise(lit(0.0))).as("pre"),
+        sum(when(col("__us") >= col("__mid"), col("value"))
+          .otherwise(lit(0.0))).as("post"))
+      .select(pmod(col("user_id"), lit(2L)).as("treated"),
+        col("pre"), col("post")))
+  }
+
+  /** The 2×2 cell algebra of [[q228Did]], reusable for any
+    * (treated, pre, post) unit relation.
+    */
+  def didFromUserPeriods(userPeriod: DataFrame): DataFrame = {
+    val cells = userPeriod
+      .select(col("treated"), explode(array(
+        struct(lit(0).as("period"), col("pre").as("y")),
+        struct(lit(1).as("period"), col("post").as("y")))).as("c"))
+      .groupBy(col("treated"), col("c.period").as("period"))
+      .agg(count(lit(1)).as("n"), avg(col("c.y")).as("m"),
+        var_samp(col("c.y")).as("v"))
+    // 4 rows → 1: a conditional-sum projection over the cell relation
+    def cell(t: Int, p: Int, c: Column): Column =
+      max(when(col("treated") === t && col("period") === p, c))
+    cells.agg(
+        cell(1, 1, col("m")).as("mt1"), cell(1, 0, col("m")).as("mt0"),
+        cell(0, 1, col("m")).as("mc1"), cell(0, 0, col("m")).as("mc0"),
+        sum(col("v") / col("n")).as("__varsum"))
+      .select(
+        round(col("mt0"), 6).as("treated_pre"),
+        round(col("mt1"), 6).as("treated_post"),
+        round(col("mc0"), 6).as("control_pre"),
+        round(col("mc1"), 6).as("control_post"),
+        round((col("mt1") - col("mt0")) - (col("mc1") - col("mc0")), 6)
+          .as("att"),
+        round(sqrt(col("__varsum")), 6).as("se"),
+        round(((col("mt1") - col("mt0")) - (col("mc1") - col("mc0"))) /
+          sqrt(col("__varsum")), 6).as("t_stat"))
+  }
+
+  val q228Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (min(us) + max(us)) / 2 AS mid FROM e),
+      |up AS (
+      |  SELECT user_id % 2 AS treated,
+      |    sum(CASE WHEN us < mid.mid THEN value ELSE 0 END) AS pre,
+      |    sum(CASE WHEN us >= mid.mid THEN value ELSE 0 END) AS post
+      |  FROM e CROSS JOIN mid GROUP BY user_id),
+      |cells AS (
+      |  SELECT treated, period, count(*) AS n, avg(y) AS m,
+      |    var_samp(y) AS v
+      |  FROM (
+      |    SELECT treated, 0 AS period, pre AS y FROM up
+      |    UNION ALL
+      |    SELECT treated, 1, post FROM up)
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT
+      |    max(CASE WHEN treated = 1 AND period = 1 THEN m END) AS mt1,
+      |    max(CASE WHEN treated = 1 AND period = 0 THEN m END) AS mt0,
+      |    max(CASE WHEN treated = 0 AND period = 1 THEN m END) AS mc1,
+      |    max(CASE WHEN treated = 0 AND period = 0 THEN m END) AS mc0,
+      |    sum(v / n) AS varsum
+      |  FROM cells)
+      |SELECT round(mt0, 6) AS treated_pre, round(mt1, 6) AS treated_post,
+      |  round(mc0, 6) AS control_pre, round(mc1, 6) AS control_post,
+      |  round((mt1 - mt0) - (mc1 - mc0), 6) AS att,
+      |  round(sqrt(varsum), 6) AS se,
+      |  round(((mt1 - mt0) - (mc1 - mc0)) / sqrt(varsum), 6) AS t_stat
+      |FROM w""".stripMargin
+
+  /** Qini-style uplift deciles — the targeting readout for "whom does
+    * the treatment actually move": users ranked by the q217 model
+    * score (desc, id tiebreak), split into 10 equal-occupancy bins,
+    * and per bin the treated-vs-control conversion-rate gap plus the
+    * running Qini statistic
+    *
+    *   Q(k) = cumΣ conv_T − cumΣ conv_C · (n_T,≤k / n_C,≤k)
+    *
+    * (arms = the q124 parity split; conversion = the q124 flag). A
+    * model that ranks persuadables first shows front-loaded uplift.
+    *
+    * Scale shape: the score projection is map-only; the decile
+    * assignment is the q131 rank-free bucket arithmetic over a rank
+    * window on the USER relation; everything after is a 10-row
+    * ordered window.
+    */
+  def q229Qini(spark: SparkSession, d: String): DataFrame =
+    qiniDeciles(logisticScoredUsers(spark, d)
+      .select(col("user_id"), col("y"), col("p"),
+        pmod(col("user_id"), lit(2L)).as("treated")))
+
+  /** The decile/cumulative-Qini half of [[q229Qini]], reusable for any
+    * (user_id, y, p, treated) scored relation.
+    */
+  def qiniDeciles(scored: DataFrame): DataFrame = {
+    val byScore = Window.orderBy(col("p").desc, col("user_id"))
+    val n = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // user-relation global window: bounded — |users|, already collapsed
+    val deciles = scored
+      .withColumn("__rk", row_number().over(byScore))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col("treated"), col("y"),
+        // floor division (Spark's / on integers yields DOUBLE):
+        // exact for any realistic user count, matches DuckDB's //
+        (lit(1L) + floor(lit(10.0) * (col("__rk") - 1) / col("__n"))
+          .cast("long")).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(when(col("treated") === 1, 1)).as("n_t"),
+        count(when(col("treated") === 0, 1)).as("n_c"),
+        sum(when(col("treated") === 1, col("y")).otherwise(lit(0.0)))
+          .cast("long").as("conv_t"),
+        sum(when(col("treated") === 0, col("y")).otherwise(lit(0.0)))
+          .cast("long").as("conv_c"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("uplift",
+        round(col("conv_t").cast("double") / col("n_t") -
+          col("conv_c").cast("double") / col("n_c"), 6))
+      .withColumn("qini",
+        round(sum(col("conv_t")).over(cum) -
+          sum(col("conv_c")).over(cum).cast("double") *
+            sum(col("n_t")).over(cum) / sum(col("n_c")).over(cum), 6))
+  }
+
+  val q229Sql: String =
+    s"""WITH $logisticFitCte,
+       |scored AS (
+       |  SELECT u.user_id, u.y, u.user_id % 2 AS treated,
+       |    1.0 / (1.0 + exp(-(round(b2.b0, 6) + round(b2.b1, 6) * u.x)))
+       |      AS p
+       |  FROM u CROSS JOIN b2),
+       |rk AS (
+       |  SELECT treated, y,
+       |    CAST(1 + (10 * (row_number() OVER (ORDER BY p DESC, user_id)
+       |      - 1)) // (SELECT count(*) FROM scored) AS BIGINT) AS decile
+       |  FROM scored),
+       |d AS (
+       |  SELECT decile,
+       |    count(CASE WHEN treated = 1 THEN 1 END) AS n_t,
+       |    count(CASE WHEN treated = 0 THEN 1 END) AS n_c,
+       |    CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+       |      AS conv_t,
+       |    CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+       |      AS conv_c
+       |  FROM rk GROUP BY 1)
+       |SELECT decile, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       |  conv_t, conv_c,
+       |  round(CAST(conv_t AS DOUBLE) / n_t
+       |    - CAST(conv_c AS DOUBLE) / n_c, 6) AS uplift,
+       |  round(sum(conv_t) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - CAST(sum(conv_c) OVER (ORDER BY decile
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |      * sum(n_t) OVER (ORDER BY decile
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      / sum(n_c) OVER (ORDER BY decile
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       |    AS qini
+       |FROM d""".stripMargin
+
   /** Expected calibration error of the q217 model — the reliability
     * diagram's summary number (Guo et al., ICML'17): 10 equal-width
     * confidence bins, per bin the |accuracy − mean confidence| gap,

@@ -587,4 +587,65 @@ object TimeSeries {
       |       WHEN paa < 0.6745 THEN 'c'
       |       ELSE 'd' END AS symbol
       |FROM paa""".stripMargin
+
+  /** Seasonal-naive forecast backtest with MASE scoring (Hyndman &
+    * Koehler 2006) — the sanity bar every fancier forecaster must
+    * clear: forecast each observation by the value 7 OBSERVED rows
+    * earlier (the weekly naive on the observed grid — row-lag, not
+    * calendar-lag, pinned and documented: on a gapless daily series
+    * they coincide, and row-lag is what stays well-defined under
+    * gaps), and scale its MAE by the one-step naive MAE so scores
+    * compare across series of different volume:
+    *
+    *   MASE = mean|y_t − y_{t−7}| / mean|y_t − y_{t−1}|
+    *
+    * MASE < 1 ⇒ weekly structure is real and exploitable.
+    *
+    * Scale shape: one hash aggregate to dailies, two row-lags in ONE
+    * per-series window pass, one series-keyed aggregate. Calendar-
+    * bounded per series, series count scales out.
+    */
+  def seasonalNaiveBacktest(daily: DataFrame, seriesCol: String,
+      ordCol: String, valueCol: String, season: Int): DataFrame = {
+    require(season >= 2)
+    val bySeries = Window.partitionBy(col(seriesCol)).orderBy(col(ordCol))
+    daily
+      .withColumn("__l1", lag(col(valueCol), 1).over(bySeries))
+      .withColumn("__ls", lag(col(valueCol), season).over(bySeries))
+      .groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col(valueCol) - col("__ls"))), 6).as("mae_snaive"),
+        round(avg(abs(col(valueCol) - col("__l1"))), 6).as("mae_naive1"))
+      .where(col("mae_naive1").isNotNull && col("mae_naive1") > 0)
+      .select(col(seriesCol), col("n_days"), col("mae_snaive"),
+        col("mae_naive1"),
+        round(col("mae_snaive") / col("mae_naive1"), 6).as("mase"))
+  }
+
+  /** Declared q230: is each event type's weekly pattern exploitable. */
+  def q230Mase(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    seasonalNaiveBacktest(daily, "event_type", "day", "n", season = 7)
+  }
+
+  val q230Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, n,
+      |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+      |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS ls
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    round(avg(abs(n - ls)), 6) AS mae_snaive,
+      |    round(avg(abs(n - l1)), 6) AS mae_naive1
+      |  FROM l GROUP BY 1)
+      |SELECT event_type, n_days, mae_snaive, mae_naive1,
+      |  round(mae_snaive / mae_naive1, 6) AS mase
+      |FROM m WHERE mae_naive1 IS NOT NULL AND mae_naive1 > 0""".stripMargin
 }

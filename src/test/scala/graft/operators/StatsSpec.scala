@@ -510,4 +510,49 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("A") === ((100L, 100L, 0.0)))
     assert(out("B")._3 > 0.25, s"shifted series must alarm: ${out("B")}")
   }
+
+  test("didFromUserPeriods: parallel-trends null gives 0; planted lift recovered exactly") {
+    val sp = spark; import sp.implicits._
+    // both arms drift +5 pre→post; treated gets +3 extra → ATT = 3.
+    // Within-cell values vary so the pooled SE is positive.
+    val units = Seq(
+      (0L, 10.0, 15.0), (0L, 12.0, 17.0), (0L, 14.0, 19.0),
+      (1L, 20.0, 28.0), (1L, 22.0, 30.0), (1L, 24.0, 32.0)
+    ).toDF("treated", "pre", "post")
+    val out = Relational.didFromUserPeriods(units).collect().head
+    assert(out.getAs[Double]("treated_pre") === 22.0)
+    assert(out.getAs[Double]("treated_post") === 30.0)
+    assert(out.getAs[Double]("control_pre") === 12.0)
+    assert(out.getAs[Double]("control_post") === 17.0)
+    assert(out.getAs[Double]("att") === 3.0)
+    // four cells each var_samp = 4, n = 3 → se = sqrt(16/3)
+    assert(math.abs(out.getAs[Double]("se") - math.sqrt(16.0 / 3)) < 1e-6)
+    // pure parallel trends → ATT exactly 0
+    val nul = Seq((0L, 10.0, 15.0), (0L, 20.0, 25.0),
+      (1L, 30.0, 35.0), (1L, 40.0, 45.0)).toDF("treated", "pre", "post")
+    assert(Relational.didFromUserPeriods(nul).collect().head
+      .getAs[Double]("att") === 0.0)
+  }
+
+  test("qiniDeciles: front-loaded uplift accumulates; balanced null is flat") {
+    val sp = spark; import sp.implicits._
+    // 20 users, scores = 20..1 by id. Treated (odd ids) convert iff
+    // score > 10 (the model ranks persuadables first); control never.
+    val scored = (1L to 20L).map { id =>
+      val p = (21 - id).toDouble / 20 // id 1 highest score
+      val treated = id % 2
+      val y = if (treated == 1 && id <= 10) 1.0 else 0.0
+      (id, y, p, treated)
+    }
+    val out = Relational.qiniDeciles(scored.toDF("user_id", "y", "p", "treated"))
+      .collect().map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_t"), r.getAs[Long]("n_c"),
+          r.getAs[Long]("conv_t"), r.getAs[Long]("conv_c"),
+          r.getAs[Double]("uplift"), r.getAs[Double]("qini"))).toMap
+    assert(out.size === 10)
+    // each decile = 2 users (one per arm); first five deciles have the
+    // treated converter → uplift 1, then 0
+    for (d <- 1L to 5L) assert(out(d) === ((1L, 1L, 1L, 0L, 1.0, d.toDouble)))
+    for (d <- 6L to 10L) assert(out(d) === ((1L, 1L, 0L, 0L, 0.0, 5.0)))
+  }
 }

@@ -196,4 +196,24 @@ class TimeSeriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("c", 0L)) === ((0.0, "c")))
     assert(out(("c", 1L)) === ((0.0, "c")))
   }
+
+  test("seasonalNaiveBacktest: exact weekly pattern gives MASE 0; trend favors naive-1") {
+    val sp = spark; import sp.implicits._
+    // series w: 21 days of an exact period-7 pattern → every seasonal
+    // error is 0 while daily steps are nonzero → MASE exactly 0
+    val weekly = (0 until 21).map(d =>
+      ("w", d.toLong, (10 + (d % 7)).toDouble))
+    // series r: pure linear ramp → |y_t − y_{t−7}| = 7, |y_t − y_{t−1}|
+    // = 1 → MASE exactly 7 (weekly structure is an illusion here)
+    val ramp = (0 until 21).map(d => ("r", d.toLong, d.toDouble))
+    val out = TimeSeries.seasonalNaiveBacktest(
+      (weekly ++ ramp).toDF("et", "day", "n"), "et", "day", "n", season = 7)
+      .collect().map(r => r.getAs[String]("et") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("mae_snaive"),
+          r.getAs[Double]("mae_naive1"), r.getAs[Double]("mase"))).toMap
+    assert(out("w")._1 === 21L)
+    assert(out("w")._2 === 0.0)
+    assert(out("w")._4 === 0.0)
+    assert(out("r") === ((21L, 7.0, 1.0, 7.0)))
+  }
 }
