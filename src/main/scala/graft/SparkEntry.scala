@@ -438,6 +438,12 @@ object SparkEntry {
     "q229_qini" -> (graft.operators.Relational.q229Qini _),
     // seasonal-naive backtest with MASE scoring per event type
     "q230_mase" -> (graft.operators.TimeSeries.q230Mase _),
+    // cohort LTV curves (cumulative value per cohort member by age)
+    "q231_ltv_curve" -> (graft.operators.EventAnalytics.q231LtvCurve _),
+    // order-to-delivery SLA percentiles per order month
+    "q232_delivery_sla" -> (graft.operators.Relational.q232DeliverySla _),
+    // price-volume decomposition of half-over-half revenue change
+    "q233_pvm" -> (graft.operators.EventAnalytics.q233Pvm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -677,5 +683,8 @@ object SparkEntry {
     "q228_did" -> graft.operators.Relational.q228Sql,
     "q229_qini" -> graft.operators.Relational.q229Sql,
     "q230_mase" -> graft.operators.TimeSeries.q230Sql,
+    "q231_ltv_curve" -> graft.operators.EventAnalytics.q231Sql,
+    "q232_delivery_sla" -> graft.operators.Relational.q232Sql,
+    "q233_pvm" -> graft.operators.EventAnalytics.q233Sql,
   )
 }

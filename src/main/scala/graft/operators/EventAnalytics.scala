@@ -1102,6 +1102,127 @@ object EventAnalytics {
         col("sw.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Cohort LTV curves — q102's retention sibling with MONEY on the
+    * y-axis: users grouped by first-seen week, and for each cohort age
+    * (weeks since first event) the cumulative value per cohort member.
+    * The curve family is how a growth team reads payback horizons;
+    * flattening curves across recent cohorts is the early-warning
+    * signal retention alone hides.
+    *
+    * Scale shape: one user-keyed aggregate pins each user's cohort
+    * week (the only full pass over users), one join back (user-keyed),
+    * one (cohort, age) aggregate, and the cumulative sum runs per
+    * cohort over the calendar-bounded age axis.
+    */
+  def q231LtvCurve(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("day"))).cast("date").as("cohort_week"))
+      .localCheckpoint() // sized once, joined once
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val byAge = e.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        floor(datediff(col("day"), col("cohort_week")) / 7)
+          .cast("long").as("age_week"),
+        col("value"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(round(sum(col("value")), 6).as("__rev"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        round(sum(col("__rev")).over(cum) / col("n_users"), 6)
+          .as("cum_ltv_per_user"))
+  }
+
+  val q231Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value
+      |  FROM events WHERE value IS NOT NULL),
+      |cohorts AS (
+      |  SELECT user_id, date_trunc('week', min(day)) AS cohort_week
+      |  FROM e GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS n_users FROM cohorts GROUP BY 1),
+      |ba AS (
+      |  SELECT c.cohort_week,
+      |    CAST((day - c.cohort_week) // 7 AS BIGINT) AS age_week,
+      |    round(sum(value), 6) AS rev
+      |  FROM e JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT ba.cohort_week, ba.age_week,
+      |  CAST(s.n_users AS BIGINT) AS n_users,
+      |  round(sum(ba.rev) OVER (PARTITION BY ba.cohort_week
+      |      ORDER BY ba.age_week
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    / s.n_users, 6) AS cum_ltv_per_user
+      |FROM ba JOIN sizes s USING (cohort_week)""".stripMargin
+
+  /** Price–volume(–mix) decomposition of the half-over-half revenue
+    * change per event type — the BI bridge chart's algebra: with n the
+    * event count and v̄ the mean value per event in each half,
+    *
+    *   ΔR = (n₂−n₁)·v̄₁  +  n₂·(v̄₂−v̄₁)
+    *        └ volume ┘     └  rate  ┘
+    *
+    * an EXACT decomposition (the two terms sum to ΔR by construction,
+    * spec-pinned), so "did revenue move because we did more events or
+    * richer events" has a single deterministic answer per type.
+    *
+    * Scale shape: one (type, half) hash aggregate — the only pass —
+    * then type-domain-bounded algebra.
+    */
+  def q233Pvm(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("__us"))
+    val mid = e.agg(((min(col("__us")) + max(col("__us"))) / 2).as("__mid"))
+    val halves = e.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), (col("__us") < col("__mid")).as("__h1"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("rev"))
+    def h(first: Boolean, c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      max(when(col("__h1") === first, c))
+    halves.groupBy(col("event_type"))
+      .agg(h(true, col("n")).as("n1"), h(false, col("n")).as("n2"),
+        h(true, col("rev")).as("r1"), h(false, col("rev")).as("r2"))
+      .where(col("n1").isNotNull && col("n2").isNotNull)
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("r1"), 6).as("rev1"), round(col("r2"), 6).as("rev2"),
+        round(col("r2") - col("r1"), 6).as("delta"),
+        round((col("n2") - col("n1")) * (col("r1") / col("n1")), 6)
+          .as("volume_effect"),
+        round(col("n2") * (col("r2") / col("n2") - col("r1") / col("n1")), 6)
+          .as("rate_effect"))
+  }
+
+  val q233Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us
+      |  FROM events WHERE value IS NOT NULL),
+      |mid AS (SELECT (min(us) + max(us)) / 2 AS mid FROM e),
+      |h AS (
+      |  SELECT event_type, us < mid.mid AS h1,
+      |    count(*) AS n, sum(value) AS rev
+      |  FROM e CROSS JOIN mid GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN h1 THEN n END) AS n1,
+      |    max(CASE WHEN NOT h1 THEN n END) AS n2,
+      |    max(CASE WHEN h1 THEN rev END) AS r1,
+      |    max(CASE WHEN NOT h1 THEN rev END) AS r2
+      |  FROM h GROUP BY 1)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  round(r1, 6) AS rev1, round(r2, 6) AS rev2,
+      |  round(r2 - r1, 6) AS delta,
+      |  round((n2 - n1) * (r1 / n1), 6) AS volume_effect,
+      |  round(n2 * (r2 / n2 - r1 / n1), 6) AS rate_effect
+      |FROM w WHERE n1 IS NOT NULL AND n2 IS NOT NULL""".stripMargin
+
   val q203Sql: String =
     """WITH l AS (
       |  SELECT user_id, ts, value,

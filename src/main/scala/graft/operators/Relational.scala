@@ -2307,6 +2307,48 @@ object Relational {
        |    AS qini
        |FROM d""".stripMargin
 
+  /** Order-to-delivery SLA percentiles per order month — the ops
+    * latency report: for every lineitem, days from order placement to
+    * shipment, summarized as exact p50/p90 (the q51 percentile ≡
+    * quantile_cont pin) plus the max straggler. The month axis makes
+    * SLA drift visible; the p90/max gap separates a fat tail from a
+    * single outlier.
+    *
+    * Scale shape: one fact⋈fact equi-join on the order key (the only
+    * shuffle), one month-keyed aggregate with exact-percentile
+    * buffers bounded by per-month row counts.
+    */
+  def q232DeliverySla(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("order_month"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("double").as("lag_days"))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(percentile(col("lag_days"), lit(0.5)), 6).as("p50_days"),
+        round(percentile(col("lag_days"), lit(0.9)), 6).as("p90_days"),
+        max(col("lag_days")).cast("long").as("max_days"))
+  }
+
+  val q232Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(quantile_cont(CAST(date_diff('day',
+      |    CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |    AS DOUBLE), 0.5), 6) AS p50_days,
+      |  round(quantile_cont(CAST(date_diff('day',
+      |    CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |    AS DOUBLE), 0.9), 6) AS p90_days,
+      |  CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+      |    CAST(l_shipdate AS DATE))) AS BIGINT) AS max_days
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** Expected calibration error of the q217 model — the reliability
     * diagram's summary number (Guo et al., ICML'17): 10 equal-width
     * confidence bins, per bin the |accuracy − mean confidence| gap,

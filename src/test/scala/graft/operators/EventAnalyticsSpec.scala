@@ -459,4 +459,39 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // session 2: the +1us straggler alone
     assert(out(1) === ((10000000L + 2 * gapUs + 1, 10000000L + 3 * gapUs + 1, 1L)))
   }
+
+  test("q231 LTV curves: every cohort starts at age 0 and the curve never decreases") {
+    val rows = EventAnalytics.q231LtvCurve(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Long]("age_week"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("cum_ltv_per_user")))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cw, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 === 0L, s"cohort $cw must have an age-0 row")
+      assert(sorted.map(_._3).distinct.size === 1,
+        s"cohort $cw size must be constant across ages")
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._4 >= w(0)._4 - 1e-9,
+          s"cohort $cw LTV decreased: ${w(0)._4} -> ${w(1)._4}")
+      }
+    }
+  }
+
+  test("q233 PVM: volume + rate effects reconstruct the revenue delta exactly") {
+    val rows = EventAnalytics.q233Pvm(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val delta = r.getAs[Double]("delta")
+      val v = r.getAs[Double]("volume_effect")
+      val rt = r.getAs[Double]("rate_effect")
+      // exact decomposition (only 6 dp rounding noise may remain)
+      assert(math.abs(delta - (v + rt)) < 3e-6,
+        s"${r.getAs[String]("event_type")}: $delta != $v + $rt")
+      assert(math.abs(r.getAs[Double]("rev2") - r.getAs[Double]("rev1")
+        - delta) < 3e-6)
+    }
+  }
 }

@@ -555,4 +555,22 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (d <- 1L to 5L) assert(out(d) === ((1L, 1L, 1L, 0L, 1.0, d.toDouble)))
     for (d <- 6L to 10L) assert(out(d) === ((1L, 1L, 0L, 0L, 0.0, 5.0)))
   }
+
+  test("q232 delivery SLA: percentile ordering and item-count conservation") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q232DeliverySla(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, mx) = (r.getAs[Double]("p50_days"),
+        r.getAs[Double]("p90_days"), r.getAs[Long]("max_days"))
+      assert(p50 <= p90 && p90 <= mx,
+        s"${r.getAs[java.sql.Date]("order_month")}: $p50 / $p90 / $mx")
+      // NOTE: the synthetic fixture draws ship dates independently of
+      // order dates, so negative lags exist — the operator reports
+      // them honestly rather than clamping
+    }
+    val total = rows.map(_.getAs[Long]("n_items")).sum
+    assert(total === graft.core.Tables.lineitem(spark, d).count(),
+      "every lineitem must land in exactly one month bucket")
+  }
 }
