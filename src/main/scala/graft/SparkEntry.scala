@@ -444,6 +444,18 @@ object SparkEntry {
     "q232_delivery_sla" -> (graft.operators.Relational.q232DeliverySla _),
     // price-volume decomposition of half-over-half revenue change
     "q233_pvm" -> (graft.operators.EventAnalytics.q233Pvm _),
+    // Fleiss' kappa multi-rater agreement over the q214 vote fixture
+    "q234_fleiss_kappa" -> (graft.operators.Labeling.q234FleissKappa _),
+    // Markov stationary event-type mix (3 pinned power iterations)
+    "q235_stationary" -> (graft.operators.EventAnalytics.q235Stationary _),
+    // off-policy IPS/SNIPS evaluation of the best-arm-per-month policy
+    "q236_off_policy" -> (graft.operators.EventAnalytics.q236OffPolicy _),
+    // trigram-postings substring search (index plan == naive scan)
+    "q237_trigram_search" -> (graft.operators.Retrieval.q237TrigramSearch _),
+    // BPE merge-round pair ladder over the word vocabulary
+    "q238_bpe_pairs" -> (graft.operators.CorpusOps.q238BpePairs _),
+    // source-pair shingle-Jaccard corpus overlap matrix
+    "q239_source_overlap" -> (graft.operators.CorpusOps.q239SourceOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -686,5 +698,11 @@ object SparkEntry {
     "q231_ltv_curve" -> graft.operators.EventAnalytics.q231Sql,
     "q232_delivery_sla" -> graft.operators.Relational.q232Sql,
     "q233_pvm" -> graft.operators.EventAnalytics.q233Sql,
+    "q234_fleiss_kappa" -> graft.operators.Labeling.q234Sql,
+    "q235_stationary" -> graft.operators.EventAnalytics.q235Sql,
+    "q236_off_policy" -> graft.operators.EventAnalytics.q236Sql,
+    "q237_trigram_search" -> graft.operators.Retrieval.q237Sql,
+    "q238_bpe_pairs" -> graft.operators.CorpusOps.q238Sql,
+    "q239_source_overlap" -> graft.operators.CorpusOps.q239Sql,
   )
 }

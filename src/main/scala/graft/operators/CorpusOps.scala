@@ -1163,4 +1163,144 @@ object CorpusOps {
       |  round((pow(CAST(n_docs AS DOUBLE), 0.5) / t.ptot) /
       |    (n_docs / t.tot), 6) AS boost
       |FROM c CROSS JOIN t""".stripMargin
+
+  /** One BPE merge-round statistic — the adjacent-character-pair
+    * counts over the corpus word vocabulary, weighted by word
+    * frequency: exactly the argmax table byte-pair-encoding tokenizer
+    * training (Sennrich 2016) computes each round before applying the
+    * top merge. Reported as the top-k ladder (count desc, pair asc —
+    * pinned) rather than just the argmax, which is the report a
+    * tokenizer-training pipeline actually reviews.
+    *
+    * Scale shape: the corpus collapses to its word-frequency VOCAB in
+    * one hash aggregate (Heaps'-law-bounded — millions of words, not
+    * corpus-sized); pair expansion walks each vocab word once via an
+    * in-plan `sequence`/`transform` (no UDF, no re-scan), and the
+    * ladder is a pair-domain-bounded aggregate topped by one
+    * WindowGroupLimit. Word length is capped at 63 chars in BOTH
+    * engines (cross-engine parity for the expansion bound; longer
+    * "words" are URL/garbage-shaped and excluded by contract).
+    *
+    * @return rank, pair, n_words (distinct vocab words containing),
+    *         total (frequency-weighted occurrence count)
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1)
+    val vocab = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("__w"))
+      .where(length(col("__w")).between(2, 63))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__f"))
+    val pairs = vocab
+      .select(col("__w"), col("__f"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), " +
+          "i -> substring(__w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(countDistinct(col("__w")).as("n_words"),
+        sum(col("__f")).as("total"))
+    val ladder = Window.orderBy(col("total").desc, col("pair"))
+    pairs.withColumn("rank", row_number().over(ladder))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("n_words"), col("total"))
+  }
+
+  /** Declared q238: the top-20 BPE merge candidates over the
+    * documents corpus.
+    */
+  def q238BpePairs(spark: SparkSession, d: String): DataFrame =
+    bpePairCounts(Tables.documents(spark, d), "text", k = 20)
+
+  val q238Sql: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents)
+      |  WHERE length(w) BETWEEN 2 AND 63 GROUP BY 1),
+      |pos AS (SELECT CAST(range AS INT) AS i FROM range(1, 64)),
+      |pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, w, f
+      |  FROM words JOIN pos ON pos.i <= length(w) - 1)
+      |SELECT CAST(row_number() OVER (ORDER BY sum(f) DESC, pair)
+      |    AS INT) AS rank,
+      |  pair, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+      |  CAST(sum(f) AS BIGINT) AS total
+      |FROM pairs GROUP BY pair
+      |QUALIFY rank <= 20""".stripMargin
+
+  /** Source-pair corpus overlap matrix — exact Jaccard similarity of
+    * the distinct word-3-shingle sets of every pair of sources: the
+    * "which ingest feeds duplicate each other" audit that decides
+    * dedup priority and mixture double-counting BEFORE any document-
+    * level near-dup pass. Computed shingle-keyed: the corpus
+    * collapses to the distinct (source, shingle) relation in one
+    * aggregate, pair intersections come from its self-join on the
+    * shingle key (cost Σ_shingle k², k ≤ #sources — linear in the
+    * relation for any realistic source count, never doc×doc), and
+    * per-source set sizes re-aggregate from the same relation.
+    * Pairs with an empty intersection are absent by contract (their
+    * Jaccard is 0; emitting the full quadratic grid would be noise).
+    *
+    * @return src_a < src_b, n_a, n_b, inter, jaccard (6 dp)
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String,
+      textCol: String, shingleWidth: Int = 3): DataFrame = {
+    require(shingleWidth >= 1)
+    val rel = docs
+      .select(col(sourceCol).as("__src"),
+        split(lower(col(textCol)), " ").as("__toks"))
+      // sequence with start > stop DESCENDS in Spark — short docs
+      // need the explicit empty-array guard
+      .select(col("__src"), explode(expr(
+        s"CASE WHEN size(__toks) >= $shingleWidth THEN transform(" +
+          s"sequence(0, size(__toks) - $shingleWidth), " +
+          s"i -> array_join(slice(__toks, i + 1, $shingleWidth), ' ')) " +
+          "ELSE array() END")).as("__sh"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = rel.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val inter = rel.select(col("__src").as("src_a"), col("__sh"))
+      .join(rel.select(col("__src").as("src_b"), col("__sh")), Seq("__sh"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__src").as("src_a"), col("__n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("__src").as("src_b"), col("__n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** Declared q239: the 20-source overlap matrix of the documents
+    * corpus on word-3-shingles.
+    */
+  def q239SourceOverlap(spark: SparkSession, d: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, d), "source", "text")
+
+  val q239Sql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+      |pos AS (SELECT CAST(range AS INT) AS i FROM range(1, 100000)),
+      |rel AS (
+      |  SELECT DISTINCT source,
+      |    concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS sh
+      |  FROM toks JOIN pos ON pos.i <= len(t) - 2),
+      |sizes AS (SELECT source, count(*) AS n FROM rel GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM rel a JOIN rel b ON a.sh = b.sh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b,
+      |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |  CAST(inter AS BIGINT) AS inter,
+      |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b""".stripMargin
 }

@@ -1245,4 +1245,173 @@ object EventAnalytics {
       |  CAST(count(*) AS BIGINT) AS n_events,
       |  round(sum(value), 6) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Stationary distribution of the first-order event-type Markov
+    * chain ([[transitions]]) — the long-run visit share of each event
+    * type, the "where does a user's session settle" summary that
+    * turns the q105 transition matrix into one ranking. A PINNED
+    * number of power iterations from the uniform start (run-to-
+    * convergence is neither oracle-expressible nor stage-count-
+    * deterministic; three iterations is the documented contract —
+    * at q105's empirically near-uniform mixing it is already inside
+    * the final 6-dp rounding).
+    *
+    * States are the types with OUTGOING transitions; edges into any
+    * other type are dropped and each row re-normalized, so mass is
+    * conserved exactly (otherwise a sink state silently leaks
+    * probability every step). Each iterate rounds to 12 dp — both
+    * engines then produce bit-identical vectors regardless of their
+    * per-group addition order, and the final 6-dp output can never
+    * sit on a rounding boundary skew.
+    *
+    * Scale shape: everything after the one [[transitions]] shuffle is
+    * type-domain-bounded algebra (|types|² rows); the iteration joins
+    * broadcast trivially.
+    */
+  def stationaryDistribution(trans: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "at least one power iteration")
+    val states = trans.select(col("from_type")).distinct()
+    val p = trans
+      .join(states.select(col("from_type").as("to_type")), Seq("to_type"),
+        "left_semi")
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("__p"))
+    val nStates = states.agg(count(lit(1)).as("__k"))
+    var pi = states.crossJoin(broadcast(nStates))
+      .select(col("from_type").as("t"),
+        round(lit(1.0) / col("__k"), 12).as("pi"))
+    for (_ <- 1 to iterations) {
+      pi = p.join(pi.select(col("t").as("from_type"), col("pi")),
+          Seq("from_type"))
+        .groupBy(col("to_type").as("t"))
+        .agg(round(sum(col("pi") * col("__p")), 12).as("pi"))
+    }
+    pi.select(col("t").as("event_type"), round(col("pi"), 6).as("pi"))
+  }
+
+  /** Declared q235: stationary event-type mix after 3 pinned power
+    * iterations over the q105 transition matrix.
+    */
+  def q235Stationary(spark: SparkSession, d: String): DataFrame =
+    stationaryDistribution(q105Transitions(spark, d), iterations = 3)
+
+  val q235Sql: String =
+    """WITH o AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |states AS (SELECT DISTINCT from_type FROM t),
+      |p AS (
+      |  SELECT from_type, to_type,
+      |    CAST(n AS DOUBLE)
+      |      / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |  FROM t WHERE to_type IN (SELECT from_type FROM states)),
+      |pi0 AS (
+      |  SELECT from_type AS t,
+      |    round(1.0 / (SELECT count(*) FROM states), 12) AS pi
+      |  FROM states),
+      |pi1 AS (
+      |  SELECT p.to_type AS t, round(sum(pi0.pi * p.p), 12) AS pi
+      |  FROM p JOIN pi0 ON pi0.t = p.from_type GROUP BY 1),
+      |pi2 AS (
+      |  SELECT p.to_type AS t, round(sum(pi1.pi * p.p), 12) AS pi
+      |  FROM p JOIN pi1 ON pi1.t = p.from_type GROUP BY 1),
+      |pi3 AS (
+      |  SELECT p.to_type AS t, round(sum(pi2.pi * p.p), 12) AS pi
+      |  FROM p JOIN pi2 ON pi2.t = p.from_type GROUP BY 1)
+      |SELECT t AS event_type, round(pi, 6) AS pi FROM pi3""".stripMargin
+
+  /** Off-policy evaluation of a deterministic target policy from
+    * logged bandit feedback — inverse-propensity scoring (Horvitz–
+    * Thompson) plus its self-normalized variant (SNIPS), the standard
+    * counterfactual "what would this policy have earned on last
+    * quarter's traffic" readout an experimentation / RLHF pipeline
+    * runs before any live test. Logged action = event type, reward =
+    * event value (null → 0), context = calendar day; the logging
+    * propensity μ̂(a|day) is the empirical per-day action share, and
+    * the evaluated policy plays each month's highest-total-reward
+    * action (tie → min type) — fully derived from the log, so both
+    * engines rebuild the identical setup.
+    *
+    *   w_i = 1[a_i = π(x_i)] / μ̂(a_i|day_i)
+    *   V_IPS = Σ w_i r_i / n        V_SNIPS = Σ w_i r_i / Σ w_i
+    *
+    * Scale shape: propensities and the policy are domain-bounded
+    * aggregates (days×types, months×types) that broadcast back onto
+    * the fact scan — the big table is read twice (columnar-pruned),
+    * never checkpointed, and the answer is one global aggregate.
+    */
+  def q236OffPolicy(spark: SparkSession, d: String): DataFrame =
+    offPolicyIps(Tables.events(spark, d).select(
+      to_date(col("ts")).as("day"),
+      to_date(date_trunc("month", col("ts"))).as("month"),
+      col("event_type").as("action"),
+      coalesce(col("value"), lit(0.0)).as("reward")))
+
+  /** [[q236OffPolicy]]'s core over a prepared (day, month, action,
+    * reward) log — factored for direct fixture testing.
+    */
+  def offPolicyIps(ev: DataFrame): DataFrame = {
+    val mu = ev.groupBy(col("day"), col("action"))
+      .agg(count(lit(1)).as("__na"))
+      .withColumn("__nd",
+        sum(col("__na")).over(Window.partitionBy(col("day"))))
+      .select(col("day"), col("action"),
+        (col("__na").cast("double") / col("__nd").cast("double"))
+          .as("__mu"))
+    val byTot = Window.partitionBy(col("month"))
+      .orderBy(col("__tot").desc, col("action"))
+    val pi = ev.groupBy(col("month"), col("action"))
+      .agg(round(sum(col("reward")), 6).as("__tot"))
+      .withColumn("__rk", row_number().over(byTot))
+      .where(col("__rk") === 1)
+      .select(col("month"), col("action").as("__target"))
+    val scored = ev
+      .join(broadcast(mu), Seq("day", "action"))
+      .join(broadcast(pi), Seq("month"))
+      .select(
+        when(col("action") === col("__target"), lit(1.0) / col("__mu"))
+          .otherwise(lit(0.0)).as("__w"),
+        col("reward"))
+    scored.agg(
+      count(lit(1)).as("n_events"),
+      round(avg(when(col("__w") > 0, 1.0).otherwise(0.0)), 6)
+        .as("match_rate"),
+      round(sum(col("__w") * col("reward")) / count(lit(1)), 6)
+        .as("ips_value"),
+      round(sum(col("__w") * col("reward")) / sum(col("__w")), 6)
+        .as("snips_value"))
+  }
+
+  val q236Sql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(date_trunc('month', ts) AS DATE) AS month,
+      |    event_type AS action, coalesce(value, 0.0) AS reward
+      |  FROM events),
+      |mu AS (
+      |  SELECT day, action, CAST(count(*) AS DOUBLE)
+      |    / CAST(sum(count(*)) OVER (PARTITION BY day) AS DOUBLE) AS mu
+      |  FROM ev GROUP BY 1, 2),
+      |pi AS (
+      |  SELECT month, action AS target FROM (
+      |    SELECT month, action, round(sum(reward), 6) AS tot
+      |    FROM ev GROUP BY 1, 2)
+      |  QUALIFY row_number() OVER (PARTITION BY month
+      |    ORDER BY tot DESC, action) = 1),
+      |scored AS (
+      |  SELECT CASE WHEN ev.action = pi.target THEN 1.0 / mu.mu
+      |              ELSE 0.0 END AS w, reward
+      |  FROM ev JOIN mu USING (day, action) JOIN pi USING (month))
+      |SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |  round(avg(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 6) AS match_rate,
+      |  round(sum(w * reward) / count(*), 6) AS ips_value,
+      |  round(sum(w * reward) / sum(w), 6) AS snips_value
+      |FROM scored""".stripMargin
 }

@@ -270,4 +270,113 @@ object Labeling {
       |LEFT JOIN wins ON wins.i = s2.i
       |JOIN (SELECT i, sum(n) AS n_comparisons FROM nij GROUP BY 1) tc
       |  ON tc.i = s2.i""".stripMargin
+
+  /** Fleiss' kappa — chance-corrected agreement among MANY raters
+    * (Fleiss 1971), the pool-level companion to the two-rater Cohen's
+    * kappa ([[Profiling.cohensKappa]]): "are the annotators producing
+    * signal or noise?" is THE gate before any crowd-labeled set is
+    * trusted. Uses the variable-raters-per-item generalization: items
+    * with fewer than 2 ratings carry no agreement information and are
+    * excluded from BOTH the per-item agreement mean and the chance
+    * marginals (documented contract; keeps the two sides consistent).
+    *
+    *   P_i  = Σ_k n_ik(n_ik−1) / (n_i(n_i−1))      (per-item agreement)
+    *   P̄   = mean_i P_i          p_k = Σ_i n_ik / Σ_i n_i
+    *   P_e  = Σ_k p_k²           κ = (P̄ − P_e) / (1 − P_e)
+    *
+    * κ is NULL when P_e = 1 (every rating one label — agreement is
+    * vacuous, the standard degenerate case).
+    *
+    * Scale shape: one hash aggregate collapses ratings to (item,
+    * label) integer counts; everything after is item-keyed integer
+    * algebra plus a label-domain-bounded aggregate — two scalar
+    * frames broadcast-combined at the end. No window, no join wider
+    * than the count relation.
+    *
+    * @param ratings one row per individual rating (item, label)
+    * @return one row: n_items, n_ratings, p_bar, p_e, kappa (6 dp)
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val nik = ratings
+      .select(col(itemCol).as("item"), col(labelCol).as("label"))
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("__nik"))
+      .localCheckpoint()
+    val perItem = nik.groupBy(col("item"))
+      .agg(sum(col("__nik")).as("__ni"),
+        sum(col("__nik") * (col("__nik") - 1)).as("__agree"))
+      .where(col("__ni") >= 2)
+    val pbar = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"),
+      avg(col("__agree").cast("double") /
+        (col("__ni") * (col("__ni") - 1)).cast("double")).as("__pbar"))
+    val pe = nik
+      .join(perItem.select(col("item")), Seq("item"), "left_semi")
+      .groupBy(col("label"))
+      .agg(sum(col("__nik")).as("__ck"))
+      .agg(sum(col("__ck") * col("__ck")).cast("double")
+        .as("__num"), sum(col("__ck")).cast("double").as("__den"))
+      .select((col("__num") / (col("__den") * col("__den"))).as("__pe"))
+    pbar.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_ratings"),
+        round(col("__pbar"), 6).as("p_bar"),
+        round(col("__pe"), 6).as("p_e"),
+        when(col("__pe") < 1.0,
+          round((col("__pbar") - col("__pe")) / (lit(1.0) - col("__pe")), 6))
+          .as("kappa"))
+  }
+
+  /** Declared q234: rater agreement over the q214 vote fixture — per
+    * day, the 50 derived workers' modal-event-type votes rated by
+    * Fleiss' kappa. Same deterministic vote relation as q214, so any
+    * engine rebuilds it identically.
+    */
+  def q234FleissKappa(spark: SparkSession, d: String): DataFrame = {
+    val byVote = Window.partitionBy(col("day"), col("worker"))
+      .orderBy(col("__n").desc, col("label"))
+    val votes = Tables.events(spark, d)
+      .select(to_date(col("ts")).as("day"),
+        pmod(col("user_id"), lit(50L)).as("worker"),
+        col("event_type").as("label"))
+      .groupBy(col("day"), col("worker"), col("label"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(byVote))
+      .where(col("__rk") === 1)
+      .select(col("day"), col("worker"), col("label"))
+    fleissKappa(votes, "day", "label")
+  }
+
+  val q234Sql: String =
+    """WITH raw AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS worker,
+      |    event_type AS label, count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |votes AS (
+      |  SELECT day, worker, label FROM raw
+      |  QUALIFY row_number() OVER (PARTITION BY day, worker
+      |    ORDER BY n DESC, label) = 1),
+      |nik AS (
+      |  SELECT day, label, count(*) AS nik FROM votes GROUP BY 1, 2),
+      |per_item AS (
+      |  SELECT day, sum(nik) AS ni, sum(nik * (nik - 1)) AS agree
+      |  FROM nik GROUP BY 1 HAVING sum(nik) >= 2),
+      |pbar AS (
+      |  SELECT count(*) AS n_items, sum(ni) AS n_ratings,
+      |    avg(CAST(agree AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE))
+      |      AS pbar
+      |  FROM per_item),
+      |pe AS (
+      |  SELECT sum(CAST(ck AS DOUBLE) * ck)
+      |    / (sum(CAST(ck AS DOUBLE)) * sum(CAST(ck AS DOUBLE))) AS pe
+      |  FROM (
+      |    SELECT label, sum(nik) AS ck FROM nik
+      |    WHERE day IN (SELECT day FROM per_item) GROUP BY 1))
+      |SELECT CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n_ratings AS BIGINT) AS n_ratings,
+      |  round(pbar, 6) AS p_bar, round(pe, 6) AS p_e,
+      |  CASE WHEN pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 6) END
+      |    AS kappa
+      |FROM pbar, pe""".stripMargin
 }

@@ -477,4 +477,62 @@ object Retrieval {
       |  hits, n_rel,
       |  round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall
       |FROM sys JOIN denom USING (qid)""".stripMargin
+
+  /** Trigram-index substring search — find every document containing
+    * a literal pattern WITHOUT scanning every document's text: build
+    * character-trigram postings, intersect the pattern's trigrams
+    * (AND-semantics via a count-match aggregate — the classic
+    * pg_trgm / Google Code Search plan, Cox 2012), then verify only
+    * the surviving candidates with a real `contains`. Trigram
+    * candidacy is NECESSARY but not sufficient (trigrams can match
+    * across word boundaries in permuted order), hence the verify
+    * step; it is also COMPLETE — any doc containing the pattern
+    * contains all its trigrams — so recall is exactly 1 and the
+    * result equals the naive scan the oracle runs.
+    *
+    * Scale shape: the postings build is one explode + distinct (at
+    * 100 TB it would be a PRE-BUILT index table, amortized across
+    * queries — documented); the probe side is |pattern| trigrams
+    * broadcast into a semi-join, the AND is a doc-keyed count
+    * aggregate, and the final `contains` touches only candidate
+    * rows via a semi-join-pruned rescan. Patterns shorter than 3
+    * chars reject (no trigram selectivity; a real engine falls back
+    * to the scan path).
+    */
+  def trigramSearch(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String): DataFrame = {
+    require(pattern.length >= 3, "trigram search needs >= 3 chars")
+    val pat = pattern.toLowerCase
+    val patTris = pat.sliding(3).toSeq.distinct
+    val postings = docs
+      .select(col(idCol).as("__id"), lower(col(textCol)).as("__t"))
+      // sequence(1, 0) DESCENDS in Spark, so short texts need the
+      // explicit empty-array guard, not a greatest() clamp
+      .select(col("__id"), explode(expr(
+        "CASE WHEN length(__t) >= 3 THEN transform(" +
+          "sequence(1, length(__t) - 2), i -> substring(__t, i, 3)) " +
+          "ELSE array() END")).as("__tri"))
+      .distinct()
+    val probe = postings
+      .where(col("__tri").isin(patTris: _*))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__hit"))
+      .where(col("__hit") === patTris.length)
+      .select(col("__id").as(idCol))
+    docs.join(broadcast(probe), Seq(idCol), "left_semi")
+      .where(lower(col(textCol)).contains(pat))
+      .select(col(idCol))
+  }
+
+  /** Declared q237: docs containing "fast merge" via the trigram
+    * index plan; the oracle is the naive full scan — identical rows
+    * prove the index path loses nothing.
+    */
+  def q237TrigramSearch(spark: SparkSession, d: String): DataFrame =
+    trigramSearch(Tables.documents(spark, d), "doc_id", "text",
+      "fast merge")
+
+  val q237Sql: String =
+    """SELECT doc_id FROM documents
+      |WHERE contains(lower(text), 'fast merge')""".stripMargin
 }

@@ -570,4 +570,50 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getAs[Double]("boost"))
     assert(nat.forall(_ === 1.0))
   }
+
+  test("bpePairCounts: hand pair ladder, frequency weighting, length gates") {
+    val sp = spark; import sp.implicits._
+    // vocab: "abab" x2, "ab" x1, "x" (dropped, len<2). Pairs:
+    //   abab -> ab, ba, ab (2 x ab, 1 x ba) at f=2; ab -> ab at f=1
+    // totals: ab = 2*2 + 2*1... wait: per OCCURRENCE in the word,
+    // weighted by word freq: ab appears twice in "abab" (f=2) -> 4,
+    // plus once in "ab" (f=1) -> total 5, n_words 2;
+    // ba once in "abab" -> total 2, n_words 1
+    val docs = Seq("abab ab abab x").toDF("text")
+    val out = CorpusOps.bpePairCounts(docs, "text", k = 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("total")))
+    assert(out.toSeq === Seq((1, "ab", 2L, 5L), (2, "ba", 1L, 2L)))
+  }
+
+  test("bpePairCounts: ladder tie breaks to the lexicographically smaller pair") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq("zy ab").toDF("text")
+    val out = CorpusOps.bpePairCounts(docs, "text", k = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair")))
+    assert(out.toSeq === Seq((1, "ab"), (2, "zy")))
+  }
+
+  test("sourceOverlap: hand Jaccard, self-pairs and empty intersections absent") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("s1", "a b c d"),        // shingles: "a b c", "b c d"
+      ("s2", "a b c d"),        // identical -> jaccard 1 with s1
+      ("s2", "a b c"),          // duplicate shingle, distinct-collapsed
+      ("s3", "x y z w"),        // disjoint -> no row with s1/s2
+      ("s4", "b c d e")         // shares "b c d" with s1/s2
+    ).toDF("source", "text")
+    val out = CorpusOps.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toMap
+    assert(out(("s1", "s2")) === ((2L, 2L, 2L, 1.0)))
+    // s4 shingles: "b c d", "c d e" -> inter 1, union 3
+    assert(out(("s1", "s4")) === ((2L, 2L, 1L, 0.333333)))
+    assert(out(("s2", "s4"))._3 === 1L)
+    assert(!out.keySet.exists(p => p._1 == "s3" || p._2 == "s3"),
+      "disjoint source must produce no pairs")
+    assert(out.keySet.forall(p => p._1 < p._2), "orientation pinned")
+  }
 }

@@ -494,4 +494,70 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
         - delta) < 3e-6)
     }
   }
+
+  test("stationaryDistribution: hand power iteration, sink-edge renormalization, iterations guard") {
+    val sp = spark; import sp.implicits._
+    // P(A->A)=.75, P(A->B)=.25, P(B->A)=P(B->B)=.5 after dropping the
+    // A->C sink edge (C has no outgoing row) and renormalizing A:
+    // pi3(A) = 0.6640625 by hand from the uniform start
+    val trans = Seq(
+      ("A", "A", 3L), ("A", "B", 1L), ("A", "C", 4L),
+      ("B", "A", 1L), ("B", "B", 1L)
+    ).toDF("from_type", "to_type", "n")
+      .withColumn("p",
+        org.apache.spark.sql.functions.lit(0.0)) // unused; shape parity
+    val pi = EventAnalytics.stationaryDistribution(trans, iterations = 3)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("pi")).toMap
+    assert(pi.keySet === Set("A", "B"), "sink state C must not appear")
+    assert(math.abs(pi("A") - 0.6640625) < 1e-6, s"pi(A) = ${pi("A")}")
+    // both components end in ...5 and round HALF_UP, so the 6-dp
+    // output can carry up to 1 ulp of rounding on the sum
+    assert(math.abs(pi("A") + pi("B") - 1.0) < 2e-6, "mass conserved")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.stationaryDistribution(trans, iterations = 0)
+    }
+  }
+
+  test("stationaryDistribution: symmetric 2-cycle stays uniform") {
+    val sp = spark; import sp.implicits._
+    val trans = Seq(("A", "B", 5L), ("B", "A", 5L))
+      .toDF("from_type", "to_type", "n")
+    val pi = EventAnalytics.stationaryDistribution(trans, iterations = 3)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("pi")).toMap
+    assert(pi("A") === 0.5 && pi("B") === 0.5)
+  }
+
+  test("offPolicyIps: hand IPS/SNIPS on a one-day log, target argmax with reward weighting") {
+    val sp = spark; import sp.implicits._
+    val d0 = java.sql.Date.valueOf("2024-01-05")
+    val m0 = java.sql.Date.valueOf("2024-01-01")
+    // actions a,a,b rewards 1,1,4: mu(a)=2/3 mu(b)=1/3; month totals
+    // a=2 < b=4 -> target b; w = (0,0,3): match 1/3, IPS = 12/3 = 4,
+    // SNIPS = 12/3 = 4
+    val ev = Seq(
+      (d0, m0, "a", 1.0), (d0, m0, "a", 1.0), (d0, m0, "b", 4.0)
+    ).toDF("day", "month", "action", "reward")
+    val r = EventAnalytics.offPolicyIps(ev).collect().head
+    assert(r.getAs[Long]("n_events") === 3L)
+    assert(math.abs(r.getAs[Double]("match_rate") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ips_value") - 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("snips_value") - 4.0) < 1e-9)
+  }
+
+  test("offPolicyIps: total-reward tie breaks to the min action") {
+    val sp = spark; import sp.implicits._
+    val d0 = java.sql.Date.valueOf("2024-02-10")
+    val m0 = java.sql.Date.valueOf("2024-02-01")
+    // equal totals (2.0 each) -> target must be 'a' (min type); its
+    // two rows match with w = 1/mu(a) = 2 -> IPS = (2+2)/4 = 1
+    val ev = Seq(
+      (d0, m0, "a", 1.0), (d0, m0, "a", 1.0),
+      (d0, m0, "b", 2.0), (d0, m0, "c", 0.5)
+    ).toDF("day", "month", "action", "reward")
+    val r = EventAnalytics.offPolicyIps(ev).collect().head
+    assert(math.abs(r.getAs[Double]("match_rate") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ips_value") - 1.0) < 1e-9)
+  }
 }

@@ -92,4 +92,46 @@ class LabelingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(out(k)._3 - r6(s(k))) < 1e-9, s"$k: ${out(k)._3} vs ${s(k)}")
     assert(out("A")._3 > out("B")._3 && out("B")._3 > out("C")._3)
   }
+
+  test("fleissKappa: hand-computed variable-n fixture, <2-rating items excluded") {
+    val sp = spark; import sp.implicits._
+    // I1 aaa (P=1), I2 aab (P=1/3), I3 ab (P=0), I4 single rating
+    // (excluded everywhere). Pbar = 4/9; marginals over I1-I3 only:
+    // p_a = 6/8, p_b = 2/8 -> Pe = .625; kappa = (4/9-.625)/.375
+    val ratings = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"),
+      (4L, "b")
+    ).toDF("item", "label")
+    val r = Labeling.fleissKappa(ratings, "item", "label").collect().head
+    assert(r.getAs[Long]("n_items") === 3L)
+    assert(r.getAs[Long]("n_ratings") === 8L)
+    assert(math.abs(r.getAs[Double]("p_bar") - 4.0 / 9.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p_e") - 0.625) < 1e-6)
+    assert(math.abs(r.getAs[Double]("kappa")
+      - (4.0 / 9.0 - 0.625) / 0.375) < 1e-6)
+  }
+
+  test("fleissKappa: unanimous single-label corpus yields NULL kappa, not a divide-by-zero") {
+    val sp = spark; import sp.implicits._
+    val ratings = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val r = Labeling.fleissKappa(ratings, "item", "label").collect().head
+    assert(r.getAs[Double]("p_e") === 1.0)
+    assert(r.getAs[Double]("p_bar") === 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("fleissKappa: perfect two-label agreement scores kappa 1") {
+    val sp = spark; import sp.implicits._
+    // two items, 3 raters each, unanimous but DIFFERENT labels ->
+    // Pbar = 1, Pe = .5, kappa = 1
+    val ratings = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b")
+    ).toDF("item", "label")
+    val r = Labeling.fleissKappa(ratings, "item", "label").collect().head
+    assert(math.abs(r.getAs[Double]("kappa") - 1.0) < 1e-9)
+  }
 }

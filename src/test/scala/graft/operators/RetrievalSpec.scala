@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lower}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -215,6 +215,31 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val exp = (fr.toLong, if (fr == 0) 0.0 else r6(1.0 / fr),
         hits, nRel, r6(hits.toDouble / nRel))
       assert(out(q) === exp, s"query $q: got ${out(q)} want $exp")
+    }
+  }
+
+  test("trigramSearch: equals the naive scan; permuted-trigram false candidates verified away") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),          // contains "quick br"
+      (2L, "QUICK BRown shouting case"),    // case-insensitive hit
+      (3L, "brown quick"),                  // all trigrams of "ck b"? no
+      // doc 4 holds every trigram of "quick br" but in an order that
+      // never forms the substring -> candidate that verify must kill
+      (4L, "quicks bro ck black ick ui"),
+      (5L, "nothing here"),
+      (6L, "qb")                            // shorter than a trigram
+    ).toDF("doc_id", "text")
+    val pattern = "quick br"
+    val got = Retrieval.trigramSearch(docs, "doc_id", "text", pattern)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val naive = docs
+      .where(lower($"text").contains(pattern.toLowerCase))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === naive)
+    assert(got === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Retrieval.trigramSearch(docs, "doc_id", "text", "ab")
     }
   }
 }
