@@ -456,6 +456,12 @@ object SparkEntry {
     "q238_bpe_pairs" -> (graft.operators.CorpusOps.q238BpePairs _),
     // source-pair shingle-Jaccard corpus overlap matrix
     "q239_source_overlap" -> (graft.operators.CorpusOps.q239SourceOverlap _),
+    // two-group log-rank survival test on q152 session lifetimes
+    "q240_log_rank" -> (graft.operators.EventAnalytics.q240LogRank _),
+    // Murphy Brier-score decomposition of the q217 logistic fit
+    "q241_brier" -> (graft.operators.Relational.q241Brier _),
+    // within-doc repetition-run audit (degenerate-generation screen)
+    "q242_repetition_runs" -> (graft.operators.TextAnalysis.q242RepetitionRuns _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -704,5 +710,8 @@ object SparkEntry {
     "q237_trigram_search" -> graft.operators.Retrieval.q237Sql,
     "q238_bpe_pairs" -> graft.operators.CorpusOps.q238Sql,
     "q239_source_overlap" -> graft.operators.CorpusOps.q239Sql,
+    "q240_log_rank" -> graft.operators.EventAnalytics.q240Sql,
+    "q241_brier" -> graft.operators.Relational.q241Sql,
+    "q242_repetition_runs" -> graft.operators.TextAnalysis.q242Sql,
   )
 }

@@ -1246,6 +1246,139 @@ object EventAnalytics {
       |  round(sum(value), 6) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Two-group log-rank test (Mantel–Cox) — "do these two cohorts'
+    * survival curves differ beyond chance?", the hypothesis test that
+    * belongs next to [[kaplanMeier]]'s descriptive curve. At every
+    * distinct event time t: observed group-1 events d₁ₜ vs expected
+    * dₜ·n₁ₜ/nₜ under the null, with hypergeometric variance
+    * dₜ·(n₁ₜ/nₜ)·(n₀ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1); χ² = (O₁−E₁)²/V ~ χ²(1).
+    * Right-censored rows leave risk sets without contributing events,
+    * exactly as in KM.
+    *
+    * Scale shape: ONE hash aggregate collapses lifetimes to the
+    * per-time support with BOTH groups pivoted into columns (the
+    * group domain is 2 by contract, so per-group risk sets need no
+    * per-group window — a single [[Relational.orderedPrefixSums]]
+    * pass carries both cumulative at-risk counts), and the test is
+    * one global aggregate over the support. Variance terms with
+    * nₜ ≤ 1 are skipped (0/0 guard, standard convention).
+    *
+    * @param lifetimes (duration, censored: Boolean, group: Boolean)
+    * @return one row: n1, n0, o1, e1, variance, chi2 (6 dp)
+    */
+  def logRank(lifetimes: DataFrame, durationCol: String,
+      censoredCol: String, groupCol: String): DataFrame = {
+    val sup = lifetimes.groupBy(col(durationCol).as("__t")).agg(
+      sum(when(col(groupCol) && !col(censoredCol), 1L).otherwise(0L))
+        .as("__d1"),
+      sum(when(!col(groupCol) && !col(censoredCol), 1L).otherwise(0L))
+        .as("__d0"),
+      sum(when(col(groupCol), 1L).otherwise(0L)).as("__a1"),
+      sum(when(!col(groupCol), 1L).otherwise(0L)).as("__a0"))
+    val risked = Relational
+      .orderedPrefixSums(sup, "__t",
+        Seq("__c1" -> col("__a1"), "__c0" -> col("__a0")))
+      .select(col("__d1"), col("__d0"),
+        (col("__c1_total") - col("__c1") + col("__a1")).as("__n1"),
+        (col("__c0_total") - col("__c0") + col("__a0")).as("__n0"))
+      .withColumn("__n", col("__n1") + col("__n0"))
+      .withColumn("__d", col("__d1") + col("__d0"))
+      .where(col("__d") > 0)
+    val terms = risked.select(
+      col("__d1").cast("double").as("__o1"),
+      (col("__d") * col("__n1")).cast("double")
+        ./(col("__n").cast("double")).as("__e1"),
+      when(col("__n") > 1,
+        col("__d").cast("double") *
+          (col("__n1").cast("double") / col("__n")) *
+          (col("__n0").cast("double") / col("__n")) *
+          ((col("__n") - col("__d")).cast("double") / (col("__n") - 1)))
+        .otherwise(0.0).as("__v"),
+      col("__n1"), col("__n0"))
+    terms.agg(
+      max(col("__n1")).as("__maxn1"), max(col("__n0")).as("__maxn0"),
+      round(sum(col("__o1")), 6).as("o1"),
+      round(sum(col("__e1")), 6).as("e1"),
+      round(sum(col("__v")), 6).as("variance"),
+      round(pow(sum(col("__o1")) - sum(col("__e1")), 2.0) /
+        sum(col("__v")), 6).as("chi2"))
+      .select(col("__maxn1").cast("long").as("n1"),
+        col("__maxn0").cast("long").as("n0"),
+        col("o1"), col("e1"), col("variance"), col("chi2"))
+  }
+
+  /** Declared q240: do even- and odd-user sessions survive
+    * differently — the q152 session lifetimes split by user parity.
+    * n1/n0 report each group's initial risk-set size (= its largest
+    * at-risk count, which is the count at the first event time).
+    */
+  def q240LogRank(spark: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val e = Tables.events(spark, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val m = e.agg(max(col("us")).as("__max_us"))
+    val lifetimes = sessionize(e, gapUs).crossJoin(broadcast(m)).select(
+      expr("duration_us div 60000000").as("t_minutes"),
+      (col("end_us") > col("__max_us") - gapUs).as("censored"),
+      (pmod(col("user_id"), lit(2L)) === 1L).as("grp"))
+    logRank(lifetimes, "t_minutes", "censored", "grp")
+  }
+
+  val q240Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |m AS (SELECT max(us) AS max_us FROM e),
+      |t AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+      |      AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sid AS (
+      |  SELECT user_id, us,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, session_id, min(us) AS s, max(us) AS en
+      |  FROM sid GROUP BY 1, 2),
+      |lt AS (
+      |  SELECT (en - s) // 60000000 AS tm,
+      |    CASE WHEN en > m.max_us - 1800000000 THEN 1 ELSE 0 END AS cens,
+      |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g
+      |  FROM sess CROSS JOIN m),
+      |sup AS (
+      |  SELECT tm,
+      |    sum(CASE WHEN g = 1 AND cens = 0 THEN 1 ELSE 0 END) AS d1,
+      |    sum(CASE WHEN g = 0 AND cens = 0 THEN 1 ELSE 0 END) AS d0,
+      |    sum(g) AS a1, sum(1 - g) AS a0
+      |  FROM lt GROUP BY 1),
+      |r AS (
+      |  SELECT d1, d0,
+      |    (SELECT sum(a1) FROM sup) - sum(a1) OVER (ORDER BY tm) + a1
+      |      AS n1,
+      |    (SELECT sum(a0) FROM sup) - sum(a0) OVER (ORDER BY tm) + a0
+      |      AS n0
+      |  FROM sup),
+      |w AS (
+      |  SELECT d1, d0, n1, n0, n1 + n0 AS n, d1 + d0 AS d FROM r
+      |  WHERE d1 + d0 > 0),
+      |terms AS (
+      |  SELECT CAST(d1 AS DOUBLE) AS o1,
+      |    CAST(d * n1 AS DOUBLE) / n AS e1,
+      |    CASE WHEN n > 1 THEN
+      |      CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+      |        * (CAST(n0 AS DOUBLE) / n)
+      |        * (CAST(n - d AS DOUBLE) / (n - 1))
+      |    ELSE 0.0 END AS v, n1, n0
+      |  FROM w)
+      |SELECT CAST(max(n1) AS BIGINT) AS n1,
+      |  CAST(max(n0) AS BIGINT) AS n0,
+      |  round(sum(o1), 6) AS o1, round(sum(e1), 6) AS e1,
+      |  round(sum(v), 6) AS variance,
+      |  round(pow(sum(o1) - sum(e1), 2) / sum(v), 6) AS chi2
+      |FROM terms""".stripMargin
+
   /** Stationary distribution of the first-order event-type Markov
     * chain ([[transitions]]) — the long-run visit share of each event
     * type, the "where does a user's session settle" summary that

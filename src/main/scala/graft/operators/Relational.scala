@@ -2383,6 +2383,82 @@ object Relational {
         sum(col("n")).over(all), 6))
   }
 
+  /** Murphy (1973) decomposition of the Brier score — the
+    * probabilistic-forecast quality readout that SPLITS the raw
+    * squared error into its named parts: reliability (calibration
+    * gap, want 0), resolution (how much the forecast separates
+    * outcomes, want large), and uncertainty (the outcome base rate's
+    * intrinsic variance, forecast-independent):
+    *
+    *   REL = Σₖ nₖ(p̄ₖ − ȳₖ)²/n    RES = Σₖ nₖ(ȳₖ − ȳ)²/n
+    *   UNC = ȳ(1 − ȳ)             Brier = (1/n)Σ(pᵢ − yᵢ)²
+    *
+    * Binned over the same 10 equal-width bins as
+    * [[expectedCalibrationError]]; the REL−RES+UNC identity holds
+    * exactly only when forecasts are constant within bins, so the raw
+    * Brier is reported alongside rather than reconstructed.
+    *
+    * Scale shape: one pass computes the raw Brier and the bin
+    * aggregate; the decomposition is 10-row algebra broadcast-joined
+    * to the global base rate. No window, no second scan of the data
+    * (the bin relation re-aggregates for the global terms).
+    */
+  def brierDecomposition(scored: DataFrame): DataFrame = {
+    val binned = scored
+      .select(col("y"), col("p"),
+        least(floor(col("p") * 10).cast("long"), lit(9L)).as("__bin"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"),
+        sum(col("p")).as("__sp"), sum(col("y")).as("__sy"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("__sq"))
+      .localCheckpoint()
+    val glob = binned.agg(
+      sum(col("__nk")).as("__n"), sum(col("__sy")).as("__ty"),
+      sum(col("__sq")).as("__tsq"))
+    binned.crossJoin(broadcast(glob))
+      .select(col("__nk"), col("__n"), col("__tsq"),
+        (col("__sp") / col("__nk")).as("__pk"),
+        (col("__sy") / col("__nk")).as("__yk"),
+        (col("__ty") / col("__n")).as("__ybar"))
+      .agg(
+        max(col("__n")).cast("long").as("n"),
+        round(max(col("__tsq") / col("__n")), 6).as("brier"),
+        round(sum(col("__nk") * (col("__pk") - col("__yk"))
+          * (col("__pk") - col("__yk"))) / max(col("__n")), 6)
+          .as("reliability"),
+        round(sum(col("__nk") * (col("__yk") - col("__ybar"))
+          * (col("__yk") - col("__ybar"))) / max(col("__n")), 6)
+          .as("resolution"),
+        round(max(col("__ybar") * (lit(1.0) - col("__ybar"))), 6)
+          .as("uncertainty"))
+  }
+
+  /** Declared q241: Brier decomposition of the q217 logistic fit. */
+  def q241Brier(spark: SparkSession, d: String): DataFrame =
+    brierDecomposition(logisticScoredUsers(spark, d))
+
+  val q241Sql: String =
+    s"""WITH $logisticFitCte,
+       |scored AS (
+       |  SELECT u.y, 1.0 / (1.0 + exp(-(round(b2.b0, 6)
+       |    + round(b2.b1, 6) * u.x))) AS p
+       |  FROM u CROSS JOIN b2),
+       |bins AS (
+       |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+       |    count(*) AS nk, sum(p) AS sp, sum(y) AS sy,
+       |    sum((p - y) * (p - y)) AS sq
+       |  FROM scored GROUP BY 1),
+       |g AS (
+       |  SELECT sum(nk) AS n, sum(sy) AS ty, sum(sq) AS tsq FROM bins)
+       |SELECT CAST(max(n) AS BIGINT) AS n,
+       |  round(max(tsq / n), 6) AS brier,
+       |  round(sum(nk * (sp / nk - sy / nk) * (sp / nk - sy / nk))
+       |    / max(n), 6) AS reliability,
+       |  round(sum(nk * (sy / nk - ty / n) * (sy / nk - ty / n))
+       |    / max(n), 6) AS resolution,
+       |  round(max((ty / n) * (1.0 - ty / n)), 6) AS uncertainty
+       |FROM bins CROSS JOIN g""".stripMargin
+
   val q227Sql: String =
     s"""WITH $logisticFitCte,
        |scored AS (

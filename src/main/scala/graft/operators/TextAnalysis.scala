@@ -1824,4 +1824,80 @@ object TextAnalysis {
       |FROM bg JOIN bc USING (a, b) JOIN ca USING (a) JOIN cb USING (b)
       |CROSS JOIN tot
       |GROUP BY bg.doc_id""".stripMargin
+
+  /** Within-document repetition-run audit — the degenerate-generation
+    * signal ("the the the the …") an LLM-output or scrape-quality
+    * filter screens for, DISTINCT from corpus-level span dedup
+    * ([[graft.operators.Dedup]]): here the repetition is consecutive
+    * tokens inside one document. Per doc: the longest run of the same
+    * token repeated back-to-back (gaps-and-islands via a lag flag +
+    * running sum — both windows share ONE (doc, position) sort, no
+    * second exchange) and the repeated-token mass 1 − distinct/total.
+    *
+    * Scale shape: one posexplode, one doc-keyed window shuffle, one
+    * hash aggregate per island, one per doc. Cost is token count —
+    * the same as any tokenizing pass — and every key is doc-bounded,
+    * so skew equals longest-document skew, the usual bound.
+    */
+  def repetitionRuns(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__pos", "__tok")))
+    val runs = toks
+      .withColumn("__new",
+        when(lag(col("__tok"), 1).over(w) === col("__tok"), 0L)
+          .otherwise(1L))
+      .withColumn("__run",
+        sum(col("__new")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("__id"), col("__run"), col("__tok"))
+      .agg(count(lit(1)).as("__len"))
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__tok")).as("__nd"))
+    runs.groupBy(col("__id"))
+      .agg(max(col("__len")).as("max_run"))
+      .join(perDoc, Seq("__id"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("max_run"),
+        round((col("n_tokens") - col("__nd")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("repeat_fraction"))
+  }
+
+  /** Declared q242: repetition-run audit over the documents corpus. */
+  def q242RepetitionRuns(spark: SparkSession, d: String): DataFrame =
+    repetitionRuns(Tables.documents(spark, d), "doc_id", "text")
+
+  val q242Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |pos AS (SELECT CAST(range AS INT) AS i FROM range(1, 100000)),
+      |seq AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM toks JOIN pos ON pos.i <= len(t)),
+      |flag AS (
+      |  SELECT doc_id, i, tok,
+      |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok
+      |         THEN 0 ELSE 1 END AS nw
+      |  FROM seq),
+      |runs AS (
+      |  SELECT doc_id, tok,
+      |    sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+      |                  ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM flag),
+      |rl AS (
+      |  SELECT doc_id, run_id, count(*) AS len
+      |  FROM runs GROUP BY 1, 2),
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    count(DISTINCT tok) AS nd
+      |  FROM seq GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(max(len) AS BIGINT) AS max_run,
+      |  round(CAST(n_tokens - nd AS DOUBLE) / n_tokens, 6)
+      |    AS repeat_fraction
+      |FROM rl JOIN per_doc USING (doc_id)
+      |GROUP BY doc_id, n_tokens, nd""".stripMargin
 }

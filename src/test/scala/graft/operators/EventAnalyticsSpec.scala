@@ -560,4 +560,38 @@ class EventAnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("match_rate") - 0.5) < 1e-6)
     assert(math.abs(r.getAs[Double]("ips_value") - 1.0) < 1e-9)
   }
+
+  test("logRank: hand Mantel-Cox on separated groups, variance term skips n<=1") {
+    val sp = spark; import sp.implicits._
+    // g1 events at t=1,1; g0 events at t=5,5:
+    // t=1: n1=2 n0=2 d=2 d1=2 -> e1=1, v=1/3; t=5: n=2 all g0 -> e1+=0
+    // O1=2 E1=1 V=1/3 -> chi2 = 3
+    val lt = Seq(
+      (1L, false, true), (1L, false, true),
+      (5L, false, false), (5L, false, false)
+    ).toDF("t", "censored", "grp")
+    val r = EventAnalytics.logRank(lt, "t", "censored", "grp")
+      .collect().head
+    assert(r.getAs[Long]("n1") === 2L && r.getAs[Long]("n0") === 2L)
+    assert(r.getAs[Double]("o1") === 2.0)
+    assert(r.getAs[Double]("e1") === 1.0)
+    assert(math.abs(r.getAs[Double]("variance") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chi2") - 3.0) < 1e-5)
+  }
+
+  test("logRank: identical groups score chi2 0; censored rows hold risk sets without events") {
+    val sp = spark; import sp.implicits._
+    val lt = Seq(
+      (1L, false, true), (2L, false, true),
+      (1L, false, false), (2L, false, false),
+      // censored at 2 in each group: at risk through t=2, no event
+      (2L, true, true), (2L, true, false)
+    ).toDF("t", "censored", "grp")
+    val r = EventAnalytics.logRank(lt, "t", "censored", "grp")
+      .collect().head
+    assert(r.getAs[Long]("n1") === 3L && r.getAs[Long]("n0") === 3L)
+    assert(r.getAs[Double]("o1") === 2.0)
+    assert(math.abs(r.getAs[Double]("o1") - r.getAs[Double]("e1")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-9)
+  }
 }

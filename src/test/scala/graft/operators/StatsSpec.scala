@@ -573,4 +573,33 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total === graft.core.Tables.lineitem(spark, d).count(),
       "every lineitem must land in exactly one month bucket")
   }
+
+  test("brierDecomposition: hand Murphy terms; REL-RES+UNC identity on constant-bin forecasts") {
+    val sp = spark; import sp.implicits._
+    // bin2: p=.25 x5 with one positive; bin8: p=.85 x5 with four:
+    // brier=.1625, REL=.0025, RES=.09, UNC=.25 (identity holds since
+    // p is constant within each bin)
+    val scored = (Seq((1.0, 0.25)) ++ Seq.fill(4)((0.0, 0.25)) ++
+      Seq.fill(4)((1.0, 0.85)) ++ Seq((0.0, 0.85))).toDF("y", "p")
+    val r = Relational.brierDecomposition(scored).collect().head
+    assert(r.getAs[Long]("n") === 10L)
+    assert(math.abs(r.getAs[Double]("brier") - 0.1625) < 1e-9)
+    assert(math.abs(r.getAs[Double]("reliability") - 0.0025) < 1e-9)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.09) < 1e-9)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("brier") -
+      (r.getAs[Double]("reliability") - r.getAs[Double]("resolution")
+        + r.getAs[Double]("uncertainty"))) < 1e-9)
+  }
+
+  test("brierDecomposition: perfect binary forecasts score zero everywhere but uncertainty") {
+    val sp = spark; import sp.implicits._
+    val scored = (Seq.fill(3)((1.0, 1.0)) ++ Seq.fill(3)((0.0, 0.0)))
+      .toDF("y", "p")
+    val r = Relational.brierDecomposition(scored).collect().head
+    assert(r.getAs[Double]("brier") === 0.0)
+    assert(r.getAs[Double]("reliability") === 0.0)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-9)
+  }
 }

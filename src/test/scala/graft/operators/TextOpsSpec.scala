@@ -432,4 +432,22 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p3.getAs[Long]("r2_overlap") === 0L)
     assert(p3.getAs[Double]("r2_f1") === 0.0)
   }
+
+  test("repetitionRuns: hand islands, non-adjacent repeats don't extend runs") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),    // max run 3, 6 tokens 3 distinct -> .5
+      (2L, "x y z"),          // no repetition at all
+      (3L, "t t t t t t t t"),// one 8-run, 1 distinct -> 7/8
+      (4L, "a b a b a b")     // repeats but NEVER adjacent: max run 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRuns(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("max_run"),
+          r.getAs[Double]("repeat_fraction"))).toMap
+    assert(out(1L) === ((6L, 3L, 0.5)))
+    assert(out(2L) === ((3L, 1L, 0.0)))
+    assert(out(3L) === ((8L, 8L, 0.875)))
+    assert(out(4L) === ((6L, 1L, 0.666667)))
+  }
 }
