@@ -462,6 +462,18 @@ object SparkEntry {
     "q241_brier" -> (graft.operators.Relational.q241Brier _),
     // within-doc repetition-run audit (degenerate-generation screen)
     "q242_repetition_runs" -> (graft.operators.TextAnalysis.q242RepetitionRuns _),
+    // Jensen-Shannon divergence matrix over source unigram mixes
+    "q243_source_jsd" -> (graft.operators.CorpusOps.q243SourceJsd _),
+    // Heaps'-law vocabulary-growth fit in ingest order
+    "q244_heaps_fit" -> (graft.operators.TextAnalysis.q244HeapsFit _),
+    // md5-permutation test for the odd/even user value difference
+    "q245_permutation_test" -> (graft.operators.Relational.q245PermutationTest _),
+    // top principal component by 3 pinned power iterations
+    "q246_top_pc" -> (graft.operators.Similarity.q246TopPc _),
+    // Hill tail-index of document lengths
+    "q247_hill_tail" -> (graft.operators.Profiling.q247HillTail _),
+    // Cochran-Mantel-Haenszel month-stratified association test
+    "q248_cmh" -> (graft.operators.Relational.q248Cmh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -713,5 +725,11 @@ object SparkEntry {
     "q240_log_rank" -> graft.operators.EventAnalytics.q240Sql,
     "q241_brier" -> graft.operators.Relational.q241Sql,
     "q242_repetition_runs" -> graft.operators.TextAnalysis.q242Sql,
+    "q243_source_jsd" -> graft.operators.CorpusOps.q243Sql,
+    "q244_heaps_fit" -> graft.operators.TextAnalysis.q244Sql,
+    "q245_permutation_test" -> graft.operators.Relational.q245Sql,
+    "q246_top_pc" -> graft.operators.Similarity.q246Sql,
+    "q247_hill_tail" -> graft.operators.Profiling.q247Sql,
+    "q248_cmh" -> graft.operators.Relational.q248Sql,
   )
 }

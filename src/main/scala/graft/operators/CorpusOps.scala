@@ -1303,4 +1303,84 @@ object CorpusOps {
       |FROM inter
       |JOIN sizes sa ON sa.source = src_a
       |JOIN sizes sb ON sb.source = src_b""".stripMargin
+
+  /** Jensen–Shannon divergence between every pair of sources' unigram
+    * distributions — the SYMMETRIC, bounded companion to
+    * [[sourceDivergence]]'s KL-vs-mixture: JSD(P,Q) ∈ [0,1] bits, 0 =
+    * identical token mix, 1 = disjoint vocabularies. The standard
+    * corpus-mixture design signal ("which feeds are redundant, which
+    * add diversity") next to [[sourceOverlap]]'s set-level Jaccard.
+    *
+    * Token-keyed, never distribution-materialized-per-pair: the
+    * corpus collapses to the (source, token, p) relation once; one
+    * self-join on the token key yields every pair's shared-token
+    * terms (Σ over shared tokens of p·ln(2p/(p+q)) and the mirrored q
+    * term), and each side's UNSHARED mass — which contributes exactly
+    * mass·ln2 to its half — falls out as (1 − Σ shared p), no
+    * anti-join needed. Pairs sharing no token are absent by contract
+    * (their JSD is exactly 1).
+    *
+    * @return src_a < src_b, shared_tokens, jsd (bits, 6 dp)
+    */
+  def sourceJsDivergence(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__src"))
+    val dist = docs
+      .select(col(sourceCol).as("__src"),
+        explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+      .groupBy(col("__src"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__tot", sum(col("__c")).over(w))
+      .select(col("__src"), col("__tok"),
+        (col("__c").cast("double") / col("__tot").cast("double"))
+          .as("__p"))
+      .localCheckpoint()
+    val ln2 = math.log(2.0)
+    dist.select(col("__src").as("src_a"), col("__tok"),
+        col("__p").as("__pa"))
+      .join(dist.select(col("__src").as("src_b"), col("__tok"),
+        col("__p").as("__pb")), Seq("__tok"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(col("__pa") * log(lit(2.0) * col("__pa")
+          / (col("__pa") + col("__pb")))).as("__ta"),
+        sum(col("__pb") * log(lit(2.0) * col("__pb")
+          / (col("__pa") + col("__pb")))).as("__tb"),
+        sum(col("__pa")).as("__sa"), sum(col("__pb")).as("__sb"))
+      .select(col("src_a"), col("src_b"), col("shared_tokens"),
+        round((lit(0.5) * (col("__ta") + (lit(1.0) - col("__sa")) * ln2)
+          + lit(0.5) * (col("__tb") + (lit(1.0) - col("__sb")) * ln2))
+          / ln2, 6).as("jsd"))
+  }
+
+  /** Declared q243: the source-pair JSD matrix of the documents
+    * corpus.
+    */
+  def q243SourceJsd(spark: SparkSession, d: String): DataFrame =
+    sourceJsDivergence(Tables.documents(spark, d), "source", "text")
+
+  val q243Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      |  FROM documents),
+      |dist AS (
+      |  SELECT source, t,
+      |    CAST(count(*) AS DOUBLE)
+      |      / CAST(sum(count(*)) OVER (PARTITION BY source) AS DOUBLE)
+      |      AS p
+      |  FROM tok WHERE length(t) > 0 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    count(*) AS shared_tokens,
+      |    sum(a.p * ln(2 * a.p / (a.p + b.p))) AS ta,
+      |    sum(b.p * ln(2 * b.p / (a.p + b.p))) AS tb,
+      |    sum(a.p) AS sa, sum(b.p) AS sb
+      |  FROM dist a JOIN dist b ON a.t = b.t AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(shared_tokens AS BIGINT) AS shared_tokens,
+      |  round((0.5 * (ta + (1.0 - sa) * ln(2))
+      |    + 0.5 * (tb + (1.0 - sb) * ln(2))) / ln(2), 6) AS jsd
+      |FROM j""".stripMargin
 }

@@ -837,4 +837,52 @@ object Profiling {
       |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
       |FROM (SELECT c_name, count(DISTINCT c_custkey) AS nd
       |      FROM customer GROUP BY 1)""".stripMargin
+
+  /** Hill estimator of the upper-tail index — "how heavy is the
+    * heavy tail": α̂ = m / Σᵢ₌₁..ₘ ln(x₍ᵢ₎/x₍ₘ₊₁₎) over the top-m
+    * order statistics. The document-length / order-value tail
+    * profile that decides padding budgets, skew handling, and
+    * truncation policy; α ≤ 2 means infinite variance — sampling
+    * estimates of means stop converging.
+    *
+    * Tie-proof formulation: the minimum of the top-(m+1) set IS
+    * x₍ₘ₊₁₎ and contributes ln(1) = 0, so the sum runs over all m+1
+    * rows — WHICH tied copy the top-k keeps cannot matter (the value
+    * multiset is deterministic even when row identity is not).
+    *
+    * Scale shape: one TakeOrderedAndProject (per-partition top-(m+1)
+    * then merge — no global sort, no full shuffle), then m+1-row
+    * algebra.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String,
+      m: Int = 200): DataFrame = {
+    require(m >= 1)
+    val top = df.select(col(valueCol).cast("double").as("__x"))
+      .where(col("__x") > 0)
+      .orderBy(col("__x").desc)
+      .limit(m + 1)
+    val mn = top.agg(min(col("__x")).as("__xmin"))
+    top.crossJoin(broadcast(mn))
+      .agg(count(lit(1)).as("__k"),
+        max(col("__xmin")).as("xmin"),
+        sum(log(col("__x") / col("__xmin"))).as("__h"))
+      .select(lit(m).cast("long").as("m"), col("xmin"),
+        when(col("__h") > 0, round(lit(m).cast("double") / col("__h"), 6))
+          .as("tail_index"))
+  }
+
+  /** Declared q247: tail index of document lengths (n_chars). */
+  def q247HillTail(spark: SparkSession, d: String): DataFrame =
+    hillTailIndex(Tables.documents(spark, d), "n_chars", m = 200)
+
+  val q247Sql: String =
+    """WITH top AS (
+      |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      |  WHERE n_chars > 0 ORDER BY x DESC LIMIT 201),
+      |mn AS (SELECT min(x) AS xmin FROM top)
+      |SELECT CAST(200 AS BIGINT) AS m, max(mn.xmin) AS xmin,
+      |  CASE WHEN sum(ln(x / mn.xmin)) > 0
+      |       THEN round(200.0 / sum(ln(x / mn.xmin)), 6) END
+      |    AS tail_index
+      |FROM top CROSS JOIN mn""".stripMargin
 }

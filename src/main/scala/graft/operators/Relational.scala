@@ -2383,6 +2383,195 @@ object Relational {
         sum(col("n")).over(all), 6))
   }
 
+  /** Permutation test for a two-group difference in means —
+    * distribution-free significance without normality assumptions,
+    * the "is this lift real" answer when t-test assumptions are
+    * suspect. B deterministic md5-derived reassignments of UNITS (not
+    * rows) to pseudo-groups rebuild the null distribution of the
+    * mean difference; p = (1 + #{|Δᵦ| ≥ |Δ|}) / (B + 1), the standard
+    * add-one Monte-Carlo estimator (Phipson & Smyth 2010).
+    *
+    * Determinism discipline: the "random" reassignment of unit i in
+    * replicate b is the parity of md5(i ‖ ':' ‖ b) — a pure function,
+    * so any engine rebuilds the identical permutation set — and both
+    * Δ and every Δᵦ round to 6 dp BEFORE the ≥ comparison, so a
+    * floating-point tail can never flip the extreme-count across
+    * engines.
+    *
+    * Scale shape: the fact table collapses to per-unit sufficient
+    * statistics FIRST (caller's one aggregate); the B-fold expansion
+    * is units×B — bounded by the randomization-unit count, not the
+    * event count — and one hash aggregate per side ends it.
+    *
+    * @param units one row per randomization unit:
+    *              (unitCol, groupCol: Boolean, sumCol, cntCol)
+    * @return one row: obs_diff, b, n_extreme, p_value
+    */
+  def permutationTest(units: DataFrame, unitCol: String,
+      groupCol: String, sumCol: String, cntCol: String,
+      b: Int = 64): DataFrame = {
+    require(b >= 1)
+    val u = units.select(col(unitCol).cast("string").as("__u"),
+      col(groupCol).as("__g"), col(sumCol).cast("double").as("__s"),
+      col(cntCol).cast("long").as("__c"))
+      .localCheckpoint()
+    // ANSI mode raises on /0 where DuckDB yields NULL: a replicate
+    // that reassigns EVERY unit to one side has no defined diff —
+    // emit NULL (never counted extreme), exactly the oracle's result
+    def sideDiff(g: Column): Column = {
+      val c1 = sum(when(g, col("__c")).otherwise(0L))
+      val c0 = sum(when(!g, col("__c")).otherwise(0L))
+      round(when(c1 > 0 && c0 > 0,
+        sum(when(g, col("__s")).otherwise(0.0)) / c1 -
+          sum(when(!g, col("__s")).otherwise(0.0)) / c0), 6)
+    }
+    val obs = u.agg(sideDiff(col("__g")).as("__d"))
+    val reps = u.select(col("__u"), col("__s"), col("__c"),
+      explode(expr(s"sequence(0, ${b - 1})")).as("__b"))
+    val pg = pmod(graft.functions.GraftFunctions.hexLong(
+      substring(md5(concat(col("__u"), lit(":"),
+        col("__b").cast("string"))), 1, 15)), lit(2L)) === 1L
+    val perm = reps
+      .groupBy(col("__b"))
+      .agg({
+        val c1 = sum(when(pg, col("__c")).otherwise(0L))
+        val c0 = sum(when(!pg, col("__c")).otherwise(0L))
+        round(when(c1 > 0 && c0 > 0,
+          sum(when(pg, col("__s")).otherwise(0.0)) / c1 -
+            sum(when(!pg, col("__s")).otherwise(0.0)) / c0), 6).as("__db")
+      })
+    perm.crossJoin(broadcast(obs))
+      .agg(max(col("__d")).as("obs_diff"),
+        count(lit(1)).as("b"),
+        sum(when(abs(col("__db")) >= abs(col("__d")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("obs_diff"), col("b"), col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("b") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** Declared q245: is odd-user mean event value different from
+    * even-user — permutation test at the user level, B = 64.
+    */
+  def q245PermutationTest(spark: SparkSession, d: String): DataFrame = {
+    val units = graft.core.Tables.events(spark, d)
+      .where(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((pmod(col("user_id"), lit(2L)) === 1L).as("grp"),
+        sum(col("value")).as("s"), count(lit(1)).as("c"))
+    permutationTest(units, "user_id", "grp", "s", "c", b = 64)
+  }
+
+  val q245Sql: String =
+    """WITH units AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS u,
+      |    user_id % 2 = 1 AS g, sum(value) AS s, count(*) AS c
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+      |obs AS (
+      |  SELECT round(
+      |    sum(CASE WHEN g THEN s ELSE 0 END)
+      |      / sum(CASE WHEN g THEN c ELSE 0 END)
+      |    - sum(CASE WHEN NOT g THEN s ELSE 0 END)
+      |      / sum(CASE WHEN NOT g THEN c ELSE 0 END), 6) AS d
+      |  FROM units),
+      |reps AS (
+      |  SELECT u, s, c, CAST(range AS INT) AS b
+      |  FROM units CROSS JOIN range(0, 64)),
+      |perm AS (
+      |  SELECT b, round(
+      |    sum(CASE WHEN pg THEN s ELSE 0 END)
+      |      / sum(CASE WHEN pg THEN c ELSE 0 END)
+      |    - sum(CASE WHEN NOT pg THEN s ELSE 0 END)
+      |      / sum(CASE WHEN NOT pg THEN c ELSE 0 END), 6) AS db
+      |  FROM (
+      |    SELECT b, s, c,
+      |      ('0x' || substring(md5(u || ':' || CAST(b AS VARCHAR)), 1, 15))
+      |        ::BIGINT % 2 = 1 AS pg
+      |    FROM reps)
+      |  GROUP BY b)
+      |SELECT max(obs.d) AS obs_diff, CAST(count(*) AS BIGINT) AS b,
+      |  CAST(sum(CASE WHEN abs(db) >= abs(obs.d) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_extreme,
+      |  round((sum(CASE WHEN abs(db) >= abs(obs.d) THEN 1 ELSE 0 END)
+      |    + 1.0) / (count(*) + 1.0), 6) AS p_value
+      |FROM perm CROSS JOIN obs""".stripMargin
+
+  /** Cochran–Mantel–Haenszel test — the stratified 2×2 association
+    * test: "does exposure move the outcome CONSISTENTLY across
+    * strata", controlling for the stratum confounder (month,
+    * geography, cohort …) instead of pooling into one Simpson-prone
+    * table. Per stratum k with exposed n₁ₖ, unexposed n₀ₖ, outcomes
+    * m₁ₖ and exposed-outcomes aₖ:
+    *
+    *   E[aₖ] = n₁ₖm₁ₖ/nₖ
+    *   V[aₖ] = n₁ₖn₀ₖm₁ₖ(nₖ−m₁ₖ) / (nₖ²(nₖ−1))
+    *   χ²_CMH = (Σaₖ − ΣE[aₖ])² / ΣV[aₖ]   ~ χ²(1)
+    *
+    * (No continuity correction — the cross-engine-exact convention.)
+    * Strata with nₖ ≤ 1 contribute nothing (variance undefined).
+    *
+    * Scale shape: ONE hash aggregate to the stratum-level integer
+    * counts; the test is stratum-domain algebra after that.
+    */
+  def cmhTest(rows: DataFrame, stratumCol: String, exposedCol: String,
+      outcomeCol: String): DataFrame = {
+    val sup = rows.groupBy(col(stratumCol).as("__k")).agg(
+      sum(when(col(exposedCol), 1L).otherwise(0L)).as("__n1"),
+      sum(when(!col(exposedCol), 1L).otherwise(0L)).as("__n0"),
+      sum(when(col(outcomeCol), 1L).otherwise(0L)).as("__m1"),
+      sum(when(col(exposedCol) && col(outcomeCol), 1L).otherwise(0L))
+        .as("__a"),
+      count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+    sup.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__a")).as("sum_a"),
+      round(sum(col("__n1") * col("__m1")
+        / col("__n").cast("double")), 6).as("sum_e"),
+      round(sum(col("__n1").cast("double") * col("__n0") * col("__m1")
+        * (col("__n") - col("__m1")) /
+        (col("__n").cast("double") * col("__n") * (col("__n") - 1))), 6)
+        .as("variance"),
+      round(pow(sum(col("__a")).cast("double") -
+        sum(col("__n1") * col("__m1") / col("__n").cast("double")), 2.0) /
+        sum(col("__n1").cast("double") * col("__n0") * col("__m1")
+          * (col("__n") - col("__m1")) /
+          (col("__n").cast("double") * col("__n") * (col("__n") - 1))), 6)
+        .as("cmh_chi2"))
+  }
+
+  /** Declared q248: does user parity associate with purchasing,
+    * stratified by calendar day (the fixture spans one month, so
+    * day is the stratum with real multiplicity).
+    */
+  def q248Cmh(spark: SparkSession, d: String): DataFrame =
+    cmhTest(graft.core.Tables.events(spark, d)
+      .select(to_date(col("ts")).as("day"),
+        (pmod(col("user_id"), lit(2L)) === 1L).as("exposed"),
+        (col("event_type") === "purchase").as("outcome")),
+      "day", "exposed", "outcome")
+
+  val q248Sql: String =
+    """WITH sup AS (
+      |  SELECT CAST(ts AS DATE) AS k,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m1,
+      |    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+      |             THEN 1 ELSE 0 END) AS a,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1 HAVING count(*) > 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |  CAST(sum(a) AS BIGINT) AS sum_a,
+      |  round(sum(n1 * m1 / CAST(n AS DOUBLE)), 6) AS sum_e,
+      |  round(sum(CAST(n1 AS DOUBLE) * n0 * m1 * (n - m1)
+      |    / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS variance,
+      |  round(pow(CAST(sum(a) AS DOUBLE)
+      |      - sum(n1 * m1 / CAST(n AS DOUBLE)), 2)
+      |    / sum(CAST(n1 AS DOUBLE) * n0 * m1 * (n - m1)
+      |      / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS cmh_chi2
+      |FROM sup""".stripMargin
+
   /** Murphy (1973) decomposition of the Brier score — the
     * probabilistic-forecast quality readout that SPLITS the raw
     * squared error into its named parts: reliability (calibration

@@ -524,4 +524,115 @@ object Similarity {
     }.mkString(",\n  ")
     s"SELECT vec_id,\n  $cols\nFROM embeddings WHERE len(embedding) = 64"
   }
+
+  /** Top principal component of an embedding table by PINNED power
+    * iteration on the (mean-centered) covariance — the first-line
+    * embedding-space diagnostic: a dominant component explaining most
+    * variance is the classic anisotropic-collapse smell, and the
+    * loadings say WHICH dims carry it. Run-to-convergence is neither
+    * oracle-expressible nor stage-count-deterministic, so the
+    * iteration count is part of the contract (3 from the uniform
+    * start), as is every rounding pin: means → 9 dp, each iterate's
+    * unnormalized image w → 4 dp, each normalized v → 9 dp — both
+    * engines then operate on bit-identical vectors at every step
+    * regardless of their internal summation order.
+    *
+    * Scale shape: never materializes a d×d covariance and never
+    * shuffles — one aggregate pass for the means, one per iteration
+    * computing all d image sums (the projection u = x̃ᵀv is a
+    * 64-term codegen'd row expression computed ONCE per row, then
+    * reused by every per-dim sum), with total variance folded into
+    * the final pass. Driver state is the d-vector between passes
+    * (dimension-bounded, the [[IvfIndex]] centroid precedent).
+    * λ is the Rayleigh quotient v₂ᵀw₃ and explained_share = λ/Σ‖x̃‖².
+    *
+    * @return one row per dim: dim, loading (6 dp), lambda,
+    *         explained_share (both constant across rows)
+    */
+  def topPrincipalComponent(emb: DataFrame, vecCol: String, dims: Int,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && dims >= 1)
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x = emb.where(size(col(vecCol)) === dims)
+    def xe(j: Int): Column = element_at(col(vecCol), j + 1).cast("double")
+    val meanRow = x
+      .select((0 until dims).map(j => avg(xe(j)).as(s"m$j")): _*)
+      .collect().head
+    val m = (0 until dims).map(j => r(meanRow.getDouble(j), 9))
+    def xc(j: Int): Column = xe(j) - lit(m(j))
+    var v = Array.fill(dims)(r(1.0 / math.sqrt(dims.toDouble), 9))
+    var lambda = 0.0
+    var tvar = 0.0
+    for (it <- 1 to iterations) {
+      val u = (0 until dims).map(j => xc(j) * lit(v(j)))
+        .reduce(_ + _).as("__u")
+      val projected = x.select(col(vecCol), u)
+      val aggs = (0 until dims)
+        .map(j => sum(col("__u") * xc(j)).as(s"w$j")) ++
+        (if (it == iterations)
+          Seq(sum((0 until dims).map(j => xc(j) * xc(j))
+            .reduce(_ + _)).as("t"))
+        else Nil)
+      val row = projected.agg(aggs.head, aggs.tail: _*).collect().head
+      val w = Array.tabulate(dims)(j => r(row.getDouble(j), 4))
+      if (it == iterations) {
+        tvar = r(row.getDouble(dims), 4)
+        lambda = r(w.zip(v).map { case (a, b) => a * b }.sum, 6)
+      }
+      val norm = math.sqrt(w.map(t => t * t).sum)
+      require(norm > 0, "power iteration collapsed to the zero vector")
+      v = w.map(t => r(t / norm, 9))
+    }
+    val explained = r(lambda / tvar, 6)
+    val sp = emb.sparkSession
+    import sp.implicits._
+    (0 until dims)
+      .map(j => (j + 1, r(v(j), 6), lambda, explained))
+      .toDF("dim", "loading", "lambda", "explained_share")
+  }
+
+  /** Declared q246: the fixture embeddings' top principal component
+    * after 3 pinned power iterations.
+    */
+  def q246TopPc(spark: SparkSession, d: String): DataFrame =
+    topPrincipalComponent(Tables.embeddings(spark, d), "embedding",
+      dims = 64, iterations = 3)
+
+  val q246Sql: String =
+    """WITH pos AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+      |xe AS (
+      |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, pos WHERE len(embedding) = 64),
+      |mn AS (SELECT i, round(avg(x), 9) AS m FROM xe GROUP BY 1),
+      |xc AS (SELECT vec_id, i, x - m AS xc FROM xe JOIN mn USING (i)),
+      |u1 AS (SELECT vec_id, sum(xc * 0.125) AS u FROM xc GROUP BY 1),
+      |w1 AS (
+      |  SELECT i, round(sum(xc.xc * u1.u), 4) AS w
+      |  FROM xc JOIN u1 USING (vec_id) GROUP BY i),
+      |v1 AS (SELECT i,
+      |  round(w / (SELECT sqrt(sum(w * w)) FROM w1), 9) AS v FROM w1),
+      |u2 AS (
+      |  SELECT vec_id, sum(xc.xc * v1.v) AS u
+      |  FROM xc JOIN v1 USING (i) GROUP BY vec_id),
+      |w2 AS (
+      |  SELECT i, round(sum(xc.xc * u2.u), 4) AS w
+      |  FROM xc JOIN u2 USING (vec_id) GROUP BY i),
+      |v2 AS (SELECT i,
+      |  round(w / (SELECT sqrt(sum(w * w)) FROM w2), 9) AS v FROM w2),
+      |u3 AS (
+      |  SELECT vec_id, sum(xc.xc * v2.v) AS u
+      |  FROM xc JOIN v2 USING (i) GROUP BY vec_id),
+      |w3 AS (
+      |  SELECT i, round(sum(xc.xc * u3.u), 4) AS w
+      |  FROM xc JOIN u3 USING (vec_id) GROUP BY i),
+      |v3 AS (SELECT i,
+      |  round(w / (SELECT sqrt(sum(w * w)) FROM w3), 9) AS v FROM w3),
+      |lam AS (
+      |  SELECT round(sum(v2.v * w3.w), 6) AS l
+      |  FROM v2 JOIN w3 USING (i)),
+      |tv AS (SELECT round(sum(xc * xc), 4) AS t FROM xc)
+      |SELECT i AS dim, round(v3.v, 6) AS loading, lam.l AS lambda,
+      |  round(lam.l / tv.t, 6) AS explained_share
+      |FROM v3 CROSS JOIN lam CROSS JOIN tv""".stripMargin
 }

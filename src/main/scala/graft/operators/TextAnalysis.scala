@@ -1865,6 +1865,106 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("repeat_fraction"))
   }
 
+  /** Heaps'-law vocabulary-growth fit — V(N) ≈ C·N^β estimated from
+    * the corpus's own ingest order (doc_id): the corpus-health check
+    * that tells an LLM-data pipeline whether new documents still add
+    * vocabulary (β near the 0.4–0.6 natural-text band) or the feed
+    * has gone repetitive/templated (β → 0). Companion to
+    * [[zipfFit]]'s frequency-axis power law.
+    *
+    * Per ingest checkpoint (one per doc): cumulative tokens N and
+    * cumulative distinct types V; the fit is ordinary least squares
+    * on (ln N, ln V). V comes from FIRST OCCURRENCES — each type
+    * contributes +1 at its min(doc_id) — so no checkpoint ever
+    * re-scans the past: one aggregate for per-doc token counts, one
+    * for first occurrences, one [[Relational.orderedPrefixSums]]
+    * pass over the doc-bounded support for both running sums, and a
+    * closed-form OLS aggregate. No quadratic re-counting, no window
+    * over raw tokens.
+    *
+    * @return one row: n_points, c, beta, r2 (6 dp)
+    */
+  def heapsFit(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__doc"),
+        explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .where(length(col("__tok")) > 0)
+      .localCheckpoint()
+    val perDoc = toks.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__n"))
+    val firsts = toks.groupBy(col("__tok"))
+      .agg(min(col("__doc")).as("__doc"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__v"))
+    val sup = perDoc.join(firsts, Seq("__doc"), "left")
+      .select(col("__doc"), col("__n"),
+        coalesce(col("__v"), lit(0L)).as("__v"))
+    val pts = Relational
+      .orderedPrefixSums(sup, "__doc",
+        Seq("__cn" -> col("__n"), "__cv" -> col("__v")))
+      .where(col("__cn") > 0 && col("__cv") > 0)
+      .select(log(col("__cn").cast("double")).as("__x"),
+        log(col("__cv").cast("double")).as("__y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("__m"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    // ANSI mode raises on /0 where DuckDB yields NULL — guard the
+    // degenerate corpora (constant N, or constant V -> zero y
+    // variance) to the same NULL the oracle would produce
+    val dx = col("__m") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("__m") * col("__syy") - col("__sy") * col("__sy")
+    val beta = when(dx =!= 0.0,
+      (col("__m") * col("__sxy") - col("__sx") * col("__sy")) / dx)
+    val corr2 = when(dx * dy =!= 0.0,
+      pow(col("__m") * col("__sxy") - col("__sx") * col("__sy"), 2.0) /
+        (dx * dy))
+    s.select(col("__m").cast("long").as("n_points"),
+      round(exp((col("__sy") - beta * col("__sx")) / col("__m")), 6)
+        .as("c"),
+      round(beta, 6).as("beta"), round(corr2, 6).as("r2"))
+  }
+
+  /** Declared q244: Heaps' fit over the documents corpus in doc_id
+    * order.
+    */
+  def q244HeapsFit(spark: SparkSession, d: String): DataFrame =
+    heapsFit(Tables.documents(spark, d), "doc_id", "text")
+
+  val q244Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+      |per_doc AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+      |firsts AS (
+      |  SELECT doc_id, count(*) AS v FROM (
+      |    SELECT t, min(doc_id) AS doc_id FROM tk GROUP BY 1)
+      |  GROUP BY 1),
+      |sup AS (
+      |  SELECT p.doc_id, p.n, coalesce(f.v, 0) AS v
+      |  FROM per_doc p LEFT JOIN firsts f USING (doc_id)),
+      |pts AS (
+      |  SELECT ln(CAST(sum(n) OVER (ORDER BY doc_id) AS DOUBLE)) AS x,
+      |    ln(CAST(sum(v) OVER (ORDER BY doc_id) AS DOUBLE)) AS y
+      |  FROM sup
+      |  QUALIFY sum(n) OVER (ORDER BY doc_id) > 0
+      |    AND sum(v) OVER (ORDER BY doc_id) > 0),
+      |s AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS m,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pts)
+      |SELECT CAST(m AS BIGINT) AS n_points,
+      |  round(exp((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
+      |    / m), 6) AS c,
+      |  round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS beta,
+      |  round(pow(m * sxy - sx * sy, 2)
+      |    / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+      |FROM s""".stripMargin
+
   /** Declared q242: repetition-run audit over the documents corpus. */
   def q242RepetitionRuns(spark: SparkSession, d: String): DataFrame =
     repetitionRuns(Tables.documents(spark, d), "doc_id", "text")

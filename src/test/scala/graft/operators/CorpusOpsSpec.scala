@@ -616,4 +616,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "disjoint source must produce no pairs")
     assert(out.keySet.forall(p => p._1 < p._2), "orientation pinned")
   }
+
+  test("sourceJsDivergence: identical mixes 0, half-overlap 0.5 bits, disjoint absent") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("s1", "a b"), ("s2", "a b"),   // identical distributions
+      ("s3", "a c"),                  // shares only 'a' at p = .5
+      ("s4", "x y")                   // disjoint from all
+    ).toDF("source", "text")
+    val out = CorpusOps.sourceJsDivergence(docs, "source", "text")
+      .collect().map(r => (r.getAs[String]("src_a"),
+        r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("shared_tokens"), r.getAs[Double]("jsd"))).toMap
+    assert(out(("s1", "s2")) === ((2L, 0.0)))
+    // P={a:.5,b:.5} vs Q={a:.5,c:.5}: shared term 0, each side's
+    // unshared half contributes .5*ln2 -> JSD = .5 bit exactly
+    assert(out(("s1", "s3")) === ((1L, 0.5)))
+    assert(!out.keySet.exists(p => p._1 == "s4" || p._2 == "s4"),
+      "token-disjoint pairs are absent by contract")
+  }
 }

@@ -519,4 +519,35 @@ class NearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2) === ((1L, 0L, 1L, 1L, 0.0, 0.0, 0.0)))
     assert(out(3) === ((1L, 1L, 0L, 0L, 1.0, 1.0, 1.0)))
   }
+
+  test("topPrincipalComponent: planted axis recovered with explained share 1") {
+    val sp = spark; import sp.implicits._
+    // all variance on dim 1, zero-mean by construction: v -> e1 in
+    // one step, lambda = sum of squares = 250, explained = 1
+    val emb = Seq(
+      (1L, Seq(10.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(-10.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(5.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Seq(-5.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.topPrincipalComponent(emb, "embedding",
+      dims = 4, iterations = 3).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Double]("loading"), r.getAs[Double]("lambda"),
+          r.getAs[Double]("explained_share"))).toMap
+    assert(rows.keySet === Set(1, 2, 3, 4))
+    assert(math.abs(rows(1)._1 - 1.0) < 1e-6)
+    (2 to 4).foreach(d => assert(rows(d)._1 === 0.0))
+    assert(math.abs(rows(1)._2 - 250.0) < 1e-3)
+    assert(math.abs(rows(1)._3 - 1.0) < 1e-6)
+  }
+
+  test("topPrincipalComponent: zero-variance input rejects instead of dividing by zero") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.topPrincipalComponent(emb, "embedding", dims = 2)
+    }
+  }
 }

@@ -317,4 +317,26 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // country 'uk' maps to two tiers → violated
     assert(out(("country", "tier")) === ((2L, 1L, false)))
   }
+
+  test("hillTailIndex: hand dyadic tail, tie-proof top-k, degenerate flat tail NULL") {
+    val sp = spark; import sp.implicits._
+    // top-3 of {8,4,2,1,1} at m=2: xmin=2, sum ln = ln4+ln2 = 3 ln2
+    // -> alpha = 2/(3 ln2)
+    val df = Seq(8L, 4L, 2L, 1L, 1L).toDF("v")
+    val r = Profiling.hillTailIndex(df, "v", m = 2).collect().head
+    assert(r.getAs[Long]("m") === 2L)
+    assert(r.getAs[Double]("xmin") === 2.0)
+    assert(math.abs(r.getAs[Double]("tail_index")
+      - 2.0 / (3 * math.log(2.0))) < 1e-6)
+    // tie at the boundary: whichever 2-copy survives, values identical
+    val tied = Seq(8L, 4L, 2L, 2L, 2L).toDF("v")
+    val rt = Profiling.hillTailIndex(tied, "v", m = 2).collect().head
+    assert(rt.getAs[Double]("xmin") === 2.0)
+    assert(math.abs(rt.getAs[Double]("tail_index")
+      - 2.0 / (3 * math.log(2.0))) < 1e-6)
+    // all-equal tail: sum ln = 0 -> NULL, not a division blowup
+    val flat = Seq(3L, 3L, 3L, 3L).toDF("v")
+    val rf = Profiling.hillTailIndex(flat, "v", m = 2).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("tail_index")))
+  }
 }

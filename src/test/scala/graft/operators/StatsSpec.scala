@@ -602,4 +602,60 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("resolution") - 0.25) < 1e-9)
     assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-9)
   }
+
+  test("permutationTest: observed diff exact, determinism, and null-effect p=1") {
+    val sp = spark; import sp.implicits._
+    val units = Seq(
+      (1L, true, 10.0, 2L), (2L, false, 2.0, 2L),
+      (3L, true, 6.0, 2L), (4L, false, 2.0, 2L)
+    ).toDF("unit", "grp", "s", "c")
+    val r1 = Relational.permutationTest(units, "unit", "grp", "s", "c",
+      b = 64).collect().head
+    // group means: (10+6)/4 = 4 vs (2+2)/4 = 1
+    assert(r1.getAs[Double]("obs_diff") === 3.0)
+    assert(r1.getAs[Long]("b") === 64L)
+    val p = r1.getAs[Double]("p_value")
+    assert(p >= 1.0 / 65 - 1e-9 && p <= 1.0)
+    // pure-function permutations: a second run is bit-identical
+    val r2 = Relational.permutationTest(units, "unit", "grp", "s", "c",
+      b = 64).collect().head
+    assert(r1 === r2)
+    // zero observed effect (all unit values equal): every VALID
+    // replicate's diff is exactly 0 >= 0 -> p = 1. 40 units so no
+    // replicate one-sides (a one-sided replicate is NULL by contract)
+    val nul = (1L to 40L).map(i => (i, i % 2 == 1, 4.0, 1L))
+      .toDF("unit", "grp", "s", "c")
+    val rn = Relational.permutationTest(nul, "unit", "grp", "s", "c",
+      b = 16).collect().head
+    assert(rn.getAs[Double]("obs_diff") === 0.0)
+    assert(rn.getAs[Double]("p_value") === 1.0)
+  }
+
+  test("cmhTest: hand single- and two-stratum chi2, balanced null, n<=1 strata skipped") {
+    val sp = spark; import sp.implicits._
+    def stratum(k: String, rows: Seq[(Boolean, Boolean)]) =
+      rows.map { case (e, o) => (k, e, o) }
+    // exposed 10 with 5 hits, unexposed 10 with 0:
+    // E=2.5, V=10*10*5*15/(400*19)=0.986842, chi2=(2.5)^2/V=6.333333
+    val one = stratum("a", Seq.fill(5)((true, true)) ++
+      Seq.fill(5)((true, false)) ++ Seq.fill(10)((false, false)))
+    val r1 = Relational.cmhTest(one.toDF("k", "e", "o"), "k", "e", "o")
+      .collect().head
+    assert(r1.getAs[Long]("n_strata") === 1L)
+    assert(r1.getAs[Long]("sum_a") === 5L)
+    assert(math.abs(r1.getAs[Double]("sum_e") - 2.5) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("cmh_chi2") - 6.333333) < 1e-5)
+    // duplicated stratum doubles numerator AND variance: chi2 doubles
+    val r2 = Relational.cmhTest((one ++ stratum("b", one.map(t => (t._2, t._3))))
+      .toDF("k", "e", "o"), "k", "e", "o").collect().head
+    assert(math.abs(r2.getAs[Double]("cmh_chi2") - 2 * 6.333333) < 1e-4)
+    // balanced outcome rates -> chi2 0; singleton stratum ignored
+    val bal = stratum("a", Seq.fill(5)((true, true)) ++
+      Seq.fill(5)((true, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(5)((false, false))) ++ stratum("tiny", Seq((true, true)))
+    val r3 = Relational.cmhTest(bal.toDF("k", "e", "o"), "k", "e", "o")
+      .collect().head
+    assert(r3.getAs[Long]("n_strata") === 1L, "n=1 stratum must be skipped")
+    assert(math.abs(r3.getAs[Double]("cmh_chi2")) < 1e-9)
+  }
 }

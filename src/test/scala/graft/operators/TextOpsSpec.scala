@@ -450,4 +450,30 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ((8L, 8L, 0.875)))
     assert(out(4L) === ((6L, 1L, 0.666667)))
   }
+
+  test("heapsFit: exact power-law corpus recovers beta=0.5, c=1, r2=1") {
+    val sp = spark; import sp.implicits._
+    // checkpoints (N, V): (1,1), (4,2), (9,3) — exactly V = N^0.5
+    val docs = Seq(
+      (1L, "a"),
+      (2L, "a a b"),
+      (3L, "c a a b b")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_points") === 3L)
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta") - 0.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
+  }
+
+  test("heapsFit: repetitive corpus drives beta toward zero") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 20L).map(i => (i, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Double]("beta") < 0.2,
+      s"templated corpus must have a near-flat vocab curve, got ${r.getAs[Double]("beta")}")
+  }
 }
