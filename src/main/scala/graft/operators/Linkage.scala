@@ -161,9 +161,21 @@ object Linkage {
     * partner id, so the assignment is engine-reproducible.
     *
     * Scale shape: one explode to directed proposals, one per-node
-    * rank window (WindowGroupLimit prunes to the top row per node
-    * inside each partition), one self-equi-join of the |nodes|-sized
-    * best relation. Never quadratic beyond the input pair relation.
+    * argmax as a PACKED-LONG hash aggregate, one self-equi-join of
+    * the |nodes|-sized best relation. Never quadratic beyond the
+    * input pair relation.
+    *
+    * The argmax is `max(packedLong)` rather than the natural
+    * `max(struct(w, −partner))`: a struct-typed max compiles to
+    * ObjectHashAggregate, which is NOT whole-stage-codegen-able, and
+    * because the PARTIAL aggregate fuses into the same stage as the
+    * upstream candidate scoring, the struct form de-codegens that
+    * entire stage — measured 16.9 s vs 1.3 s for the identical q218
+    * plan at sf0.1 (the JW kernel fell back to interpreted eval).
+    * Packing contract (documented, satisfied by every linkage score):
+    * |score| < 500 after 6-dp rounding, ids integral in [0, 2³²).
+    * pk = (w·10⁶ + 2²⁹)·2³² + (2³²−1−partner) orders exactly by
+    * (w desc, partner asc) under plain long max.
     */
   def mutualBestMatch(scored: DataFrame, aCol: String, bCol: String,
       scoreCol: String): DataFrame = {
@@ -174,18 +186,17 @@ object Linkage {
         struct(col("a").as("me"), col("b").as("partner"), col("w")),
         struct(col("b").as("me"), col("a").as("partner"), col("w"))))
         .as("e"))
-      .select(col("e.me").as("me"), col("e.partner").as("partner"),
-        col("e.w").as("w"))
-    // argmax by (w desc, partner asc) as ONE hash aggregate —
-    // max(struct(w, −partner)) is lexicographically identical to the
-    // rank-1 window but partial-aggregates map-side and never sorts
-    // the directed relation (15M rows at sf0.1: window 19.8 s total,
-    // aggregate ~14 s)
+      .select(col("e.me").as("me"),
+        ((round(col("e.w") * 1e6).cast("long") + (1L << 29)) * (1L << 32)
+          + (lit((1L << 32) - 1) - col("e.partner"))).as("__pk"))
     val best = directed
       .groupBy(col("me"))
-      .agg(max(struct(col("w"), (-col("partner")).as("np"))).as("__b"))
-      .select(col("me"), (-col("__b.np")).as("partner"),
-        col("__b.w").as("w"))
+      .agg(max(col("__pk")).as("__pk"))
+      .select(col("me"),
+        (lit((1L << 32) - 1) - col("__pk").bitwiseAND(lit((1L << 32) - 1)))
+          .as("partner"),
+        ((shiftright(col("__pk"), 32) - (1L << 29)).cast("double") / 1e6)
+          .as("w"))
       // the reciprocity self-join reads `best` twice; without this cut
       // BOTH sides replay the full upstream pair scoring (2× the q140
       // cost)

@@ -63,4 +63,21 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out2.toSeq === Seq((1L, 2L)))
   }
+
+  test("mutualBestMatch: packed argmax handles negative and fractional weights exactly") {
+    val sp = spark; import sp.implicits._
+    // all-negative weights exercise the 2^29 packing offset; the
+    // surviving weight must round-trip the pack bit-exactly at 6 dp
+    val neg = Seq((1L, 2L, -3.25), (2L, 3L, -1.000001), (3L, 4L, -2.5))
+      .toDF("a_id", "b_id", "match_weight")
+    val out = Linkage.mutualBestMatch(neg, "a_id", "b_id", "match_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 3L, -1.000001)))
+    // weight 0 boundary and id 0
+    val zero = Seq((0L, 1L, 0.0), (1L, 2L, -0.000001))
+      .toDF("a_id", "b_id", "match_weight")
+    val outz = Linkage.mutualBestMatch(zero, "a_id", "b_id", "match_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(outz.toSeq === Seq((0L, 1L, 0.0)))
+  }
 }
