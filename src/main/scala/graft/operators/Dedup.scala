@@ -541,9 +541,13 @@ object Dedup {
     */
   def spanNovelty(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // span text is purely an internal key here (the report is per
+    // doc) — shrink to a 64-bit fingerprint before the shuffles,
+    // the q220 measurement (2.6 s -> 1.8 s at sf0.1)
     val perDoc = docs
       .select(col(idCol).as("__id"),
-        explode(spanGrams(split(col(textCol), " "), n)).as("span"))
+        explode(transform(spanGrams(split(col(textCol), " "), n),
+          s => xxhash64(s))).as("span"))
       .groupBy(col("span"), col("__id"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // consumed by the rollup and the join back
