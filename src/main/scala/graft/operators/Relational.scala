@@ -2323,16 +2323,56 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderdate"))
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_shipdate"))
-    o.join(li, col("o_orderkey") === col("l_orderkey"))
+    val sup = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(date_trunc("month", col("o_orderdate")).cast("date")
         .as("order_month"),
         datediff(col("l_shipdate"), col("o_orderdate"))
-          .cast("double").as("lag_days"))
-      .groupBy(col("order_month"))
-      .agg(count(lit(1)).as("n_items"),
-        round(percentile(col("lag_days"), lit(0.5)), 6).as("p50_days"),
-        round(percentile(col("lag_days"), lit(0.9)), 6).as("p90_days"),
-        max(col("lag_days")).cast("long").as("max_days"))
+          .cast("double").as("__v"))
+      .groupBy(col("order_month"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    quantileContFromSupport(sup, Seq("order_month"),
+      Seq("p50_days" -> 0.5, "p90_days" -> 0.9))
+      .select(col("order_month"), col("n_items"),
+        round(col("p50_days"), 6).as("p50_days"),
+        round(col("p90_days"), 6).as("p90_days"),
+        col("max_v").cast("long").as("max_days"))
+  }
+
+  /** Exact per-group `quantile_cont` computed from a (group, value,
+    * count) SUPPORT relation instead of the builtin `percentile`
+    * aggregate. The builtin is a TypedImperativeAggregate: its buffer
+    * holds EVERY group value (a month of a 100 TB fact table does not
+    * fit an aggregation buffer) and, being an ObjectHashAggregate, its
+    * partial step de-codegens the whole upstream stage — the q218
+    * lesson. The support form is one codegen hash aggregate (bounded
+    * by the value domain, e.g. integer day lags), a support-keyed
+    * window for cumulative counts, and conditional mins; it reproduces
+    * `quantile_cont`'s interpolation at p·(n−1) exactly.
+    *
+    * @param sup (groupCols..., __v, __c)
+    * @return per group: n_items, max_v, one column per requested
+    *         percentile (unrounded — callers pin their own dp)
+    */
+  private[operators] def quantileContFromSupport(sup: DataFrame,
+      groupCols: Seq[String], ps: Seq[(String, Double)]): DataFrame = {
+    val grp = groupCols.map(col)
+    val wOrd = Window.partitionBy(grp: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(grp: _*)
+    val ranked = sup
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val qCols = ps.map { case (name, p) =>
+      // per-row form inside the aggregates (every row carries __n),
+      // aggregated form for the outer interpolation arithmetic
+      val tRow = lit(p) * (col("__n") - 1).cast("double")
+      val vLo = min(when(col("__cum") >= floor(tRow) + 1, col("__v")))
+      val vHi = min(when(col("__cum") >= ceil(tRow) + 1, col("__v")))
+      val tAgg = lit(p) * (max(col("__n")) - 1).cast("double")
+      (vLo + (tAgg - floor(tAgg)) * (vHi - vLo)).as(name)
+    }
+    ranked.groupBy(grp: _*)
+      .agg(sum(col("__c")).as("n_items"),
+        (max(col("__v")).as("max_v") +: qCols): _*)
   }
 
   val q232Sql: String =
