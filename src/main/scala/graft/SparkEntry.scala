@@ -474,6 +474,8 @@ object SparkEntry {
     "q247_hill_tail" -> (graft.operators.Profiling.q247HillTail _),
     // Cochran-Mantel-Haenszel month-stratified association test
     "q248_cmh" -> (graft.operators.Relational.q248Cmh _),
+    // Krippendorff's alpha inter-rater agreement (missing-tolerant)
+    "q249_krippendorff" -> (graft.operators.Labeling.q249Krippendorff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -731,5 +733,6 @@ object SparkEntry {
     "q246_top_pc" -> graft.operators.Similarity.q246Sql,
     "q247_hill_tail" -> graft.operators.Profiling.q247Sql,
     "q248_cmh" -> graft.operators.Relational.q248Sql,
+    "q249_krippendorff" -> graft.operators.Labeling.q249Sql,
   )
 }

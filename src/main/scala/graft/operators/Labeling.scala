@@ -379,4 +379,103 @@ object Labeling {
       |  CASE WHEN pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 6) END
       |    AS kappa
       |FROM pbar, pe""".stripMargin
+
+  /** Krippendorff's alpha (nominal metric) — the agreement
+    * coefficient that handles MISSING ratings natively: items rated
+    * by any subset of the pool contribute exactly their pairable
+    * ratings, which is the realistic crowd-labeling regime (Fleiss
+    * assumes everyone rates everything; [[fleissKappa]] generalizes
+    * loosely, alpha is the principled fix). Exact small-sample form
+    * over items with n_i ≥ 2 ratings:
+    *
+    *   D_o = (1/n) Σ_i Σ_k n_ik(n_i − n_ik)/(n_i − 1)
+    *   D_e = Σ_k n_k(n − n_k) / (n(n − 1))        n = Σ_i n_i
+    *   α   = 1 − D_o/D_e       (NULL when D_e = 0: one category)
+    *
+    * Scale shape: identical to [[fleissKappa]] — one hash aggregate
+    * to (item, label) counts, item-keyed integer algebra, one
+    * label-domain aggregate, two scalars broadcast-combined.
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val nik = ratings
+      .select(col(itemCol).as("item"), col(labelCol).as("label"))
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("__nik"))
+      .localCheckpoint()
+    val perItem = nik.groupBy(col("item"))
+      .agg(sum(col("__nik")).as("__ni"))
+      .where(col("__ni") >= 2)
+    val paired = nik.join(perItem, Seq("item"))
+    val doSum = paired.agg(
+      countDistinct(col("item")).as("n_items"),
+      sum(col("__ni") * col("__nik")).as("__chk"),
+      sum(col("__nik") * (col("__ni") - col("__nik"))
+        .cast("double") / (col("__ni") - 1).cast("double")).as("__dsum"))
+    val cat = paired.groupBy(col("label"))
+      .agg(sum(col("__nik")).as("__nk"))
+      .agg(sum(col("__nk")).as("__n"),
+        sum(col("__nk") * col("__nk")).as("__nk2"))
+      .select(col("__n"),
+        ((col("__n") * col("__n") - col("__nk2")).cast("double") /
+          (col("__n") * (col("__n") - 1)).cast("double")).as("__de"))
+    doSum.crossJoin(broadcast(cat))
+      .select(col("n_items"), col("__n").as("n_pairable"),
+        round(col("__dsum") / col("__n"), 6).as("d_o"),
+        round(col("__de"), 6).as("d_e"),
+        when(col("__de") > 0,
+          round(lit(1.0) - (col("__dsum") / col("__n")) / col("__de"), 6))
+          .as("alpha"))
+  }
+
+  /** Declared q249: Krippendorff's alpha over the q214 vote fixture
+    * (variable raters per day — exactly alpha's home regime).
+    */
+  def q249Krippendorff(spark: SparkSession, d: String): DataFrame = {
+    val byVote = Window.partitionBy(col("day"), col("worker"))
+      .orderBy(col("__n").desc, col("label"))
+    val votes = Tables.events(spark, d)
+      .select(to_date(col("ts")).as("day"),
+        pmod(col("user_id"), lit(50L)).as("worker"),
+        col("event_type").as("label"))
+      .groupBy(col("day"), col("worker"), col("label"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(byVote))
+      .where(col("__rk") === 1)
+      .select(col("day"), col("worker"), col("label"))
+    krippendorffAlpha(votes, "day", "label")
+  }
+
+  val q249Sql: String =
+    """WITH raw AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id % 50 AS worker,
+      |    event_type AS label, count(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |votes AS (
+      |  SELECT day, worker, label FROM raw
+      |  QUALIFY row_number() OVER (PARTITION BY day, worker
+      |    ORDER BY n DESC, label) = 1),
+      |nik AS (
+      |  SELECT day, label, count(*) AS nik FROM votes GROUP BY 1, 2),
+      |per_item AS (
+      |  SELECT day, sum(nik) AS ni FROM nik GROUP BY 1
+      |  HAVING sum(nik) >= 2),
+      |paired AS (
+      |  SELECT nik.day, nik.label, nik.nik, per_item.ni
+      |  FROM nik JOIN per_item USING (day)),
+      |ds AS (
+      |  SELECT count(DISTINCT day) AS n_items,
+      |    sum(CAST(nik * (ni - nik) AS DOUBLE) / (ni - 1)) AS dsum
+      |  FROM paired),
+      |cat AS (
+      |  SELECT sum(nk) AS n,
+      |    CAST(sum(nk) * sum(nk) - sum(nk * nk) AS DOUBLE)
+      |      / (sum(nk) * (sum(nk) - 1)) AS de
+      |  FROM (SELECT label, sum(nik) AS nk FROM paired GROUP BY 1))
+      |SELECT CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(n AS BIGINT) AS n_pairable,
+      |  round(dsum / n, 6) AS d_o, round(de, 6) AS d_e,
+      |  CASE WHEN de > 0 THEN round(1.0 - (dsum / n) / de, 6) END
+      |    AS alpha
+      |FROM ds, cat""".stripMargin
 }

@@ -134,4 +134,45 @@ class LabelingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Labeling.fleissKappa(ratings, "item", "label").collect().head
     assert(math.abs(r.getAs[Double]("kappa") - 1.0) < 1e-9)
   }
+
+  test("krippendorffAlpha: hand-computed missing-data fixture") {
+    val sp = spark; import sp.implicits._
+    // I1 aaa, I2 ab, I3 bb, I4 a (single rating -> excluded).
+    // n = 7 pairable; D_o = (0 + 2 + 0)/7 = 2/7;
+    // n_a = 4, n_b = 3 -> D_e = (4*3 + 3*4)/(7*6) = 4/7;
+    // alpha = 1 - (2/7)/(4/7) = 0.5
+    val ratings = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"),
+      (4L, "a")
+    ).toDF("item", "label")
+    val r = Labeling.krippendorffAlpha(ratings, "item", "label")
+      .collect().head
+    assert(r.getAs[Long]("n_items") === 3L)
+    assert(r.getAs[Long]("n_pairable") === 7L)
+    assert(math.abs(r.getAs[Double]("d_o") - 2.0 / 7.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("d_e") - 4.0 / 7.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("alpha") - 0.5) < 1e-6)
+  }
+
+  test("krippendorffAlpha: single-category corpus yields NULL alpha") {
+    val sp = spark; import sp.implicits._
+    val ratings = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    val r = Labeling.krippendorffAlpha(ratings, "item", "label")
+      .collect().head
+    assert(r.getAs[Double]("d_e") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("alpha")))
+  }
+
+  test("krippendorffAlpha: perfect agreement scores alpha 1") {
+    val sp = spark; import sp.implicits._
+    val ratings = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    val r = Labeling.krippendorffAlpha(ratings, "item", "label")
+      .collect().head
+    assert(r.getAs[Double]("d_o") === 0.0)
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0) < 1e-9)
+  }
 }
