@@ -476,6 +476,12 @@ object SparkEntry {
     "q248_cmh" -> (graft.operators.Relational.q248Cmh _),
     // Krippendorff's alpha inter-rater agreement (missing-tolerant)
     "q249_krippendorff" -> (graft.operators.Labeling.q249Krippendorff _),
+    // one-way ANOVA F + eta^2 across event types
+    "q250_anova" -> (graft.operators.HypothesisTests.q250Anova _),
+    // Kruskal-Wallis rank test with exact midrank tie correction
+    "q251_kruskal_wallis" -> (graft.operators.HypothesisTests.q251KruskalWallis _),
+    // Brown-Forsythe median-centered variance-homogeneity test
+    "q252_brown_forsythe" -> (graft.operators.HypothesisTests.q252BrownForsythe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -734,5 +740,8 @@ object SparkEntry {
     "q247_hill_tail" -> graft.operators.Profiling.q247Sql,
     "q248_cmh" -> graft.operators.Relational.q248Sql,
     "q249_krippendorff" -> graft.operators.Labeling.q249Sql,
+    "q250_anova" -> graft.operators.HypothesisTests.q250Sql,
+    "q251_kruskal_wallis" -> graft.operators.HypothesisTests.q251Sql,
+    "q252_brown_forsythe" -> graft.operators.HypothesisTests.q252Sql,
   )
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.core.Tables
+
+/** Multi-group hypothesis tests — the k-sample generalizations of the
+  * two-sample battery already in [[Relational]] ([[Relational.ksStatistic]],
+  * [[Relational.mannWhitneyU]], [[Relational.twoProportionZ]]): one-way
+  * ANOVA (parametric mean shift), Kruskal–Wallis (rank-based, the k-group
+  * Mann–Whitney), and Brown–Forsythe (variance homogeneity — the test you
+  * run BEFORE trusting ANOVA's pooled variance). The pipeline use is
+  * per-source / per-variant drift screens where "cohort" has more than
+  * two levels.
+  *
+  * Scale shapes: every test reduces the fact table to per-group sufficient
+  * statistics in one map-combined hash aggregate (ANOVA), or to a
+  * value-support relation ([[Relational.orderedPrefixSums]] — never a
+  * global single-partition window) for the rank test; the final formulas
+  * are metadata-scale algebra over k rows. No test here ever holds a
+  * group's raw values in an aggregation buffer.
+  */
+object HypothesisTests {
+
+  /** One-way ANOVA F — k-group mean-shift test. Per-group (n, Σx, Σx²)
+    * from one hash aggregate; SSB/SSW in the textbook computational
+    * form (Σ s_g²/n_g − S²/N and Σ q_g − Σ s_g²/n_g); eta² = SSB/SST
+    * is the effect size the F alone hides.
+    *
+    * @return one row: k_groups, n_obs, df_between, df_within,
+    *         f_stat, eta_sq (both 6 dp)
+    */
+  def oneWayAnova(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val g = df.where(x.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(DoubleType).as("__n"),
+        sum(x).as("__s"), sum(x * x).as("__q"))
+    val tot = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).as("__nn"),
+      sum(col("__s")).as("__ss"),
+      sum(col("__q")).as("__qq"),
+      sum(col("__s") * col("__s") / col("__n")).as("__b"))
+    val ssb = col("__b") - col("__ss") * col("__ss") / col("__nn")
+    val ssw = col("__qq") - col("__b")
+    val sst = col("__qq") - col("__ss") * col("__ss") / col("__nn")
+    tot.select(
+      col("k").as("k_groups"),
+      col("__nn").cast("long").as("n_obs"),
+      (col("k") - 1).as("df_between"),
+      (col("__nn") - col("k")).cast("long").as("df_within"),
+      round((ssb / (col("k") - 1).cast(DoubleType)) /
+        (ssw / (col("__nn") - col("k").cast(DoubleType))), 6).as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"))
+  }
+
+  /** Declared q250: does mean event value differ across event types? */
+  def q250Anova(spark: SparkSession, d: String): DataFrame =
+    oneWayAnova(Tables.events(spark, d), "event_type", "value")
+
+  val q250Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |    sum(value) AS s, sum(value * value) AS q
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |t AS (
+      |  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+      |    sum(s * s / n) AS b
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_obs,
+      |  CAST(k - 1 AS BIGINT) AS df_between,
+      |  CAST(nn - k AS BIGINT) AS df_within,
+      |  round(((b - ss * ss / nn) / (k - 1)) / ((qq - b) / (nn - k)), 6)
+      |    AS f_stat,
+      |  round((b - ss * ss / nn) / (qq - ss * ss / nn), 6) AS eta_sq
+      |FROM t""".stripMargin
+
+  /** Kruskal–Wallis H — rank-based k-group test with exact midrank tie
+    * handling and the Σ(t³−t) tie correction. The value column
+    * collapses to a support relation (value → count) whose global
+    * cumulative counts come from [[Relational.orderedPrefixSums]];
+    * midranks then join back to the (value, group) cells on the value
+    * key. Integral rank arithmetic keeps both engines bit-identical
+    * until the final scale-free ratios.
+    *
+    * @return one row: k_groups, n_obs, h_stat, tie_correction, h_adj
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val cells = df.where(x.isNotNull)
+      .groupBy(x.as("__v"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val support = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val mids = Relational.orderedPrefixSums(support, "__v",
+        Seq("__cum" -> col("__t")))
+      .select(col("__v"),
+        (col("__cum") - col("__t").cast(DoubleType) +
+          (col("__t").cast(DoubleType) + 1.0) / 2.0).as("__mid"),
+        col("__t"))
+    val perGroup = cells.join(mids, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).cast(DoubleType).as("__n"),
+        sum(col("__mid") * col("__c")).as("__r"))
+    val ties = mids.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .cast(DoubleType).as("__tie"))
+    val tot = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("__n")).as("__nn"),
+      sum(col("__r") * col("__r") / col("__n")).as("__rr"))
+    val h = lit(12.0) / (col("__nn") * (col("__nn") + 1.0)) * col("__rr") -
+      lit(3.0) * (col("__nn") + 1.0)
+    val corr = lit(1.0) - col("__tie") /
+      (col("__nn") * col("__nn") * col("__nn") - col("__nn"))
+    tot.crossJoin(broadcast(ties)).select(
+      col("k").as("k_groups"),
+      col("__nn").cast("long").as("n_obs"),
+      round(h, 6).as("h_stat"),
+      round(corr, 6).as("tie_correction"),
+      round(h / corr, 6).as("h_adj"))
+  }
+
+  /** Declared q251: rank-based price shift across the 3 return flags. */
+  def q251KruskalWallis(spark: SparkSession, d: String): DataFrame =
+    kruskalWallis(Tables.lineitem(spark, d), "l_returnflag", "l_extendedprice")
+
+  val q251Sql: String =
+    """WITH cells AS (
+      |  SELECT l_extendedprice AS v, l_returnflag AS g, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |sup AS (SELECT v, sum(c) AS t FROM cells GROUP BY 1),
+      |mids AS (
+      |  SELECT v, t,
+      |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+      |      AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS mid
+      |  FROM sup),
+      |pg AS (
+      |  SELECT g, CAST(sum(c) AS DOUBLE) AS n, sum(mid * c) AS r
+      |  FROM cells JOIN mids USING (v) GROUP BY 1),
+      |tie AS (
+      |  SELECT CAST(sum(t * t * t - t) AS DOUBLE) AS tie FROM mids),
+      |t AS (
+      |  SELECT count(*) AS k, sum(n) AS nn, sum(r * r / n) AS rr FROM pg)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_obs,
+      |  round(12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0), 6)
+      |    AS h_stat,
+      |  round(1.0 - tie / (nn * nn * nn - nn), 6) AS tie_correction,
+      |  round((12.0 / (nn * (nn + 1.0)) * rr - 3.0 * (nn + 1.0)) /
+      |    (1.0 - tie / (nn * nn * nn - nn)), 6) AS h_adj
+      |FROM t CROSS JOIN tie""".stripMargin
+
+  /** Brown–Forsythe — Levene's variance-homogeneity test with MEDIAN
+    * centers (the robust variant): z = |x − median_group|, then the
+    * one-way ANOVA F on z. Group medians come from
+    * [[Relational.quantileContFromSupport]] (a codegen support
+    * aggregate — never a per-group percentile buffer holding raw
+    * values), broadcast back to the fact rows; the rest is
+    * [[oneWayAnova]]'s one-aggregate shape.
+    *
+    * @return one row: k_groups, n_obs, df_between, df_within,
+    *         f_stat (6 dp)
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DoubleType)
+    val rows = df.where(x.isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val sup = rows.groupBy(col("__g"), col("__x").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val med = Relational.quantileContFromSupport(sup, Seq("__g"),
+        Seq("__med" -> 0.5))
+      .select(col("__g"), col("__med"))
+    val z = rows.join(broadcast(med), Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    oneWayAnova(z, "__g", "__z")
+      .drop("eta_sq")
+  }
+
+  /** Declared q252: is event-value spread homogeneous across types? */
+  def q252BrownForsythe(spark: SparkSession, d: String): DataFrame =
+    brownForsythe(Tables.events(spark, d), "event_type", "value")
+
+  val q252Sql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |z AS (
+      |  SELECT e.event_type, abs(e.value - med.m) AS z
+      |  FROM events e JOIN med USING (event_type)
+      |  WHERE e.value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      |    sum(z) AS s, sum(z * z) AS q
+      |  FROM z GROUP BY 1),
+      |t AS (
+      |  SELECT count(*) AS k, sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+      |    sum(s * s / n) AS b
+      |  FROM g)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_obs,
+      |  CAST(k - 1 AS BIGINT) AS df_between,
+      |  CAST(nn - k AS BIGINT) AS df_within,
+      |  round(((b - ss * ss / nn) / (k - 1)) / ((qq - b) / (nn - k)), 6)
+      |    AS f_stat
+      |FROM t""".stripMargin
+}
