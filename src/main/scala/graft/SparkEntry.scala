@@ -482,6 +482,12 @@ object SparkEntry {
     "q251_kruskal_wallis" -> (graft.operators.HypothesisTests.q251KruskalWallis _),
     // Brown-Forsythe median-centered variance-homogeneity test
     "q252_brown_forsythe" -> (graft.operators.HypothesisTests.q252BrownForsythe _),
+    // weight of evidence + information value per quantity bin
+    "q253_woe_iv" -> (graft.operators.Scoring.q253WoeIv _),
+    // empirical-Bayes beta-binomial shrinkage of per-user rates
+    "q254_eb_shrinkage" -> (graft.operators.Scoring.q254EbShrinkage _),
+    // Bayesian A/B Beta posterior: P(variant B beats A) by quadrature
+    "q255_bayes_ab" -> (graft.operators.Scoring.q255BayesAb _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -743,5 +749,8 @@ object SparkEntry {
     "q250_anova" -> graft.operators.HypothesisTests.q250Sql,
     "q251_kruskal_wallis" -> graft.operators.HypothesisTests.q251Sql,
     "q252_brown_forsythe" -> graft.operators.HypothesisTests.q252Sql,
+    "q253_woe_iv" -> graft.operators.Scoring.q253Sql,
+    "q254_eb_shrinkage" -> graft.operators.Scoring.q254Sql,
+    "q255_bayes_ab" -> graft.operators.Scoring.q255Sql,
   )
 }
