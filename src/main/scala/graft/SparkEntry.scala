@@ -488,6 +488,12 @@ object SparkEntry {
     "q254_eb_shrinkage" -> (graft.operators.Scoring.q254EbShrinkage _),
     // Bayesian A/B Beta posterior: P(variant B beats A) by quadrature
     "q255_bayes_ab" -> (graft.operators.Scoring.q255BayesAb _),
+    // Good-Turing count-of-counts frequency smoothing
+    "q256_good_turing" -> (graft.operators.TextAnalysis.q256GoodTuring _),
+    // Fisher's exact 2x2 test via the native lgamma codegen expression
+    "q257_fisher_exact" -> (graft.operators.HypothesisTests.q257FisherExact _),
+    // two-sample Poisson rate test with log-normal CI on the ratio
+    "q258_poisson_rate" -> (graft.operators.HypothesisTests.q258PoissonRate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -752,5 +758,8 @@ object SparkEntry {
     "q253_woe_iv" -> graft.operators.Scoring.q253Sql,
     "q254_eb_shrinkage" -> graft.operators.Scoring.q254Sql,
     "q255_bayes_ab" -> graft.operators.Scoring.q255Sql,
+    "q256_good_turing" -> graft.operators.TextAnalysis.q256Sql,
+    "q257_fisher_exact" -> graft.operators.HypothesisTests.q257Sql,
+    "q258_poisson_rate" -> graft.operators.HypothesisTests.q258Sql,
   )
 }

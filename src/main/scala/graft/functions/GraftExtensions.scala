@@ -162,5 +162,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ChunkTokens(children.head, intArg(1), intArg(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("lgamma"),
+      new ExpressionInfo(
+        classOf[LogGamma].getName, null, "lgamma",
+        "lgamma(x) - natural log of the gamma function (Lanczos, " +
+          "matches libm lgamma to ~1e-13)",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"lgamma expects 1 argument, got ${children.length}")
+        LogGamma(children.head)
+      }))
   }
 }

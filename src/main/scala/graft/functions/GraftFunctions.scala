@@ -60,4 +60,11 @@ object GraftFunctions {
     */
   def winnowHash(s: Column, k: Int, window: Int): Column =
     call_function("winnow_hash", s, lit(k), lit(window))
+
+  /** Codegen'd log-Γ (see [[LogGamma]]; Lanczos, pinned to libm/DuckDB
+    * `lgamma` within ~1e-13) — the log-factorial primitive behind the
+    * exact count tests (hypergeometric/Fisher, Poisson pmf).
+    */
+  def lgamma(x: Column): Column =
+    call_function("lgamma", x)
 }

@@ -205,4 +205,168 @@ object HypothesisTests {
       |  round(((b - ss * ss / nn) / (k - 1)) / ((qq - b) / (nn - k)), 6)
       |    AS f_stat
       |FROM t""".stripMargin
+
+  /** Fisher's exact test on a 2×2 table — the small-cell association
+    * test the chi-squared approximation ([[Relational]] q111) breaks
+    * on. Exact hypergeometric enumeration: two-sided p sums every
+    * support point whose pmf ≤ pmf(observed)·(1+1e-7) (the classic
+    * R-style tie tolerance), one-sided tails by x ≤/≥ observed.
+    *
+    * Log-factorials come from the native [[graft.functions.LogGamma]]
+    * codegen expression — Spark has no `lgamma`, and `factorial`
+    * overflows at 21!; the identical libm-grade kernel on both engines
+    * keeps the enumeration bit-comparable. The facts collapse to four
+    * counts BEFORE the support grid exists; the grid is min(r1, c1)+1
+    * rows — metadata scale.
+    *
+    * @param rowFlag first binary factor, `colFlag` second; the table is
+    *        a = both, b = row only, c = col only, d = neither
+    * @return one row: a, b, c, d, odds_ratio, p_two_sided, p_left,
+    *         p_right (6 dp)
+    */
+  def fisherExact(df: DataFrame, rowFlag: org.apache.spark.sql.Column,
+      colFlag: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.GraftFunctions.lgamma
+    val cells = df.agg(
+      sum(when(rowFlag && colFlag, 1L).otherwise(0L)).as("a"),
+      sum(when(rowFlag && !colFlag, 1L).otherwise(0L)).as("b"),
+      sum(when(!rowFlag && colFlag, 1L).otherwise(0L)).as("c"),
+      sum(when(!rowFlag && !colFlag, 1L).otherwise(0L)).as("d"))
+    // lgC(n, k) = lgamma(n+1) - lgamma(k+1) - lgamma(n-k+1)
+    def lgC(n: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      lgamma(n + 1.0) - lgamma(k + 1.0) - lgamma(n - k + 1.0)
+    val r1 = col("a") + col("b")
+    val r2 = col("c") + col("d")
+    val c1 = col("a") + col("c")
+    val n = r1 + r2
+    val grid = cells
+      .withColumn("__lo", greatest(lit(0L), c1 - r2))
+      .withColumn("__hi", least(r1, c1))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        explode(sequence(col("__lo"), col("__hi"))).as("x"))
+      .withColumn("__lp",
+        lgC(r1, col("x")) + lgC(r2, c1 - col("x")) - lgC(n, c1))
+      .withColumn("__lpobs",
+        lgC(r1, col("a")) + lgC(r2, c1 - col("a")) - lgC(n, c1))
+    grid.agg(
+      max(col("a")).as("a"), max(col("b")).as("b"),
+      max(col("c")).as("c"), max(col("d")).as("d"),
+      round(max(col("a") * col("d")).cast(DoubleType) /
+        max(col("b") * col("c")), 6).as("odds_ratio"),
+      round(sum(when(col("__lp") <= col("__lpobs") + 1e-7,
+        exp(col("__lp")))), 6).as("p_two_sided"),
+      round(sum(when(col("x") <= col("a"), exp(col("__lp")))), 6)
+        .as("p_left"),
+      round(sum(when(col("x") >= col("a"), exp(col("__lp")))), 6)
+        .as("p_right"))
+  }
+
+  /** Declared q257: odd/even user parity × heavy-purchaser status. */
+  def q257FisherExact(spark: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(spark, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+    fisherExact(users, pmod(col("user_id"), lit(2L)) === 1L,
+      col("np") >= 14L)
+  }
+
+  val q257Sql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS rw,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) >= 14 THEN 1 ELSE 0 END AS cl
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT
+      |    sum(CASE WHEN rw = 1 AND cl = 1 THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN rw = 1 AND cl = 0 THEN 1 ELSE 0 END) AS b,
+      |    sum(CASE WHEN rw = 0 AND cl = 1 THEN 1 ELSE 0 END) AS c,
+      |    sum(CASE WHEN rw = 0 AND cl = 0 THEN 1 ELSE 0 END) AS d
+      |  FROM u),
+      |grid AS (
+      |  SELECT a, b, c, d, x,
+      |    (lgamma(a + b + 1.0) - lgamma(x + 1.0)
+      |      - lgamma(a + b - x + 1.0)) +
+      |    (lgamma(c + d + 1.0) - lgamma(a + c - x + 1.0)
+      |      - lgamma(c + d - (a + c - x) + 1.0)) -
+      |    (lgamma(a + b + c + d + 1.0) - lgamma(a + c + 1.0)
+      |      - lgamma(b + d + 1.0)) AS lp,
+      |    (lgamma(a + b + 1.0) - lgamma(a + 1.0) - lgamma(b + 1.0)) +
+      |    (lgamma(c + d + 1.0) - lgamma(c + 1.0) - lgamma(d + 1.0)) -
+      |    (lgamma(a + b + c + d + 1.0) - lgamma(a + c + 1.0)
+      |      - lgamma(b + d + 1.0)) AS lpobs
+      |  FROM cells CROSS JOIN generate_series(0, 1048576) AS g(x)
+      |  WHERE x BETWEEN greatest(0, (a + c) - (c + d))
+      |    AND least(a + b, a + c))
+      |SELECT CAST(max(a) AS BIGINT) AS a, CAST(max(b) AS BIGINT) AS b,
+      |  CAST(max(c) AS BIGINT) AS c, CAST(max(d) AS BIGINT) AS d,
+      |  round(CAST(max(a * d) AS DOUBLE) / max(b * c), 6) AS odds_ratio,
+      |  round(sum(CASE WHEN lp <= lpobs + 1e-7 THEN exp(lp) END), 6)
+      |    AS p_two_sided,
+      |  round(sum(CASE WHEN x <= a THEN exp(lp) END), 6) AS p_left,
+      |  round(sum(CASE WHEN x >= a THEN exp(lp) END), 6) AS p_right
+      |FROM grid""".stripMargin
+
+  /** Two-sample Poisson rate test — event counts k over exposures t
+    * per cohort: rate difference z (delta method), rate ratio with a
+    * 95% log-normal CI. The incident/error-rate comparison where the
+    * denominator is exposure, not trials.
+    *
+    * One hash aggregate to two (k, t) pairs, then scalar algebra.
+    */
+  def poissonRateTest(df: DataFrame, cohort: org.apache.spark.sql.Column,
+      isEvent: org.apache.spark.sql.Column,
+      exposure: org.apache.spark.sql.Column): DataFrame = {
+    val agg = df.agg(
+      sum(when(cohort, when(isEvent, 1L).otherwise(0L))).cast(DoubleType).as("k1"),
+      sum(when(cohort, exposure).otherwise(lit(0L))).cast(DoubleType).as("t1"),
+      sum(when(!cohort, when(isEvent, 1L).otherwise(0L))).cast(DoubleType).as("k2"),
+      sum(when(!cohort, exposure).otherwise(lit(0L))).cast(DoubleType).as("t2"))
+    val rr = (col("k1") / col("t1")) / (col("k2") / col("t2"))
+    val se = sqrt(lit(1.0) / col("k1") + lit(1.0) / col("k2"))
+    agg.select(
+      col("k1").cast("long").as("k1"), col("t1").cast("long").as("t1"),
+      col("k2").cast("long").as("k2"), col("t2").cast("long").as("t2"),
+      round(col("k1") / col("t1"), 6).as("rate1"),
+      round(col("k2") / col("t2"), 6).as("rate2"),
+      round((col("k1") / col("t1") - col("k2") / col("t2")) /
+        sqrt(col("k1") / (col("t1") * col("t1")) +
+          col("k2") / (col("t2") * col("t2"))), 6).as("z"),
+      round(rr, 6).as("rate_ratio"),
+      round(exp(log(rr) - lit(1.959963984540054) * se), 6).as("rr_lo"),
+      round(exp(log(rr) + lit(1.959963984540054) * se), 6).as("rr_hi"))
+  }
+
+  /** Declared q258: error-event rate per event-row, odd vs even users.
+    * Exposure = 1 per event row, so t is each cohort's event volume.
+    */
+  def q258PoissonRate(spark: SparkSession, d: String): DataFrame =
+    poissonRateTest(Tables.events(spark, d),
+      pmod(col("user_id"), lit(2L)) === 1L,
+      col("event_type") === "error", lit(1L))
+
+  val q258Sql: String =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'error'
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS k1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS t1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS k2,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) AS t2
+      |  FROM events)
+      |SELECT CAST(k1 AS BIGINT) AS k1, CAST(t1 AS BIGINT) AS t1,
+      |  CAST(k2 AS BIGINT) AS k2, CAST(t2 AS BIGINT) AS t2,
+      |  round(k1 / t1, 6) AS rate1, round(k2 / t2, 6) AS rate2,
+      |  round((k1 / t1 - k2 / t2) /
+      |    sqrt(k1 / (t1 * t1) + k2 / (t2 * t2)), 6) AS z,
+      |  round((k1 / t1) / (k2 / t2), 6) AS rate_ratio,
+      |  round(exp(ln((k1 / t1) / (k2 / t2))
+      |    - 1.959963984540054 * sqrt(1.0 / k1 + 1.0 / k2)), 6) AS rr_lo,
+      |  round(exp(ln((k1 / t1) / (k2 / t2))
+      |    + 1.959963984540054 * sqrt(1.0 / k1 + 1.0 / k2)), 6) AS rr_hi
+      |FROM c""".stripMargin
 }

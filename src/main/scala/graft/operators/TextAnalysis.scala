@@ -2000,4 +2000,64 @@ object TextAnalysis {
       |    AS repeat_fraction
       |FROM rl JOIN per_doc USING (doc_id)
       |GROUP BY doc_id, n_tokens, nd""".stripMargin
+
+  /** Good–Turing frequency smoothing — the count-of-counts estimate
+    * r* = (r+1)·N_{r+1}/N_r that reallocates probability mass to rare
+    * and unseen events (Good 1953; the Katz-backoff ingredient). Per
+    * frequency r: N_r, the smoothed r*, and the smoothed probability
+    * r* over N; p0 = N_1/N (the unseen-token mass) rides every row. An
+    * r with no r+1 class gets NULL r* (tail gap — real implementations
+    * switch to a fitted power law there, cf. the q137 Zipf fit).
+    *
+    * Scale shape: token freq (one shuffle on token), count-of-counts
+    * (one shuffle on freq, thousands of rows), a metadata-scale lead
+    * join on r+1. Reports the `classes` SMALLEST frequency classes —
+    * the low-count regime where GT smoothing is actually used (on a
+    * natural corpus that is r = 1, 2, 3, …).
+    */
+  def goodTuring(docs: DataFrame, textCol: String, classes: Int = 25): DataFrame = {
+    val freqs = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("__r"))
+    val cc = freqs.groupBy(col("__r")).agg(count(lit(1)).as("__nr"))
+      .localCheckpoint()
+    val tot = cc.agg(
+      sum(col("__r") * col("__nr")).cast("double").as("__n"),
+      sum(when(col("__r") === 1, col("__nr"))).cast("double").as("__n1"))
+    val next = cc.select((col("__r") - 1).as("__r"), col("__nr").as("__nrNext"))
+    cc.orderBy(col("__r")).limit(classes)
+      .join(next, Seq("__r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__r").as("r"), col("__nr").as("n_r"),
+        round((col("__r") + 1).cast("double") * col("__nrNext") / col("__nr"), 6)
+          .as("r_star"),
+        round((col("__r") + 1).cast("double") * col("__nrNext") /
+          col("__nr") / col("__n"), 6).as("p_gt"),
+        round(col("__n1") / col("__n"), 6).as("p0"))
+  }
+
+  /** Declared q256: GT-smoothed token frequencies of the corpus. */
+  def q256GoodTuring(spark: SparkSession, d: String): DataFrame =
+    goodTuring(Tables.documents(spark, d), "text")
+
+  val q256Sql: String =
+    """WITH f AS (
+      |  SELECT token, count(*) AS r
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY token),
+      |cc AS (SELECT r, count(*) AS nr FROM f GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(r * nr) AS DOUBLE) AS n,
+      |    CAST(sum(CASE WHEN r = 1 THEN nr END) AS DOUBLE) AS n1
+      |  FROM cc),
+      |low AS (SELECT r, nr FROM cc ORDER BY r LIMIT 25)
+      |SELECT low.r, low.nr AS n_r,
+      |  round((low.r + 1) * CAST(nx.nr AS DOUBLE) / low.nr, 6) AS r_star,
+      |  round((low.r + 1) * CAST(nx.nr AS DOUBLE) / low.nr / t.n, 6)
+      |    AS p_gt,
+      |  round(t.n1 / t.n, 6) AS p0
+      |FROM low LEFT JOIN cc nx ON nx.r = low.r + 1
+      |CROSS JOIN t""".stripMargin
 }

@@ -290,4 +290,34 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sim("MARTHA", "MARHTA") === 0.9611111111111111)
     assert(sim("a", "a") === 1.0)
   }
+
+  test("lgamma: exact at small integers, recurrence-stable, reflection below 0.5") {
+    val lg = LogGammaImpl.lgamma _
+    assert(math.abs(lg(1.0)) < 1e-13)
+    assert(math.abs(lg(2.0)) < 1e-13)
+    // lgamma(10) = ln(9!) = ln 362880
+    assert(math.abs(lg(10.0) - math.log(362880.0)) < 1e-10)
+    // lgamma(0.5) = ln sqrt(pi)
+    assert(math.abs(lg(0.5) - 0.5 * math.log(math.Pi)) < 1e-12)
+    // recurrence lgamma(x+1) - lgamma(x) = ln(x) across magnitudes —
+    // at x=1e6 lgamma≈1.28e7, so 1 ulp is ~2e-9: ulp-level tolerance
+    for (x <- Seq(3.7, 42.0, 1234.5, 1.0e6))
+      assert(math.abs((lg(x + 1.0) - lg(x)) - math.log(x)) < 1e-8, s"x=$x")
+    // reflection branch: Gamma(0.3) known to 1e-10
+    assert(math.abs(lg(0.3) - math.log(2.991568987687590)) < 1e-10)
+    assert(lg(0.0).isNaN && lg(-3.0).isNaN)
+  }
+
+  test("lgamma is SQL-callable and participates in whole-stage codegen") {
+    val one = spark.sql("SELECT lgamma(10.0) AS v").collect().head.getDouble(0)
+    assert(math.abs(one - math.log(362880.0)) < 1e-10)
+    val e = Tables.embeddings(spark, sfDir)
+    val plan = e.select(expr("lgamma(vec_id + 1)").as("v"))
+      .queryExecution.executedPlan
+    val codegenStages = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.exists(_.toString.contains("lgamma")),
+      s"lgamma not inside codegen stage:\n$plan")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -77,5 +78,50 @@ class HypothesisTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("k_groups") === 2L)
     assert(r.getAs[Long]("n_obs") === 7L)
     assert(math.abs(r.getAs[Double]("f_stat") - (ssb / 1.0) / (ssw / 5.0)) < 1e-6)
+  }
+
+  test("fisherExact: Fisher's tea-tasting 2x2 (a=3 b=1 c=1 d=3)") {
+    val sp = spark; import sp.implicits._
+    // pmf over support 0..4: (1,16,36,16,1)/70; observed a=3
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("r", "c")
+    val out = HypothesisTests.fisherExact(df, col("r"), col("c"))
+      .collect().head
+    assert(out.getAs[Long]("a") === 3L && out.getAs[Long]("d") === 3L)
+    assert(math.abs(out.getAs[Double]("odds_ratio") - 9.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("p_two_sided") - 34.0 / 70.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("p_left") - 69.0 / 70.0) < 1e-6)
+    assert(math.abs(out.getAs[Double]("p_right") - 17.0 / 70.0) < 1e-6)
+  }
+
+  test("fisherExact: independent table scores p_two_sided 1") {
+    val sp = spark; import sp.implicits._
+    // perfectly proportional 2x2 -> every table at least as extreme
+    val rows = Seq.fill(2)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(2)((false, false))
+    val out = HypothesisTests.fisherExact(rows.toDF("r", "c"),
+      col("r"), col("c")).collect().head
+    assert(out.getAs[Double]("p_two_sided") === 1.0)
+  }
+
+  test("poissonRateTest: hand-computed rates, z, and ratio CI") {
+    val sp = spark; import sp.implicits._
+    // cohort 1: 8 events of 40; cohort 2: 2 of 40
+    val rows = Seq.fill(8)((true, true)) ++ Seq.fill(32)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(38)((false, false))
+    val df = rows.toDF("g", "e")
+    val out = HypothesisTests.poissonRateTest(df, col("g"), col("e"), lit(1L))
+      .collect().head
+    assert(out.getAs[Long]("k1") === 8L && out.getAs[Long]("t1") === 40L)
+    assert(math.abs(out.getAs[Double]("rate1") - 0.2) < 1e-9)
+    assert(math.abs(out.getAs[Double]("rate2") - 0.05) < 1e-9)
+    val z = (0.2 - 0.05) / math.sqrt(8.0 / 1600.0 + 2.0 / 1600.0)
+    assert(math.abs(out.getAs[Double]("z") - z) < 1e-6)
+    val se = math.sqrt(1.0 / 8.0 + 1.0 / 2.0)
+    assert(math.abs(out.getAs[Double]("rr_lo") -
+      math.exp(math.log(4.0) - 1.959963984540054 * se)) < 1e-6)
+    assert(math.abs(out.getAs[Double]("rr_hi") -
+      math.exp(math.log(4.0) + 1.959963984540054 * se)) < 1e-6)
   }
 }

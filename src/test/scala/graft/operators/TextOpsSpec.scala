@@ -476,4 +476,19 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("beta") < 0.2,
       s"templated corpus must have a near-flat vocab curve, got ${r.getAs[Double]("beta")}")
   }
+
+  test("goodTuring: hand-computed count-of-counts, tail gap yields NULL r_star") {
+    val sp = spark; import sp.implicits._
+    // tokens: a a a b b c -> freqs 3,2,1 -> N_1=N_2=N_3=1, N=6
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.goodTuring(docs, "text")
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(math.abs(out(1L).getAs[Double]("r_star") - 2.0) < 1e-9)
+    assert(math.abs(out(1L).getAs[Double]("p_gt") - 2.0 / 6.0) < 1e-6)
+    assert(math.abs(out(2L).getAs[Double]("r_star") - 3.0) < 1e-9)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("r_star")))
+    for (r <- Seq(1L, 2L, 3L))
+      assert(math.abs(out(r).getAs[Double]("p0") - 1.0 / 6.0) < 1e-6)
+  }
 }
