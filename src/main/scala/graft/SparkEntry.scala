@@ -494,6 +494,12 @@ object SparkEntry {
     "q257_fisher_exact" -> (graft.operators.HypothesisTests.q257FisherExact _),
     // two-sample Poisson rate test with log-normal CI on the ratio
     "q258_poisson_rate" -> (graft.operators.HypothesisTests.q258PoissonRate _),
+    // isotonic (PAV) calibration of purchase rate vs value bin
+    "q259_isotonic" -> (graft.operators.Scoring.q259Isotonic _),
+    // Kendall's tau-b concordance from the discrete cell relation
+    "q260_kendall_tau" -> (graft.operators.Profiling.q260KendallTau _),
+    // iterative proportional fitting to uniform margins
+    "q261_ipf_rake" -> (graft.operators.Scoring.q261IpfRake _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -761,5 +767,8 @@ object SparkEntry {
     "q256_good_turing" -> graft.operators.TextAnalysis.q256Sql,
     "q257_fisher_exact" -> graft.operators.HypothesisTests.q257Sql,
     "q258_poisson_rate" -> graft.operators.HypothesisTests.q258Sql,
+    "q259_isotonic" -> graft.operators.Scoring.q259Sql,
+    "q260_kendall_tau" -> graft.operators.Profiling.q260Sql,
+    "q261_ipf_rake" -> graft.operators.Scoring.q261Sql,
   )
 }

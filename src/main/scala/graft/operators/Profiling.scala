@@ -885,4 +885,84 @@ object Profiling {
       |       THEN round(200.0 / sum(ln(x / mn.xmin)), 6) END
       |    AS tail_index
       |FROM top CROSS JOIN mn""".stripMargin
+
+  /** Kendall's τ-b between two DISCRETE columns — the concordance
+    * companion to [[q150Spearman]]'s rank correlation: robust to
+    * monotone transforms, with the tau-b tie normalization
+    * (C − D) / √((n₀−n₁)(n₀−n₂)). Naive τ is O(n²) over ROWS; this
+    * collapses to the (x, y) CELL relation first (bounded by the two
+    * value domains) and counts pairs over cells — O(cells²) with
+    * integer arithmetic that stays exact until the final division, so
+    * 100 TB of rows cost one hash aggregate plus a broadcast
+    * self-join of a few hundred cells.
+    *
+    * @return one row: n_obs, n0 (all pairs), ties_x, ties_y,
+    *         concordant, discordant, tau_b (6 dp)
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(xCol).cast(LongType).as("__x"),
+        col(yCol).cast(LongType).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val b = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = cells.crossJoin(broadcast(b))
+    val cd = pairs.agg(
+      coalesce(sum(when(col("__x") < col("__x2") && col("__y") < col("__y2"),
+        col("__c") * col("__c2"))), lit(0L)).as("concordant"),
+      coalesce(sum(when(col("__x") < col("__x2") && col("__y") > col("__y2"),
+        col("__c") * col("__c2"))), lit(0L)).as("discordant"))
+    val margins = cells.agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__c") * (col("__c") - 1)).as("__txy2"))
+    val tx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1)).as("__tx2"))
+    val ty = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__t"))
+      .agg(sum(col("__t") * (col("__t") - 1)).as("__ty2"))
+    val n0 = col("__n") * (col("__n") - 1) / 2
+    cd.crossJoin(broadcast(margins)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("__n").as("n_obs"), n0.cast(LongType).as("n0"),
+        (col("__tx2") / 2).cast(LongType).as("ties_x"),
+        (col("__ty2") / 2).cast(LongType).as("ties_y"),
+        col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast(DoubleType) /
+          sqrt((n0 - col("__tx2") / 2).cast(DoubleType) *
+            (n0 - col("__ty2") / 2).cast(DoubleType)), 6).as("tau_b"))
+  }
+
+  /** Declared q260: quantity/linenumber concordance over lineitem. */
+  def q260KendallTau(spark: SparkSession, d: String): DataFrame =
+    kendallTauB(Tables.lineitem(spark, d), "l_quantity", "l_linenumber")
+
+  val q260Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(l_linenumber AS BIGINT) AS y, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT
+      |    coalesce(sum(CASE WHEN a.x < b.x AND a.y < b.y
+      |      THEN a.c * b.c END), 0) AS concordant,
+      |    coalesce(sum(CASE WHEN a.x < b.x AND a.y > b.y
+      |      THEN a.c * b.c END), 0) AS discordant
+      |  FROM cells a CROSS JOIN cells b),
+      |m AS (SELECT sum(c) AS n FROM cells),
+      |tx AS (
+      |  SELECT sum(t * (t - 1)) AS tx2
+      |  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+      |ty AS (
+      |  SELECT sum(t * (t - 1)) AS ty2
+      |  FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+      |SELECT CAST(n AS BIGINT) AS n_obs,
+      |  CAST(n * (n - 1) / 2 AS BIGINT) AS n0,
+      |  CAST(tx2 / 2 AS BIGINT) AS ties_x,
+      |  CAST(ty2 / 2 AS BIGINT) AS ties_y,
+      |  CAST(concordant AS BIGINT) AS concordant,
+      |  CAST(discordant AS BIGINT) AS discordant,
+      |  round(CAST(concordant - discordant AS DOUBLE) /
+      |    sqrt(CAST(n * (n - 1) / 2 - tx2 / 2 AS DOUBLE) *
+      |      CAST(n * (n - 1) / 2 - ty2 / 2 AS DOUBLE)), 6) AS tau_b
+      |FROM cd CROSS JOIN m CROSS JOIN tx CROSS JOIN ty""".stripMargin
 }

@@ -275,4 +275,170 @@ object Scoring {
       |  round((max(kb) + 1.0) / (max(nb) + 2.0), 6) AS post_mean_b,
       |  round(sum(pb * (cuma + 0.5 * pa)), 6) AS prob_b_gt_a
       |FROM cm""".stripMargin
+
+  /** Isotonic (PAV) calibration of a binary label against a binned
+    * score — the non-parametric monotone fit behind isotonic
+    * probability calibration (Zadrozny & Elkan '02): pool adjacent
+    * violators until the bin means are non-decreasing. The q227 ECE
+    * measures miscalibration; this REPAIRS it.
+    *
+    * Scale shape: the fact table collapses to a (bin → n, k) support
+    * in one hash aggregate — the support is bounded by the BIN domain
+    * (constant, e.g. ≤ a few hundred), so the sequential PAV pooling
+    * runs on that metadata-scale relation driver-side with EXACT
+    * integer block sums (merge comparisons are cross-multiplied longs,
+    * no float drift); the fitted rate divides once at the end. This is
+    * the same shape Spark MLlib's IsotonicRegression uses for its
+    * final merge, minus its per-partition pre-pass (unneeded: the
+    * support is already bounded).
+    *
+    * @return per bin: bin, n, k, rate_raw, rate_iso (6 dp)
+    */
+  def isotonicCalibrate(df: DataFrame, bin: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    val sup = df.groupBy(bin.cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("k"))
+      .orderBy(col("bin"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // PAV with a block stack; (bins, n, k) per block, exact longs
+    final case class Block(bins: List[Long], n: Long, k: Long)
+    val blocks = sup.foldLeft(List.empty[Block]) { case (acc, (b, n, k)) =>
+      var st = Block(List(b), n, k) :: acc
+      // pool while the previous block's mean >= the new block's mean
+      // (k1/n1 >= k2/n2  <=>  k1*n2 >= k2*n1 — integral, exact)
+      while (st.tail.nonEmpty &&
+          st.tail.head.k * st.head.n >= st.head.k * st.tail.head.n) {
+        val merged = Block(st.head.bins ++ st.tail.head.bins,
+          st.head.n + st.tail.head.n, st.head.k + st.tail.head.k)
+        st = merged :: st.tail.tail
+      }
+      st
+    }
+    val perBinFit = blocks.flatMap(bl =>
+      bl.bins.map(b => b -> (bl.k.toDouble / bl.n))).toMap
+    import spark.implicits._
+    sup.toSeq.map { case (b, n, k) =>
+      (b, n, k,
+        BigDecimal(k.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(perBinFit(b)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("bin", "n", "k", "rate_raw", "rate_iso")
+  }
+
+  /** Declared q259: purchase rate vs value-bin, repaired monotone. */
+  def q259Isotonic(spark: SparkSession, d: String): DataFrame =
+    isotonicCalibrate(Tables.events(spark, d),
+      floor(col("value") / 20.0),
+      col("event_type") === "purchase")
+
+  /** Oracle via the minimax characterization of the isotonic fit:
+    * fitted(i) = max_{j ≤ i} min_{k ≥ i} mean(y over bins j..k) —
+    * mathematically identical to PAV, and every candidate mean is one
+    * division of exact integer prefix sums, so both engines agree to
+    * the ulp.
+    */
+  val q259Sql: String =
+    """WITH sup AS (
+      |  SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+      |    count(*) AS n,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, n, k,
+      |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+      |    sum(k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ck
+      |  FROM sup),
+      |pairs AS (
+      |  SELECT j.bin AS jb, kk.bin AS kb,
+      |    CAST(kk.ck - (j.ck - j.k) AS DOUBLE)
+      |      / CAST(kk.cn - (j.cn - j.n) AS DOUBLE) AS a
+      |  FROM cum j JOIN cum kk ON j.bin <= kk.bin),
+      |minimax AS (
+      |  SELECT i.bin,
+      |    max(inner_min.mn) AS fit
+      |  FROM sup i JOIN (
+      |    SELECT p.jb, ii.bin AS ib, min(p.a) AS mn
+      |    FROM sup ii JOIN pairs p ON p.jb <= ii.bin AND p.kb >= ii.bin
+      |    GROUP BY 1, 2) inner_min
+      |    ON inner_min.ib = i.bin AND inner_min.jb <= i.bin
+      |  GROUP BY 1)
+      |SELECT s.bin, s.n, CAST(s.k AS BIGINT) AS k,
+      |  round(CAST(s.k AS DOUBLE) / s.n, 6) AS rate_raw,
+      |  round(m.fit, 6) AS rate_iso
+      |FROM sup s JOIN minimax m ON m.bin = s.bin""".stripMargin
+
+  /** Iterative proportional fitting (raking) — adjust cell weights of
+    * a two-way table so both margins match TARGET totals (survey
+    * reweighting, panel balancing). Three fixed row-then-column
+    * iterations (deterministic; IPF's geometric convergence makes
+    * more a no-op at this table size), uniform targets.
+    *
+    * Scale shape: the fact table collapses to the (row, col) cell
+    * relation in one hash aggregate; each adjustment is a
+    * metadata-scale window over cells (bounded by the two category
+    * domains). Never touches rows again.
+    *
+    * @return per cell: rowCol, colCol, n, w_raked (6 dp)
+    */
+  def ipfRake(df: DataFrame, rowCol: String, colCol: String,
+      iterations: Int = 3): DataFrame = {
+    val w = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wr = Window.partitionBy(col("__r"))
+    val wc = Window.partitionBy(col("__c"))
+    var cells = df
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(w))
+      .withColumn("__tr", col("__tot").cast("double") /
+        size(collect_set(col("__r")).over(w)))
+      .withColumn("__tc", col("__tot").cast("double") /
+        size(collect_set(col("__c")).over(w)))
+      .withColumn("__w", col("n").cast("double"))
+    for (_ <- 1 to iterations) {
+      cells = cells
+        .withColumn("__w", col("__w") * col("__tr") / sum(col("__w")).over(wr))
+      cells = cells
+        .withColumn("__w", col("__w") * col("__tc") / sum(col("__w")).over(wc))
+    }
+    cells.select(col("__r").as(rowCol), col("__c").as(colCol),
+      col("n"), round(col("__w"), 6).as("w_raked"))
+  }
+
+  /** Declared q261: rake customers to uniform nation/segment margins. */
+  def q261IpfRake(spark: SparkSession, d: String): DataFrame =
+    ipfRake(Tables.customer(spark, d), "c_nationkey", "c_mktsegment")
+
+  val q261Sql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS r, c_mktsegment AS c, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |t AS (
+      |  SELECT CAST(sum(n) AS DOUBLE) / count(DISTINCT r) AS tr,
+      |    CAST(sum(n) AS DOUBLE) / count(DISTINCT c) AS tc
+      |  FROM cells),
+      |w0 AS (SELECT r, c, n, CAST(n AS DOUBLE) AS w FROM cells),
+      |r1 AS (
+      |  SELECT r, c, n, w * tr / sum(w) OVER (PARTITION BY r) AS w
+      |  FROM w0 CROSS JOIN t),
+      |c1 AS (
+      |  SELECT r, c, n, w * tc / sum(w) OVER (PARTITION BY c) AS w
+      |  FROM r1 CROSS JOIN t),
+      |r2 AS (
+      |  SELECT r, c, n, w * tr / sum(w) OVER (PARTITION BY r) AS w
+      |  FROM c1 CROSS JOIN t),
+      |c2 AS (
+      |  SELECT r, c, n, w * tc / sum(w) OVER (PARTITION BY c) AS w
+      |  FROM r2 CROSS JOIN t),
+      |r3 AS (
+      |  SELECT r, c, n, w * tr / sum(w) OVER (PARTITION BY r) AS w
+      |  FROM c2 CROSS JOIN t),
+      |c3 AS (
+      |  SELECT r, c, n, w * tc / sum(w) OVER (PARTITION BY c) AS w
+      |  FROM r3 CROSS JOIN t)
+      |SELECT r AS c_nationkey, c AS c_mktsegment, n,
+      |  round(w, 6) AS w_raked
+      |FROM c3""".stripMargin
 }

@@ -339,4 +339,22 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rf = Profiling.hillTailIndex(flat, "v", m = 2).collect().head
     assert(rf.isNullAt(rf.fieldIndex("tail_index")))
   }
+
+  test("kendallTauB: perfect concordance is 1; tied 2x2 square is 0") {
+    val sp = spark; import sp.implicits._
+    val mono = Seq((1, 1), (2, 2), (3, 3)).toDF("x", "y")
+    val r = Profiling.kendallTauB(mono, "x", "y").collect().head
+    assert(r.getAs[Long]("concordant") === 3L)
+    assert(r.getAs[Long]("discordant") === 0L)
+    assert(r.getAs[Double]("tau_b") === 1.0)
+
+    // (1,1)(1,2)(2,1)(2,2): C=1 D=1, ties_x=ties_y=2, n0=6
+    val sq = Seq((1, 1), (1, 2), (2, 1), (2, 2)).toDF("x", "y")
+    val r2 = Profiling.kendallTauB(sq, "x", "y").collect().head
+    assert(r2.getAs[Long]("n0") === 6L)
+    assert(r2.getAs[Long]("ties_x") === 2L && r2.getAs[Long]("ties_y") === 2L)
+    assert(r2.getAs[Long]("concordant") === 1L)
+    assert(r2.getAs[Long]("discordant") === 1L)
+    assert(r2.getAs[Double]("tau_b") === 0.0)
+  }
 }

@@ -77,4 +77,47 @@ class RateScoringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Double]("prob_b_gt_a") > 0.99)
     assert(math.abs(r2.getAs[Double]("post_mean_b") - 10.0 / 12.0) < 1e-6)
   }
+
+  test("isotonicCalibrate: violator pair pools to weighted mean, ends stay") {
+    val sp = spark; import sp.implicits._
+    // bins 1..4, n=5 each, k = 1,3,2,4 -> rates .2,.6,.4,.8;
+    // PAV pools bins 2+3 -> 5/10 = .5
+    val rows = for {
+      (b, k) <- Seq((1, 1), (2, 3), (3, 2), (4, 4))
+      i <- 1 to 5
+    } yield (b, i <= k)
+    val out = Scoring.isotonicCalibrate(rows.toDF("b", "y"),
+        col("b"), col("y"))
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out(1L).getAs[Double]("rate_iso") === 0.2)
+    assert(out(2L).getAs[Double]("rate_iso") === 0.5)
+    assert(out(3L).getAs[Double]("rate_iso") === 0.5)
+    assert(out(4L).getAs[Double]("rate_iso") === 0.8)
+    assert(out(2L).getAs[Double]("rate_raw") === 0.6)
+    // monotone input is a fixed point
+    val mono = (for {
+      (b, k) <- Seq((1, 1), (2, 2), (3, 4)); i <- 1 to 5
+    } yield (b, i <= k)).toDF("b", "y")
+    Scoring.isotonicCalibrate(mono, col("b"), col("y")).collect()
+      .foreach(r => assert(
+        r.getAs[Double]("rate_iso") === r.getAs[Double]("rate_raw")))
+  }
+
+  test("ipfRake: column margins hit target exactly after a column step, rows converge") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq.fill(1)((1, "a")) ++ Seq.fill(3)((1, "b")) ++
+      Seq.fill(3)((2, "a")) ++ Seq.fill(1)((2, "b"))
+    val out = Scoring.ipfRake(rows.toDF("r", "c"), "r", "c").collect()
+    val colSums = out.groupBy(_.getAs[String]("c"))
+      .view.mapValues(_.map(_.getAs[Double]("w_raked")).sum)
+    colSums.foreach { case (_, s) => assert(math.abs(s - 4.0) < 1e-5) }
+    val rowSums = out.groupBy(_.getAs[Int]("r"))
+      .view.mapValues(_.map(_.getAs[Double]("w_raked")).sum)
+    rowSums.foreach { case (_, s) => assert(math.abs(s - 4.0) < 1e-3) }
+    // symmetric fixture -> symmetric weights
+    val m = out.map(r => (r.getAs[Int]("r"), r.getAs[String]("c")) ->
+      r.getAs[Double]("w_raked")).toMap
+    assert(math.abs(m((1, "a")) - m((2, "b"))) < 1e-9)
+    assert(math.abs(m((1, "b")) - m((2, "a"))) < 1e-9)
+  }
 }
