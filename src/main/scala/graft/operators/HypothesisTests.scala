@@ -90,35 +90,40 @@ object HypothesisTests {
     */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val x = col(valueCol).cast(DoubleType)
-    val cells = df.where(x.isNotNull)
-      .groupBy(x.as("__v"), col(groupCol).as("__g"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
-    val support = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val rows = df.where(x.isNotNull)
+    // the group DOMAIN is bounded (cohort labels), so collect it and
+    // pivot per-group counts INTO the value support — one aggregate,
+    // one prefix-sum pass, and no support⋈cells join afterwards
+    // (the join was 30% of wall-clock on the 600k-value fixture)
+    val groups = rows.select(col(groupCol).cast("string").as("g"))
+      .distinct().orderBy(col("g")).collect().map(_.getString(0))
+    val support = rows
+      .groupBy(x.as("__v"))
+      .agg(count(lit(1)).as("__t"),
+        groups.zipWithIndex.map { case (g, i) =>
+          sum(when(col(groupCol).cast("string") === g, 1L).otherwise(0L))
+            .as(s"__n$i")
+        }.toIndexedSeq: _*)
     val mids = Relational.orderedPrefixSums(support, "__v",
         Seq("__cum" -> col("__t")))
-      .select(col("__v"),
-        (col("__cum") - col("__t").cast(DoubleType) +
-          (col("__t").cast(DoubleType) + 1.0) / 2.0).as("__mid"),
-        col("__t"))
-    val perGroup = cells.join(mids, Seq("__v"))
-      .groupBy(col("__g"))
-      .agg(sum(col("__c")).cast(DoubleType).as("__n"),
-        sum(col("__mid") * col("__c")).as("__r"))
-    val ties = mids.agg(
+      .withColumn("__mid",
+        col("__cum") - col("__t").cast(DoubleType) +
+          (col("__t").cast(DoubleType) + 1.0) / 2.0)
+    val aggs = groups.indices.flatMap(i => Seq(
+      sum(col(s"__n$i")).cast(DoubleType).as(s"__gn$i"),
+      sum(col("__mid") * col(s"__n$i")).as(s"__gr$i"))) :+
       sum(col("__t") * col("__t") * col("__t") - col("__t"))
-        .cast(DoubleType).as("__tie"))
-    val tot = perGroup.agg(
-      count(lit(1)).as("k"),
-      sum(col("__n")).as("__nn"),
-      sum(col("__r") * col("__r") / col("__n")).as("__rr"))
-    val h = lit(12.0) / (col("__nn") * (col("__nn") + 1.0)) * col("__rr") -
-      lit(3.0) * (col("__nn") + 1.0)
-    val corr = lit(1.0) - col("__tie") /
-      (col("__nn") * col("__nn") * col("__nn") - col("__nn"))
-    tot.crossJoin(broadcast(ties)).select(
-      col("k").as("k_groups"),
-      col("__nn").cast("long").as("n_obs"),
+        .cast(DoubleType).as("__tie")
+    val one = mids.agg(aggs.head, aggs.tail: _*)
+    val nn = groups.indices.map(i => col(s"__gn$i")).reduce(_ + _)
+    val rr = groups.indices
+      .map(i => col(s"__gr$i") * col(s"__gr$i") / col(s"__gn$i"))
+      .reduce(_ + _)
+    val h = lit(12.0) / (nn * (nn + 1.0)) * rr - lit(3.0) * (nn + 1.0)
+    val corr = lit(1.0) - col("__tie") / (nn * nn * nn - nn)
+    one.select(
+      lit(groups.length.toLong).as("k_groups"),
+      nn.cast("long").as("n_obs"),
       round(h, 6).as("h_stat"),
       round(corr, 6).as("tie_correction"),
       round(h / corr, 6).as("h_adj"))
