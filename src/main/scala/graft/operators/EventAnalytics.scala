@@ -1547,4 +1547,141 @@ object EventAnalytics {
       |  round(sum(w * reward) / count(*), 6) AS ips_value,
       |  round(sum(w * reward) / sum(w), 6) AS snips_value
       |FROM scored""".stripMargin
+
+  /** Exact Shapley-value channel attribution — the data-driven
+    * alternative to [[lastTouchAttribution]]'s heuristic: each
+    * channel's credit is its average marginal lift of the observed
+    * coalition conversion rates, φ_i = Σ_{S∌i} |S|!(n−1−|S|)!/n! ·
+    * (v(S∪i) − v(S)) (Shapley '53; the Google/GA4 "data-driven
+    * attribution" model). v(S) = conversion rate of users exposed to
+    * exactly coalition S; unobserved coalitions contribute v = 0.
+    *
+    * Scale shape: users collapse to a per-user (channel bitmask,
+    * converted) row in one hash aggregate, then to ≤ 2ⁿ coalition
+    * rows in a second; the Shapley sum enumerates the 2ⁿ·n
+    * metadata-scale grid (n = channel count, a CONSTANT). The
+    * factorial weights run through the native [[graft.functions
+    * .LogGamma]] expression on both engines.
+    *
+    * @param exposures (channelName, perUserExposedPredicate-input
+    *        aggregated column) pairs: an aggregate Column over the
+    *        user's events that is TRUE when the user counts as
+    *        exposed to the channel
+    * @param converted aggregate Column: TRUE when the user converted
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+      exposures: Seq[(String, org.apache.spark.sql.Column)],
+      converted: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.GraftFunctions.lgamma
+    val n = exposures.length
+    val mask = exposures.zipWithIndex
+      .map { case ((_, e), i) =>
+        when(e, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val users = events.groupBy(col(userCol))
+      .agg(mask.as("__mask"), when(converted, 1L).otherwise(0L).as("__conv"))
+    val coal = users.groupBy(col("__mask"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__k"))
+    // all 2^n coalitions; unobserved ones get v = 0
+    val full = coal.sparkSession.range(1L << n)
+      .select(col("id").as("__mask"))
+      .join(coal, Seq("__mask"), "left")
+      .select(col("__mask"),
+        coalesce(col("__k").cast(DoubleType) / col("__n"), lit(0.0)).as("__v"))
+      .localCheckpoint()
+    val withV = full.select(col("__mask").as("__s"), col("__v"))
+    val vPlus = full.select(col("__mask").as("__su"), col("__v").as("__vu"))
+    val channels = exposures.map(_._1)
+    val grid = withV
+      .crossJoin(broadcast(
+        full.sparkSession.range(n).select(col("id").cast("int").as("__i"))))
+      .where(expr("(shiftright(__s, __i) & 1)") === 0L)
+    val popcount = (0 until n)
+      .map(b => shiftright(col("__s"), b).bitwiseAND(lit(1L)))
+      .reduce(_ + _)
+    val weight = exp(lgamma(popcount + 1.0) + lgamma(lit(n.toDouble) - popcount) -
+      lgamma(lit(n + 1.0)))
+    val contrib = grid
+      .withColumn("__su", expr("__s + shiftleft(1L, __i)"))
+      .join(broadcast(vPlus), Seq("__su"))
+      .select(col("__i"), (weight * (col("__vu") - col("__v"))).as("__c"))
+      .groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__phi"))
+    val names = typedLit(channels)
+    val exposedCounts = users.agg(
+      count(lit(1)).as("__users"),
+      exposures.indices.map(i =>
+        sum(shiftright(col("__mask"), i).bitwiseAND(lit(1L))).as(s"__e$i")
+      ).toIndexedSeq: _*)
+    contrib
+      .crossJoin(broadcast(exposedCounts))
+      .select(
+        element_at(names, col("__i") + 1).as("channel"),
+        (0 until n).map(i =>
+          when(col("__i") === i, col(s"__e$i")))
+          .reduce(coalesce(_, _)).as("n_exposed"),
+        round(col("__phi"), 6).as("shapley"))
+  }
+
+  /** Declared q262: channel credit for heavy-purchaser conversion,
+    * exposure = ≥ 14 events of the channel type.
+    */
+  def q262Shapley(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L))
+    shapleyAttribution(ev, "user_id",
+      Seq("click" -> (cnt("click") >= 14),
+        "error" -> (cnt("error") >= 14),
+        "signup" -> (cnt("signup") >= 14),
+        "view" -> (cnt("view") >= 14)),
+      cnt("purchase") >= 14)
+  }
+
+  val q262Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+      |      END) >= 14 THEN 1 ELSE 0 END
+      |    + 2 * CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1
+      |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+      |    + 4 * CASE WHEN sum(CASE WHEN event_type = 'signup' THEN 1
+      |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+      |    + 8 * CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1
+      |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS mask,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+      |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |coal AS (
+      |  SELECT mask, count(*) AS n, sum(conv) AS k FROM u GROUP BY 1),
+      |full_c AS (
+      |  SELECT g.m AS mask,
+      |    coalesce(CAST(k AS DOUBLE) / n, 0.0) AS v
+      |  FROM generate_series(0, 15) AS g(m)
+      |  LEFT JOIN coal ON coal.mask = g.m),
+      |grid AS (
+      |  SELECT s.mask AS s, i.i AS i, s.v,
+      |    ((s.mask >> 0) & 1) + ((s.mask >> 1) & 1) +
+      |    ((s.mask >> 2) & 1) + ((s.mask >> 3) & 1) AS sz
+      |  FROM full_c s CROSS JOIN generate_series(0, 3) AS i(i)
+      |  WHERE ((s.mask >> i.i) & 1) = 0),
+      |contrib AS (
+      |  SELECT g.i,
+      |    sum(exp(lgamma(g.sz + 1.0) + lgamma(4.0 - g.sz) - lgamma(5.0))
+      |      * (su.v - g.v)) AS phi
+      |  FROM grid g JOIN full_c su ON su.mask = g.s + (1 << g.i)
+      |  GROUP BY 1),
+      |expo AS (
+      |  SELECT
+      |    CAST(sum((mask >> 0) & 1) AS BIGINT) AS e0,
+      |    CAST(sum((mask >> 1) & 1) AS BIGINT) AS e1,
+      |    CAST(sum((mask >> 2) & 1) AS BIGINT) AS e2,
+      |    CAST(sum((mask >> 3) & 1) AS BIGINT) AS e3
+      |  FROM u)
+      |SELECT CASE i WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+      |    WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+      |  CASE i WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2 ELSE e3 END
+      |    AS n_exposed,
+      |  round(phi, 6) AS shapley
+      |FROM contrib CROSS JOIN expo""".stripMargin
 }

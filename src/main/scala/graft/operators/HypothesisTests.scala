@@ -313,6 +313,89 @@ object HypothesisTests {
       |  round(sum(CASE WHEN x >= a THEN exp(lp) END), 6) AS p_right
       |FROM grid""".stripMargin
 
+  /** McNemar's test on paired binary outcomes — did the same units
+    * flip between two conditions (pre/post, model A/model B on the
+    * same examples)? Only the DISCORDANT cells matter: b = yes→no,
+    * c = no→yes; continuity-corrected χ² = (|b−c|−1)²/(b+c) and the
+    * EXACT two-sided binomial p = min(1, 2·Σ_{i≤min(b,c)}
+    * C(b+c,i)/2^{b+c}) via the native lgamma expression.
+    *
+    * One hash aggregate to four cells; the binomial tail enumerates
+    * min(b,c)+1 metadata-scale grid rows.
+    *
+    * @return one row: n_pairs, b, c, chi2_cc, p_exact (6 dp)
+    */
+  def mcnemarExact(df: DataFrame, pre: org.apache.spark.sql.Column,
+      post: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.GraftFunctions.lgamma
+    val cells = df.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(pre && !post, 1L).otherwise(0L)).as("b"),
+      sum(when(!pre && post, 1L).otherwise(0L)).as("c"))
+    val m = col("b") + col("c")
+    val grid = cells
+      .select(col("n_pairs"), col("b"), col("c"),
+        explode(sequence(lit(0L), least(col("b"), col("c")))).as("i"))
+      .withColumn("__lt",
+        lgamma(m + 1.0) - lgamma(col("i") + 1.0) -
+          lgamma(m - col("i") + 1.0) + m.cast(DoubleType) * math.log(0.5))
+    grid.agg(
+      max(col("n_pairs")).as("n_pairs"),
+      max(col("b")).as("b"), max(col("c")).as("c"),
+      round(when(max(m) > 0,
+        (abs(max(col("b")) - max(col("c"))).cast(DoubleType) - 1.0) *
+          (abs(max(col("b")) - max(col("c"))).cast(DoubleType) - 1.0) /
+          max(m)), 6).as("chi2_cc"),
+      round(least(lit(1.0), lit(2.0) * sum(exp(col("__lt")))), 6)
+        .as("p_exact"))
+  }
+
+  /** Declared q263: did heavy purchasing flip between the two halves
+    * of January (days 1–15 vs 16–30), per user?
+    */
+  def q263Mcnemar(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    def np(cond: org.apache.spark.sql.Column) =
+      sum(when(col("event_type") === "purchase" && cond, 1L).otherwise(0L))
+    val users = ev.groupBy(col("user_id"))
+      .agg(np(to_date(col("ts")) <= "2024-01-15").as("np_pre"),
+        np(to_date(col("ts")) > "2024-01-15").as("np_post"))
+    mcnemarExact(users, col("np_pre") >= 7L, col("np_post") >= 7L)
+  }
+
+  val q263Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) <= DATE '2024-01-15'
+      |      THEN 1 ELSE 0 END) AS np_pre,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      AND CAST(ts AS DATE) > DATE '2024-01-15'
+      |      THEN 1 ELSE 0 END) AS np_post
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT count(*) AS n_pairs,
+      |    sum(CASE WHEN np_pre >= 7 AND np_post < 7 THEN 1 ELSE 0 END)
+      |      AS b,
+      |    sum(CASE WHEN np_pre < 7 AND np_post >= 7 THEN 1 ELSE 0 END)
+      |      AS c
+      |  FROM u),
+      |grid AS (
+      |  SELECT n_pairs, b, c, i,
+      |    lgamma(b + c + 1.0) - lgamma(i + 1.0)
+      |      - lgamma(b + c - i + 1.0)
+      |      + (b + c) * ln(0.5) AS lt
+      |  FROM cells CROSS JOIN generate_series(0, 1048576) AS g(i)
+      |  WHERE i <= least(b, c))
+      |SELECT CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+      |  CAST(max(b) AS BIGINT) AS b, CAST(max(c) AS BIGINT) AS c,
+      |  round(CASE WHEN max(b + c) > 0 THEN
+      |    (abs(CAST(max(b) - max(c) AS DOUBLE)) - 1.0) *
+      |    (abs(CAST(max(b) - max(c) AS DOUBLE)) - 1.0) / max(b + c)
+      |    END, 6) AS chi2_cc,
+      |  round(least(1.0, 2.0 * sum(exp(lt))), 6) AS p_exact
+      |FROM grid""".stripMargin
+
   /** Two-sample Poisson rate test — event counts k over exposures t
     * per cohort: rate difference z (delta method), rate ratio with a
     * 95% log-normal CI. The incident/error-rate comparison where the
