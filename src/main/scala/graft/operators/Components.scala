@@ -1031,10 +1031,54 @@ object Components {
       .limit(topN)
   }
 
+  /** Degree-routed Jaccard link prediction — the production entry
+    * point that picks between [[jaccardLinkPrediction]]'s exact wedge
+    * join and [[approxJaccardLinks]]'s MinHash-LSH path on a MEASURED
+    * degree bound. The exact path's Σ deg² wedge intermediate is
+    * quadratic in the hottest hub's degree; one cheap degree probe
+    * (edge-linear aggregate, 1-row collect) decides whether that
+    * intermediate is affordable:
+    *
+    *   - max degree ≤ `maxExactDegree` → exact top-N (identical to
+    *     calling [[jaccardLinkPrediction]] directly — spec-pinned);
+    *   - above it → LSH candidates + exact verify, returning the
+    *     top-N among pairs with Jaccard ≥ `threshold` (precision 1;
+    *     recall bounded by the banding math in
+    *     [[approxJaccardLinks]]) — the documented approximation
+    *     contract for graphs where the exact plan cannot scale.
+    *
+    * The default bound (2¹³) is sized off the q154 fixture's measured
+    * growth: its supplier hubs hold ~3·sf·10⁴ neighbors, so sf ≤ 0.25
+    * stays exact and the sf ≥ 1 regimes — where hub count AND hub
+    * degree both grow linearly and Σ deg² goes quadratic in sf —
+    * route to the linear-in-edges LSH path.
+    */
+  def jaccardLinksAuto(edges: DataFrame, srcCol: String, dstCol: String,
+      topN: Int = 50, maxExactDegree: Long = 1L << 13,
+      threshold: Double = 0.7): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val maxDeg = canon.select(col("u"))
+      .unionAll(canon.select(col("v")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    if (maxDeg <= maxExactDegree)
+      jaccardLinkPrediction(edges, srcCol, dstCol, topN)
+    else
+      approxJaccardLinks(edges, srcCol, dstCol, threshold).limit(topN)
+  }
+
   /** Declared q154: top-50 predicted links in the q81 bipartite
     * customer–supplier graph (shared counterparties on high-value
-    * orders). Ties at the cut are broken by (jaccard desc, a, b) on
-    * exact small-integer ratios, so the boundary is engine-stable.
+    * orders), through [[jaccardLinksAuto]]'s degree router — the
+    * fixture's hubs (~3 k neighbors at sf0.1) sit under the exact
+    * bound at every test scale, so the declared relation is the exact
+    * wedge-join answer and the oracle is exact SQL. Ties at the cut
+    * are broken by (jaccard desc, a, b) on exact small-integer
+    * ratios, so the boundary is engine-stable.
     */
   def q154JaccardLinks(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d)
@@ -1046,7 +1090,7 @@ object Components {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
       .distinct()
-    jaccardLinkPrediction(edges, "src", "dst", topN = 50)
+    jaccardLinksAuto(edges, "src", "dst", topN = 50)
   }
 
   val q154Sql: String =

@@ -1229,40 +1229,73 @@ object CorpusOps {
       |QUALIFY rank <= 20""".stripMargin
 
   /** Source-pair corpus overlap matrix — exact Jaccard similarity of
-    * the distinct word-3-shingle sets of every pair of sources: the
-    * "which ingest feeds duplicate each other" audit that decides
-    * dedup priority and mixture double-counting BEFORE any document-
-    * level near-dup pass. Computed shingle-keyed: the corpus
-    * collapses to the distinct (source, shingle) relation in one
-    * aggregate, pair intersections come from its self-join on the
-    * shingle key (cost Σ_shingle k², k ≤ #sources — linear in the
-    * relation for any realistic source count, never doc×doc), and
-    * per-source set sizes re-aggregate from the same relation.
+    * the distinct DISCRIMINATIVE word-shingle sets of every pair of
+    * sources: the "which ingest feeds duplicate each other" audit that
+    * decides dedup priority and mixture double-counting BEFORE any
+    * document-level near-dup pass. Shingles carried by more than
+    * `maxDocDf` documents are boilerplate (license headers, templated
+    * navigation) and are excised from every set — the q138
+    * fingerprint-overlap lesson: a corpus-wide shingle contributes to
+    * every pairwise intersection while signalling nothing about shared
+    * provenance, and it is exactly the key whose carrier list blows up
+    * any shingle-keyed join.
+    *
+    * Scale shape: ONE wide aggregate keyed on the shingle collapses
+    * the per-document-distinct shingle relation to (shingle → doc
+    * frequency, source set) — `collect_set` is bounded by the SOURCE
+    * count, not the doc count, so the aggregate state is fixed-size
+    * per key. Set sizes re-aggregate from the exploded source sets,
+    * and pair intersections come from IN-ROW pair expansion of each
+    * sorted source set (k ≤ #sources pairs per shingle, generated by a
+    * higher-order transform — no self-join on the shingle key at all;
+    * r7's (source, shingle) self-join paid a second full-relation
+    * shuffle and was the one uncapped hot-key join left in the repo).
     * Pairs with an empty intersection are absent by contract (their
     * Jaccard is 0; emitting the full quadratic grid would be noise).
     *
     * @return src_a < src_b, n_a, n_b, inter, jaccard (6 dp)
     */
   def sourceOverlap(docs: DataFrame, sourceCol: String,
-      textCol: String, shingleWidth: Int = 3): DataFrame = {
+      textCol: String, shingleWidth: Int = 3,
+      maxDocDf: Long = 20L): DataFrame = {
     require(shingleWidth >= 1)
-    val rel = docs
+    require(maxDocDf >= 2, s"maxDocDf < 2 empties every intersection")
+    val perDoc = docs
       .select(col(sourceCol).as("__src"),
         split(lower(col(textCol)), " ").as("__toks"))
       // sequence with start > stop DESCENDS in Spark — short docs
-      // need the explicit empty-array guard
+      // need the explicit empty-array guard; array_distinct INSIDE the
+      // row makes the exploded relation per-document-distinct, which
+      // is what makes count(*) below a document frequency. Shingle
+      // identity travels as a 64-bit hash, not the ~25-char string —
+      // the output carries only SET CARDINALITIES, so any injective-
+      // in-practice key works, and the hashed key roughly halves the
+      // bytes through the one full-relation shuffle (collision odds
+      // over an m-shingle vocabulary are ~m²/2⁶⁵ — ~10⁻⁷ at 5 M
+      // shingles; a collision would merge two shingles' carrier sets,
+      // deterministically per corpus)
       .select(col("__src"), explode(expr(
-        s"CASE WHEN size(__toks) >= $shingleWidth THEN transform(" +
-          s"sequence(0, size(__toks) - $shingleWidth), " +
-          s"i -> array_join(slice(__toks, i + 1, $shingleWidth), ' ')) " +
+        s"CASE WHEN size(__toks) >= $shingleWidth THEN array_distinct(" +
+          s"transform(sequence(0, size(__toks) - $shingleWidth), " +
+          s"i -> xxhash64(array_join(slice(__toks, i + 1, $shingleWidth), ' ')))) " +
           "ELSE array() END")).as("__sh"))
-      .distinct()
+    val bySh = perDoc.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__df"),
+        collect_set(col("__src")).as("__srcs"))
+      .where(col("__df") <= maxDocDf)
+      .select(array_sort(col("__srcs")).as("__srcs"))
+      // feeds both the size and the pair aggregates — vocabulary-scale
       .localCheckpoint()
-    val sizes = rel.groupBy(col("__src"))
+    val sizes = bySh
+      .select(explode(col("__srcs")).as("__src"))
+      .groupBy(col("__src"))
       .agg(count(lit(1)).as("__n"))
-    val inter = rel.select(col("__src").as("src_a"), col("__sh"))
-      .join(rel.select(col("__src").as("src_b"), col("__sh")), Seq("__sh"))
-      .where(col("src_a") < col("src_b"))
+    val inter = bySh
+      .select(explode(expr(
+        "flatten(transform(__srcs, (a, i) -> " +
+          "transform(slice(__srcs, i + 2, size(__srcs)), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("__p"))
+      .select(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -1278,7 +1311,7 @@ object CorpusOps {
   }
 
   /** Declared q239: the 20-source overlap matrix of the documents
-    * corpus on word-3-shingles.
+    * corpus on word-3-shingles with document frequency ≤ 20.
     */
   def q239SourceOverlap(spark: SparkSession, d: String): DataFrame =
     sourceOverlap(Tables.documents(spark, d), "source", "text")
@@ -1286,11 +1319,15 @@ object CorpusOps {
   val q239Sql: String =
     """WITH toks AS (
       |  SELECT source, string_split(lower(text), ' ') AS t FROM documents),
-      |pos AS (SELECT CAST(range AS INT) AS i FROM range(1, 100000)),
+      |sh0 AS (
+      |  SELECT source, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(t) - 2, 0)),
+      |    i -> concat_ws(' ', t[i + 1], t[i + 2], t[i + 3])))) AS sh
+      |  FROM toks),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 20),
       |rel AS (
-      |  SELECT DISTINCT source,
-      |    concat_ws(' ', t[i], t[i + 1], t[i + 2]) AS sh
-      |  FROM toks JOIN pos ON pos.i <= len(t) - 2),
+      |  SELECT DISTINCT source, sh FROM sh0
+      |  WHERE sh IN (SELECT sh FROM keep)),
       |sizes AS (SELECT source, count(*) AS n FROM rel GROUP BY 1),
       |inter AS (
       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -507,25 +508,25 @@ object Profiling {
     * ties), the standard tie-corrected estimator.
     *
     * Scale shape: ONE hash aggregate collapses the table to its joint
-    * (x, y) → count support; marginal supports re-aggregate from it
-    * and midranks come from [[Relational.orderedPrefixSums]] over each
-    * (range-partitioned above its small-support cutoff, so no
-    * single-partition window at any size). The joint support joins its
-    * two midranks back by value (plain equi-joins at support scale;
-    * Spark broadcasts small sides itself) and one final aggregate
-    * emits count-weighted sufficient statistics. The correlation is
-    * closed-form from exact-ish double sums — the identical expression
-    * runs in the oracle, so the compare never rides on a library's
-    * corr() implementation.
+    * (x, y) → count support; midranks then branch on the measured
+    * support size (inline note below) — peers-inclusive RANGE-frame
+    * windows straight over the joint support when it fits one window
+    * partition, the per-marginal [[Relational.orderedPrefixSums]]
+    * scaffold (range-partitioned, no single-partition window) past the
+    * cutoff. One final aggregate emits count-weighted sufficient
+    * statistics. The correlation is closed-form from exact-ish double
+    * sums — the identical expression runs in the oracle, so the
+    * compare never rides on a library's corr() implementation.
     *
-    * Measured NON-fix (r7): fusing both midrank passes into one
-    * [[Relational.orderedPrefixSumsBy]] call (marginals union'd with a
-    * dim tag, ordered by (dim, value), y's running sum recovered by
-    * subtracting n) HALVES the scaffold jobs but benched 2.9 s → 3.7 s
-    * at sf0.1: the fused window sorts the full 600k-row union for BOTH
-    * dimensions (plus a checkpoint of its output for the double read),
-    * where the split passes sort 600k once and 50 once — per-marginal
-    * pruning beats job-count reduction here, so the split stays.
+    * Measured NON-fix (r7): fusing both scaffold midrank passes into
+    * one [[Relational.orderedPrefixSumsBy]] call (marginals union'd
+    * with a dim tag, ordered by (dim, value), y's running sum
+    * recovered by subtracting n) HALVES the scaffold jobs but benched
+    * 2.9 s → 3.7 s at sf0.1 — job-count reduction lost to sorting the
+    * full union for both dimensions. The r8 two-window direct path
+    * wins the same fight from the other side: fewer jobs AND no
+    * support re-aggregation, at the price of one-partition sorts that
+    * the size gate confines to supports where they are trivial.
     */
   def spearmanCorrelation(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
@@ -538,20 +539,41 @@ object Profiling {
     val joint = df.groupBy(col(xCol), col(yCol))
       .agg(count(lit(1)).as("__n"))
       .localCheckpoint()
-    def midranks(c: String): DataFrame = {
-      val sup = joint.groupBy(col(c)).agg(sum(col("__n")).as("__c"))
-      // measured: forcing the range-partitioned branch at this size
-      // (600k-value support, smallSupportRows = 2^17) is ~8% SLOWER —
-      // the offsets round-trip and extra checkpoint cost more than the
-      // one-thread window sort saves; the scaffold's default cutoff
-      // stands
-      Relational.orderedPrefixSums(sup, c, Seq("__k" -> col("__c")))
-        .select(col(c),
-          (col("__k") - col("__c") + (col("__c") + 1) / 2.0).as(s"__r_$c"))
-    }
-    val ranked = joint
-      .join(midranks(xCol), Seq(xCol))
-      .join(midranks(yCol), Seq(yCol))
+    // Branch on the MEASURED joint-support size (the checkpoint above
+    // makes the count a cheap cached-scan job). Small supports take the
+    // direct path: both midranks come from RANGE-frame windows over the
+    // joint relation itself — sum(n) OVER (ORDER BY v) with the default
+    // RANGE frame is peers-INCLUSIVE, so at any row it is the raw-row
+    // count of values ≤ v, and midrank = cum − c + (c+1)/2 needs no
+    // marginal-support aggregate and no join back (r7's shape paid two
+    // support groupBys, two prefix-sum scaffolds with their checkpoint
+    // + count probes, and two equi-joins — measured 3.5 s solo at
+    // sf0.1 for a ~600 k near-unique-y support vs 1.1 s for this
+    // two-window plan; that whole gap was fixed job overhead, not the
+    // one-thread sorts). Past the cutoff the per-marginal scaffold
+    // returns: supports collapse to DISTINCT values per dimension and
+    // rank via [[Relational.orderedPrefixSums]]'s range-partitioned
+    // branch — no single-partition window at any size, the 100 TB path.
+    val ranked =
+      if (joint.count() <= (1L << 22)) {
+        def mid(c: String): Column = {
+          val cum = sum(col("__n")).over(Window.orderBy(col(c)))
+          val cnt = sum(col("__n")).over(Window.partitionBy(col(c)))
+          cum - cnt + (cnt + 1) / 2.0
+        }
+        joint.select(col("__n"), mid(xCol).as(s"__r_$xCol"),
+          mid(yCol).as(s"__r_$yCol"))
+      } else {
+        def midranks(c: String): DataFrame = {
+          val sup = joint.groupBy(col(c)).agg(sum(col("__n")).as("__c"))
+          Relational.orderedPrefixSums(sup, c, Seq("__k" -> col("__c")))
+            .select(col(c),
+              (col("__k") - col("__c") + (col("__c") + 1) / 2.0).as(s"__r_$c"))
+        }
+        joint
+          .join(midranks(xCol), Seq(xCol))
+          .join(midranks(yCol), Seq(yCol))
+      }
     val rx = col(s"__r_$xCol")
     val ry = col(s"__r_$yCol")
     val w = col("__n").cast("double")

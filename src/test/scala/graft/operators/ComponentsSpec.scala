@@ -285,6 +285,39 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byPair((2L, 4L)) === ((2L, 1.0)))
   }
 
+  test("jaccardLinksAuto: exact-identical below the degree bound, LSH route above it") {
+    val sp = spark; import sp.implicits._
+    // below the bound: routed output must be ROW-IDENTICAL to the
+    // exact wedge-join path (same pairs, same scores, same order)
+    val small = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L),
+      (5L, 3L)).toDF("u", "v")
+    val exact = Components.jaccardLinkPrediction(small, "u", "v", topN = 10)
+      .collect().toSeq
+    val routed = Components.jaccardLinksAuto(small, "u", "v", topN = 10,
+      maxExactDegree = 100L).collect().toSeq
+    assert(routed === exact)
+    // above the bound: a hub of degree 6 > 4 must flip the router to
+    // the approximate path — observable because the LSH path is
+    // thresholded (only pairs with jaccard >= threshold survive)
+    // while the exact path returns sub-threshold pairs up to topN.
+    // Two clones sharing the hub's full neighborhood score 1.0 and
+    // must surface; every other pair sits below the threshold (leaf
+    // pairs share {hub, clone} out of a 4-union → 0.5; pendant pairs
+    // share ≤ 1 of ≥ 6) and appears ONLY on the exact path.
+    val hub = (1L to 6L).map(i => (100L, i)) ++
+      (1L to 6L).map(i => (101L, i)) ++
+      (1L to 6L).map(i => (i, 200L + i))
+    val hubDf = hub.toDF("u", "v")
+    val above = Components.jaccardLinksAuto(hubDf, "u", "v", topN = 50,
+      maxExactDegree = 4L, threshold = 0.7).collect()
+    assert(above.map(r => (r.getAs[Long]("node_a"),
+      r.getAs[Long]("node_b"))).toSet === Set((100L, 101L)))
+    assert(above.head.getAs[Double]("jaccard") === 1.0)
+    val exactHub = Components.jaccardLinksAuto(hubDf, "u", "v", topN = 50,
+      maxExactDegree = 100L).collect()
+    assert(exactHub.length > 1, "exact path keeps sub-threshold pairs")
+  }
+
   test("approxJaccardLinks: exact recall and precision vs a local all-pairs oracle") {
     val sp = spark; import sp.implicits._
     // random graphs: every non-adjacent pair with neighbor-set Jaccard
