@@ -500,6 +500,8 @@ object SparkEntry {
     "q260_kendall_tau" -> (graft.operators.Profiling.q260KendallTau _),
     // iterative proportional fitting to uniform margins
     "q261_ipf_rake" -> (graft.operators.Scoring.q261IpfRake _),
+    // lossy JPEG roundtrip via javax.imageio (dims exact, MAE-bounded)
+    "q262_jpeg_stats" -> (graft.operators.Multimodal.q262JpegStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -770,5 +772,6 @@ object SparkEntry {
     "q259_isotonic" -> graft.operators.Scoring.q259Sql,
     "q260_kendall_tau" -> graft.operators.Profiling.q260Sql,
     "q261_ipf_rake" -> graft.operators.Scoring.q261Sql,
+    "q262_jpeg_stats" -> graft.operators.Multimodal.q262Sql,
   )
 }

@@ -18,11 +18,14 @@ import graft.core.Tables
   * Decode reality: [[decodeMedia]] REALLY parses WAV (RIFF/PCM — header
   * walk + sample RMS) and BMP (DIB header + pixel statistics) payloads,
   * because uncompressed containers are pure byte arithmetic and need no
-  * codec library. Compressed codecs (JPEG/H.264/...) have no library in
-  * this environment, so [[extractFeatures]] stays a deterministic
-  * documented stub for them. Everything around both — schema,
-  * partitioning, batch shape, null passthrough — is real and is what a
-  * production decoder drops into.
+  * codec library; PNG decodes through a pure-JVM chunk walk + zlib
+  * inflate, and JPEG through the JDK's own `javax.imageio` codec
+  * ([[decodeJpegRaster]]) — together covering the formats that dominate
+  * web corpora. Codecs with no offline-JDK implementation (H.264/AV1
+  * video, modern audio) keep [[extractFeatures]] as a deterministic
+  * documented stub. Everything around both — schema, partitioning,
+  * batch shape, null passthrough — is real and is what a production
+  * decoder drops into.
   */
 object Multimodal {
 
@@ -64,6 +67,8 @@ object Multimodal {
         ascii(bytes, 8, 4) == "WAVE") probeWav(bytes)
       else if (ascii(bytes, 0, 2) == "BM" && bytes.length >= 54) probeBmp(bytes)
       else if (bytes.length >= 45 && isPngSignature(bytes)) probePng(bytes)
+      else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        probeJpeg(bytes)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -504,6 +509,149 @@ object Multimodal {
       | CAST(8 AS INT) AS bpp,
       | list_avg(list_transform(range(1, 8 * (length(text) // 8) + 1),
       |   i -> ascii(text[i]))) AS mean_byte
+      |FROM documents
+      |WHERE length(text) >= 8""".stripMargin
+
+  /** JPEG support — the one compressed codec the offline JDK genuinely
+    * ships: `javax.imageio`'s JPEG reader/writer (java.desktop module,
+    * headless-safe for `BufferedImage` raster work). Closes the r7
+    * documented stub for web-corpus images, which are overwhelmingly
+    * JPEG. Encode is pinned to an EXPLICIT quality factor so payload
+    * bytes are deterministic for a given JDK; decode quarantines to
+    * None on any codec exception, truncation, or non-JPEG magic — the
+    * same contract as every other decoder in this module.
+    */
+  private lazy val imageIoNoCache: Unit =
+    // global one-time switch: per-decode tmp-file spooling would turn
+    // the batched decode path I/O-bound
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode an 8-bit grayscale raster as a baseline JFIF JPEG at the
+    * given quality (default 0.95 — high-fidelity, the training-data
+    * re-encode setting).
+    */
+  def jpegEncode(pixels: Array[Byte], w: Int, h: Int,
+      quality: Float = 0.95f): Array[Byte] = {
+    imageIoNoCache
+    require(pixels.length == w * h, s"raster ${pixels.length} != $w*$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Full JPEG decode to a single-channel raster: (width, height, 1,
+    * gray pixels row-major). Color JPEGs are luminance-converted via a
+    * headless `BufferedImage` draw. Shared by [[probeJpeg]] (stats)
+    * and the q262 fidelity check; quarantine-to-None on any
+    * malformation (bad magic, codec exception, undecodable stream).
+    */
+  private[operators] def decodeJpegRaster(
+      b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    imageIoNoCache
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val gray =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gg = g.createGraphics()
+            try gg.drawImage(img, 0, 0, null) finally gg.dispose()
+            g
+          }
+        val px = gray.getRaster
+          .getDataElements(0, 0, w, h, null).asInstanceOf[Array[Byte]]
+        Some((w, h, 1, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def probeJpeg(b: Array[Byte]): Option[Probe] =
+    decodeJpegRaster(b).map { case (w, h, _, px) =>
+      var s = 0L; var i = 0
+      while (i < px.length) { s += (px(i) & 0xff); i += 1 }
+      Probe("jpeg", None, None, None, None, None,
+        Some(w), Some(h), Some(8),
+        Some(if (px.length == 0) 0.0 else s.toDouble / px.length))
+    }
+
+  /** Declared q262: the LOSSY-codec roundtrip — every document becomes
+    * an 8-px-wide grayscale JPEG of its leading ASCII bytes (the q136
+    * raster shape, height capped at 64 rows so per-asset codec work is
+    * bounded), encoded at quality 0.95 through `javax.imageio` and
+    * decoded back through [[decodeJpegRaster]]. Dimensions survive any
+    * JPEG codec EXACTLY, so width/height are text-derivable oracle
+    * columns; pixel values do NOT survive a lossy codec, so fidelity
+    * is declared as a BOUND — `mae_ok` = (mean absolute pixel error vs
+    * the source raster ≤ 8.0/255). The oracle asserts every row passes
+    * (TRUE), which makes codec-quality regressions (a broken filter, a
+    * mis-set quality factor, a channel swap) hard hash failures while
+    * staying SQL-derivable. The exact MAE distribution and dHash
+    * stability under the codec are pinned in MultimodalSpec.
+    *
+    * Scale shape: one mapPartitions (the module's batched binary
+    * shape), no shuffle, embarrassingly parallel; height cap bounds
+    * per-row codec cost at any document length.
+    */
+  def q262JpegStats(spark: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mae_ok", BooleanType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.map { row =>
+            val id = row.getLong(0)
+            val bytes = Option(row.getString(1))
+              .map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+              .orNull
+            if (bytes == null || bytes.length < 8)
+              Row(id, null, null, null)
+            else {
+              val h = math.min(bytes.length / 8, 64)
+              val raster = java.util.Arrays.copyOf(bytes, 8 * h)
+              decodeJpegRaster(jpegEncode(raster, 8, h)) match {
+                case Some((w, hh, _, px)) if px.length == raster.length =>
+                  var s = 0L; var i = 0
+                  while (i < px.length) {
+                    s += math.abs((px(i) & 0xff) - (raster(i) & 0xff)); i += 1
+                  }
+                  Row(id, Int.box(w), Int.box(hh),
+                    Boolean.box(s.toDouble / px.length <= 8.0))
+                case _ => Row(id, null, null, null)
+              }
+            }
+          }
+        }
+      }(enc)
+      .where(col("width").isNotNull)
+  }
+
+  val q262Sql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(8 AS INT) AS width,
+      | CAST(least(length(text) // 8, 64) AS INT) AS height,
+      | TRUE AS mae_ok
       |FROM documents
       |WHERE length(text) >= 8""".stripMargin
 

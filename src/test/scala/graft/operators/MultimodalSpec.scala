@@ -349,4 +349,60 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val corrupt = wav.clone(); corrupt(0) = 'X'.toByte
     assert(Multimodal.decodeWavSamples(corrupt).isEmpty)
   }
+
+  test("JPEG: imageio roundtrip dims exact, MAE bounded, dHash stable, quarantine") {
+    val rnd = new scala.util.Random(262)
+    // text-like raster: printable ASCII, the q262 payload shape
+    val h = 40
+    val raster = Array.fill(8 * h)((32 + rnd.nextInt(95)).toByte)
+    val jpeg = Multimodal.jpegEncode(raster, 8, h)
+    // magic: baseline JFIF SOI
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8)
+    val Some((w, hh, ch, px)) = Multimodal.decodeJpegRaster(jpeg)
+    assert((w, hh, ch) === ((8, h, 1)))
+    // lossy but bounded: the q262 contract (MAE <= 8/255)
+    val mae = raster.indices.map(i =>
+      math.abs((px(i) & 0xff) - (raster(i) & 0xff))).sum.toDouble / raster.length
+    assert(mae <= 8.0, s"JPEG q=0.95 MAE $mae above the declared bound")
+    // determinism: same raster -> byte-identical payload
+    assert(java.util.Arrays.equals(jpeg, Multimodal.jpegEncode(raster, 8, h)))
+    // probe dispatch: jpeg recognized with exact dims, mean close to raw
+    val p = Multimodal.probe(jpeg).get
+    assert(p.format === "jpeg" && p.width === Some(8) && p.height === Some(h))
+    val rawMean = raster.map(_ & 0xff).sum.toDouble / raster.length
+    assert(math.abs(p.meanByte.get - rawMean) <= 4.0)
+    // dHash stability under the codec: a smooth gradient raster (the
+    // perceptual-hash regime; pure noise is out of dHash's contract)
+    // keeps its bands across the lossy roundtrip
+    val smooth = Array.tabulate(8 * h)(i => ((i / 8) * 255 / h).toByte)
+    val sJpeg = Multimodal.jpegEncode(smooth, 8, h)
+    val Some((_, _, _, sPx)) = Multimodal.decodeJpegRaster(sJpeg)
+    val orig = Multimodal.pngDHashBands(smooth, 8, h, 1).get
+    val redec = Multimodal.pngDHashBands(sPx, 8, h, 1).get
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    assert(ham(orig, redec) <= 2,
+      s"dHash drifted ${ham(orig, redec)} bits across JPEG roundtrip")
+    // quarantine: truncation, corrupt entropy stream, wrong magic, null
+    assert(Multimodal.decodeJpegRaster(
+      java.util.Arrays.copyOf(jpeg, 12)).isEmpty)
+    val bad = jpeg.clone(); bad(0) = 0x00
+    assert(Multimodal.decodeJpegRaster(bad).isEmpty)
+    assert(Multimodal.decodeJpegRaster(null).isEmpty)
+    assert(Multimodal.decodeJpegRaster("not a jpeg at all".getBytes).isEmpty)
+    val chopped = java.util.Arrays.copyOf(jpeg, jpeg.length / 2)
+    // a half JPEG may decode partially or not at all, but must never throw
+    Multimodal.decodeJpegRaster(chopped)
+  }
+
+  test("q262: width/height match the text-derived oracle shape on the fixture") {
+    val out = Multimodal.q262JpegStats(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("width") == 8))
+    assert(out.forall(r => r.getAs[Int]("height") >= 1 &&
+      r.getAs[Int]("height") <= 64))
+    assert(out.forall(_.getAs[Boolean]("mae_ok")),
+      "a fixture document decoded outside the MAE bound")
+  }
 }
