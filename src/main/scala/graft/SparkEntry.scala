@@ -502,6 +502,16 @@ object SparkEntry {
     "q261_ipf_rake" -> (graft.operators.Scoring.q261IpfRake _),
     // lossy JPEG roundtrip via javax.imageio (dims exact, MAE-bounded)
     "q262_jpeg_stats" -> (graft.operators.Multimodal.q262JpegStats _),
+    // Aho-Corasick blocklist audit (one automaton pass vs k contains)
+    "q263_blocklist" -> (graft.operators.TextAnalysis.q263Blocklist _),
+    // content-defined-chunk storage-dedup audit per source
+    "q264_cdc_dedup" -> (graft.operators.CorpusOps.q264CdcDedup _),
+    // exact Shapley-value channel attribution (2^n coalition grid)
+    "q265_shapley" -> (graft.operators.EventAnalytics.q265Shapley _),
+    // Markov removal-effect attribution (pinned 12-step absorption)
+    "q266_removal_effect" -> (graft.operators.EventAnalytics.q266RemovalEffect _),
+    // bottom-k hash-sample quantile sketch (mergeable, oracle-exact)
+    "q267_sample_quantiles" -> (graft.operators.Profiling.q267SampleQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -773,5 +783,10 @@ object SparkEntry {
     "q260_kendall_tau" -> graft.operators.Profiling.q260Sql,
     "q261_ipf_rake" -> graft.operators.Scoring.q261Sql,
     "q262_jpeg_stats" -> graft.operators.Multimodal.q262Sql,
+    "q263_blocklist" -> graft.operators.TextAnalysis.q263Sql,
+    "q264_cdc_dedup" -> graft.operators.CorpusOps.q264Sql,
+    "q265_shapley" -> graft.operators.EventAnalytics.q265Sql,
+    "q266_removal_effect" -> graft.operators.EventAnalytics.q266Sql,
+    "q267_sample_quantiles" -> graft.operators.Profiling.q267Sql,
   )
 }

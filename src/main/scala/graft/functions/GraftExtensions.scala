@@ -145,6 +145,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowHash(children.head, intArg(1), intArg(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(
+        classOf[CdcChunks].getName, null, "cdc_chunks",
+        "cdc_chunks(s, k, divisor) - content-defined chunking: split s " +
+          "where the base-31 k-gram code-point hash % divisor == 0",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"cdc_chunks expects 3 arguments, got ${children.length}")
+        def longArg(i: Int): Long = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cdc_chunks arg ${i + 1} must be an integer literal, got $other")
+        }
+        CdcChunks(children.head, longArg(1).toInt, longArg(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(
+        classOf[MultiContains].getName, null, "multi_contains",
+        "multi_contains(s, p1, p2, ...) - Aho-Corasick multi-pattern " +
+          "search: distinct 0-based indices of the literal patterns " +
+          "present as substrings, ascending",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length >= 2,
+          s"multi_contains expects a string column plus >=1 pattern " +
+            s"literals, got ${children.length} arguments")
+        val pats = children.tail.zipWithIndex.map {
+          case (org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.unsafe.types.UTF8String, _), _) => v.toString
+          case (other, i) => throw new IllegalArgumentException(
+            s"multi_contains pattern ${i + 1} must be a string literal, got $other")
+        }
+        MultiContains(children.head, pats)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("chunk_tokens"),
       new ExpressionInfo(
         classOf[ChunkTokens].getName, null, "chunk_tokens",

@@ -67,4 +67,19 @@ object GraftFunctions {
     */
   def lgamma(x: Column): Column =
     call_function("lgamma", x)
+
+  /** Aho–Corasick multi-pattern search (see [[MultiContains]]): the
+    * distinct 0-based indices of `patterns` present in `s` as
+    * substrings, ascending — one automaton pass regardless of pattern
+    * count, vs k `contains` scans.
+    */
+  def multiContains(s: Column, patterns: Seq[String]): Column =
+    call_function("multi_contains", (s +: patterns.map(lit)): _*)
+
+  /** Content-defined chunking (see [[CdcChunks]]): substrings split
+    * where the base-31 k-gram code-point hash ≡ 0 (mod divisor) —
+    * expected chunk length ≈ divisor.
+    */
+  def cdcChunks(s: Column, k: Int, divisor: Long): Column =
+    call_function("cdc_chunks", s, lit(k), lit(divisor))
 }

@@ -1548,7 +1548,7 @@ object Components {
     val hint = labels.count() <= 4000000L
     val prevAqe = spark0.conf.get("spark.sql.adaptive.enabled", "true")
     if (hint) spark0.conf.set("spark.sql.adaptive.enabled", "false")
-    try for (_ <- 1 to rounds) {
+    try for (i <- 1 to rounds) {
       val nbr = sym.join(
         (if (hint) broadcast(labels) else labels)
           .select(col("node").as("v"), col("community")), Seq("v"))
@@ -1560,7 +1560,14 @@ object Components {
         .groupBy(col("u"))
         .agg(graft.functions.ModeMinAgg.of(col("community")).as("community"))
         .withColumnRenamed("u", "node")
-        .localCheckpoint(eager = hint)
+      // checkpoint every SECOND round (and the last) on the broadcast
+      // path — two rounds chain into one static-plan job (the hits
+      // every-4 discipline, shallower because each LPA round carries a
+      // full ObjectHashAggregate whose partial state is heavier than
+      // hits' sum); the shuffle path keeps per-round lazy checkpoints
+      // for O(1) lineage
+      if (!hint || i % 2 == 0 || i == rounds)
+        labels = labels.localCheckpoint(eager = hint)
     } finally if (hint) spark0.conf.set("spark.sql.adaptive.enabled", prevAqe)
     labels
   }

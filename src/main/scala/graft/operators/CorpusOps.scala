@@ -1341,6 +1341,81 @@ object CorpusOps {
       |JOIN sizes sa ON sa.source = src_a
       |JOIN sizes sb ON sb.source = src_b""".stripMargin
 
+  /** Content-defined-chunk storage-dedup audit per source — chunk every
+    * document with [[graft.functions.CdcChunks]] (rolling-hash
+    * boundaries, expected chunk ≈ `divisor` chars) and measure how much
+    * of each source's byte volume is redundant at chunk granularity:
+    * the rsync/LBFS measurement a snapshotting corpus store runs to
+    * size its dedup win BEFORE building the chunk index. Because
+    * boundaries are content-defined, shared passages chunk identically
+    * regardless of their offset in the carrying documents — exactly
+    * what offset-based fixed blocks miss.
+    *
+    * Scale shape: one generator pass (chunking is per-row native
+    * work), one (source, chunk-hash) aggregate — chunk identity
+    * travels as md5, never the chunk text, past the first shuffle —
+    * then a source-keyed rollup. Linear in corpus bytes.
+    *
+    * @return per source: n_chunks, n_unique, chars_total,
+    *         chars_unique, dedup_ratio = 1 − unique/total chars (6 dp)
+    */
+  def cdcDedupBySource(docs: DataFrame, sourceCol: String,
+      textCol: String, k: Int = 8, divisor: Long = 64L): DataFrame = {
+    val byHash = docs
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.GraftFunctions.cdcChunks(
+          col(textCol), k, divisor)).as("__c"))
+      .groupBy(col("source"), md5(col("__c")).as("__h"))
+      .agg(count(lit(1)).as("__cnt"), max(length(col("__c"))).as("__len"))
+    byHash.groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("__cnt") * col("__len")).as("chars_total"),
+        sum(col("__len")).as("chars_unique"))
+      .select(col("source"), col("n_chunks"), col("n_unique"),
+        col("chars_total"), col("chars_unique"),
+        round(lit(1.0) - col("chars_unique").cast("double") /
+          col("chars_total"), 6).as("dedup_ratio"))
+  }
+
+  /** Declared q264: the 20-source CDC dedup audit (k=8, divisor=64). */
+  def q264CdcDedup(spark: SparkSession, d: String): DataFrame =
+    cdcDedupBySource(Tables.documents(spark, d), "source", "text")
+
+  val q264Sql: String = {
+    val pow31 = (0 until 8).map(j => math.pow(31.0, j).toLong)
+    val poly = (0 until 8).map(j =>
+      s"CAST(ascii(substring(text, CAST(i + $j AS INT), 1)) AS BIGINT) * ${pow31(j)}")
+      .mkString(" + ")
+    s"""WITH g AS (
+       |  SELECT doc_id, source, text,
+       |    list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+       |      i -> $poly) AS hs
+       |  FROM documents),
+       |cutpos AS (
+       |  SELECT doc_id, source, text,
+       |    unnest(list_filter(range(1, len(hs) + 1), i -> hs[i] % 64 = 0)) + 7 AS cut
+       |  FROM g),
+       |cuts AS (
+       |  SELECT doc_id, source, text, 0 AS cut FROM documents
+       |  UNION ALL SELECT doc_id, source, text, cut FROM cutpos),
+       |chunks AS (
+       |  SELECT source, substring(text, CAST(cut + 1 AS INT),
+       |    CAST(coalesce(lead(cut) OVER (PARTITION BY doc_id ORDER BY cut),
+       |      length(text)) - cut AS INT)) AS c
+       |  FROM cuts),
+       |u AS (
+       |  SELECT source, md5(c) AS h, count(*) AS cnt, max(length(c)) AS len
+       |  FROM chunks WHERE length(c) > 0 GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_unique,
+       |  CAST(sum(cnt * len) AS BIGINT) AS chars_total,
+       |  CAST(sum(len) AS BIGINT) AS chars_unique,
+       |  round(1 - CAST(sum(len) AS DOUBLE) / sum(cnt * len), 6) AS dedup_ratio
+       |FROM u GROUP BY source""".stripMargin
+  }
+
   /** Jensen–Shannon divergence between every pair of sources' unigram
     * distributions — the SYMMETRIC, bounded companion to
     * [[sourceDivergence]]'s KL-vs-mixture: JSD(P,Q) ∈ [0,1] bits, 0 =

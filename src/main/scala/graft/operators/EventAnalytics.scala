@@ -1623,10 +1623,10 @@ object EventAnalytics {
         round(col("__phi"), 6).as("shapley"))
   }
 
-  /** Declared q262: channel credit for heavy-purchaser conversion,
+  /** Declared q265: channel credit for heavy-purchaser conversion,
     * exposure = ≥ 14 events of the channel type.
     */
-  def q262Shapley(spark: SparkSession, d: String): DataFrame = {
+  def q265Shapley(spark: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(spark, d)
     def cnt(t: String) =
       sum(when(col("event_type") === t, 1L).otherwise(0L))
@@ -1638,7 +1638,7 @@ object EventAnalytics {
       cnt("purchase") >= 14)
   }
 
-  val q262Sql: String =
+  val q265Sql: String =
     """WITH u AS (
       |  SELECT user_id,
       |    CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
@@ -1684,4 +1684,161 @@ object EventAnalytics {
       |    AS n_exposed,
       |  round(phi, 6) AS shapley
       |FROM contrib CROSS JOIN expo""".stripMargin
+
+  /** Markov removal-effect channel attribution (Anderl et al. 2016) —
+    * the PATH-based data-driven model beside [[shapleyAttribution]]'s
+    * coalition-based one: build the first-order journey chain
+    * (START → events … → first conversion | END), then credit each
+    * channel by how much the conversion probability drops when the
+    * channel's node is REMOVED from the chain (its incoming mass is
+    * lost, not rerouted — the standard rule). Conversion probability
+    * is a pinned `iterations`-step value iteration v_{t+1}(s) =
+    * Σ_{s'} P(s,s')·v_t(s') with v(conv) ≡ 1, v(END) ≡ 0 — a bounded
+    * unroll both engines replay exactly (the q163/q235 discipline).
+    *
+    * Scale shape: ONE user-keyed shuffle builds the truncated
+    * timelines and their transitions; the chain collapses to a
+    * (channels+2)² count matrix — DOMAIN-bounded, so the value
+    * iteration runs on collected metadata (the HypothesisTests
+    * bounded-collect precedent), never on the event relation. Paths
+    * truncate at each user's FIRST conversion, which also makes the
+    * chain conversion-absorbing.
+    *
+    * @return per channel: base_cvr, removed_cvr, removal_effect
+    *         (= 1 − removed/base), share (effects normalized to 1)
+    */
+  def removalEffectAttribution(events: DataFrame, convType: String,
+      channels: Seq[String], iterations: Int = 12): DataFrame = {
+    require(channels.nonEmpty && !channels.contains(convType))
+    val spark = events.sparkSession
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ranked = events
+      .withColumn("__rn", row_number().over(timeline))
+    val truncated = ranked
+      .withColumn("__fc", min(when(col("event_type") === convType,
+        col("__rn"))).over(Window.partitionBy(col("user_id"))))
+      .where(col("__fc").isNull || col("__rn") <= col("__fc"))
+    val kept = Window.partitionBy(col("user_id")).orderBy(col("__rn"))
+    val trans = truncated
+      .withColumn("__to",
+        coalesce(lead(col("event_type"), 1).over(kept), lit("END")))
+      .where(col("event_type") =!= convType)
+      .select(col("event_type").as("src"), col("__to").as("dst"))
+      .unionAll(truncated.where(col("__rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst")))
+    // DOMAIN-bounded collect: at most (channels+2)^2 rows by contract
+    val counts = trans.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val outTotals = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    def cvr(drop: Option[String]): Double = {
+      val probs = counts.toSeq
+        .filter { case ((s, t), _) =>
+          !drop.contains(s) && !drop.contains(t) }
+        .map { case ((s, t), n) => (s, t, n.toDouble / outTotals(s)) }
+        .sortBy { case (s, t, _) => (s, t) } // deterministic sum order
+      val srcs = probs.map(_._1).distinct
+      var v = Map.empty[String, Double]
+      for (_ <- 1 to iterations) {
+        v = srcs.map { s =>
+          s -> probs.iterator.filter(_._1 == s).map { case (_, t, p) =>
+            p * (if (t == convType) 1.0
+                 else if (t == "END") 0.0
+                 else v.getOrElse(t, 0.0))
+          }.sum
+        }.toMap
+      }
+      v.getOrElse("START", 0.0)
+    }
+    val base = cvr(None)
+    val effects = channels.sorted.map { c =>
+      val rc = cvr(Some(c))
+      (c, rc, if (base > 0) 1.0 - rc / base else 0.0)
+    }
+    val totalEffect = effects.map(_._3).sum
+    import spark.implicits._
+    // rounding via the engine's round() so HALF_UP semantics match the
+    // oracle's round() exactly
+    effects.map { case (c, rc, e) =>
+      (c, base, rc, e, if (totalEffect > 0) e / totalEffect else 0.0)
+    }.toDF("channel", "base_cvr", "removed_cvr", "removal_effect", "share")
+      .select(col("channel"), round(col("base_cvr"), 6).as("base_cvr"),
+        round(col("removed_cvr"), 6).as("removed_cvr"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("share"), 6).as("share"))
+  }
+
+  /** Declared q266: removal-effect attribution of purchases over the
+    * four non-conversion event types, 12 pinned iterations.
+    */
+  def q266RemovalEffect(spark: SparkSession, d: String): DataFrame =
+    removalEffectAttribution(
+      Tables.events(spark, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")),
+      convType = "purchase",
+      channels = Seq("click", "error", "signup", "view"))
+
+  val q266Sql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val scenarios = ("full", None) +: channels.map(c => (c, Some(c)))
+    val iterCtes = scenarios.flatMap { case (tag, drop) =>
+      val flt = drop.map(c => s"WHERE src <> '$c' AND dst <> '$c'").getOrElse("")
+      val p0 = s"p_$tag AS (SELECT src, dst, p FROM p $flt)"
+      val iters = (1 to 12).map { t =>
+        val prev =
+          if (t == 1) "0.0"
+          else s"coalesce(v.v, 0.0)"
+        val join =
+          if (t == 1) ""
+          else s" LEFT JOIN v_${tag}_${t - 1} v ON v.s = m.dst"
+        s"""v_${tag}_$t AS (
+           |  SELECT m.src AS s, sum(m.p * CASE
+           |    WHEN m.dst = 'purchase' THEN 1.0
+           |    WHEN m.dst = 'END' THEN 0.0
+           |    ELSE $prev END) AS v
+           |  FROM p_$tag m$join GROUP BY 1)""".stripMargin
+      }
+      p0 +: iters
+    }.mkString(",\n")
+    val resRows = channels.map(c =>
+      s"SELECT '$c' AS channel, (SELECT v FROM v_${c}_12 WHERE s = 'START') AS removed")
+      .mkString("\n  UNION ALL ")
+    s"""WITH r1 AS (
+       |  SELECT user_id, event_type, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |r2 AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |    OVER (PARTITION BY user_id) AS fc
+       |  FROM r1),
+       |kept AS (SELECT * FROM r2 WHERE fc IS NULL OR rn <= fc),
+       |tr AS (
+       |  SELECT event_type AS src,
+       |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY rn), 'END') AS dst
+       |  FROM kept),
+       |trans AS (
+       |  SELECT src, dst FROM tr WHERE src <> 'purchase'
+       |  UNION ALL
+       |  SELECT 'START', event_type FROM kept WHERE rn = 1),
+       |m AS (SELECT src, dst, count(*) AS n FROM trans GROUP BY 1, 2),
+       |p AS (SELECT src, dst,
+       |        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+       |      FROM m),
+       |$iterCtes,
+       |res AS (
+       |  $resRows),
+       |base AS (
+       |  SELECT coalesce((SELECT v FROM v_full_12 WHERE s = 'START'), 0.0) AS b)
+       |SELECT channel,
+       |  round(b, 6) AS base_cvr,
+       |  round(coalesce(removed, 0.0), 6) AS removed_cvr,
+       |  round(1 - coalesce(removed, 0.0) / b, 6) AS removal_effect,
+       |  round((1 - coalesce(removed, 0.0) / b) /
+       |    sum(1 - coalesce(removed, 0.0) / b) OVER (), 6) AS share
+       |FROM res CROSS JOIN base""".stripMargin
+  }
 }

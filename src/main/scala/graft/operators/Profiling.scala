@@ -987,4 +987,66 @@ object Profiling {
       |    sqrt(CAST(n * (n - 1) / 2 - tx2 / 2 AS DOUBLE) *
       |      CAST(n * (n - 1) / 2 - ty2 / 2 AS DOUBLE)), 6) AS tau_b
       |FROM cd CROSS JOIN m CROSS JOIN tx CROSS JOIN ty""".stripMargin
+
+  /** Approximate quantiles from the deterministic bottom-k sampling
+    * sketch ([[graft.functions.BottomKAgg]]) — the mergeable,
+    * ONE-PASS, fixed-memory alternative to an exact sort when a 100 TB
+    * column needs percentile estimates: keep the k rows whose
+    * md5-derived hash key is smallest (a uniform sample that is a pure
+    * set function of the data — no RNG, no arrival-order dependence),
+    * read quantile q as sample element ⌈q·n⌉. Rank error is the
+    * uniform-sample O(1/√k); unlike `percentile_approx`'s GK sketch,
+    * the sample — and therefore every estimate — is bit-reproducible
+    * across engines, partitionings, and merge orders, which is what
+    * lets the DuckDB oracle replay it EXACTLY (`ORDER BY hk, v
+    * LIMIT k`).
+    *
+    * Scale shape: one aggregate with a k-bounded object buffer per
+    * partial (ObjectHashAggregate, live buffers); the shuffle carries
+    * one k-row heap per map task, never the column.
+    */
+  def bottomKQuantiles(df: DataFrame, rowKey: Column, value: Column,
+      k: Int, quantiles: Seq[Double]): DataFrame = {
+    val hk = graft.functions.GraftFunctions.hexLong(
+      substring(md5(rowKey), 1, 15))
+    df.select(hk.as("__hk"), value.cast("double").as("__v"))
+      .agg(graft.functions.BottomKAgg.of(k)(
+        col("__hk"), col("__v")).as("__s"))
+      .select(explode(typedLit(quantiles)).as("q"), col("__s"))
+      .select(col("q"),
+        size(col("__s")).cast("long").as("n_sample"),
+        element_at(col("__s"),
+          greatest(ceil(col("q") * size(col("__s"))).cast("int"), lit(1)))
+          .as("estimate"))
+  }
+
+  /** Declared q267: extended-price quantiles from a 1024-row bottom-k
+    * hash sample of lineitem (~600 k rows at sf0.1).
+    */
+  def q267SampleQuantiles(spark: SparkSession, d: String): DataFrame =
+    bottomKQuantiles(
+      Tables.lineitem(spark, d),
+      concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+      col("l_extendedprice"),
+      k = 1024,
+      quantiles = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+
+  val q267Sql: String =
+    """WITH h AS (
+      |  SELECT ('0x' || substring(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS hk,
+      |    CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem),
+      |s AS (SELECT hk, v FROM h ORDER BY hk, v LIMIT 1024),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+      |        count(*) OVER () AS n
+      |      FROM s),
+      |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+      |SELECT q,
+      |  (SELECT CAST(max(n) AS BIGINT) FROM r) AS n_sample,
+      |  (SELECT v FROM r
+      |   WHERE rn = greatest(CAST(ceil(q * (SELECT max(n) FROM r)) AS INT), 1))
+      |    AS estimate
+      |FROM qs""".stripMargin
 }

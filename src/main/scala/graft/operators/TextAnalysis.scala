@@ -2060,4 +2060,50 @@ object TextAnalysis {
       |  round(t.n1 / t.n, 6) AS p0
       |FROM low LEFT JOIN cc nx ON nx.r = low.r + 1
       |CROSS JOIN t""".stripMargin
+
+  /** The q263 blocklist — phrase patterns over the fixture vocabulary,
+    * deliberately including nested/overlapping entries ("table" inside
+    * "table value", "fast merge" vs "merge") so the automaton's
+    * failure links and suffix outputs carry real weight.
+    */
+  val BlocklistPatterns: Seq[String] = Seq(
+    "fast merge", "slow scan", "big table", "hash join", "stream window",
+    "customer query", "table value", "table", "scan slow", "merge",
+    "sort column", "group value", "window stream", "query big",
+    "agg row", "line sort")
+
+  /** Declared q263: blocklist audit over the documents corpus — ONE
+    * Aho–Corasick automaton pass per document
+    * ([[graft.functions.MultiContains]]) reports which of the
+    * [[BlocklistPatterns]] occur, projected to a hit count and a
+    * 2^index bitmask so the relation is scalar-hashable. The DuckDB
+    * oracle recomputes both via the k-`contains` fold the automaton
+    * replaces — any transition/failure-link/output-merge bug in the
+    * automaton is a per-row hash mismatch against the naive plan.
+    *
+    * Scale shape: pure per-row projection, no shuffle; the automaton
+    * builds once per task and the pass is O(|text| + matches)
+    * regardless of blocklist size — vs k full contains scans (k =
+    * 10³–10⁵ in production blocklists).
+    */
+  def q263Blocklist(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.multiContains(
+          col("text"), BlocklistPatterns).as("__h"))
+      .select(col("doc_id"),
+        size(col("__h")).as("n_hits"),
+        expr("aggregate(__h, CAST(0 AS BIGINT), " +
+          "(a, x) -> a + shiftleft(CAST(1 AS BIGINT), x))").as("hit_mask"))
+
+  val q263Sql: String = {
+    val hits = BlocklistPatterns.map(p => s"contains(text, '$p')")
+    s"""SELECT doc_id,
+       |  CAST(${hits.map(h => s"(CASE WHEN $h THEN 1 ELSE 0 END)")
+        .mkString(" + ")} AS INT) AS n_hits,
+       |  CAST(${hits.zipWithIndex.map { case (h, i) =>
+        s"(CASE WHEN $h THEN ${1L << i} ELSE 0 END)" }
+        .mkString(" + ")} AS BIGINT) AS hit_mask
+       |FROM documents""".stripMargin
+  }
 }

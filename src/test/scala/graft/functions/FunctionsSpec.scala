@@ -320,4 +320,139 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codegenStages.exists(_.toString.contains("lgamma")),
       s"lgamma not inside codegen stage:\n$plan")
   }
+
+  test("BottomKAgg: exact k-smallest set, partitioning-invariant, merge via heap") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(267)
+    val rows = Seq.fill(5000)((rnd.nextLong(), rnd.nextDouble() * 1000))
+    val want = rows.sortBy(identity).take(64).map(_._2).sorted
+    for (parts <- Seq(1, 3, 17)) {
+      val got = rows.toDF("hk", "v").repartition(parts)
+        .agg(graft.functions.BottomKAgg.of(64)($"hk", $"v"))
+        .collect().head.getSeq[Double](0)
+      assert(got === want, s"parts=$parts")
+    }
+    // fewer rows than k: keeps everything
+    val small = Seq((3L, 1.0), (1L, 9.0), (2L, 5.0))
+    val all = small.toDF("hk", "v")
+      .agg(graft.functions.BottomKAgg.of(64)($"hk", $"v"))
+      .collect().head.getSeq[Double](0)
+    assert(all === Seq(1.0, 5.0, 9.0))
+    // hash ties break on value
+    val ties = Seq((7L, 5.0), (7L, 1.0), (7L, 3.0))
+    val two = ties.toDF("hk", "v")
+      .agg(graft.functions.BottomKAgg.of(2)($"hk", $"v"))
+      .collect().head.getSeq[Double](0)
+    assert(two === Seq(1.0, 3.0))
+  }
+
+  test("multi_contains: hand cases, failure links, suffix outputs, early exit") {
+    import graft.functions.MultiContains
+    def run(s: String, pats: Seq[String]): Seq[Int] = {
+      val e = MultiContains(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), pats)
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+    }
+    // nested patterns ending at the same position exercise the merged
+    // suffix-output lists: "abcd" contains "abcd", "bc", "c", "bcd"
+    assert(run("abcd", Seq("abcd", "bc", "c", "bcd", "xx")) === Seq(0, 1, 2, 3))
+    // failure links: after matching prefix "ab" of "abx", the "bc"
+    // match must still fire on "abc"
+    assert(run("abc", Seq("abx", "bc")) === Seq(1))
+    // overlap: occurrences may overlap arbitrarily
+    assert(run("aaaa", Seq("aa", "aaa", "aaaa", "aaaaa")) === Seq(0, 1, 2))
+    // duplicates of a pattern report once; absent patterns never
+    assert(run("xyxyxy", Seq("xy", "yx", "zz")) === Seq(0, 1))
+    // empty text matches nothing
+    assert(run("", Seq("a")) === Seq())
+    // unicode (code units, same as contains)
+    assert(run("καλημέρα", Seq("λημ", "zzz", "ρα")) === Seq(0, 2))
+    assert(intercept[IllegalArgumentException](
+      run("x", Seq("ok", ""))).getMessage.contains("empty pattern"))
+  }
+
+  test("cdc_chunks: reconstruction, boundary rule, insertion-shift invariance") {
+    import graft.functions.CdcChunks
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(s: String, k: Int = 8, d: Long = 64L): Seq[String] =
+      CdcChunks(Literal(UTF8String.fromString(s), StringType), k, d)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq
+    val rnd = new scala.util.Random(264)
+    def rs(n: Int): String =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // chunks always concatenate back to the input; none empty
+    for (_ <- 1 to 50) {
+      val s = rs(rnd.nextInt(400))
+      val cs = run(s)
+      assert(cs.mkString === s)
+      assert(cs.forall(_.nonEmpty))
+    }
+    // boundary rule replay: every cut position has a qualifying gram
+    val s = rs(2000)
+    val cs = run(s)
+    var off = 0
+    cs.init.foreach { c =>
+      off += c.length
+      val gram = s.substring(off - 8, off)
+      val h = (0 until 8).map(j => gram.charAt(j).toLong *
+        math.pow(31.0, j).toLong).sum
+      assert(h % 64 === 0, s"cut at $off without a qualifying gram")
+    }
+    // THE CDC property: a prefix insertion leaves all chunks after the
+    // first boundary identical (fixed-size blocks would all shift)
+    val base = rs(1500)
+    val shifted = "INSERTED-PREFIX-" + base
+    val a = run(base).toSet
+    val b = run(shifted).toSet
+    val shared = a.intersect(b)
+    assert(shared.size >= a.size - 2,
+      s"insertion broke content alignment: ${shared.size} of ${a.size} chunks survive")
+    // short strings: one whole chunk; empty: none
+    assert(run("tiny") === Seq("tiny"))
+    assert(run("") === Seq())
+  }
+
+  test("multi_contains ≡ per-pattern contains on random strings (property)") {
+    val rnd = new scala.util.Random(263)
+    val alphabet = "abcd"
+    def rs(n: Int): String =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 200) {
+      val text = rs(2 + rnd.nextInt(40))
+      val pats = Seq.fill(1 + rnd.nextInt(8))(rs(1 + rnd.nextInt(5))).distinct
+      val e = graft.functions.MultiContains(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), pats)
+      val got = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      val want = pats.indices.filter(i => text.contains(pats(i)))
+      assert(got === want, s"text=$text pats=$pats")
+    }
+  }
+
+  test("multi_contains is SQL-callable; null text → null; q263 shape") {
+    val out = spark.sql(
+      "SELECT multi_contains('big table scan', 'table', 'scan slow', 'big table') AS h")
+      .collect().head.getSeq[Int](0)
+    assert(out === Seq(0, 2))
+    val nul = spark.sql(
+      "SELECT multi_contains(CAST(NULL AS STRING), 'x') AS h").collect().head
+    assert(nul.isNullAt(0))
+    // the q263 projection runs end-to-end on the fixture
+    val q = graft.operators.TextAnalysis.q263Blocklist(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mask = r.getAs[Long]("hit_mask")
+      assert(java.lang.Long.bitCount(mask) === r.getAs[Int]("n_hits"))
+    }
+  }
 }
