@@ -512,6 +512,10 @@ object SparkEntry {
     "q266_removal_effect" -> (graft.operators.EventAnalytics.q266RemovalEffect _),
     // bottom-k hash-sample quantile sketch (mergeable, oracle-exact)
     "q267_sample_quantiles" -> (graft.operators.Profiling.q267SampleQuantiles _),
+    // product-quantization codes + reconstruction error (4x16d, 8 cent)
+    "q268_pq_codes" -> (graft.operators.Clustering.q268PqCodes _),
+    // unsupervised EM estimation of Fellegi-Sunter m/u parameters
+    "q269_fs_em" -> (graft.operators.Linkage.q269FsEm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -788,5 +792,7 @@ object SparkEntry {
     "q265_shapley" -> graft.operators.EventAnalytics.q265Sql,
     "q266_removal_effect" -> graft.operators.EventAnalytics.q266Sql,
     "q267_sample_quantiles" -> graft.operators.Profiling.q267Sql,
+    "q268_pq_codes" -> graft.operators.Clustering.q268Sql,
+    "q269_fs_em" -> graft.operators.Linkage.q269Sql,
   )
 }

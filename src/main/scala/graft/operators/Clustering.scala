@@ -439,4 +439,135 @@ object Clustering {
        |  coalesce(lab.cluster, -1) AS cluster
        |FROM g LEFT JOIN lab ON lab.id = g.id""".stripMargin
   }
+
+  /** Product quantization (Jégou et al., PAMI 2011) — the compression
+    * scheme behind billion-scale ANN (FAISS IVF-PQ): split every
+    * vector into `m` subvectors, train an independent `ks`-centroid
+    * L2 k-means codebook per block (pinned Lloyd rounds, lowest-id
+    * seeds — the q162 determinism discipline), and encode each vector
+    * as its m nearest-centroid codes. A 64-dim float32 vector (256 B)
+    * becomes m bytes — at 100 TB of embeddings the difference between
+    * an index that fits executor memory and one that doesn't. The
+    * declared relation carries each vector's codes plus its total
+    * squared reconstruction error, so codebook drift, assignment
+    * tie-breaks, and the distance arithmetic are all hash-gated.
+    *
+    * Scale shape: codebooks are ks·m rows (metadata); every training
+    * round and the final encode are ONE broadcast cross-join pass over
+    * the points per block with a fold-ordered L2 kernel — no
+    * point×point relation. In production the trainer runs on a
+    * fixed-size sample and only the single encode pass touches the
+    * full corpus (documented); the fixture trains on all rows because
+    * it IS sample-sized. All arithmetic is double over float-cast
+    * inputs with left-fold summation, and centroids round through
+    * float32 ([[VectorAvg]]) — the exact pins that let DuckDB replay
+    * bit-identical codes.
+    *
+    * @return (idCol, code_0 … code_{m−1}, qerr) — code_b = the 0-based
+    *         centroid id in block b's codebook, qerr = Σ_b ‖sub_b −
+    *         centroid‖² rounded 6 dp
+    */
+  def productQuantize(points: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, ks: Int, iterations: Int): DataFrame = {
+    def l2sq(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, c, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }),
+        lit(0.0), (acc, v) => acc + v)
+    // ALL m blocks ride one relation keyed by (id, block): every
+    // training round is ONE block-keyed broadcast join + ONE argmin
+    // window + ONE (block, code) aggregate for the whole codebook set
+    // (the per-block-sequential first cut paid m× the job floors —
+    // measured 5.0 s vs 1.6 s at sf0.1 for identical output)
+    val sub = points.select(col(idCol).as("__id"), inline(array(
+      (0 until m).map(b => struct(lit(b).as("__block"),
+        slice(col(vecCol), b * subDim + 1, subDim).as("__sv"))): _*)))
+      .localCheckpoint()
+    val byPoint = Window.partitionBy(col("__id"), col("__block"))
+      .orderBy(col("__d").asc, col("__code"))
+    var centroids = points.orderBy(col(idCol)).limit(ks)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
+        .cast("long").as("__code"), col(vecCol).as("__v"))
+      .select(col("__code"), inline(array(
+        (0 until m).map(b => struct(lit(b).as("__block"),
+          slice(col("__v"), b * subDim + 1, subDim)
+            .cast("array<double>").as("__c"))): _*)))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (it <- 1 to iterations + 1) {
+      assign = sub.join(broadcast(centroids), Seq("__block"))
+        .withColumn("__d", l2sq(col("__sv"), col("__c")))
+        .withColumn("__rk", row_number().over(byPoint))
+        .where(col("__rk") === 1)
+      // the last pass is the ENCODE against the trained codebook — no
+      // centroid update after it
+      if (it <= iterations)
+        centroids = assign.groupBy(col("__block"), col("__code"))
+          .agg(VectorAvg.of(subDim)(col("__sv")).as("__c"))
+          .localCheckpoint()
+    }
+    val aggs = (0 until m).map(b =>
+      max(when(col("__block") === b, col("__code"))).as(s"code_$b")) :+
+      round(sum(col("__d")), 6).as("qerr")
+    assign.groupBy(col("__id").as(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Declared q268: 4×16-dim PQ codes (8 centroids per block, 2 Lloyd
+    * rounds) over the embeddings fixture.
+    */
+  def q268PqCodes(spark: SparkSession, d: String): DataFrame =
+    productQuantize(Tables.embeddings(spark, d), "vec_id", "embedding",
+      m = 4, subDim = 16, ks = 8, iterations = 2)
+
+  val q268Sql: String = {
+    // (x−c)·(x−c) spelled as a product, NOT power(...,2): pow's libm
+    // path is not guaranteed bit-equal to plain multiplication
+    def l2(p: String, c: String): String =
+      s"""list_sum(list_transform(range(1, 17),
+         |    j -> (CAST($p[j] AS DOUBLE) - $c[j]) *
+         |         (CAST($p[j] AS DOUBLE) - $c[j])))""".stripMargin
+    val blocks = (0 until 4).map { b =>
+      val off = b * 16
+      val seed =
+        s"""s${b}_0 AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |      AS code,
+           |    list_transform(embedding[${off + 1}:${off + 16}],
+           |      x -> CAST(x AS DOUBLE)) AS c
+           |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8))""".stripMargin
+      val rounds = (1 to 2).map { r =>
+        s"""a${b}_$r AS MATERIALIZED (
+           |  SELECT p.vec_id, p.embedding[${off + 1}:${off + 16}] AS sv,
+           |    c.code, ${l2(s"p.embedding[${off + 1}:${off + 16}]", "c.c")} AS d
+           |  FROM embeddings p CROSS JOIN s${b}_${r - 1} c
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY d, c.code) = 1),
+           |m${b}_$r AS MATERIALIZED (
+           |  SELECT code, j, CAST(avg(CAST(sv[j] AS DOUBLE)) AS FLOAT) AS c
+           |  FROM a${b}_$r, generate_series(1, 16) t(j)
+           |  GROUP BY code, j),
+           |s${b}_$r AS MATERIALIZED (
+           |  SELECT code, list(CAST(c AS DOUBLE) ORDER BY j) AS c
+           |  FROM m${b}_$r GROUP BY code)""".stripMargin
+      }.mkString(",\n")
+      val enc =
+        s"""e$b AS MATERIALIZED (
+           |  SELECT p.vec_id, c.code,
+           |    ${l2(s"p.embedding[${off + 1}:${off + 16}]", "c.c")} AS d
+           |  FROM embeddings p CROSS JOIN s${b}_2 c
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY d, c.code) = 1)""".stripMargin
+      s"$seed,\n$rounds,\n$enc"
+    }.mkString(",\n")
+    s"""WITH $blocks
+       |SELECT e0.vec_id,
+       |  e0.code AS code_0, e1.code AS code_1,
+       |  e2.code AS code_2, e3.code AS code_3,
+       |  round(e0.d + e1.d + e2.d + e3.d, 6) AS qerr
+       |FROM e0
+       |JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)
+       |JOIN e3 USING (vec_id)""".stripMargin
+  }
 }

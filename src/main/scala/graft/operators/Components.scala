@@ -1003,14 +1003,25 @@ object Components {
     * a `TakeOrderedAndProject` — no full sort, no driver state.
     */
   def jaccardLinkPrediction(edges: DataFrame, srcCol: String,
-      dstCol: String, topN: Int = 50): DataFrame = {
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      // three consumers (sym legs, degrees, anti-join) — compute once
-      .localCheckpoint()
+      dstCol: String, topN: Int = 50): DataFrame =
+    jaccardFromCanon(
+      edges
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        // three consumers (sym legs, degrees, anti-join) — compute once
+        .localCheckpoint(),
+      topN)
+
+  /** Exact path over an already-canonicalized, already-checkpointed
+    * (u < v, distinct) edge relation — shared by
+    * [[jaccardLinkPrediction]] and [[jaccardLinksAuto]] so the router's
+    * degree probe and the wedge join read ONE materialization of the
+    * graph build (the probe re-paid the whole orders⋈lineitem build in
+    * the first r8 cut — measured +10 s on q154).
+    */
+  private def jaccardFromCanon(canon: DataFrame, topN: Int): DataFrame = {
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val wedges = sym.select(col("u").as("via"), col("v").as("a"))
@@ -1061,14 +1072,17 @@ object Components {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      // one materialization serves the degree probe AND the routed
+      // exact path
+      .localCheckpoint()
     val maxDeg = canon.select(col("u"))
       .unionAll(canon.select(col("v")))
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).head().getLong(0)
     if (maxDeg <= maxExactDegree)
-      jaccardLinkPrediction(edges, srcCol, dstCol, topN)
+      jaccardFromCanon(canon, topN)
     else
-      approxJaccardLinks(edges, srcCol, dstCol, threshold).limit(topN)
+      approxJaccardLinks(canon, "u", "v", threshold).limit(topN)
   }
 
   /** Declared q154: top-50 predicted links in the q81 bipartite

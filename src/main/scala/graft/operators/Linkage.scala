@@ -240,4 +240,153 @@ object Linkage {
        |FROM best x JOIN best y
        |  ON y.me = x.partner AND y.partner = x.me
        |WHERE x.me < x.partner""".stripMargin
+
+  /** Unsupervised EM estimation of the Fellegi–Sunter parameters
+    * (Winkler 1988) — where [[felligiSunterScores]]'s m/u come FROM
+    * when no labeled pairs exist: collapse the blocked candidate pairs
+    * to their agreement-PATTERN counts (2^F rows for F binary field
+    * comparisons — a DOMAIN-bounded relation), then run the standard
+    * two-class EM on the pattern mixture: E-step posterior
+    * g(γ) = p·Π m^γ(1−m)^(1−γ) / (that + (1−p)·Π u^γ(1−u)^(1−γ)),
+    * M-step re-estimates p and the per-field m/u from g-weighted
+    * pattern counts. A PINNED iteration count (no convergence test)
+    * keeps the trajectory engine-replayable, and the oracle unrolls
+    * the identical recurrence over the same 2^F-row relation.
+    *
+    * Scale shape: ONE aggregate over the blocked pairs (the q140
+    * candidate shape — never all-pairs) collapses everything to 2^F
+    * counts; EM runs on collected metadata (the q266 domain-bounded
+    * discipline). Deterministic init p=0.1, m=0.8, u=0.2.
+    *
+    * @return one row per field: (field, m, u, p, n_pairs), 6 dp
+    */
+  def fsParameterEm(records: DataFrame, idCol: String, nameCol: String,
+      blockCol: Column, nameTheta: Double,
+      fields: Seq[String], iterations: Int = 10): DataFrame = {
+    val spark = records.sparkSession
+    val a = records.select(
+      (col(idCol).as("a_id") +: col(nameCol).as("a_name") +:
+        fields.map(f => col(f).as(s"a_$f"))) :+ blockCol.as("block"): _*)
+    val b = records.select(
+      (col(idCol).as("b_id") +: col(nameCol).as("b_name") +:
+        fields.map(f => col(f).as(s"b_$f"))) :+ blockCol.as("block"): _*)
+    val gammaCols =
+      (graft.functions.GraftFunctions.jaroWinkler(
+        col("a_name"), col("b_name")) >= nameTheta).as("__g0") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          (col(s"a_$f") === col(s"b_$f")).as(s"__g${i + 1}")
+        }
+    val nF = fields.length + 1
+    val patterns = a.join(b, Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .select(gammaCols: _*)
+      .groupBy((0 until nF).map(i => col(s"__g$i")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => ((0 until nF).map(r.getBoolean), r.getLong(nF)))
+      .sortBy(_._1.toString) // deterministic fold order
+    val nTotal = patterns.map(_._2).sum.toDouble
+    var p = 0.1
+    var m = Array.fill(nF)(0.8)
+    var u = Array.fill(nF)(0.2)
+    for (_ <- 1 to iterations) {
+      var gSum = 0.0
+      val gm = Array.fill(nF)(0.0)
+      val gu = Array.fill(nF)(0.0)
+      var guSum = 0.0
+      patterns.foreach { case (gamma, n) =>
+        var pm = p; var pu = 1.0 - p
+        var i = 0
+        while (i < nF) {
+          pm *= (if (gamma(i)) m(i) else 1.0 - m(i))
+          pu *= (if (gamma(i)) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val g = pm / (pm + pu)
+        gSum += g * n; guSum += (1.0 - g) * n
+        i = 0
+        while (i < nF) {
+          if (gamma(i)) { gm(i) += g * n; gu(i) += (1.0 - g) * n }
+          i += 1
+        }
+      }
+      p = gSum / nTotal
+      m = (0 until nF).map(i => gm(i) / gSum).toArray
+      u = (0 until nF).map(i => gu(i) / guSum).toArray
+    }
+    import spark.implicits._
+    val names = s"name_jw_ge_$nameTheta" +: fields
+    (0 until nF).map(i => (names(i), m(i), u(i), p, nTotal.toLong))
+      .toDF("field", "m", "u", "p", "n_pairs")
+      .select(col("field"), round(col("m"), 6).as("m"),
+        round(col("u"), 6).as("u"), round(col("p"), 6).as("p"),
+        col("n_pairs"))
+  }
+
+  /** Declared q269: EM-estimated FS parameters on the q140 two-word
+    * blocking (name JW ≥ 0.92, brand, type), 10 pinned iterations.
+    */
+  def q269FsEm(spark: SparkSession, d: String): DataFrame =
+    fsParameterEm(
+      Tables.part(spark, d).select(
+        col("p_partkey").as("id"), col("p_name").as("name"),
+        col("p_brand"), col("p_type")),
+      "id", "name",
+      substring_index(col("name"), " ", 2),
+      nameTheta = 0.92,
+      fields = Seq("p_brand", "p_type"))
+
+  val q269Sql: String = {
+    val gammas = Seq(
+      "jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92",
+      "a.p_brand = b.p_brand", "a.p_type = b.p_type")
+    val iters = (1 to 10).map { t =>
+      s"""e$t AS MATERIALIZED (
+         |  SELECT pat.g0, pat.g1, pat.g2, pat.n,
+         |    q.p * (CASE WHEN pat.g0 THEN q.m0 ELSE 1 - q.m0 END)
+         |        * (CASE WHEN pat.g1 THEN q.m1 ELSE 1 - q.m1 END)
+         |        * (CASE WHEN pat.g2 THEN q.m2 ELSE 1 - q.m2 END) AS pm,
+         |    (1 - q.p) * (CASE WHEN pat.g0 THEN q.u0 ELSE 1 - q.u0 END)
+         |        * (CASE WHEN pat.g1 THEN q.u1 ELSE 1 - q.u1 END)
+         |        * (CASE WHEN pat.g2 THEN q.u2 ELSE 1 - q.u2 END) AS pu
+         |  FROM pat CROSS JOIN q${t - 1} q),
+         |q$t AS MATERIALIZED (
+         |  SELECT sum(pm / (pm + pu) * n) / (SELECT sum(n) FROM pat) AS p,
+         |    sum(CASE WHEN g0 THEN pm / (pm + pu) * n ELSE 0 END)
+         |      / sum(pm / (pm + pu) * n) AS m0,
+         |    sum(CASE WHEN g1 THEN pm / (pm + pu) * n ELSE 0 END)
+         |      / sum(pm / (pm + pu) * n) AS m1,
+         |    sum(CASE WHEN g2 THEN pm / (pm + pu) * n ELSE 0 END)
+         |      / sum(pm / (pm + pu) * n) AS m2,
+         |    sum(CASE WHEN g0 THEN (1 - pm / (pm + pu)) * n ELSE 0 END)
+         |      / sum((1 - pm / (pm + pu)) * n) AS u0,
+         |    sum(CASE WHEN g1 THEN (1 - pm / (pm + pu)) * n ELSE 0 END)
+         |      / sum((1 - pm / (pm + pu)) * n) AS u1,
+         |    sum(CASE WHEN g2 THEN (1 - pm / (pm + pu)) * n ELSE 0 END)
+         |      / sum((1 - pm / (pm + pu)) * n) AS u2
+         |  FROM e$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pat AS MATERIALIZED (
+       |  SELECT ${gammas(0)} AS g0, ${gammas(1)} AS g1, ${gammas(2)} AS g2,
+       |    count(*) AS n
+       |  FROM part a JOIN part b
+       |    ON concat_ws(' ', string_split(a.p_name, ' ')[1],
+       |         string_split(a.p_name, ' ')[2])
+       |       = concat_ws(' ', string_split(b.p_name, ' ')[1],
+       |         string_split(b.p_name, ' ')[2])
+       |   AND a.p_partkey < b.p_partkey
+       |  GROUP BY 1, 2, 3),
+       |q0 AS (SELECT 0.1 AS p, 0.8 AS m0, 0.8 AS m1, 0.8 AS m2,
+       |         0.2 AS u0, 0.2 AS u1, 0.2 AS u2),
+       |$iters,
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_pairs FROM pat)
+       |SELECT f.field,
+       |  round(CASE f.i WHEN 0 THEN q.m0 WHEN 1 THEN q.m1 ELSE q.m2 END, 6) AS m,
+       |  round(CASE f.i WHEN 0 THEN q.u0 WHEN 1 THEN q.u1 ELSE q.u2 END, 6) AS u,
+       |  round(q.p, 6) AS p,
+       |  tot.n_pairs
+       |FROM (VALUES (0, 'name_jw_ge_0.92'), (1, 'p_brand'), (2, 'p_type'))
+       |  f(i, field)
+       |CROSS JOIN q10 q CROSS JOIN tot""".stripMargin
+  }
 }

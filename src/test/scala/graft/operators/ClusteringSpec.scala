@@ -86,6 +86,36 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getLong(1) === 4L)
   }
 
+  test("productQuantize: per-block codes, exact reconstruction on block-constant data") {
+    val sp = spark; import sp.implicits._
+    // 8-dim vectors, m=2 blocks of 4: each block takes one of two
+    // exactly-repeated subvector patterns → after training, every
+    // centroid coincides with a pattern and qerr is exactly 0; codes
+    // agree for vectors sharing the pattern
+    val pa = Seq(1f, 2f, 3f, 4f); val pb = Seq(9f, 8f, 7f, 6f)
+    val qa = Seq(0f, 1f, 0f, 1f); val qb = Seq(5f, 5f, 5f, 5f)
+    val pts = (0L until 12L).map { i =>
+      val left = if (i % 2 == 0) pa else pb
+      val right = if (i % 3 == 0) qa else qb
+      (i, left ++ right)
+    }.toDF("vec_id", "embedding")
+    val out = Clustering.productQuantize(pts, "vec_id", "embedding",
+      m = 2, subDim = 4, ks = 2, iterations = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size === 12)
+    out.foreach { case (id, (_, _, qerr)) =>
+      assert(qerr === 0.0, s"vec $id reconstructs inexactly: $qerr") }
+    // same left pattern → same code_0; likewise right → code_1
+    (0L until 12L by 2).foreach(i => assert(out(i)._1 === out(0L)._1))
+    (1L until 12L by 2).foreach(i => assert(out(i)._1 === out(1L)._1))
+    assert(out(0L)._1 !== out(1L)._1)
+    (0L until 12L by 3).foreach(i => assert(out(i)._2 === out(0L)._2))
+    // codes stay inside the ks-codebook range
+    out.values.foreach { case (c0, c1, _) =>
+      assert(c0 >= 0 && c0 < 2 && c1 >= 0 && c1 < 2) }
+  }
+
   test("embeddingOutliers: off-cluster vector flags, cluster members don't") {
     val sp = spark; import sp.implicits._
     // label 0 points hug +x; one planted ANTI-aligned vector (-x) is

@@ -80,4 +80,31 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(outz.toSeq === Seq((0L, 1L, 0.0)))
   }
+
+  test("fsParameterEm: planted dup/non-dup mixture separates m from u") {
+    val sp = spark; import sp.implicits._
+    // one block: 6 clean duplicates of "alpha beta gamma" with matching
+    // attrs, plus 8 unrelated records with scattered attrs — EM must
+    // learn m (agreement among matches) >> u (agreement among
+    // non-matches) for every field without any labels
+    val dups = (1L to 6L).map(i =>
+      (i, "alpha beta gamma", "B1", "T1"))
+    val rest = (10L to 17L).map(i =>
+      (i, s"alpha zz$i-unrelated-${i * 7}", s"B${i % 5}", s"T${i % 7}"))
+    val recs = (dups ++ rest).toDF("id", "name", "brand", "typ")
+    val out = Linkage.fsParameterEm(recs, "id", "name",
+        org.apache.spark.sql.functions.lit("one-block"),
+        nameTheta = 0.95, fields = Seq("brand", "typ"), iterations = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { case (f, (m, u)) =>
+      assert(m > 0.8 && m > u + 0.3, s"field $f: m=$m u=$u not separated")
+    }
+    val p = Linkage.fsParameterEm(recs, "id", "name",
+        org.apache.spark.sql.functions.lit("one-block"),
+        nameTheta = 0.95, fields = Seq("brand", "typ"), iterations = 10)
+      .collect().head.getDouble(3)
+    // 15 true-match pairs of 91 total ≈ 0.16 — EM's p must land nearby
+    assert(p > 0.08 && p < 0.3, s"match proportion off: $p")
+  }
 }
