@@ -516,6 +516,8 @@ object SparkEntry {
     "q268_pq_codes" -> (graft.operators.Clustering.q268PqCodes _),
     // unsupervised EM estimation of Fellegi-Sunter m/u parameters
     "q269_fs_em" -> (graft.operators.Linkage.q269FsEm _),
+    // IVF-PQ ANN: coarse lists + ADC over PQ codes + exact-recall flag
+    "q270_ivf_pq" -> (graft.operators.Clustering.q270IvfPq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -794,5 +796,6 @@ object SparkEntry {
     "q267_sample_quantiles" -> graft.operators.Profiling.q267Sql,
     "q268_pq_codes" -> graft.operators.Clustering.q268Sql,
     "q269_fs_em" -> graft.operators.Linkage.q269Sql,
+    "q270_ivf_pq" -> graft.operators.Clustering.q270Sql,
   )
 }

@@ -440,41 +440,26 @@ object Clustering {
        |FROM g LEFT JOIN lab ON lab.id = g.id""".stripMargin
   }
 
-  /** Product quantization (Jégou et al., PAMI 2011) — the compression
-    * scheme behind billion-scale ANN (FAISS IVF-PQ): split every
-    * vector into `m` subvectors, train an independent `ks`-centroid
-    * L2 k-means codebook per block (pinned Lloyd rounds, lowest-id
-    * seeds — the q162 determinism discipline), and encode each vector
-    * as its m nearest-centroid codes. A 64-dim float32 vector (256 B)
-    * becomes m bytes — at 100 TB of embeddings the difference between
-    * an index that fits executor memory and one that doesn't. The
-    * declared relation carries each vector's codes plus its total
-    * squared reconstruction error, so codebook drift, assignment
-    * tie-breaks, and the distance arithmetic are all hash-gated.
-    *
-    * Scale shape: codebooks are ks·m rows (metadata); every training
-    * round and the final encode are ONE broadcast cross-join pass over
-    * the points per block with a fold-ordered L2 kernel — no
-    * point×point relation. In production the trainer runs on a
-    * fixed-size sample and only the single encode pass touches the
-    * full corpus (documented); the fixture trains on all rows because
-    * it IS sample-sized. All arithmetic is double over float-cast
-    * inputs with left-fold summation, and centroids round through
-    * float32 ([[VectorAvg]]) — the exact pins that let DuckDB replay
-    * bit-identical codes.
-    *
-    * @return (idCol, code_0 … code_{m−1}, qerr) — code_b = the 0-based
-    *         centroid id in block b's codebook, qerr = Σ_b ‖sub_b −
-    *         centroid‖² rounded 6 dp
+  /** Fold-ordered squared L2 between two array columns (floats cast to
+    * double per element) — the pinned distance every PQ/IVF stage and
+    * its oracle share.
     */
-  def productQuantize(points: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDim: Int, ks: Int, iterations: Int): DataFrame = {
-    def l2sq(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      aggregate(
-        zip_with(a, c, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }),
-        lit(0.0), (acc, v) => acc + v)
+  private[operators] def l2sq(a: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(a, c, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The shared PQ trainer+encoder behind [[productQuantize]] and
+    * [[ivfPqTopK]]: returns (codebooks, final assignment) —
+    * codebooks as (__block, __code, __c array<double>), assignment as
+    * one row per (point, block) with its nearest code and distance.
+    */
+  private[operators] def pqTrainEncode(points: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int, ks: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
     // ALL m blocks ride one relation keyed by (id, block): every
     // training round is ONE block-keyed broadcast join + ONE argmin
     // window + ONE (block, code) aggregate for the whole codebook set
@@ -507,6 +492,45 @@ object Clustering {
           .agg(VectorAvg.of(subDim)(col("__sv")).as("__c"))
           .localCheckpoint()
     }
+    // trained codebook entries are float arrays out of VectorAvg; the
+    // seed round's array<double> shape is normalized so consumers see
+    // one type
+    (centroids.select(col("__block"), col("__code"),
+      col("__c").cast("array<double>").as("__c")),
+      assign)
+  }
+
+  /** Product quantization (Jégou et al., PAMI 2011) — the compression
+    * scheme behind billion-scale ANN (FAISS IVF-PQ): split every
+    * vector into `m` subvectors, train an independent `ks`-centroid
+    * L2 k-means codebook per block (pinned Lloyd rounds, lowest-id
+    * seeds — the q162 determinism discipline), and encode each vector
+    * as its m nearest-centroid codes. A 64-dim float32 vector (256 B)
+    * becomes m bytes — at 100 TB of embeddings the difference between
+    * an index that fits executor memory and one that doesn't. The
+    * declared relation carries each vector's codes plus its total
+    * squared reconstruction error, so codebook drift, assignment
+    * tie-breaks, and the distance arithmetic are all hash-gated.
+    *
+    * Scale shape: codebooks are ks·m rows (metadata); every training
+    * round and the final encode are ONE broadcast cross-join pass over
+    * the points per block with a fold-ordered L2 kernel — no
+    * point×point relation. In production the trainer runs on a
+    * fixed-size sample and only the single encode pass touches the
+    * full corpus (documented); the fixture trains on all rows because
+    * it IS sample-sized. All arithmetic is double over float-cast
+    * inputs with left-fold summation, and centroids round through
+    * float32 ([[VectorAvg]]) — the exact pins that let DuckDB replay
+    * bit-identical codes.
+    *
+    * @return (idCol, code_0 … code_{m−1}, qerr) — code_b = the 0-based
+    *         centroid id in block b's codebook, qerr = Σ_b ‖sub_b −
+    *         centroid‖² rounded 6 dp
+    */
+  def productQuantize(points: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, ks: Int, iterations: Int): DataFrame = {
+    val (_, assign) = pqTrainEncode(points, idCol, vecCol, m, subDim,
+      ks, iterations)
     val aggs = (0 until m).map(b =>
       max(when(col("__block") === b, col("__code"))).as(s"code_$b")) :+
       round(sum(col("__d")), 6).as("qerr")
@@ -569,5 +593,258 @@ object Clustering {
        |FROM e0
        |JOIN e1 USING (vec_id) JOIN e2 USING (vec_id)
        |JOIN e3 USING (vec_id)""".stripMargin
+  }
+
+  /** IVF-PQ approximate nearest-neighbor search (Jégou et al. 2011;
+    * the FAISS `IVFx,PQy` composition, `by_residual=false` variant) —
+    * the capstone of the similarity pillar: a coarse `nlist`-centroid
+    * quantizer partitions the corpus into inverted lists, PQ codes
+    * compress every vector to `m` bytes, and a query (1) probes its
+    * `nprobe` nearest coarse lists, (2) builds an m×ks
+    * asymmetric-distance (ADC) lookup table — query subvector vs every
+    * codebook entry, m·ks small L2s — and (3) scores ONLY the probed
+    * lists' members by summing m table lookups per candidate. This is
+    * how a 10⁹-vector index answers in milliseconds: the corpus is
+    * touched through `nprobe/nlist` of its lists, at m bytes per
+    * member.
+    *
+    * Both quantizers reuse [[pqTrainEncode]] (the coarse one is a
+    * 1-block PQ over the full vector); every distance is the pinned
+    * fold-ordered [[l2sq]]; ADC sums add block terms in FIXED block
+    * order and round to 6 dp BEFORE ranking (the q94 discipline) so
+    * rank order is engine-stable. The declared relation also flags
+    * whether each ADC hit is in the EXACT L2 top-k — the recall
+    * readout that tells a user what the compression cost them, and the
+    * oracle recomputes the exact side too, so neither ranking can
+    * drift silently.
+    *
+    * Scale shape: codebooks and the per-query LUT are metadata
+    * (broadcast); candidate generation is an equi-join on the list id
+    * (never a cross join against the corpus); the exact-recall leg is
+    * query-count × corpus and exists for the AUDIT — production runs
+    * it on a query sample (documented).
+    *
+    * @return (query_id, rank, idCol, adc, in_exact_topk)
+    */
+  def ivfPqTopK(points: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, nlist: Int, nprobe: Int,
+      m: Int, subDim: Int, ks: Int, iterations: Int,
+      topK: Int): DataFrame = {
+    val dim = m * subDim
+    // BOTH quantizers train in ONE (id, block)-keyed loop: blocks
+    // 0..m-1 are the PQ subvectors, block m is the FULL vector whose
+    // codebook is the coarse quantizer — blocks are independent in the
+    // math (the oracle trains them separately), so fusing them is
+    // execution-only and halves the training job count (separate
+    // trainers measured 4.6 s vs 2.9 s fused at sf0.1). The two
+    // codebook widths ride one aggregate via dim-specific VectorAvg
+    // columns coalesced per block.
+    val seedN = math.max(ks, nlist)
+    def blockStructs(v: org.apache.spark.sql.Column) = array(
+      (0 until m).map(b => struct(lit(b).as("__block"),
+        slice(v, b * subDim + 1, subDim).as("__sv"))) :+
+        struct(lit(m).as("__block"), v.as("__sv")): _*)
+    val sub = points
+      .select(col(idCol).as("__id"), inline(blockStructs(col(vecCol))))
+      .localCheckpoint()
+    var centroids = points.orderBy(col(idCol)).limit(seedN)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
+        .cast("long").as("__code"), col(vecCol).as("__v"))
+      .select(col("__code"), inline(blockStructs(col("__v"))))
+      .where((col("__block") < m && col("__code") < ks) ||
+        (col("__block") === m && col("__code") < nlist))
+      .select(col("__block"), col("__code"),
+        col("__sv").cast("array<double>").as("__c"))
+      .localCheckpoint()
+    val byPB = Window.partitionBy(col("__id"), col("__block"))
+      .orderBy(col("__d").asc, col("__code"))
+    var assign: DataFrame = null
+    for (it <- 1 to iterations + 1) {
+      assign = sub.join(broadcast(centroids), Seq("__block"))
+        .withColumn("__d", l2sq(col("__sv"), col("__c")))
+        .withColumn("__rk", row_number().over(byPB))
+        .where(col("__rk") === 1)
+      if (it <= iterations)
+        centroids = assign.groupBy(col("__block"), col("__code"))
+          .agg(VectorAvg.of(dim)(when(col("__block") === m, col("__sv")))
+            .as("__cf"),
+            VectorAvg.of(subDim)(when(col("__block") < m, col("__sv")))
+              .as("__cs"))
+          .select(col("__block"), col("__code"),
+            coalesce(col("__cf"), col("__cs"))
+              .cast("array<double>").as("__c"))
+          .localCheckpoint()
+    }
+    val encode = assign.localCheckpoint()
+    val lists = encode.where(col("__block") === m)
+      .select(col("__id").as("__cand"), col("__code").as("__list"))
+    val codes = encode.where(col("__block") < m)
+      .select(col("__id").as("__cand"), col("__block"), col("__code"))
+    val coarseCb = centroids.where(col("__block") === m)
+    val pqCb = centroids.where(col("__block") < m)
+    val qs = points.where(queryPred)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+      .localCheckpoint()
+    val byQ = Window.partitionBy(col("__qid"))
+      .orderBy(col("__d").asc, col("__code"))
+    val probes = qs
+      .crossJoin(broadcast(coarseCb.select(col("__code"), col("__c"))))
+      .withColumn("__d", l2sq(col("__qv"), col("__c")))
+      .withColumn("__rk", row_number().over(byQ))
+      .where(col("__rk") <= nprobe)
+      .select(col("__qid"), col("__code").as("__list"))
+    val lut = qs
+      .select(col("__qid"), inline(array(
+        (0 until m).map(b => struct(lit(b).as("__block"),
+          slice(col("__qv"), b * subDim + 1, subDim).as("__qsv"))): _*)))
+      .join(broadcast(pqCb), Seq("__block"))
+      .select(col("__qid"), col("__block"), col("__code"),
+        l2sq(col("__qsv"), col("__c")).as("__ld"))
+    val cands = probes
+      .join(lists, Seq("__list"))
+      .where(col("__cand") =!= col("__qid"))
+      .select(col("__qid"), col("__cand"))
+    // ADC: per candidate, m LUT lookups pivoted to fixed block order so
+    // the sum adds identically on both engines
+    val blockAggs = (0 until m).map(b =>
+      max(when(col("__block") === b, col("__ld"))).as(s"__d$b"))
+    val adc = cands
+      .join(codes, Seq("__cand"))
+      .join(lut, Seq("__qid", "__block", "__code"))
+      .groupBy(col("__qid"), col("__cand"))
+      .agg(blockAggs.head, blockAggs.tail: _*)
+      .select(col("__qid"), col("__cand"),
+        round((0 until m).map(b => col(s"__d$b")).reduce(_ + _), 6)
+          .as("__adc"))
+    val ranked = adc
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("__qid"))
+        .orderBy(col("__adc").asc, col("__cand").asc)))
+      .where(col("__rk") <= topK)
+    // exact-L2 audit leg: query-sample × corpus, rounded-then-ranked
+    val exact = qs
+      .crossJoin(points.select(col(idCol).as("__cand"),
+        col(vecCol).as("__cv")))
+      .where(col("__cand") =!= col("__qid"))
+      .select(col("__qid"), col("__cand"),
+        round(l2sq(col("__qv"), col("__cv")), 6).as("__ed"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("__qid"))
+        .orderBy(col("__ed").asc, col("__cand").asc)))
+      .where(col("__rk") <= topK)
+      .select(col("__qid"), col("__cand"), lit(true).as("__hit"))
+    ranked
+      .join(exact, Seq("__qid", "__cand"), "left")
+      .select(col("__qid").as("query_id"), col("__rk").as("rank"),
+        col("__cand").as(idCol), col("__adc").as("adc"),
+        coalesce(col("__hit"), lit(false)).as("in_exact_topk"))
+  }
+
+  /** Declared q270: IVF-PQ top-5 for the 10 lowest-id query vectors —
+    * 8 coarse lists probed 2-deep, 4×16-dim PQ at 8 centroids (the
+    * q268 codebook configuration), with the exact-top-5 recall flag.
+    */
+  def q270IvfPq(spark: SparkSession, d: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(spark, d), "vec_id", "embedding",
+      col("vec_id") < 10, nlist = 8, nprobe = 2, m = 4, subDim = 16,
+      ks = 8, iterations = 2, topK = 5)
+
+  /** Parameterized PQ-block CTE generator for the q270 oracle: per
+    * block, seed codebook, `iters` Lloyd rounds, and a final encode
+    * CTE `e$pfx$b` (vec_id, code, d); trained codebooks land in
+    * `s$pfx${b}_$iters`.
+    */
+  private def sqlPqCtes(m: Int, subDim: Int, ks: Int, iters: Int,
+      pfx: String): String = {
+    def l2(p: String, c: String): String =
+      s"""list_sum(list_transform(range(1, ${subDim + 1}),
+         |    j -> (CAST($p[j] AS DOUBLE) - $c[j]) *
+         |         (CAST($p[j] AS DOUBLE) - $c[j])))""".stripMargin
+    (0 until m).map { b =>
+      val off = b * subDim
+      val sl = s"embedding[${off + 1}:${off + subDim}]"
+      val seed =
+        s"""s$pfx${b}_0 AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |      AS code,
+           |    list_transform($sl, x -> CAST(x AS DOUBLE)) AS c
+           |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $ks))""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        s"""a$pfx${b}_$r AS MATERIALIZED (
+           |  SELECT p.vec_id, p.$sl AS sv, c.code, ${l2(s"p.$sl", "c.c")} AS d
+           |  FROM embeddings p CROSS JOIN s$pfx${b}_${r - 1} c
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY d, c.code) = 1),
+           |m$pfx${b}_$r AS MATERIALIZED (
+           |  SELECT code, j, CAST(avg(CAST(sv[j] AS DOUBLE)) AS FLOAT) AS c
+           |  FROM a$pfx${b}_$r, generate_series(1, $subDim) t(j)
+           |  GROUP BY code, j),
+           |s$pfx${b}_$r AS MATERIALIZED (
+           |  SELECT code, list(CAST(c AS DOUBLE) ORDER BY j) AS c
+           |  FROM m$pfx${b}_$r GROUP BY code)""".stripMargin
+      }.mkString(",\n")
+      val enc =
+        s"""e$pfx$b AS MATERIALIZED (
+           |  SELECT p.vec_id, c.code, ${l2(s"p.$sl", "c.c")} AS d
+           |  FROM embeddings p CROSS JOIN s$pfx${b}_$iters c
+           |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY d, c.code) = 1)""".stripMargin
+      s"$seed,\n$rounds,\n$enc"
+    }.mkString(",\n")
+  }
+
+  val q270Sql: String = {
+    def l2full(p: String, c: String): String =
+      s"""list_sum(list_transform(range(1, 65),
+         |    j -> (CAST($p[j] AS DOUBLE) - CAST($c[j] AS DOUBLE)) *
+         |         (CAST($p[j] AS DOUBLE) - CAST($c[j] AS DOUBLE))))""".stripMargin
+    def l2sub(q: String, c: String): String =
+      s"""list_sum(list_transform(range(1, 17),
+         |    j -> (CAST($q[j] AS DOUBLE) - $c[j]) *
+         |         (CAST($q[j] AS DOUBLE) - $c[j])))""".stripMargin
+    val luts = (0 until 4).map { b =>
+      val off = b * 16
+      s"""lut$b AS MATERIALIZED (
+         |  SELECT q.qid, c.code,
+         |    ${l2sub(s"q.embedding[${off + 1}:${off + 16}]", "c.c")} AS ld
+         |  FROM q CROSS JOIN sP${b}_2 c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until 4).map(b =>
+      s"JOIN eP$b cb$b ON cb$b.vec_id = cand.cand " +
+        s"JOIN lut$b l$b ON l$b.qid = cand.qid AND l$b.code = cb$b.code")
+      .mkString("\n  ")
+    s"""WITH ${sqlPqCtes(1, 64, 8, 2, "C")},
+       |${sqlPqCtes(4, 16, 8, 2, "P")},
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+       |probes AS MATERIALIZED (
+       |  SELECT q.qid, c.code AS list
+       |  FROM q CROSS JOIN sC0_2 c
+       |  QUALIFY row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY ${l2full("q.embedding", "c.c")}, c.code) <= 2),
+       |$luts,
+       |cand AS MATERIALIZED (
+       |  SELECT p.qid, e.vec_id AS cand
+       |  FROM probes p JOIN eC0 e ON e.code = p.list
+       |  WHERE e.vec_id <> p.qid),
+       |adc AS MATERIALIZED (
+       |  SELECT cand.qid, cand.cand,
+       |    round(l0.ld + l1.ld + l2.ld + l3.ld, 6) AS adc
+       |  FROM cand
+       |  $codeJoins),
+       |ranked AS (
+       |  SELECT qid, cand, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc, cand) AS rk
+       |  FROM adc QUALIFY rk <= 5),
+       |exact AS (
+       |  SELECT q.qid, p.vec_id AS cand
+       |  FROM q CROSS JOIN embeddings p
+       |  WHERE p.vec_id <> q.qid
+       |  QUALIFY row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY round(${l2full("q.embedding", "p.embedding")}, 6),
+       |      p.vec_id) <= 5)
+       |SELECT r.qid AS query_id, CAST(r.rk AS INT) AS rank,
+       |  r.cand AS vec_id, r.adc,
+       |  (e.cand IS NOT NULL) AS in_exact_topk
+       |FROM ranked r
+       |LEFT JOIN exact e ON e.qid = r.qid AND e.cand = r.cand""".stripMargin
   }
 }

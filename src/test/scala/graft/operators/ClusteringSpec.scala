@@ -116,6 +116,54 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c0 >= 0 && c0 < 2 && c1 >= 0 && c1 < 2) }
   }
 
+  test("ivfPqTopK: planted twins surface at rank 1 with full exact-recall") {
+    val sp = spark; import sp.implicits._
+    // 3 tight planted clusters in 8-d (m=2 blocks of 4): each query's
+    // nearest neighbors are its own cluster, which shares its coarse
+    // list AND its PQ codes — IVF-PQ must return cluster-mates and the
+    // exact-top-k flag must agree
+    val rnd = new scala.util.Random(270)
+    val axes = Seq(Seq(10f, 0f, 0f, 0f), Seq(0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f))
+    val pts = (0L until 30L).map { i =>
+      val ax = axes((i % 3).toInt)
+      val wob = Seq.fill(4)(rnd.nextFloat() * 0.1f)
+      (i, (ax.zip(wob).map { case (a, w) => a + w }) ++
+        (ax.zip(wob).map { case (a, w) => a - w }))
+    }.toDF("vec_id", "embedding")
+    val vecs = pts.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val out = Clustering.ivfPqTopK(pts, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") < 3,
+      nlist = 3, nprobe = 1, m = 2, subDim = 4,
+      ks = 3, iterations = 2, topK = 3).collect()
+    assert(out.length === 9) // 3 queries x top-3
+    // exact L2 top-3 computed locally: the in_exact_topk flag must be
+    // CORRECT row by row (within a tight cluster all members share PQ
+    // codes, so ADC legitimately cannot order them — the flag is the
+    // honest readout of what the compression cost)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val exactTop = (0L until 3L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (math.rint(l2(vecs(q), vecs(c)) * 1e6) / 1e6, c))
+        .take(3).toSet
+    }.toMap
+    out.foreach { r =>
+      val q = r.getLong(0); val cand = r.getLong(2)
+      assert(cand % 3 === q % 3,
+        s"query $q pulled cross-cluster candidate $cand")
+      assert(r.getAs[Boolean]("in_exact_topk") === exactTop(q).contains(cand),
+        s"query $q cand $cand: exact-hit flag wrong")
+    }
+    // cluster-mates share codes -> identical ADC -> id-ascending ranks
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(byRank === byRank.sorted, s"query $q: tie order not by id")
+    }
+  }
+
   test("embeddingOutliers: off-cluster vector flags, cluster members don't") {
     val sp = spark; import sp.implicits._
     // label 0 points hug +x; one planted ANTI-aligned vector (-x) is
