@@ -518,6 +518,8 @@ object SparkEntry {
     "q269_fs_em" -> (graft.operators.Linkage.q269FsEm _),
     // IVF-PQ ANN: coarse lists + ADC over PQ codes + exact-recall flag
     "q270_ivf_pq" -> (graft.operators.Clustering.q270IvfPq _),
+    // portable HLL distinct sketch (register-exact oracle replay)
+    "q271_portable_hll" -> (graft.operators.Profiling.q271PortableHll _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -797,5 +799,6 @@ object SparkEntry {
     "q268_pq_codes" -> graft.operators.Clustering.q268Sql,
     "q269_fs_em" -> graft.operators.Linkage.q269Sql,
     "q270_ivf_pq" -> graft.operators.Clustering.q270Sql,
+    "q271_portable_hll" -> graft.operators.Profiling.q271Sql,
   )
 }

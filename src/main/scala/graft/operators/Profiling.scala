@@ -1049,4 +1049,105 @@ object Profiling {
       |   WHERE rn = greatest(CAST(ceil(q * (SELECT max(n) FROM r)) AS INT), 1))
       |    AS estimate
       |FROM qs""".stripMargin
+
+  /** PORTABLE HyperLogLog (Flajolet et al. 2007) — distinct-count
+    * sketching whose registers are a pure function of the data: the
+    * hash is the engine's md5-derived 60-bit uniform ([[graft
+    * .functions.HexLong]] scheme), bucket = low `b` bits, register =
+    * max leading-zero rank of the remaining bits (computed by exact
+    * INTEGER string math — `53 − length(bin(w))` — never a float
+    * log). Unlike `approx_count_distinct`'s opaque HLL++ state (q05
+    * can only band-gate it), every register — and therefore the
+    * estimate, bias correction included — replays bit-for-bit in the
+    * DuckDB oracle, completing the oracle-pinned sketch family
+    * (q185 CMS counts, q186 Bloom membership, here HLL cardinality).
+    *
+    * Scale shape: one (group, bucket) aggregate — 2^b registers per
+    * group regardless of input size, mergeable by max, the classic
+    * sketch contract; the exact count rides along as the audit column
+    * (production would drop it — documented).
+    *
+    * @return per group: n_exact, hll_estimate (6 dp), hll_within_band
+    *         (relative error ≤ 0.15 ≈ 2.3σ at b=8)
+    */
+  def portableHllDistinct(df: DataFrame, groupCol: String,
+      valueCol: Column, b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16)
+    val m = 1 << b
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val rel = df.select(col(groupCol).as("__g"), valueCol.as("__v"))
+      .localCheckpoint() // feeds registers AND the exact audit
+    val h = graft.functions.GraftFunctions.hexLong(
+      substring(md5(col("__v")), 1, 15))
+    val w = shiftright(h, b)
+    val regs = rel
+      .select(col("__g"), h.bitwiseAND(lit((m - 1).toLong)).as("__bucket"),
+        when(w === 0L, lit(61 - b)).otherwise(
+          lit(61 - b) - length(bin(w))).as("__r"))
+      .groupBy(col("__g"), col("__bucket"))
+      .agg(max(col("__r")).as("__r"))
+    val est = regs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("1.0 / shiftleft(CAST(1 AS BIGINT), __r)")).as("__sp"))
+      .select(col("__g"),
+        (lit(alpha * m.toDouble * m) /
+          (col("__sp") + (lit(m) - col("__present")))).as("__e"),
+        (lit(m) - col("__present")).cast("double").as("__zeros"))
+      .select(col("__g"),
+        when(col("__e") <= lit(2.5 * m) && col("__zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros")))
+          .otherwise(col("__e")).as("__raw"))
+    val exact = rel.groupBy(col("__g"))
+      .agg(countDistinct(col("__v")).as("n_exact"))
+    exact.join(est, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_exact"),
+        round(col("__raw"), 6).as("hll_estimate"),
+        (abs(col("__raw") - col("n_exact")) / col("n_exact") <= 0.15)
+          .as("hll_within_band"))
+  }
+
+  /** Declared q271: per-source distinct-token cardinality via the
+    * portable 256-register HLL, with the exact audit column.
+    */
+  def q271PortableHll(spark: SparkSession, d: String): DataFrame =
+    portableHllDistinct(
+      Tables.documents(spark, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token")),
+      "source", col("token"))
+
+  val q271Sql: String = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, t,
+       |    ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+       |  FROM tok),
+       |r AS (
+       |  SELECT source, h & 255 AS bucket,
+       |    CASE WHEN (h >> 8) = 0 THEN 53
+       |         ELSE 53 - length(bin(h >> 8)) END AS rank
+       |  FROM h),
+       |reg AS (
+       |  SELECT source, bucket, max(rank) AS r FROM r GROUP BY 1, 2),
+       |est AS (
+       |  SELECT source,
+       |    ${alpha * m.toDouble * m} /
+       |      (sum(1.0 / (CAST(1 AS BIGINT) << r)) + (256 - count(*))) AS e,
+       |    CAST(256 - count(*) AS DOUBLE) AS zeros
+       |  FROM reg GROUP BY 1),
+       |raw AS (
+       |  SELECT source,
+       |    CASE WHEN e <= ${2.5 * m} AND zeros > 0
+       |         THEN 256.0 * ln(256.0 / zeros) ELSE e END AS raw
+       |  FROM est),
+       |ex AS (
+       |  SELECT source, count(DISTINCT t) AS n_exact FROM tok GROUP BY 1)
+       |SELECT ex.source, CAST(n_exact AS BIGINT) AS n_exact,
+       |  round(raw, 6) AS hll_estimate,
+       |  (abs(raw - n_exact) / n_exact <= 0.15) AS hll_within_band
+       |FROM ex JOIN raw ON raw.source = ex.source""".stripMargin
+  }
 }

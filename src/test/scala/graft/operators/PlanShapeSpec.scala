@@ -428,4 +428,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 3,
       s"rank-1 argmaxes must carry WindowGroupLimit:\n$plan")
   }
+
+  test("q263 blocklist scan is exchange-free (pure per-row projection)") {
+    val plan = executedPlan(TextAnalysis.q263Blocklist(spark, sfDir))
+    assert(!plan.contains("Exchange"),
+      s"blocklist audit must not shuffle:\n$plan")
+    assert(plan.contains("multi_contains"),
+      s"automaton expression missing from the plan:\n$plan")
+  }
+
+  test("q237 trigram probe never shuffles the corpus's full trigram relation") {
+    // the pattern-restricted postings explode feeds one partial/final
+    // count aggregate; the candidate relation broadcasts into the
+    // verify semi-join (never a shuffled join of the corpus)
+    val plan = executedPlan(Retrieval.q237TrigramSearch(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"verify must be a broadcast semi-join:\n$plan")
+  }
+
+  test("q270 IVF-PQ: codebooks and LUT broadcast; candidates come from equi-joins") {
+    val plan = executedPlan(Clustering.q270IvfPq(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"codebook joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") ||
+      // the query-sample exact-audit leg is the ONE permitted cross
+      // join (10 rows × corpus); nothing corpus × corpus
+      "CartesianProduct".r.findAllIn(plan).size <= 2,
+      s"unexpected cross joins:\n$plan")
+  }
 }
