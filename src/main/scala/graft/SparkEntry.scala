@@ -520,6 +520,12 @@ object SparkEntry {
     "q270_ivf_pq" -> (graft.operators.Clustering.q270IvfPq _),
     // portable HLL distinct sketch (register-exact oracle replay)
     "q271_portable_hll" -> (graft.operators.Profiling.q271PortableHll _),
+    // LATERAL correlated subquery in FROM (top-N per outer row)
+    "q272_lateral" -> (graft.operators.SqlSurface.q272Lateral _),
+    // MAP-typed property-bag ops (map_from_entries, keyed lookups)
+    "q273_map_ops" -> (graft.operators.Relational.q273MapOps _),
+    // PQ-bucket semantic-dedup audit (SemDeDup shape, exact verify)
+    "q274_pq_dedup" -> (graft.operators.Clustering.q274PqDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -800,5 +806,8 @@ object SparkEntry {
     "q269_fs_em" -> graft.operators.Linkage.q269Sql,
     "q270_ivf_pq" -> graft.operators.Clustering.q270Sql,
     "q271_portable_hll" -> graft.operators.Profiling.q271Sql,
+    "q272_lateral" -> graft.operators.SqlSurface.q272Sql,
+    "q273_map_ops" -> graft.operators.Relational.q273Sql,
+    "q274_pq_dedup" -> graft.operators.Clustering.q274Sql,
   )
 }

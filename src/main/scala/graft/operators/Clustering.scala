@@ -847,4 +847,99 @@ object Clustering {
        |FROM ranked r
        |LEFT JOIN exact e ON e.qid = r.qid AND e.cand = r.cand""".stripMargin
   }
+
+  /** PQ-bucket semantic dedup report (the SemDeDup shape, Abbas et al.
+    * 2023, by way of FAISS-style code bucketing): vectors sharing ALL
+    * m PQ codes are near-duplicate CANDIDATES — the code tuple is a
+    * learned, data-adaptive LSH key — and each candidate pair is
+    * verified with exact cosine, so precision is 1 by construction
+    * (the q34/q191 candidates-then-verify discipline transplanted to
+    * embedding space). The declared relation is the per-bucket audit:
+    * member count, candidate pairs, verified duplicate pairs at the
+    * threshold, and the mean verified cosine — what a curation run
+    * reads to size its semantic-dedup win before deleting anything.
+    *
+    * Scale shape: bucketing is the q268 PQ encode (linear); the
+    * self-join keys on the full m-code tuple, so pair cost is
+    * Σ_bucket k² — the quantizer's granularity (m·log₂ks bits) is the
+    * hot-key control, exactly how billion-scale semantic dedup bounds
+    * its candidate sets. No all-pairs relation at any point.
+    *
+    * @return per bucket with ≥ 2 members: code_0..code_{m−1},
+    *         n_members, n_pairs, n_dups (cos ≥ threshold), avg_cos
+    */
+  def pqBucketDedup(points: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, ks: Int, iterations: Int,
+      threshold: Double): DataFrame = {
+    val codeCols = (0 until m).map(b => s"code_$b")
+    val codes = productQuantize(points, idCol, vecCol, m, subDim, ks,
+      iterations)
+      .select((col(idCol) +: codeCols.map(col)): _*)
+    val withVec = codes
+      .join(points.select(col(idCol), col(vecCol)), Seq(idCol))
+      .localCheckpoint()
+    val left = withVec.select((col(idCol).as("__a") +:
+      col(vecCol).as("__ea") +: codeCols.map(col)): _*)
+    val right = withVec.select((col(idCol).as("__b") +:
+      col(vecCol).as("__eb") +: codeCols.map(col)): _*)
+    val pairs = left.join(right, codeCols)
+      .where(col("__a") < col("__b"))
+      .withColumn("__cos", round(GraftFunctions.cosineSimilarity(
+        col("__ea"), col("__eb")), 6))
+    // n_members recovers EXACTLY from the complete within-bucket pair
+    // count: p = k(k−1)/2 ⇒ 1+8p = (2k−1)², a perfect square whose
+    // IEEE sqrt is exact — no second member-count aggregate + join
+    pairs.groupBy(codeCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__cos") >= threshold, 1L).otherwise(0L)).as("n_dups"),
+        round(avg(col("__cos")), 6).as("avg_cos"))
+      .select((codeCols.map(col) :+
+        ((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("n_pairs"))) / 2.0)
+          .cast("long").as("n_members") :+
+        col("n_pairs") :+ col("n_dups") :+ col("avg_cos")): _*)
+  }
+
+  /** Declared q274: the PQ-bucket semantic-dedup audit at cosine ≥ 0.9
+    * over the q268 codebook configuration.
+    */
+  def q274PqDedup(spark: SparkSession, d: String): DataFrame =
+    pqBucketDedup(Tables.embeddings(spark, d), "vec_id", "embedding",
+      m = 4, subDim = 16, ks = 8, iterations = 2, threshold = 0.9)
+
+  val q274Sql: String = {
+    val cos =
+      """list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+        |     / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                              list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+        |        * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+        |                                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH ${sqlPqCtes(4, 16, 8, 2, "P")},
+       |codes AS MATERIALIZED (
+       |  SELECT e.vec_id, eP0.code AS c0, eP1.code AS c1,
+       |    eP2.code AS c2, eP3.code AS c3, e.embedding
+       |  FROM embeddings e
+       |  JOIN eP0 ON eP0.vec_id = e.vec_id
+       |  JOIN eP1 ON eP1.vec_id = e.vec_id
+       |  JOIN eP2 ON eP2.vec_id = e.vec_id
+       |  JOIN eP3 ON eP3.vec_id = e.vec_id),
+       |pairs AS (
+       |  SELECT a.c0, a.c1, a.c2, a.c3,
+       |    round($cos, 6) AS cos
+       |  FROM codes a JOIN codes b
+       |    ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3
+       |   AND a.vec_id < b.vec_id),
+       |st AS (
+       |  SELECT c0, c1, c2, c3,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dups,
+       |    round(avg(cos), 6) AS avg_cos
+       |  FROM pairs GROUP BY 1, 2, 3, 4)
+       |SELECT c0 AS code_0, c1 AS code_1, c2 AS code_2, c3 AS code_3,
+       |  CAST((1.0 + sqrt(1.0 + 8.0 * n_pairs)) / 2.0 AS BIGINT)
+       |    AS n_members,
+       |  n_pairs, n_dups, avg_cos
+       |FROM st""".stripMargin
+  }
 }

@@ -532,6 +532,40 @@ object Relational {
       | list_aggr(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') / len(embedding) AS mean_val
       |FROM embeddings""".stripMargin
 
+  /** MAP-typed column operations (the E11 family beyond arrays):
+    * aggregate a per-group (status → count) MAP via `map_from_entries`
+    * over collected entry structs, then read it back with keyed
+    * lookups, `map_keys`, and size — the "typed property bag" shape
+    * config/metrics pipelines carry. The map itself never leaves the
+    * plan (the harness's canonicalizer can't sort map columns —
+    * documented); every projected readout is key-addressed or sorted,
+    * so the relation is deterministic even though `collect_list`'s
+    * entry ORDER is not.
+    */
+  def q273MapOps(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(collect_list(
+        struct(col("o_orderstatus"), col("__n")))).as("__m"))
+      .select(col("o_orderpriority"),
+        size(col("__m")).as("n_statuses"),
+        array_join(array_sort(map_keys(col("__m"))), ",").as("statuses_csv"),
+        coalesce(element_at(col("__m"), "F"), lit(0L)).as("n_f"),
+        coalesce(element_at(col("__m"), "O"), lit(0L)).as("n_o"),
+        coalesce(element_at(col("__m"), "P"), lit(0L)).as("n_p"))
+
+  val q273Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+      | string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |   AS statuses_csv,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ------------------------------------------ E16 (batch form): event-time windows
 
   /** Tumbling 1-hour event-time windows per event type — the batch analog

@@ -250,4 +250,33 @@ object SqlSurface {
       | CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS p90_price
       |FROM orders
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** LATERAL correlated subquery in FROM — per-nation top-2 customers
+    * by balance: the "top-N per outer row" idiom that predates window
+    * functions and still reads best for small N. Catalyst plans the
+    * decorrelated LATERAL as the same partitioned-rank shape a window
+    * would give (DomainJoin → rank), so the construct is free at
+    * scale; both engines run genuinely LATERAL SQL (Spark ≥ 3.2,
+    * DuckDB native).
+    */
+  def q272Lateral(spark: SparkSession, d: String): DataFrame =
+    spark.sql(
+      s"""SELECT n.n_name, t.c_name, t.c_acctbal
+         |FROM ${p(d, "nation")} n,
+         |LATERAL (
+         |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+         |  FROM ${p(d, "customer")} c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name
+         |  LIMIT 2) t""".stripMargin)
+
+  val q272Sql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name
+      |  LIMIT 2) t""".stripMargin
 }

@@ -164,6 +164,27 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqBucketDedup: identical vectors bucket together at cos 1, members recovered") {
+    val sp = spark; import sp.implicits._
+    // three exact triplicates + distinct singletons: each triplicate is
+    // one bucket (identical codes), 3 members -> 3 pairs, all cos 1.0
+    val base = Seq(
+      Seq.fill(8)(1f), Seq.tabulate(8)(i => i.toFloat),
+      Seq.tabulate(8)(i => (8 - i).toFloat))
+    val pts = (0L until 9L).map(i => (i, base((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.pqBucketDedup(pts, "vec_id", "embedding",
+      m = 2, subDim = 4, ks = 3, iterations = 2, threshold = 0.99)
+      .collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_members") === 3L)
+      assert(r.getAs[Long]("n_pairs") === 3L)
+      assert(r.getAs[Long]("n_dups") === 3L)
+      assert(r.getAs[Double]("avg_cos") === 1.0)
+    }
+  }
+
   test("embeddingOutliers: off-cluster vector flags, cluster members don't") {
     val sp = spark; import sp.implicits._
     // label 0 points hug +x; one planted ANTI-aligned vector (-x) is
