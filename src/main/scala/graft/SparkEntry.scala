@@ -526,6 +526,8 @@ object SparkEntry {
     "q273_map_ops" -> (graft.operators.Relational.q273MapOps _),
     // PQ-bucket semantic-dedup audit (SemDeDup shape, exact verify)
     "q274_pq_dedup" -> (graft.operators.Clustering.q274PqDedup _),
+    // salted-join result-equality contract on the skewed type key
+    "q275_salted_join" -> (graft.operators.Skew.q275SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -809,5 +811,6 @@ object SparkEntry {
     "q272_lateral" -> graft.operators.SqlSurface.q272Sql,
     "q273_map_ops" -> graft.operators.Relational.q273Sql,
     "q274_pq_dedup" -> graft.operators.Clustering.q274Sql,
+    "q275_salted_join" -> graft.operators.Skew.q275Sql,
   )
 }

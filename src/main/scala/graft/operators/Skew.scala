@@ -84,4 +84,38 @@ object Skew {
       |  p50 AS p50_rows, p99 AS p99_rows,
       |  mx / (CAST(n AS DOUBLE) / k) AS skew_factor
       |FROM s""".stripMargin
+
+  /** Declared q275: the salted join's RESULT-EQUALITY contract, run as
+    * a declared relation — events (the large side; `event_type` has
+    * only 5 distinct values, the maximally-skewed shuffle key) join a
+    * per-type dimension through [[saltedJoin]] at salt factor 8, then
+    * a per-type readout. The DuckDB oracle computes the PLAIN join —
+    * hash equality IS the proof that salting changed execution, not
+    * semantics (the spec proves the same locally; this pins it against
+    * an independent engine every round at data scale).
+    */
+  def q275SaltedJoin(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ev = graft.core.Tables.events(spark, d)
+      .select(col("event_type"), col("value"))
+    val dim = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("type_avg"))
+    saltedJoin(ev, dim, "event_type", saltFactor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > col("type_avg"), 1L).otherwise(0L))
+          .as("n_above_avg"),
+        round(max(col("type_avg")), 6).as("type_avg"))
+  }
+
+  val q275Sql: String =
+    """WITH dim AS (
+      |  SELECT event_type, avg(value) AS type_avg
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_above_avg,
+      |  round(max(d.type_avg), 6) AS type_avg
+      |FROM events e JOIN dim d ON d.event_type = e.event_type
+      |GROUP BY 1""".stripMargin
 }
