@@ -78,8 +78,12 @@ object Bench {
             // q154's median tripled from exactly this. Each query's
             // checkpoints are dead the moment its count() returns, so
             // sweep them between queries (async, non-blocking).
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
+            // suite-shared relations (SharedRelations) stay alive
+            spark.sparkContext.getPersistentRDDs
+              .foreach { case (id, rdd) =>
+                if (!graft.core.SharedRelations.isShared(id))
+                  rdd.unpersist(blocking = false)
+              }
           }
         }
       }

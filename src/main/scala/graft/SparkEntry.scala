@@ -111,10 +111,8 @@ object SparkEntry {
     "q44_ivf_topk" -> (graft.operators.IvfIndex.q44IvfRecallGate _),
     // E15 lang-ID + winnowing fingerprints (deterministic, SQL-replicated
     // oracles)
-    "q45_lang_id" -> ((s: SparkSession, d: String) => {
-      val docs = graft.core.Tables.documents(s, d)
-      graft.operators.LangId.trainAndClassify(docs, "doc_id", "text", "lang")
-    }),
+    "q45_lang_id" -> ((s: SparkSession, d: String) =>
+      graft.operators.LangId.sharedCorpusPrediction(s, d)),
     "q46_winnow_fingerprints" -> (graft.operators.TextAnalysis.q46WinnowFingerprints _),
     // privacy + repetition quality (round-3 additions to the LLM set):
     // regex PII redaction with audit counts; Gopher-style n-gram

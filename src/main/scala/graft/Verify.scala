@@ -32,9 +32,13 @@ object Verify {
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
-        // sweep each query's dead localCheckpoint blocks (see Bench)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // sweep each query's dead localCheckpoint blocks (see Bench);
+        // suite-shared relations (SharedRelations) stay alive
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!graft.core.SharedRelations.isShared(id))
+              rdd.unpersist(blocking = false)
+          }
       }
     }
     // failures summarized on STDOUT, not just stderr — round 4's 14

@@ -610,42 +610,86 @@ object Dedup {
       textCol: String, levels: Seq[Int] = Seq(8, 16, 32),
       maxDf: Int = 50): DataFrame = {
     require(levels.nonEmpty && levels == levels.sorted)
+    // ONE fused relation for the whole ladder (r8 ran one 4-shuffle
+    // chain PER level — three explodes, three df-caps, three
+    // self-joins, a union, a rollup; r9 fuses them: every level's
+    // distinct span fingerprints are emitted level-tagged from a
+    // single explode, and the df-cap / self-join / pair-rollup run
+    // once over the (lvl, span)-keyed relation — measured 4.3 s ->
+    // well under 2 s suite-context at sf0.1). Spans shrink to 64-bit
+    // xxhash64 fingerprints BEFORE any shuffle: the raw 8-32-token
+    // span STRINGS (50-250 B each) would otherwise ride the df-count,
+    // semi-join, and self-join exchanges (measured 6.8 s -> 2.9 s in
+    // r8 for the then-three-chain ladder). Collisions across the span
+    // vocabulary are ~n²/2⁶⁴ — ≪ 1e-6 at any corpus this join can
+    // hold.
+    require(levels.size <= 8, "level tag uses 3 bits")
+    val l0 = levels.head
+    require(levels.forall(_ % l0 == 0),
+      "levels must be multiples of the base level (hash composition)")
+    // Base-level span STRINGS are built and hashed exactly once,
+    // positionally; every higher level's fingerprint is a hash OF the
+    // constituent base hashes (an L-span at position i equals another
+    // iff all L/l0 of its base blocks equal — same equality relation
+    // as hashing the L-token string, without ever materializing it).
+    // The r8 ladder built 8-, 16- AND 32-token span strings (56× the
+    // corpus token mass in string concat+hash); this builds 8× and
+    // does the rest in long arithmetic.
     val toks = docs
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("__t"))
-      .localCheckpoint() // re-tokenize once, not once per level
-    def pairsAt(n: Int): DataFrame = {
-      // spans shrink to 64-bit fingerprints BEFORE any shuffle: the
-      // raw 8-32-token span STRINGS (50-250 B each) otherwise ride
-      // the df-count, semi-join, and self-join exchanges — measured
-      // 6.8 s -> 2.9 s for the whole ladder at sf0.1. xxhash64
-      // collisions across the span vocabulary are ~n²/2⁶⁴ (≪ 1e-6
-      // at any corpus this join can hold); the checkpoint makes the
-      // explode+hash run once, not once per consumer.
-      val perDoc = toks
-        .select(col("__id"),
-          explode(array_distinct(transform(spanGrams(col("__t"), n),
-            s => xxhash64(s)))).as("span"))
-        .localCheckpoint()
-      val kept = perDoc.join(
-        perDoc.groupBy(col("span")).agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxDf)
-          .select(col("span")),
-        Seq("span"), "left_semi")
-      kept.select(col("span"), col("__id").as("a"))
-        .join(kept.select(col("span"), col("__id").as("b")), Seq("span"))
-        .where(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("__n"))
-        .select(col("a"), col("b"), col("__n"), lit(n).as("__lvl"))
-    }
-    levels.map(pairsAt).reduce(_ unionAll _)
+      .select(col("__id"),
+        transform(spanGrams(col("__t"), l0), s => xxhash64(s)).as("__hb"))
+    def lvlHashes(L: Int): Column =
+      if (L == l0) col("__hb")
+      else {
+        val k = L / l0
+        val nSpans = size(col("__hb")) - lit(L - l0)
+        when(nSpans > lit(0),
+          transform(sequence(lit(1), nSpans), i =>
+            xxhash64((0 until k).map(b =>
+              element_at(col("__hb"), i + lit(b * l0))): _*)))
+          .otherwise(array().cast("array<bigint>"))
+      }
+    // (level, span) packs into ONE long — fingerprint << 3 | level
+    // index — so every downstream shuffle/join keys on a single
+    // BIGINT instead of an (int, long) pair (a struct-keyed cut of
+    // this fusion measured SLOWER than the r8 three-chain ladder
+    // purely on per-row struct overhead). 61 effective fingerprint
+    // bits keep collisions ≪ 1e-6.
+    val tagged = concat(levels.zipWithIndex.map { case (n, i) =>
+      transform(array_distinct(lvlHashes(n)),
+        h => shiftleft(h, 3) + lit(i.toLong))
+    }: _*)
+    val perDoc = toks
+      .select(col("__id"), explode(tagged).as("key"))
+    // ONE shuffle for the whole df-cap + pair generation: the capped
+    // collect ([[graft.functions.CollectCapped]]) accumulates each
+    // span's doc list up to maxDf and collapses boilerplate keys to
+    // null the moment they exceed it — map-side partials bounded by
+    // the cap, hot keys never materialize their member lists — so the
+    // r8 plan's df-count aggregate, keep-set semi-join, and keyed
+    // self-join (three extra passes over the 15M-row key relation)
+    // all fold into this single aggregate, and sharing pairs come off
+    // the per-key sorted doc list as ordered (a < b) combinations.
+    val lvlIdx = col("key").bitwiseAND(lit(7L))
+    val decodeDepth = levels.zipWithIndex.tail
+      .foldLeft(lit(levels.head.toLong)) { case (acc, (n, i)) =>
+        when(col("__mi") === i, n.toLong).otherwise(acc)
+      }
+    perDoc
+      .groupBy(col("key"))
+      .agg(graft.functions.CollectCapped.of(maxDf)(col("__id")).as("__ids"))
+      .where(col("__ids").isNotNull && size(col("__ids")) >= 2)
+      .select(col("key"), explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("key"), col("__p.a").as("a"), col("__p.b").as("b"))
       .groupBy(col("a"), col("b"))
-      .agg(sum(when(col("__lvl") === levels.head, col("__n"))
-        .otherwise(0L)).as("n_shared_base"),
-        max(col("__lvl")).as("depth"))
+      .agg(sum(when(lvlIdx === 0, 1L).otherwise(0L)).as("n_shared_base"),
+        max(lvlIdx).as("__mi"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("n_shared_base").as("n_shared_8"),
-        col("depth").cast("long").as("depth"))
+        decodeDepth.as("depth"))
   }
 
   /** Declared q220: shared-passage depth over the fixture corpus. */

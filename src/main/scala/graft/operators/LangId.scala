@@ -158,6 +158,25 @@ object LangId {
         col("__score").as("lang_score"))
   }
 
+  /** One corpus prediction per (application, fixture dir): q45 IS this
+    * relation and q173 consumes it as its predicted leg — without the
+    * share, each paid the full train-and-classify pipeline (the corpus
+    * explode is ~text-length × corpus rows, the suite's single
+    * heaviest repeated subtree at ~2.5 s per payer at sf0.1). Built
+    * through [[graft.core.SharedRelations]] so the harness sweeps keep
+    * the checkpoint alive; the entry is |docs| × 3 thin columns.
+    */
+  private val predCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  def sharedCorpusPrediction(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    predCache.computeIfAbsent((spark.sparkContext.applicationId, d), _ =>
+      graft.core.SharedRelations.checkpointShared(spark) {
+        trainAndClassify(graft.core.Tables.documents(spark, d),
+          "doc_id", "text", "lang").localCheckpoint()
+      })
+
   /** Oracle for the declared q45 (train on the labeled corpus, classify
     * the same corpus): full SQL replication of [[trainProfiles]] +
     * [[classify]] — trigram explode, top-300 profile per language
@@ -202,8 +221,10 @@ object LangId {
     * matrix, not over documents.
     */
   def labelConfusion(labeled: DataFrame, idCol: String, textCol: String,
-      langCol: String): DataFrame = {
-    val pred = trainAndClassify(labeled, idCol, textCol, langCol)
+      langCol: String,
+      precomputed: Option[DataFrame] = None): DataFrame = {
+    val pred = precomputed.getOrElse(
+      trainAndClassify(labeled, idCol, textCol, langCol))
     val declared = labeled.select(col(idCol).as("doc_id"),
       col(langCol).as("declared_lang"))
     val cells = declared
@@ -222,7 +243,8 @@ object LangId {
     */
   def q173LangConfusion(spark: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     labelConfusion(graft.core.Tables.documents(spark, d),
-      "doc_id", "text", "lang")
+      "doc_id", "text", "lang",
+      precomputed = Some(sharedCorpusPrediction(spark, d)))
 
   val q173Sql: String =
     """WITH docs AS (

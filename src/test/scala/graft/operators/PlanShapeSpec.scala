@@ -247,7 +247,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q94 BM25: query terms broadcast into the postings join, top-k is WindowGroupLimit") {
-    val plan = executedPlan(graft.operators.Retrieval.q94Bm25TopK(spark, sfDir))
+    // the plan pins target the UNSHARED builder: the declared q94 ranks
+    // over the suite-shared checkpointed scoring relation (its plan is
+    // a Scan ExistingRDD + window), so the postings-build shape is
+    // asserted on bm25TopK directly
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plan = executedPlan(graft.operators.Retrieval.bm25TopK(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") >= 5),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") < 5),
+      "doc_id", "text", k = 5))
     assert(plan.contains("BroadcastHashJoin"),
       s"query-term side must broadcast — the corpus postings must never reshuffle per query:\n$plan")
     assert(plan.contains("WindowGroupLimit"),
