@@ -22,6 +22,10 @@ object GraftSession {
     import org.apache.logging.log4j.Level
     import org.apache.logging.log4j.core.config.Configurator
     Configurator.setLevel("org.apache.spark.sql.execution.window", Level.ERROR)
+    // the harness sweeps dead localCheckpoint blocks between queries;
+    // each unpersist logs a "lineage has been truncated" WARN — ~300
+    // queries × 3 reps of that flooded every round's bench capture
+    Configurator.setLevel("org.apache.spark.rdd.MapPartitionsRDD", Level.ERROR)
   }
 
   def local(

@@ -1024,6 +1024,13 @@ object Components {
   private def jaccardFromCanon(canon: DataFrame, topN: Int): DataFrame = {
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // Wedge generation stays a SELF-JOIN on the center column, not a
+    // grouped adjacency-list explode: a grouped variant (r9, measured
+    // 79 s vs 30 s solo at sf0.1) funnels each hub's C(deg, 2) pair
+    // mass through the single task holding that hub's row — the hot
+    // supplier's 4.5M-element combination array materializes in one
+    // JVM — while the join's probe side streams hub pairs across
+    // every partition that holds a probe row.
     val wedges = sym.select(col("u").as("via"), col("v").as("a"))
       .join(sym.select(col("u").as("via"), col("v").as("b")), Seq("via"))
       .where(col("a") < col("b"))
