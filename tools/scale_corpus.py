@@ -64,6 +64,27 @@ def shifted(tbl: pa.Table, shifts: dict, i: int) -> pa.Table:
     return tbl
 
 
+def perturb_part_names(tbl: pa.Table, i: int) -> pa.Table:
+    # p_name feeds the string-similarity queries (q99 FastSS edit join,
+    # q110/q125 Jaro-Winkler blocking, Linkage) — identical names
+    # repeated K times across copies would fabricate cross-copy
+    # near-dup pairs a real Kx corpus would not have (first 10x run:
+    # q99 exponent 2.06, pure clone-pair mass). Prefixing the FIRST
+    # token with a copy tag keeps within-copy structure byte-identical
+    # while separating copies in both the first-token block key and
+    # every edit-distance neighborhood.
+    if i == 0:
+        return tbl
+    # doubled copy digit: tags of different copies are >= 2 edits apart,
+    # so the q99 edit-distance (<= 1) join cannot match across copies —
+    # a single-char tag left cross-copy names one SUBSTITUTION apart,
+    # which is a real dist-1 match and fabricated a quadratic output
+    names = tbl.column("p_name").to_pylist()
+    new = pa.array([f"c{i}{i}{s}" for s in names])
+    return tbl.set_column(tbl.schema.get_field_index("p_name"),
+                          pa.field("p_name", pa.string()), new)
+
+
 def perturb_documents(tbl: pa.Table, i: int) -> pa.Table:
     if i == 0:
         return tbl
@@ -99,6 +120,8 @@ def main():
             t = shifted(src, shifts, i)
             if name == "documents":
                 t = perturb_documents(t, i)
+            elif name == "part":
+                t = perturb_part_names(t, i)
             elif name == "embeddings":
                 t = perturb_embeddings(t, i)
             copies.append(t)
