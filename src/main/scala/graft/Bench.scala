@@ -5,6 +5,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // environment guard, sampled before this JVM creates any load:
+    // anything above ~1.5 means another workload is competing for the
+    // same cores and every timing in this artifact is suspect (BENCH_r09
+    // recorded 362 s at loadavg 4.5 vs 327–351 s idle). The artifact
+    // self-declares clean/dirty so a reader never has to guess.
+    val loadInitial =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -12,6 +20,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only GCs the driver every 30 MINUTES by default —
+      // a ~6 min suite never triggers it, so weakly-referenced shuffle
+      // files and broadcast blocks from ~825 finished plans pile up in
+      // the old gen until memory pressure forces long collections inside
+      // whichever query runs next (the q239/q56/q72/q154 suite-median
+      // inflation BASELINE.md documents). A 45 s interval keeps the
+      // driver heap bounded by live state, not by suite history.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // WindowExec's per-plan "No Partition Defined" warning × 190 queries
@@ -50,6 +66,11 @@ object Bench {
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    val envClean = loadInitial <= 1.5
+    if (!envClean)
+      System.err.println(
+        f"[bench] WARNING dirty environment: loadavg $loadInitial%.2f > 1.5 " +
+          "at start — timings will be inflated; rerun on an idle machine")
     val loadPerRep = scala.collection.mutable.ListBuffer[Double]()
     (1 to 3).foreach { _ =>
       loadPerRep += loadavg
@@ -77,12 +98,16 @@ object Bench {
             // shuffle/storage memory and the big wedge joins GC-thrash:
             // q154's median tripled from exactly this. Each query's
             // checkpoints are dead the moment its count() returns, so
-            // sweep them between queries (async, non-blocking).
+            // sweep them between queries. BLOCKING: an async sweep only
+            // posts removal messages, so under a backed-up dispatcher
+            // the dead blocks were still resident when the next query's
+            // timer started — the sweep runs outside the timed region,
+            // so waiting here costs nothing that is measured.
             // suite-shared relations (SharedRelations) stay alive
             spark.sparkContext.getPersistentRDDs
               .foreach { case (id, rdd) =>
-                if (!graft.core.SharedRelations.isShared(id))
-                  rdd.unpersist(blocking = false)
+                if (!graft.core.SharedRelations.isShared(spark, id))
+                  rdd.unpersist(blocking = true)
               }
           }
         }
@@ -101,13 +126,22 @@ object Bench {
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = medians.values.sum
+    // suite-shared relation builds (SharedRelations) run once, inside
+    // rep 1 of whichever payer query comes first — the median-of-3 then
+    // drops that rep, so without these rows the build cost would appear
+    // in NO query and the total would flatter the engine by the ~2-3 s
+    // the BM25/lang-ID builds actually cost. Emit each as its own
+    // "shared:<name>" entry and fold it into the total.
+    val shared = graft.core.SharedRelations.buildSeconds(spark)
+      .map { case (n, s) => s"shared:$n" -> s }
+    val total = medians.values.sum + shared.values.sum
     val loadJson = loadPerRep.map(l => f"$l%.2f").mkString("[", ",", "]")
     val meta =
       s""""sf":${jstr(sfDir)},"cpus":$cpus,"reps":3,"scheme":"interleaved",""" +
+        s""""loadavg_initial":${f"$loadInitial%.2f"},"env":${jstr(if (envClean) "clean" else "dirty")},""" +
         s""""loadavg_reps":$loadJson,"loadavg_end":${f"$loadEnd%.2f"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(medians)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(medians ++ shared)},""" +
         s""""queries_min":${jmap(mins)},"errors":$errJson,$meta}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")

@@ -36,7 +36,7 @@ object Verify {
         // suite-shared relations (SharedRelations) stay alive
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
-            if (!graft.core.SharedRelations.isShared(id))
+            if (!graft.core.SharedRelations.isShared(spark, id))
               rdd.unpersist(blocking = false)
           }
       }

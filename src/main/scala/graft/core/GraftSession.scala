@@ -19,13 +19,41 @@ object GraftSession {
     * `setLogLevel`, which reconfigures the root logger.
     */
   def quietNoisyLoggers(): Unit = {
-    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{Filter, LoggerContext}
     import org.apache.logging.log4j.core.config.Configurator
-    Configurator.setLevel("org.apache.spark.sql.execution.window", Level.ERROR)
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    // Suppress the specific known-noisy MESSAGES, not whole loggers at
+    // ERROR — dropping org.apache.spark.rdd.MapPartitionsRDD to ERROR
+    // would also hide real WARNs from that class (e.g. failed block
+    // recovery on a lost checkpoint partition). Configurator.setLevel
+    // first so a concrete LoggerConfig exists to hang the filter on.
+    def denyMessage(logger: String, regex: String): Unit = {
+      Configurator.setLevel(logger, Level.WARN)
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val lc = ctx.getConfiguration.getLoggerConfig(logger)
+      // idempotent: sessions are created per spec suite, and addFilter
+      // chains CompositeFilters — only install on a bare config
+      if (lc.getName == logger && lc.getFilter == null) {
+        lc.addFilter(RegexFilter.createFilter(
+          regex, null, false, Filter.Result.DENY, Filter.Result.NEUTRAL))
+        ctx.updateLoggers()
+      }
+    }
+    // WindowExecBase warns once per plan on the deliberately-bounded
+    // single-partition windows (see BASELINE.md "Single-partition window
+    // inventory") — at ~275 queries × 3 bench reps the flood drowned the
+    // round-6 driver artifact's summary JSON line (BENCH_r06 parsed:null).
+    // The filters hang on the PACKAGE logger configs because Spark's
+    // Logging names loggers after the runtime class (WindowExec /
+    // MapPartitionsRDD / ...), and a message-scoped deny at the package
+    // level is harmless to every other event.
+    denyMessage("org.apache.spark.sql.execution.window",
+      ".*No Partition Defined for Window operation.*")
     // the harness sweeps dead localCheckpoint blocks between queries;
-    // each unpersist logs a "lineage has been truncated" WARN — ~300
-    // queries × 3 reps of that flooded every round's bench capture
-    Configurator.setLevel("org.apache.spark.rdd.MapPartitionsRDD", Level.ERROR)
+    // each unpersist logs a "lineage has been truncated" WARN
+    denyMessage("org.apache.spark.rdd",
+      ".*lineage.*truncated.*")
   }
 
   def local(

@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions.udaf
   * Merge is associative/commutative (overflow is absorbing), so Spark
   * partial-aggregates map-side like any built-in aggregate. The
   * result arrives sorted for deterministic (a < b) pair emission.
+  *
+  * `cap` is expected to stay small (df-caps are tens, not millions):
+  * the buffer is an immutable Array grown with `:+`, so each group pays
+  * O(cap²) element copies — which is noise next to the encoder
+  * round-trip the udaf path already pays per input row, but would stop
+  * being noise if someone passed cap = 10⁶. The constructor enforces
+  * the intended regime rather than documenting it away.
   */
 class CollectCapped(cap: Int)
     extends Aggregator[Long, (Array[Long], Boolean), Seq[Long]] {
+  require(cap > 0 && cap <= 10000,
+    s"CollectCapped is a SMALL-cap bounded collect (got cap=$cap); " +
+      "for large caps use collect_list + post-filter or a sketch")
 
   override def zero: (Array[Long], Boolean) = (Array.emptyLongArray, false)
 

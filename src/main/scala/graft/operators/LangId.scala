@@ -172,7 +172,7 @@ object LangId {
   def sharedCorpusPrediction(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     predCache.computeIfAbsent((spark.sparkContext.applicationId, d), _ =>
-      graft.core.SharedRelations.checkpointShared(spark) {
+      graft.core.SharedRelations.checkpointShared(spark, "langid") {
         trainAndClassify(graft.core.Tables.documents(spark, d),
           "doc_id", "text", "lang").localCheckpoint()
       })

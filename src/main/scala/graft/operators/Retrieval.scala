@@ -126,7 +126,7 @@ object Retrieval {
 
   private def sharedBm25Scored(spark: SparkSession, d: String): DataFrame =
     bm25Cache.computeIfAbsent((spark.sparkContext.applicationId, d), _ =>
-      graft.core.SharedRelations.checkpointShared(spark) {
+      graft.core.SharedRelations.checkpointShared(spark, "bm25") {
         val docs = Tables.documents(spark, d)
         bm25Scored(docs.where(col("doc_id") >= 5),
           docs.where(col("doc_id") < 5), "doc_id", "text").localCheckpoint()

@@ -267,6 +267,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only the query side may broadcast:\n$plan")
   }
 
+  test("q94 declared path: top-k over the shared checkpoint keeps WindowGroupLimit") {
+    // the DECLARED q94 ranks over the suite-shared checkpointed scoring
+    // relation — a thin ExistingRDD scan plus the rank window. Losing
+    // WindowGroupLimit there would buffer every (query, doc) score per
+    // query partition instead of keeping the running top-k, and the
+    // unshared-builder pin above would not notice.
+    val plan = executedPlan(
+      graft.SparkEntry.queries("q94_bm25_topk")(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push into the window on the checkpoint scan:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"declared q94 must rank over the shared checkpoint, not rebuild:\n$plan")
+  }
+
   test("q95 quota sample carries WindowGroupLimit (no full stratum lists)") {
     val plan = executedPlan(graft.operators.CorpusOps.q95QuotaSample(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"),

@@ -18,6 +18,8 @@ python3 -c "
 import json
 d = json.load(open('/root/repo/target/bench.json'))
 for k, v in d['queries'].items():
-    print(f\"{k}: {v:.3f}s (min {d['queries_min'][k]:.3f})\")
-print('errors:', d['errors'])
+    m = d['queries_min'].get(k)
+    extra = f' (min {m:.3f})' if m is not None else ' (one-time shared build)'
+    print(f'{k}: {v:.3f}s{extra}')
+print('errors:', d['errors'], '| env:', d.get('env'), 'loadavg_initial:', d.get('loadavg_initial'))
 "
