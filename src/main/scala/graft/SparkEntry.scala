@@ -526,6 +526,9 @@ object SparkEntry {
     "q274_pq_dedup" -> (graft.operators.Clustering.q274PqDedup _),
     // salted-join result-equality contract on the skewed type key
     "q275_salted_join" -> (graft.operators.Skew.q275SaltedJoin _),
+    // q33's streaming twin: a real Structured Streaming replay (memory
+    // sink, complete mode) driver-checked against the same oracle
+    "q276_stream_windows" -> (graft.streaming.EventStream.q276StreamEventWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -810,5 +813,8 @@ object SparkEntry {
     "q273_map_ops" -> graft.operators.Relational.q273Sql,
     "q274_pq_dedup" -> graft.operators.Clustering.q274Sql,
     "q275_salted_join" -> graft.operators.Skew.q275Sql,
+    // the streaming replay must equal the batch q33 relation exactly —
+    // the batch-stream equivalence contract, checked by the same oracle
+    "q276_stream_windows" -> graft.operators.Relational.q33Sql,
   )
 }

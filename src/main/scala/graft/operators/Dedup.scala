@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -531,10 +532,15 @@ object Dedup {
     * get dropped or down-weighted).
     *
     * Scale shape: the same (span, doc) partial-count aggregate as
-    * [[duplicatedSpans]], a span-keyed doc-count rollup, one join
-    * back on the span key, one doc-keyed sum. The join's build side
-    * is span-domain-bounded per key; hot boilerplate spans are high
-    * doc-count keys that arrive pre-combined.
+    * [[duplicatedSpans]], then a span-partitioned WINDOW count for the
+    * document reach and one doc-keyed sum — three exchanges total. The
+    * r9 shape materialized the (span, doc) relation in a
+    * localCheckpoint and joined a separate reach rollup back on the
+    * span key (four exchanges + a checkpoint job + the join); the
+    * window computes the same per-span row count on the already
+    * span-clustered stream. Window partition sizes are docs-per-span:
+    * bounded by the corpus's duplication degree, pre-combined by the
+    * (span, doc) aggregate, never corpus-sized.
     *
     * @return per doc with ≥ 1 span: n_spans, dup_spans (positions
     *         whose text recurs elsewhere), novelty ∈ [0,1] (6 dp)
@@ -550,10 +556,11 @@ object Dedup {
           s => xxhash64(s))).as("span"))
       .groupBy(col("span"), col("__id"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // consumed by the rollup and the join back
-    val reach = perDoc.groupBy(col("span"))
-      .agg(count(lit(1)).as("__docs"))
-    perDoc.join(reach, Seq("span"))
+    // rows per span == distinct docs containing it, so the reach is a
+    // plain unordered COUNT window over the span partition
+    val w = Window.partitionBy(col("span"))
+    perDoc
+      .withColumn("__docs", count(lit(1)).over(w))
       .groupBy(col("__id"))
       .agg(sum(col("__c")).as("n_spans"),
         sum(when(col("__docs") >= 2, col("__c")).otherwise(0L))
