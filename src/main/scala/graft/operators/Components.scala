@@ -638,78 +638,135 @@ object Components {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
 
-  /** Triangle ENUMERATION under the same degree-ordered orientation —
-    * one row per triangle {a,b,c} (a the (deg,id)-minimum corner).
-    * Factored out of [[triangleCounts]] so edge-support consumers
-    * ([[ktruss]]) reuse the O(m^1.5)-bounded wedge machinery.
+  /** Out-degree gate for the id-ordered map-side wedge path: a node
+    * whose greater-id neighbor array has ≤ 2¹² elements generates at
+    * most 16M wedge rows from its one adjacency row — one codegen
+    * explode pipeline, ~0.2 s — while anything larger risks the
+    * Θ(Σ deg²) hub blow-up only the degree-ordered orientation bounds.
+    */
+  private val IdOrderOutDegreeBound = 1 << 12
+
+  /** Triangle ENUMERATION — one row per triangle {a,b,c}, a the
+    * orientation-minimum corner. Factored out of [[triangleCounts]] so
+    * edge-support consumers ([[ktruss]]) reuse the wedge machinery.
+    *
+    * Measured strategy select between two orientations, routed by an
+    * out-degree probe on ONE adjacency relation (the r10 grind: the
+    * always-degree-ordered join path spent 2× its actual wedge stream
+    * on orientation overhead at sf0.1 — degree shuffle, two rank
+    * joins, a repartition and a second checkpoint were 5.4 s of the
+    * 7.3 s total, while the wedge+closing+count tail was 1.6 s):
+    *   - ID-ORDERED map-side wedges (the default): one exchange
+    *     groups each node's greater-id out-neighbors into a set array
+    *     (collect_set dedups as it groups, so callers need no
+    *     upstream distinct); wedges explode straight from the arrays
+    *     — no wedge join exists at all — and close against the packed
+    *     edge set. Σ outdeg² is unbounded under skew (a 10M-neighbor
+    *     celebrity hub would emit 10¹⁴ wedges from one row), hence
+    *     the gate: taken only when the MEASURED max out-degree is
+    *     ≤ [[IdOrderOutDegreeBound]]. On the q107 part-co-purchase
+    *     graph the id-ordered wedge mass is only ~20% above the
+    *     degree-ordered one (49.2M vs 41.1M at sf0.1) — the skew
+    *     bound, not wedge volume, is what degree ordering buys.
+    *   - DEGREE-ORDERED join path (the skew fallback; Chiba–Nishizeki
+    *     / Schank's forward algorithm): orient each edge from its
+    *     (deg, id)-smaller endpoint, bounding every out-degree by
+    *     O(√m) so the wedge relation is O(m^1.5) worst-case — the
+    *     celebrity-hub 100 TB path. The wedge self-join reads both
+    *     sides co-partitioned from a repartition(src) checkpoint.
+    * Both orientations enumerate the SAME triangle set (each triangle
+    * materializes exactly once, as its order-minimum corner's wedge),
+    * so the router never changes results — only the intermediate.
+    *
+    * Closing join (both paths): wedges outnumber edges ~20:1 on dense
+    * co-occurrence graphs, so this probe IS the tail's cost. When
+    * every node id fits 32 bits, pack (b,c) into ONE long so the
+    * probe hits a LongHashedRelation (primitive open hashing, ~3×
+    * cheaper per probe than a two-column UnsafeHashedRelation); when
+    * the edge set fits an executor, broadcast it so the wedge stream
+    * never leaves its map tasks; past that bound, the shuffle join a
+    * 100 TB edge set needs.
     */
   def triangleList(edges: DataFrame, srcCol: String, dstCol: String,
       assumeCanonical: Boolean = false): DataFrame = {
-    // canonical undirected edges {lo, hi}, self-loops dropped; callers
-    // that already produce distinct lo<hi pairs skip the extra shuffle
+    // canonical undirected edges {lo, hi}, self-loops dropped. No
+    // distinct: the adjacency collect_set dedups as it groups, so a
+    // caller-side pre-distinct would only add an exchange.
     val canon =
       if (assumeCanonical) edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       else edges
         .select(least(col(srcCol), col(dstCol)).as("u"),
           greatest(col(srcCol), col(dstCol)).as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
-    val deg = canon.select(col("u").as("node"))
-      .unionAll(canon.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient from (deg, id)-smaller to larger; carry the head's rank
-    // key so the wedge join can order its two legs without re-joining.
-    // Pre-partition by src and checkpoint: the wedge self-join then
-    // reads BOTH sides co-partitioned — zero extra shuffles for the
-    // only super-linear intermediate.
-    val oriented = canon
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("src"), col("v").as("dst"),
-            col("dv").as("ddst")))
-          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
-            col("du").as("ddst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.ddst").as("ddst"))
-      .repartition(col("src"))
+    // ONE exchange builds the id-ordered out-adjacency: dedup, group,
+    // and colocate each node's greater-id neighbors. Checkpointed —
+    // consumed by the stats probe, the wedge source, the closing side,
+    // and (on the skew path) the degree rebuild.
+    val adj = canon.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("vs"))
       .localCheckpoint()
-    // wedges b←a→c with b strictly before c in the (deg, id) order
-    val left = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
-    val right = oriented.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
-    val wedges = left.join(right, Seq("src"))
-      .where(col("db") < col("dc") ||
-        (col("db") === col("dc") && col("b") < col("c")))
-    // closing join: wedges outnumber edges ~20:1 on dense co-occurrence
-    // graphs, so this join IS the operator's cost. Two measured
-    // choices, both decided from one scalar pass over the checkpoint:
-    //   - when every node id fits 32 bits, pack (b,c) into ONE long so
-    //     the probe side hits a LongHashedRelation (primitive open
-    //     hashing) instead of a two-column UnsafeHashedRelation —
-    //     ~3x cheaper per probe across tens of millions of wedges;
-    //   - when the edge relation fits an executor, broadcast it and
-    //     the wedge relation never leaves its map tasks; past that
-    //     bound fall back to the shuffle join a 100 TB edge set needs
-    //     (same measured-strategy-select pattern as the Jaccard join's
-    //     skew gate).
-    val stats = oriented
-      .agg(count(lit(1)).as("n"),
-        max(greatest(col("src"), col("dst"))).as("mx"),
-        min(least(col("src"), col("dst"))).as("mn"))
+    val stats = adj.agg(
+        sum(size(col("vs"))).cast("long").as("m"),
+        max(size(col("vs"))).cast("int").as("dmax"),
+        max(greatest(col("u"), array_max(col("vs")))).cast("long").as("mx"),
+        min(least(col("u"), array_min(col("vs")))).cast("long").as("mn"))
       .collect().head
+    if (stats.isNullAt(0))
+      return adj.select(col("u").as("a"), col("u").as("b"), col("u").as("c"))
+        .where(lit(false))
     val nEdges = stats.getLong(0)
-    val packable = nEdges > 0 &&
-      stats.getLong(1) < Int.MaxValue.toLong && stats.getLong(2) >= 0L
+    val packable =
+      stats.getLong(2) < Int.MaxValue.toLong && stats.getLong(3) >= 0L
     val key: (Column, Column) => Column =
       if (packable) (x, y) => shiftleft(x, 32).bitwiseOR(y)
       else (x, y) => struct(x, y)
-    val closing = oriented.select(key(col("src"), col("dst")).as("bc"))
+    // wedges (a; b, c): b, c both out-neighbors of a, b before c in
+    // the branch's orientation order. Emitted id-canonical (b < c) on
+    // BOTH branches so one closing probe shape serves both.
+    val wedges =
+      if (stats.getInt(1) <= IdOrderOutDegreeBound)
+        adj
+          .select(col("u").as("a"), explode(col("vs")).as("b"), col("vs"))
+          .select(col("a"), col("b"), explode(col("vs")).as("c"))
+          .where(col("b") < col("c"))
+      else {
+        val pairs = adj.select(col("u"), explode(col("vs")).as("v"))
+        val deg = pairs.select(col("u").as("node"))
+          .unionAll(pairs.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        // orient from (deg, id)-smaller to larger; carry the head's
+        // degree so the wedge join orders its legs without re-joining
+        val oriented = pairs
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("src"), col("v").as("dst"),
+                col("dv").as("ddst")))
+              .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+                col("du").as("ddst"))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.ddst").as("ddst"))
+          .repartition(col("src"))
+          .localCheckpoint()
+        val left = oriented
+          .select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+        val right = oriented
+          .select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+        left.join(right, Seq("src"))
+          .where(col("db") < col("dc") ||
+            (col("db") === col("dc") && col("b") < col("c")))
+          .select(col("src").as("a"),
+            least(col("b"), col("c")).as("b"),
+            greatest(col("b"), col("c")).as("c"))
+      }
+    val closing = adj.select(col("u"), explode(col("vs")).as("v"))
+      .select(key(col("u"), col("v")).as("bc"))
     val closingSide = if (nEdges <= 20000000L) broadcast(closing) else closing
     wedges
       .join(closingSide, key(col("b"), col("c")) === col("bc"))
-      .select(col("src").as("a"), col("b"), col("c"))
+      .select(col("a"), col("b"), col("c"))
   }
 
   /** Declared q107: per-node triangle counts of the part co-purchase
@@ -720,8 +777,8 @@ object Components {
   def q107Triangles(spark: SparkSession, d: String): DataFrame = {
     // co-occurrence pairs WITHOUT a self-join: one shuffle groups each
     // order's parts into an array (≤7 elements), the pairs explode
-    // map-side, and the dedup rides a plain distinct with map-side
-    // partial aggregation — half the exchanges of the join formulation.
+    // map-side, and the global dedup rides [[triangleList]]'s own
+    // adjacency collect_set — no distinct exchange here at all.
     // Double codegen explode + where, NOT a higher-order `filter`
     // lambda inside the second explode: interpreted lambdas cost ~7x
     // per element (the q76/q116 lesson), and with k ≤ 7 parts per
@@ -734,7 +791,6 @@ object Components {
       .select(explode(col("ps")).as("u"), col("ps"))
       .select(col("u"), explode(col("ps")).as("v"))
       .where(col("u") < col("v"))
-      .distinct()
     triangleCounts(co, "u", "v", assumeCanonical = true)
   }
 

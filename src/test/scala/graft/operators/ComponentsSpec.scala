@@ -224,6 +224,22 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count(edges) === brute)
   }
 
+  test("triangleCounts: hub past the out-degree gate routes to the " +
+    "degree-ordered path and counts identically") {
+    val sp = spark; import sp.implicits._
+    // hub 0 with 4200 leaves exceeds IdOrderOutDegreeBound (2^12) under
+    // id-ordering, forcing the skew fallback; the planted triangles sit
+    // both OFF the hub (9001-9003) and ON it (0-1-2), so the fallback's
+    // re-canonicalized closing probe is exercised for wedges whose
+    // (deg,id) order disagrees with id order
+    val hub = (1L to 4200L).map(0L -> _)
+    val planted = Seq((9001L, 9002L), (9002L, 9003L), (9001L, 9003L), (1L, 2L))
+    val got = Components.triangleCounts((hub ++ planted).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(9001L -> 1L, 9002L -> 1L, 9003L -> 1L,
+      0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("q69 assigns every document a cluster and keeps exactly one per cluster") {
     val out = Components.q69DedupClusters(spark, "/root/testdata/sf0.001").collect()
     val nDocs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count()
