@@ -25,10 +25,20 @@ object Bench {
       }
       l
     }
+    // scale-measurement knob: on a real cluster shuffle-partition count
+    // grows with the data, but the K× scale runs (tools/scale_run.sh)
+    // reuse this one harness at fixed cpus — without the override, a
+    // 30× corpus pushed through 32 partitions measures spill pressure,
+    // not the operator (q99's 30× exponent read 1.17 at 32 partitions
+    // purely from that; the per-copy-isolated corpus makes its true
+    // candidate mass linear by construction). The driver never sets
+    // this env var, so suite benches are unaffected.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
