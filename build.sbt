@@ -26,9 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default (was 8g): local[32] runs the whole engine in one JVM,
-  // and the wedge-join intermediates (q154/q107) measurably GC-thrash
-  // under 8g at sf0.1 — q154 23.6s at 32g vs 47.4s at 8g, same plan.
-  // -Xmx is a cap, not a reservation; the 128 GiB container affords it.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 32g default (was 8g, then 24g): local[32] runs the whole engine in
+  // one JVM, and the wedge-join intermediates (q154/q107) measurably
+  // GC-thrash under 8g at sf0.1 — q154 23.6s at 32g vs 47.4s at 8g,
+  // same plan. -Xmx is a cap, not a reservation; the 128 GiB container
+  // affords it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // A full 276-query bench compiles ~825 whole-stage-codegen plans;
+  // JDK 17's 240 MB default code cache fills mid-suite and the JIT
+  // starts flushing and recompiling hot methods — the q154 JFR capture
+  // (tools/q154_jfr_summary.txt) recorded 26k compiles / 80 s of
+  // compiler time per bench process, and the recompilation storms land
+  // on whichever heavy query runs late in the suite. 1 GiB keeps every
+  // compiled plan resident for the life of the JVM.
+  "-XX:ReservedCodeCacheSize=1g",
 )
