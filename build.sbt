@@ -31,7 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-thrash under 8g at sf0.1 — q154 23.6s at 32g vs 47.4s at 8g,
   // same plan. -Xmx is a cap, not a reservation; the 128 GiB container
   // affords it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // ParallelGC with a pinned heap and fixed generations, measured
+  // against G1 across four 3x-full-bench cycles (12 suite runs,
+  // BASELINE.md round-10 protocol section): G1 left q154's wedge
+  // aggregate at a stable-but-2x 55-58 s while ParallelGC runs it at
+  // 26-33 s; adaptive sizing and lazy heap growth were the variance
+  // sources (unpinned ParallelGC swung q154 20-35 s run to run).
+  "-XX:+UseParallelGC", "-XX:-UseAdaptiveSizePolicy", "-XX:NewRatio=1",
   // A full 276-query bench compiles ~825 whole-stage-codegen plans;
   // JDK 17's 240 MB default code cache fills mid-suite and the JIT
   // starts flushing and recompiling hot methods — the q154 JFR capture

@@ -11,7 +11,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 rm -rf "$OUT"
 SPARK_GRAFT_ONLY="$QS" SPARK_GRAFT_CPUS=32 \
-java -Xmx${SPARK_DRIVER_MEM:-32g} -XX:ReservedCodeCacheSize=1g $ADD \
+java -Xms${SPARK_DRIVER_MEM:-32g} -Xmx${SPARK_DRIVER_MEM:-32g} -XX:ReservedCodeCacheSize=1g -XX:+UseParallelGC -XX:-UseAdaptiveSizePolicy -XX:NewRatio=1 $ADD \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SF" "$OUT" 2>/dev/null | grep "\[verify\]"
