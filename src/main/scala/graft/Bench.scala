@@ -5,26 +5,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // environment guard, sampled before this JVM creates any load:
+    // environment GATE, sampled before this JVM creates any load:
     // anything above ~1.5 means another workload is competing for the
     // same cores and every timing in this artifact is suspect (BENCH_r09
-    // recorded 362 s at loadavg 4.5 vs 327–351 s idle). A high 1-min
-    // average may also be the tail of a job that JUST finished (the
-    // driver benches right after its 32-thread verify gate), so wait out
-    // up to a minute of decay before declaring the environment dirty —
-    // real concurrent load holds the average up; a finished job's decays.
+    // recorded 362 s at loadavg 4.5, BENCH_r10 375 s at 2.5+, vs
+    // 304.5 s blessed-idle — two rounds of driver captures needed
+    // manual de-noising). The driver benches right after its 32-thread
+    // verify gate, so the start almost always lands in a decaying
+    // 1-min average; the r10 60 s cap was too short to ride it out.
+    // Gate, don't just annotate: wait up to 10 minutes for the load to
+    // decay below the clean threshold, record how long we waited in
+    // the artifact, and only if it NEVER clears run anyway with
+    // env:"dirty" (per-query mins ride along as the de-noised series).
     def sampleLoad: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    val gateT0 = System.nanoTime()
     val loadInitial = {
       var l = sampleLoad
-      var waits = 0
-      while (l > 1.5 && waits < 3) {
+      while (l > 1.5 && (System.nanoTime() - gateT0) < 600L * 1000 * 1000 * 1000) {
         System.err.println(f"[bench] loadavg $l%.2f > 1.5, waiting 20s for decay...")
-        Thread.sleep(20000); waits += 1; l = sampleLoad
+        Thread.sleep(20000); l = sampleLoad
       }
       l
     }
+    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
     // scale-measurement knob: on a real cluster shuffle-partition count
     // grows with the data, but the K× scale runs (tools/scale_run.sh)
     // reuse this one harness at fixed cpus — without the override, a
@@ -160,7 +165,8 @@ object Bench {
     val loadJson = loadPerRep.map(l => f"$l%.2f").mkString("[", ",", "]")
     val meta =
       s""""sf":${jstr(sfDir)},"cpus":$cpus,"reps":3,"scheme":"interleaved",""" +
-        s""""loadavg_initial":${f"$loadInitial%.2f"},"env":${jstr(if (envClean) "clean" else "dirty")},""" +
+        s""""loadavg_initial":${f"$loadInitial%.2f"},"gate_wait_sec":${f"$gateWaitSec%.1f"},""" +
+        s""""env":${jstr(if (envClean) "clean" else "dirty")},""" +
         s""""loadavg_reps":$loadJson,"loadavg_end":${f"$loadEnd%.2f"}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(medians ++ shared)},""" +

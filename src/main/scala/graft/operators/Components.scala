@@ -678,6 +678,18 @@ object Components {
     * materializes exactly once, as its order-minimum corner's wedge),
     * so the router never changes results — only the intermediate.
     *
+    * Adjacency-build bound (applies BEFORE the gate can route): the
+    * stats probe itself materializes each node's greater-id neighbor
+    * set as one array row, so the build needs the hottest hub's set to
+    * fit a single JVM allocation — fine through ~10⁷–10⁸ neighbors
+    * (an 80 MB row at 10⁷ longs), broken near ~2.5×10⁸ elements where
+    * array allocation fails. A graph suspected of hubs beyond that
+    * (a 10⁹-degree super-node in a 100 TB web graph) must pre-probe
+    * degrees from the EDGE relation (`groupBy(u).count`) and feed the
+    * degree-ordered branch directly; the probe is not built in here
+    * because it re-scans the (often derived, uncached) edge input a
+    * second time on every non-pathological graph.
+    *
     * Closing join (both paths): wedges outnumber edges ~20:1 on dense
     * co-occurrence graphs, so this probe IS the tail's cost. When
     * every node id fits 32 bits, pack (b,c) into ONE long so the
@@ -717,8 +729,14 @@ object Components {
     val nEdges = stats.getLong(0)
     val packable =
       stats.getLong(2) < Int.MaxValue.toLong && stats.getLong(3) >= 0L
+    // cast BEFORE shifting: on IntegerType ids Spark masks the shift
+    // distance to the operand width, so an un-cast `x << 32` is a no-op
+    // and the key would collapse to `b|c` — false-positive triangles.
+    // The packable guard (ids < 2³¹) can't catch that; the cast makes
+    // the packed key sound for every integral id type.
     val key: (Column, Column) => Column =
-      if (packable) (x, y) => shiftleft(x, 32).bitwiseOR(y)
+      if (packable)
+        (x, y) => shiftleft(x.cast("long"), 32).bitwiseOR(y.cast("long"))
       else (x, y) => struct(x, y)
     // wedges (a; b, c): b, c both out-neighbors of a, b before c in
     // the branch's orientation order. Emitted id-canonical (b < c) on
