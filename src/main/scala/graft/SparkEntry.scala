@@ -529,6 +529,12 @@ object SparkEntry {
     // q33's streaming twin: a real Structured Streaming replay (memory
     // sink, complete mode) driver-checked against the same oracle
     "q276_stream_windows" -> (graft.streaming.EventStream.q276StreamEventWindows _),
+    // q66's streaming twin: flatMapGroupsWithState sessionization with
+    // event-time timeouts over an ordered file replay (append mode)
+    "q277_stream_sessionize" -> (graft.streaming.EventStream.q277StreamSessionize _),
+    // the full streaming ingest loop: per-trigger near-dup filter
+    // against the live table + exactly-once deltalike appends
+    "q278_stream_ingest_dedup" -> (graft.streaming.IngestDedup.q278StreamIngestDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -816,5 +822,9 @@ object SparkEntry {
     // the streaming replay must equal the batch q33 relation exactly —
     // the batch-stream equivalence contract, checked by the same oracle
     "q276_stream_windows" -> graft.operators.Relational.q33Sql,
+    // the drained session stream must equal the batch sessionization
+    "q277_stream_sessionize" -> graft.streaming.EventStream.q66Sql,
+    // the three ingest micro-batches replayed as sequential SQL layers
+    "q278_stream_ingest_dedup" -> graft.streaming.IngestDedup.q278Sql,
   )
 }

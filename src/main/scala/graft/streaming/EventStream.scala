@@ -110,6 +110,112 @@ object EventStream {
     spark.table(name)
   }
 
+  // ---- declared streaming query: finite ordered replay of q66 --------
+
+  private val orderedReplayDirs =
+    scala.collection.concurrent.TrieMap[(String, String), String]()
+
+  /** Event-TIME-ordered multi-file replay of the events fixture, built
+    * once per (application, fixture dir): six contiguous time-range
+    * chunks plus a far-future sentinel row, file mtimes ascending so
+    * the file source replays them oldest-range first. Unlike
+    * [[replayDir]]'s random 6-way split (fine for the order-free q276
+    * windowed agg in complete mode), stateful APPEND-mode queries need
+    * the replay to respect event time: the watermark is global, so a
+    * shuffled replay would let one chunk's far-future rows close other
+    * users' still-arriving sessions mid-stream. Chunk contiguity gives
+    * the exact batch-equivalence argument: when a session times out at
+    * watermark W, any later event of that user is ≥ W + delay, i.e.
+    * beyond the gap — the batch twin would have split there too.
+    */
+  private def orderedReplayDir(spark: SparkSession, d: String): String =
+    orderedReplayDirs.getOrElseUpdate((spark.sparkContext.applicationId, d), {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_oreplay").toString
+      val ev = graft.core.Tables.events(spark, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props").cast("string"))
+      val span = ev.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect().head
+      val (lo, hi) = (span.getLong(0), span.getLong(1))
+      val n = 6
+      (0 until n).foreach { i =>
+        val from = lo + (hi - lo + 1) * i / n
+        val to = lo + (hi - lo + 1) * (i + 1) / n
+        writeReplayChunk(
+          ev.where(unix_micros(col("ts")) >= from &&
+            unix_micros(col("ts")) < to), dir, i)
+      }
+      // sentinel far beyond hi + gap + lateness: pushes the watermark
+      // past every open session's timeout so the finite replay emits
+      // ALL sessions; its own (negative-user) session never closes and
+      // is filtered by the caller
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(hi + 30L * 24 * 3600 * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      writeReplayChunk(sentinel, dir, n)
+      dir
+    })
+
+  /** Write one replay chunk as a single parquet file named and
+    * mtime-stamped by its index, so the file stream source's
+    * (mtime, path) ordering replays chunks in index order.
+    */
+  private[streaming] def writeReplayChunk(
+      df: DataFrame, dir: String, idx: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val dest = java.nio.file.Paths.get(dir, f"chunk_$idx%02d.parquet")
+    java.nio.file.Files.move(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 1000L))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  /** Declared q277: the streaming twin of q66 — gap-based sessions via
+    * [[sessionize]]'s flatMapGroupsWithState + EventTimeTimeout path,
+    * run as a real Structured Streaming query over the event-time-
+    * ordered file replay (4 triggers), append mode into a memory sink.
+    * Sessions close EXACTLY ONCE as the watermark passes end + gap
+    * (the data path closes in-batch gaps, the timeout path closes
+    * cross-batch ones), and the sentinel's final watermark push closes
+    * the tail — so the drained sink equals the batch sessionization
+    * row for row, driver-checked against the q66 oracle.
+    *
+    * Scale shape: one shuffle per trigger on user_id, O(active users)
+    * state — three longs per open session, evicted at timeout; the
+    * sink holds sessions, never events. This is the standing
+    * clickstream-sessionizer whose per-trigger cost tracks arrival
+    * rate, with the SAME emitted relation as the nightly batch job.
+    */
+  def q277StreamSessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, orderedReplayDir(spark, d),
+      maxFilesPerTrigger = 2)
+    val name = s"q277_sink_${sinkCounter.incrementAndGet()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        sessionize(stream.withWatermark("ts", "10 minutes").as[EventRow],
+          gapMs = 30L * 60 * 1000)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+
   /** Streaming windowed aggregation with watermarking: late events more
     * than `lateness` behind the max seen ts are dropped; closed windows
     * are emitted finally (append mode) and their state evicted — bounded
@@ -230,9 +336,24 @@ object EventStream {
       session_end: java.sql.Timestamp, n_events: Long)
 
   /** Internal per-key state of [[sessionize]] (public: the codegen'd
-    * state serializer needs reflective access).
+    * state serializer needs reflective access). Times in MICROSECONDS:
+    * the events fixture is µs-precision (>99% of rows carry sub-ms
+    * components), and a millisecond-truncated gap test would split
+    * sessions differently from the µs batch twin near the boundary.
     */
-  case class OpenSession(startMs: Long, endMs: Long, count: Long)
+  case class OpenSession(startUs: Long, endUs: Long, count: Long)
+
+  /** Epoch microseconds of a Timestamp (getTime truncates to ms; the
+    * nanos field carries the full fractional second).
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Per-user sessionization on an unbounded stream: a session is a run
     * of events with gaps < `gapMs`; a session closes (and is emitted
@@ -246,6 +367,7 @@ object EventStream {
       events: Dataset[EventRow],
       gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
@@ -256,22 +378,22 @@ object EventStream {
             val s = state.get
             state.remove()
             Iterator.single(Session(user,
-              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.count))
+              tsOfMicros(s.startUs), tsOfMicros(s.endUs), s.count))
           } else {
             // fold this batch's events (sorted: micro-batch order is not
             // event-time order) into the open session, emitting any
             // sessions closed by an in-batch gap
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               open match {
-                case Some(s) if t - s.endMs < gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t), count = s.count + 1))
+                case Some(s) if t - s.endUs < gapUs =>
+                  open = Some(s.copy(endUs = math.max(s.endUs, t), count = s.count + 1))
                 case Some(s) =>
                   closed += Session(user,
-                    new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.count)
+                    tsOfMicros(s.startUs), tsOfMicros(s.endUs), s.count)
                   open = Some(OpenSession(t, t, 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
@@ -279,7 +401,10 @@ object EventStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // timeout API is ms epoch: ceil so the µs deadline is never
+              // rounded EARLY past a still-in-gap event (D >> 1 ms makes
+              // the residual harmless either way)
+              state.setTimeoutTimestamp((s.endUs + gapUs + 999L) / 1000L)
             }
             closed.result().iterator
           }

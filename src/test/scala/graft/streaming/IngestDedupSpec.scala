@@ -80,4 +80,31 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val finalIds = t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(finalIds === Set(1L, 11L, 21L, 31L))
   }
+
+  test("q278 replay equals the sequential batch incrementalNearDup layers") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val got = IngestDedup.q278StreamIngestDedup(spark, d)
+      .collect().map(_.getLong(0)).toSet
+
+    // reference: replay the three chunks through the BATCH operator,
+    // growing the corpus with each chunk's keepers — exactly the
+    // semantics the foreachBatch loop promises
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    var corpus = docs.where(col("doc_id") < 400)
+    var kept = Set.empty[Long]
+    Seq((400L, 450L), (450L, 500L), (500L, Long.MaxValue)).foreach {
+      case (lo, hi) =>
+        val chunk = docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        val keepIds = graft.operators.NearDup
+          .incrementalNearDup(chunk, corpus, "doc_id", "text", 0.6)
+          .where(col("keep")).select(col("doc_id"))
+        kept ++= keepIds.collect().map(_.getLong(0))
+        corpus = corpus.unionByName(chunk.join(keepIds, Seq("doc_id")))
+    }
+    assert(got === kept, s"stream-kept ${got.size} vs batch-kept ${kept.size}")
+    assert(got.nonEmpty && got.size < 100,
+      s"expected some admissions and some rejections, kept ${got.size}/100")
+  }
 }

@@ -90,6 +90,21 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("q277 drained stream equals batch sessionization on the fixture") {
+    val d = "/root/testdata/sf0.001"
+    val got = EventStream.q277StreamSessionize(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val want = EventStream.q66Sessionize(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(got === want,
+      s"missing ${want.diff(got).take(3)}, phantom ${got.diff(want).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("batch sessionization shapes: gaps split, counts add up") {
     val sp = spark; import sp.implicits._
     val df = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
