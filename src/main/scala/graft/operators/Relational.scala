@@ -1215,7 +1215,12 @@ object Relational {
       explode(sequence((col("__k") - col("__c") + 1).cast("long"),
         col("__k").cast("long"))).as("__r"),
       col("__v").as("__nv"))
-    val nGlobal = gk.agg(max(col("__k_total")).as("__n"))
+    // N = total point count, a 1-row scalar off the CHECKPOINTED pts
+    // (house-allowed bounded collect). The former broadcast-scalar
+    // branch (`gk.agg(max(__k_total))` + crossJoin) re-ran the whole
+    // global prefix-sum window a second time just to read its total —
+    // one entire extra job at every scale.
+    val nGlobal = pts.count().toDouble
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
     val wk = wg.orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -1224,13 +1229,13 @@ object Relational {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__kk", sum(col("__c")).over(wk).cast("double"))
       .withColumn("__ng", sum(col("__c")).over(wg).cast("double"))
-    // the global count rides the TARGET side as a broadcast scalar so
-    // the rank lookup stays a pure equi-join (a key mixing sides would
-    // demote it to a nested-loop product)
-    val target = csup.crossJoin(broadcast(nGlobal))
+    // the global count rides the TARGET side as a literal so the rank
+    // lookup stays a pure equi-join (a key mixing sides would demote
+    // it to a nested-loop product)
+    val target = csup
       .select(col("__g"), col("__v"), col("__c"),
         ceil((col("__kk") - col("__c") + (col("__c") + 1) / 2.0) /
-          col("__ng") * col("__n")).cast("long").as("__r"))
+          col("__ng") * lit(nGlobal)).cast("long").as("__r"))
     target.join(lookup, Seq("__r"))
       .select(col("__g").as("cohort"), col("__v").as("value"),
         col("__c").as("n"), col("__nv").as("normalized"))
