@@ -65,6 +65,24 @@ object SharedRelations {
     df
   }
 
+  /** Timing-only variant for one-time SIDE-EFFECT builds (e.g. seeding
+    * a versioned table on disk): records the build's wall-clock under
+    * `name` for [[buildSeconds]] like [[checkpointShared]], but pins no
+    * RDDs — the artifact lives outside the block manager, so the
+    * harness sweeps have nothing to skip.
+    */
+  def timeShared[T](spark: SparkSession, name: String)(build: => T): T = {
+    val app = spark.sparkContext.applicationId
+    val t0 = System.nanoTime()
+    val r = build
+    val secs = (System.nanoTime() - t0) / 1e9
+    builds.updateWith((app, name)) {
+      case Some(s) => Some(s + secs)
+      case None    => Some(secs)
+    }
+    r
+  }
+
   /** Wall-clock seconds each named shared build cost in this
     * application — the bench folds these into its total as
     * `shared:<name>` rows so the amortized cost stays visible.
