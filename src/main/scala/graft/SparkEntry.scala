@@ -535,6 +535,7 @@ object SparkEntry {
     // the full streaming ingest loop: per-trigger near-dup filter
     // against the live table + exactly-once deltalike appends
     "q278_stream_ingest_dedup" -> (graft.streaming.IngestDedup.q278StreamIngestDedup _),
+    "q279_jaccard_links_lsh" -> (graft.operators.Components.q279JaccardLinksLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -826,5 +827,6 @@ object SparkEntry {
     "q277_stream_sessionize" -> graft.streaming.EventStream.q66Sql,
     // the three ingest micro-batches replayed as sequential SQL layers
     "q278_stream_ingest_dedup" -> graft.streaming.IngestDedup.q278Sql,
+    "q279_jaccard_links_lsh" -> graft.operators.Components.q279Sql,
   )
 }

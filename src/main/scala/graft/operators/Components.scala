@@ -1139,11 +1139,20 @@ object Components {
     *     [[approxJaccardLinks]]) — the documented approximation
     *     contract for graphs where the exact plan cannot scale.
     *
-    * The default bound (2¹³) is sized off the q154 fixture's measured
-    * growth: its supplier hubs hold ~3·sf·10⁴ neighbors, so sf ≤ 0.25
-    * stays exact and the sf ≥ 1 regimes — where hub count AND hub
-    * degree both grow linearly and Σ deg² goes quadratic in sf —
-    * route to the linear-in-edges LSH path.
+    * Regimes, measured (round 11 corrects an earlier 60×-inflated
+    * degree estimate): the q154 fixture's max hub is 481 neighbors at
+    * sf0.1, and TPC-H-shaped growth holds per-supplier volume CONSTANT
+    * (suppliers and lineitems both scale with sf), so the declared
+    * q154 stays on the exact path at every sf and its wedge mass is
+    * linear — the 10×/30× disjoint-copy exponents in BASELINE.md are
+    * exact-path numbers. The router's audience is graphs whose hubs
+    * grow with the data (social/web-shaped): on the shared-supplier
+    * hub-growth corpus (tools/scale_corpus.py --hub-growth) max degree
+    * is K·481, the probe crosses 2¹³ at K ≥ 18, and the route flips to
+    * LSH — measured at K=30 with the returned sample pair-verified
+    * exactly (BASELINE.md round-11). The forced-LSH twin (q279) pins
+    * the approx path's own scaling and its precision contract on the
+    * same graph.
     */
   def jaccardLinksAuto(edges: DataFrame, srcCol: String, dstCol: String,
       topN: Int = 50, maxExactDegree: Long = 1L << 13,
@@ -1163,7 +1172,14 @@ object Components {
     if (maxDeg <= maxExactDegree)
       jaccardFromCanon(canon, topN)
     else
-      approxJaccardLinks(canon, "u", "v", threshold).limit(topN)
+      // top-N means TOP-N on the approx side too: a bare limit() would
+      // return an arbitrary (partition-order-dependent) slice of the
+      // thresholded relation. orderBy+limit compiles to
+      // TakeOrderedAndProject — per-partition top-N heaps, no global
+      // sort — so determinism costs nothing at scale.
+      approxJaccardLinks(canon, "u", "v", threshold)
+        .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+        .limit(topN)
   }
 
   /** Declared q154: top-50 predicted links in the q81 bipartite
@@ -1175,18 +1191,68 @@ object Components {
     * are broken by (jaccard desc, a, b) on exact small-integer
     * ratios, so the boundary is engine-stable.
     */
-  def q154JaccardLinks(spark: SparkSession, d: String): DataFrame = {
+  def q154JaccardLinks(spark: SparkSession, d: String): DataFrame =
+    jaccardLinksAuto(q154Edges(spark, d), "src", "dst", topN = 50)
+
+  /** The q81/q154 bipartite customer–supplier edge list (shared
+    * counterparties on high-value orders) — the graph both the exact
+    * (q154) and forced-LSH (q279) link-prediction rows run on.
+    */
+  private def q154Edges(spark: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(spark, d)
       .where(col("o_totalprice") > 150000)
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
       .distinct()
-    jaccardLinksAuto(edges, "src", "dst", topN = 50)
   }
+
+  /** Declared q279: q154's graph FORCED through the post-flip LSH path
+    * (`maxExactDegree = 0`) — the row that makes the router's approx
+    * side driver-visible on the graph it actually guards. The graph's
+    * top pair sits at Jaccard 1/3 (measured, sf0.1), far below the 0.7
+    * contract threshold, so the correct answer is EMPTY: the oracle is
+    * the exact thresholded SQL, and a hash match asserts the LSH path's
+    * PRECISION (no sub-threshold pair survives the exact verify) — the
+    * recall half of the contract is driver-checked by q191 on the
+    * document graph, where qualifying pairs exist. Benched at the
+    * 10×/30× disjoint-copy corpora this row pins the approx path's own
+    * scaling exponent (BASELINE.md round-11).
+    */
+  def q279JaccardLinksLsh(spark: SparkSession, d: String): DataFrame =
+    jaccardLinksAuto(q154Edges(spark, d), "src", "dst", topN = 50,
+      maxExactDegree = 0L)
+
+  val q279Sql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE o_totalprice > 150000),
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+      |wedges AS (
+      |  SELECT l.v AS a, r.v AS b
+      |  FROM sym l JOIN sym r ON l.u = r.u AND l.v < r.v),
+      |common AS (
+      |  SELECT a, b, count(*) AS n_common FROM wedges GROUP BY a, b),
+      |cand AS (
+      |  SELECT c.a, c.b, c.n_common, da.deg AS deg_a, db.deg AS deg_b
+      |  FROM common c
+      |  JOIN deg da ON da.u = c.a
+      |  JOIN deg db ON db.u = c.b
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM e0 WHERE e0.u = c.a AND e0.v = c.b))
+      |SELECT a AS node_a, b AS node_b,
+      |  CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+      |  CAST(n_common AS DOUBLE) / (deg_a + deg_b - n_common) AS jaccard
+      |FROM cand
+      |WHERE CAST(n_common AS DOUBLE) / (deg_a + deg_b - n_common) >= 0.7
+      |ORDER BY jaccard DESC, node_a, node_b
+      |LIMIT 50""".stripMargin
 
   val q154Sql: String =
     """WITH e0 AS (
@@ -1455,8 +1521,8 @@ object Components {
     * and can never be missed.
     *
     * Adjacency sets ride a `collect_set`; per-node memory is bounded by
-    * max degree (the q154 graph's hubs hold ~3·sf·10⁴ neighbors ≈ a few
-    * hundred KB at sf100). For extreme-hub graphs, swap step 4 for a
+    * max degree (~115 KB per row at the hub-growth corpus's K=30 /
+    * 14,430-neighbor hubs). For extreme-hub graphs, swap step 4 for a
     * candidate⋈edges re-aggregation (count common neighbors without
     * materializing either set); the candidate generation is unchanged.
     *

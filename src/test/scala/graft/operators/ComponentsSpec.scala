@@ -334,6 +334,29 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exactHub.length > 1, "exact path keeps sub-threshold pairs")
   }
 
+  test("jaccardLinksAuto: post-flip output is the DETERMINISTIC top-N (ordered, truncated)") {
+    val sp = spark; import sp.implicits._
+    // three disjoint clone fans produce 3 pairs at jaccard 1.0; with
+    // topN = 2 the approx side must return the FIRST two by the
+    // (jaccard desc, node_a, node_b) contract order — a bare limit()
+    // would return an arbitrary partition-dependent slice (the round-11
+    // latent-contract fix)
+    // hub 100 (deg 6 > bound 4) + clone 101; distinct pendants keep
+    // leaf-pair jaccard at 0.5. The 1.0 pairs, in contract order:
+    // (10,11), (20,21), (100,101), (200,201), (300,301) — clone fans
+    // whose two members share exactly their fan's neighborhood.
+    val edges = (1L to 6L).map(i => (100L, i)) ++
+      (1L to 6L).map(i => (101L, i)) ++
+      (1L to 6L).map(i => (i, 400L + i)) ++
+      Seq((200L, 10L), (200L, 11L), (201L, 10L), (201L, 11L),
+        (300L, 20L), (300L, 21L), (301L, 20L), (301L, 21L))
+    val out = Components.jaccardLinksAuto(edges.toDF("u", "v"), "u", "v",
+      topN = 2, maxExactDegree = 4L, threshold = 0.7).collect()
+    assert(out.map(r => (r.getAs[Long]("node_a"),
+      r.getAs[Long]("node_b"))).toSeq === Seq((10L, 11L), (20L, 21L)))
+    assert(out.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("approxJaccardLinks: exact recall and precision vs a local all-pairs oracle") {
     val sp = spark; import sp.implicits._
     // random graphs: every non-adjacent pair with neighbor-set Jaccard

@@ -19,7 +19,17 @@ Design choices that keep the scaling measurement honest:
   cross-copy duplicate vectors don't fabricate giant semantic-dedup
   clusters; norms and cluster geometry stay essentially unchanged.
 
-Usage: python3 tools/scale_corpus.py [K] [outdir]   (default 10 /tmp/sfx10)
+Usage: python3 tools/scale_corpus.py [K] [outdir] [--hub-growth]
+       (default 10 /tmp/sfx10)
+
+--hub-growth builds the HUB-GROWTH variant instead: only orders +
+lineitem, with l_suppkey UNSHIFTED so all K copies' customers attach to
+the same 1,000 supplier nodes — q154's supplier hubs then hold K·481
+neighbors and the jaccardLinksAuto degree probe crosses its 2^13 bound
+at K >= 18. This is the social/web-shaped regime the router's LSH path
+exists for; the default (disjoint-copy) corpus reproduces TPC-H-shaped
+growth, where per-supplier degree is CONSTANT and the exact path is
+the linear answer at every K (BASELINE.md round-11 correction).
 """
 import sys
 
@@ -28,8 +38,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx10"
+HUB_GROWTH = "--hub-growth" in sys.argv
+argv = [a for a in sys.argv if a != "--hub-growth"]
+K = int(argv[1]) if len(argv) > 1 else 10
+OUT = argv[2] if len(argv) > 2 else "/tmp/sfx10"
 SRC = "/root/testdata/sf0.1"
 
 # per-domain shift units (copy i shifts by i * unit)
@@ -113,7 +125,14 @@ def perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
 def main():
     import os
     os.makedirs(OUT, exist_ok=True)
-    for name, shifts in SHIFTS.items():
+    shifts_by_table = SHIFTS
+    if HUB_GROWTH:
+        shifts_by_table = {
+            "orders": SHIFTS["orders"],
+            "lineitem": {k: v for k, v in SHIFTS["lineitem"].items()
+                         if k != "l_suppkey"},
+        }
+    for name, shifts in shifts_by_table.items():
         src = pq.read_table(f"{SRC}/{name}.parquet")
         copies = []
         for i in range(K):
