@@ -1,6 +1,9 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +50,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // liveness slack: host steal + 32 g-heap
+      // full GCs have stalled the in-JVM heartbeat loop past the 120 s
+      // default, and BENCH_r11's executor self-terminated 31 minutes in
+      // ("unable to send heartbeats to driver more than 60 times",
+      // rc 1, parsed: null — the round's only hard artifact, lost). A
+      // local[32] "executor" lives in the driver JVM; its death is pure
+      // false-positive liveness, so give the plumbing generous slack.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // ContextCleaner only GCs the driver every 30 MINUTES by default —
       // a ~6 min suite never triggers it, so weakly-referenced shuffle
       // files and broadcast blocks from ~825 finished plans pile up in
@@ -57,6 +69,35 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // steal-robust second series: wall-clock on this box swings 2-3×
+    // between identical runs (hypervisor steal is invisible to guest
+    // loadavg), so every artifact also carries per-query task
+    // CPU-seconds (sum of executorCpuTime over the query's tasks).
+    // Attribution is by JOB GROUP — each timed run sets a unique
+    // "graftq:<name>#<rep>" group; SQLExecution propagates local
+    // properties onto AQE/broadcast exec threads, so sub-jobs land in
+    // the right bucket, and attribution-by-group (not by fencing a
+    // global counter) means late bus events can never bleed across
+    // queries. Wall-clock medians remain the blessed-table CONTRACT
+    // (comparable to the DuckDB baseline); cpu-seconds are the
+    // contention-robust series the 10×/30× exponent math uses.
+    val cpuByKey = new ConcurrentHashMap[String, AtomicLong]()
+    val stageKey = new ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("graftq:"))
+          j.stageIds.foreach(s => stageKey.put(s, g))
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val k = stageKey.get(t.stageId)
+        if (k != null) Option(t.taskMetrics).foreach { m =>
+          cpuByKey.computeIfAbsent(k, _ => new AtomicLong)
+            .addAndGet(m.executorCpuTime)
+        }
+      }
+    })
     // WindowExec's per-plan "No Partition Defined" warning × 190 queries
     // × 3 reps drowned BENCH_r06's summary line in the driver's capture
     // (parsed: null). The bounded windows are intentional and inventoried
@@ -99,10 +140,11 @@ object Bench {
         f"[bench] WARNING dirty environment: loadavg $loadInitial%.2f > 1.5 " +
           "at start — timings will be inflated; rerun on an idle machine")
     val loadPerRep = scala.collection.mutable.ListBuffer[Double]()
-    (1 to 3).foreach { _ =>
+    (1 to 3).foreach { rep =>
       loadPerRep += loadavg
       queries.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
+          spark.sparkContext.setJobGroup(s"graftq:$name#$rep", name)
           val t0 = System.nanoTime()
           try {
             // toRdd.count(), NOT Dataset.count(): count() lets Catalyst
@@ -136,16 +178,29 @@ object Bench {
                 if (!graft.core.SharedRelations.isShared(spark, id))
                   rdd.unpersist(blocking = true)
               }
+            spark.sparkContext.clearJobGroup()
           }
         }
       }
     }
+    // one suite-end settle for the async listener bus: every task has
+    // finished (count() barriers), only their task-end EVENTS may still
+    // be in flight; group-keyed attribution means a late event can only
+    // be missed, never mis-billed
+    Thread.sleep(2000)
     val loadEnd = loadavg
     // median is the headline (robust to one bad rep); min rides along in
     // the artifact so a reader can tell load noise (median >> min) from
     // a real regression (median ≈ min, both high)
     val medians = reps.collect { case (n, ts) if ts.size == 3 => n -> ts.sorted.apply(1) }
     val mins = reps.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    // per-query cpu-second medians (see listener above); missing reps
+    // (errored queries) simply drop out, mirroring the wall medians
+    val cpuMedians = medians.keys.flatMap { name =>
+      val vals = (1 to 3).flatMap(r =>
+        Option(cpuByKey.get(s"graftq:$name#$r")).map(_.get / 1e9)).sorted
+      if (vals.nonEmpty) Some(name -> vals(vals.size / 2)) else None
+    }.toSeq
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -168,9 +223,11 @@ object Bench {
         s""""loadavg_initial":${f"$loadInitial%.2f"},"gate_wait_sec":${f"$gateWaitSec%.1f"},""" +
         s""""env":${jstr(if (envClean) "clean" else "dirty")},""" +
         s""""loadavg_reps":$loadJson,"loadavg_end":${f"$loadEnd%.2f"}"""
+    val cpuTotal = cpuMedians.map(_._2).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(medians ++ shared)},""" +
-        s""""queries_min":${jmap(mins)},"errors":$errJson,$meta}"""
+        s""""queries_min":${jmap(mins)},"queries_cpu":${jmap(cpuMedians)},""" +
+        s""""cpu_total":${f"$cpuTotal%.3f"},"errors":$errJson,$meta}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
     // stdout stays COMPACT so the driver's tail capture can't truncate
@@ -178,7 +235,7 @@ object Bench {
     // the per-query medians/mins live in target/bench.json
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${medians.size},""" +
-        s""""errors":$errJson,$meta,"queries_file":"target/bench.json"}"""
+        s""""cpu_total":${f"$cpuTotal%.3f"},"errors":$errJson,$meta,"queries_file":"target/bench.json"}"""
     println(line)
     System.out.flush()
     spark.stop()

@@ -536,6 +536,9 @@ object SparkEntry {
     // against the live table + exactly-once deltalike appends
     "q278_stream_ingest_dedup" -> (graft.streaming.IngestDedup.q278StreamIngestDedup _),
     "q279_jaccard_links_lsh" -> (graft.operators.Components.q279JaccardLinksLsh _),
+    // the Welford anomaly stream (flatMapGroupsWithState, order-
+    // sensitive online contract) over the event-time-ordered replay
+    "q280_stream_anomalies" -> (graft.streaming.EventStream.q280StreamAnomalies _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -828,5 +831,7 @@ object SparkEntry {
     // the three ingest micro-batches replayed as sequential SQL layers
     "q278_stream_ingest_dedup" -> graft.streaming.IngestDedup.q278Sql,
     "q279_jaccard_links_lsh" -> graft.operators.Components.q279Sql,
+    // the streamed detector equals the cumulative exclusive-frame screen
+    "q280_stream_anomalies" -> graft.streaming.EventStream.q280Sql,
   )
 }

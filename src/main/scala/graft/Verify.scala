@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // liveness slack (see Bench): steal + GC pauses have killed the
+      // in-JVM local executor via missed heartbeats mid-artifact
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.quietNoisyLoggers()

@@ -1172,11 +1172,11 @@ object Components {
     if (maxDeg <= maxExactDegree)
       jaccardFromCanon(canon, topN)
     else
-      // top-N means TOP-N on the approx side too: a bare limit() would
-      // return an arbitrary (partition-order-dependent) slice of the
-      // thresholded relation. orderBy+limit compiles to
-      // TakeOrderedAndProject — per-partition top-N heaps, no global
-      // sort — so determinism costs nothing at scale.
+      // top-N means TOP-N on the approx side too — the ordering
+      // contract lives HERE, at the limit site (approxJaccardLinks
+      // returns an unordered thresholded set). orderBy+limit compiles
+      // to TakeOrderedAndProject — per-partition top-N heaps, no
+      // global sort — so determinism costs nothing at scale.
       approxJaccardLinks(canon, "u", "v", threshold)
         .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
         .limit(topN)
@@ -1619,7 +1619,11 @@ object Components {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("deg_a") + col("deg_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
-      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+    // no trailing sort: the thresholded relation is a SET contract —
+    // callers that want an ordered prefix order at the call site
+    // ([[jaccardLinksAuto]]'s orderBy+limit → TakeOrderedAndProject),
+    // and a global sort baked in here would be dead work for every
+    // consumer that aggregates or joins the links instead
   }
 
   /** Declared q191: approximate link prediction over the DOC →

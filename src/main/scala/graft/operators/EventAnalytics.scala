@@ -913,6 +913,15 @@ object EventAnalytics {
       .whenMatchedUpdateAll()
       .whenNotMatchedInsertAll()
       .execute()
+    // the maintenance loop VACUUMS what it supersedes: each rep's
+    // MERGE writes a new version, and a long-lived session benching
+    // many fixtures/reps would otherwise accumulate every superseded
+    // version on disk until JVM shutdown (the bounded return of the
+    // r6 leak). retainVersions=2 keeps the snapshot being read plus
+    // one predecessor; nothing time-travels this table. The vacuum is
+    // part of the timed step on purpose — production incremental
+    // maintenance pays its own cleanup.
+    graft.tables.DeltaLikeTable.forPath(spark, path).vacuum(retainVersions = 2)
     spark.read.format("deltalike").load(path)
   }
 

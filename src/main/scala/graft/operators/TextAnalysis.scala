@@ -623,8 +623,9 @@ object TextAnalysis {
     * it back onto the gram stream. Matched gram starts collapse to one
     * per-document array (the only other shuffle, sized by boilerplate
     * HITS, not tokens), and the cleaned text is rebuilt map-side from
-    * the tokens array with an index-aware filter; nothing is quadratic
-    * and nothing driver-side.
+    * the tokens array by walking the gaps between sorted covered
+    * positions (linear in doc length even at ~100% coverage); nothing
+    * is quadratic and nothing driver-side.
     *
     * @return (idCol, clean_text, n_removed) — one row per input doc
     */
@@ -658,14 +659,28 @@ object TextAnalysis {
     val starts = grams.join(common, Seq("gram"))
       .groupBy(col("__id"))
       .agg(collect_set(col("gpos")).as("__starts"))
+    // Rebuild is LINEAR in doc length: the covered set (sorted distinct
+    // positions) partitions [0, len) into gaps, and the kept positions
+    // are exactly those gaps — one zip_with over (sentinel-padded)
+    // boundary pairs, one O(1) element_at per kept token. The previous
+    // shape tested every token with array_contains(__covered, i), an
+    // O(tokens × covered) scan that went quadratic for boilerplate-
+    // dense long docs (round-11 advisor). NOTE sequence(a, b) with
+    // a > b generates a DESCENDING range, so empty gaps need the
+    // explicit b-1 >= a+1 guard.
     base.join(starts, Seq("__id"), "left")
       .select(col("__id"), col("toks"),
-        array_distinct(flatten(transform(
+        array_sort(array_distinct(flatten(transform(
           coalesce(col("__starts"), array().cast("array<int>")),
-          s => sequence(s, s + (n - 1))))).as("__covered"))
+          s => sequence(s, s + (n - 1)))))).as("__covered"))
       .select(col("__id").as(idCol),
-        concat_ws(" ", filter(col("toks"),
-          (t, i) => not(array_contains(col("__covered"), i))))
+        concat_ws(" ", transform(
+          flatten(zip_with(
+            concat(array(lit(-1)), col("__covered")),
+            concat(col("__covered"), array(size(col("toks")))),
+            (a, b) => when(b - 1 >= a + 1, sequence(a + 1, b - 1))
+              .otherwise(array().cast("array<int>")))),
+          p => element_at(col("toks"), p + 1)))
           .as("clean_text"),
         // covered ⊆ [0, size(toks)) by construction (gram starts come
         // from posNgrams' size-(n-1) slice), so the count IS the size

@@ -216,6 +216,68 @@ object EventStream {
         col("n_events"))
   }
 
+  /** Declared q280: the streaming Welford z-score anomaly detector
+    * ([[anomalies]]) run as a real Structured Streaming query over the
+    * event-time-ordered file replay — the last stateful streaming path
+    * to go driver-visible (it was spec-only through round 11). The
+    * online contract is order-sensitive (each event scores against the
+    * moments of the events BEFORE it), and the ordered replay makes
+    * that order exactly global (µs ts, event_id): chunks are contiguous
+    * time ranges, the per-batch fold sorts within the trigger, so the
+    * cross-batch concatenation IS the global sort — which is what makes
+    * an exact SQL oracle possible (cumulative window frame
+    * `ROWS UNBOUNDED PRECEDING AND 1 PRECEDING` per event type,
+    * ordered by `epoch_us(ts), event_id`).
+    *
+    * Scale shape: state is three numbers per event TYPE (domain-
+    * bounded, never per-event), one user-invisible shuffle per trigger
+    * on event_type, emissions only for screened outliers. The sentinel
+    * row forms its own single-event group (n=1 < minN, never emits)
+    * and is filtered here anyway.
+    */
+  def q280StreamAnomalies(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, orderedReplayDir(spark, d),
+      maxFilesPerTrigger = 2)
+    val name = s"q280_sink_${sinkCounter.incrementAndGet()}"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        anomalies(stream.as[EventRow], minN = 30, threshold = 3.0)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).where(col("event_type") =!= "__sentinel")
+      .select(col("event_type"), col("event_id"), col("ts"),
+        col("value"), col("z"), col("n_seen"))
+  }
+
+  /** Exact SQL twin of [[q280StreamAnomalies]]: the Welford running
+    * moments over a prefix equal the two-pass mean/stddev_samp of that
+    * prefix, so the streaming detector's output is the cumulative
+    * exclusive window screen in (µs ts, event_id) order.
+    */
+  val q280Sql: String =
+    """WITH scr AS (
+      |  SELECT event_type, event_id, ts, value,
+      |    count(*) OVER w AS n_seen,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sd
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type
+      |               ORDER BY epoch_us(ts), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(event_id AS BIGINT) AS event_id, ts,
+      |  CAST(value AS DOUBLE) AS value,
+      |  CAST((value - mu) / sd AS DOUBLE) AS z,
+      |  CAST(n_seen AS BIGINT) AS n_seen
+      |FROM scr
+      |WHERE n_seen >= 30 AND sd > 0
+      |  AND abs((value - mu) / sd) >= 3.0""".stripMargin
+
   /** Streaming windowed aggregation with watermarking: late events more
     * than `lateness` behind the max seen ts are dropped; closed windows
     * are emitted finally (append mode) and their state evicted — bounded
@@ -487,6 +549,10 @@ object EventStream {
     * replays are deterministic; across batches, ordering is the
     * stream's arrival order — the standard online-detector contract
     * (the spec pins equivalence against a sequential batch replay).
+    * The sort key is µs-precision (same q277 lesson: >99% of fixture
+    * events carry sub-ms components, and a ms-truncated key would
+    * fold same-ms events in event_id order while a full-precision
+    * engine orders them by actual time).
     */
   def anomalies(events: Dataset[EventRow], minN: Long = 30,
       threshold: Double = 3.0): Dataset[Anomaly] = {
@@ -499,7 +565,7 @@ object EventStream {
             state: GroupState[TypeMoments]) =>
           var st = state.getOption.getOrElse(TypeMoments(0L, 0.0, 0.0))
           val out = Seq.newBuilder[Anomaly]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             if (st.n >= minN) {
               val sd = math.sqrt(st.m2 / (st.n - 1))
               if (sd > 0) {
@@ -525,7 +591,7 @@ object EventStream {
       threshold: Double): Seq[Anomaly] =
     events.groupBy(_.event_type).toSeq.flatMap { case (etype, es) =>
       var st = TypeMoments(0L, 0.0, 0.0)
-      es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+      es.sortBy(e => (micros(e.ts), e.event_id)).flatMap { e =>
         val hit =
           if (st.n >= minN) {
             val sd = math.sqrt(st.m2 / (st.n - 1))

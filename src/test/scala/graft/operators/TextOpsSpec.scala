@@ -121,6 +121,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) === ("tiny doc", 0L))
   }
 
+  test("stripCommonNgrams: boilerplate-dense long doc — gap walk keeps " +
+    "order and exact survivors at ~97% coverage") {
+    val sp = spark; import sp.implicits._
+    // 40-token shared block repeated 12× with one unique token between
+    // occurrences: 480 of 494 tokens covered. The old array_contains
+    // rebuild was O(tokens × covered) here; the gap walk is linear, and
+    // this pins that its output (token order across many gaps, adjacent
+    // covered runs, a trailing gap) matches the semantics exactly.
+    val block = (0 until 40).map(i => s"b$i").mkString(" ")
+    val doc1 = (0 until 12).map(k => s"u$k " + block).mkString(" ") +
+      " tail0 tail1"
+    val docs = Seq((1L, doc1), (2L, block)).toDF("doc_id", "text")
+    val out = TextAnalysis.stripCommonNgrams(docs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val survivors = (0 until 12).map(k => s"u$k").mkString(" ") + " tail0 tail1"
+    assert(out(1L) === ((survivors, 480L)))
+    assert(out(2L) === (("", 40L)), "doc that IS the boilerplate is emptied")
+  }
+
   test("pmiCollocations: hand-computed PMI, min-count gate, bigrams stay in-doc") {
     val sp = spark; import sp.implicits._
     // unigrams: a=3 b=3 c=1 (T=7); bigrams: doc1 (a,b)(b,a)(a,b),

@@ -95,4 +95,29 @@ class AnomalyStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.map(_.event_id) === Seq(22L),
       "sd=0 guards the first jump; the second is scored against real variance")
   }
+
+  test("fold order is µs-precision: same-ms events process in sub-ms " +
+    "time order, not event_id order") {
+    // two spikes inside ONE millisecond, event_id order REVERSED from
+    // µs order: id 42 at +500µs, id 41 at +900µs. A ms-truncated key
+    // would tiebreak by id and give n_seen=40 to id 41; the µs key
+    // (which is what q280's epoch_us-ordered SQL oracle computes) must
+    // give n_seen=40 to id 42. Values alternate so sd > 0 at warm-up.
+    def at(ms: Long, micro: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos(((ms % 1000) * 1000000 + micro * 1000).toInt)
+      t
+    }
+    val base = 1700000000000L
+    val calm = (1 to 40).map(i => EventStream.EventRow(
+      i.toLong, at(base + i * 1000, 0), 1L, "click",
+      if (i % 2 == 0) 9.5 else 10.5, null))
+    val sameMs = Seq(
+      EventStream.EventRow(42L, at(base + 41000, 500), 1L, "click", 100.0, null),
+      EventStream.EventRow(41L, at(base + 41000, 900), 1L, "click", 100.0, null))
+    val hits = EventStream.anomaliesReplay(calm ++ sameMs,
+      minN = 30, threshold = 3.0)
+    assert(hits.map(h => (h.event_id, h.n_seen)) === Seq((42L, 40L), (41L, 41L)),
+      "the +500µs event must score FIRST (against 40 calm priors)")
+  }
 }

@@ -19,7 +19,9 @@ import json
 d = json.load(open('/root/repo/target/bench.json'))
 for k, v in d['queries'].items():
     m = d['queries_min'].get(k)
-    extra = f' (min {m:.3f})' if m is not None else ' (one-time shared build)'
+    c = d.get('queries_cpu', {}).get(k)
+    cpu = f', cpu {c:.3f}' if c is not None else ''
+    extra = f' (min {m:.3f}{cpu})' if m is not None else ' (one-time shared build)'
     print(f'{k}: {v:.3f}s{extra}')
 print('errors:', d['errors'], '| env:', d.get('env'), 'loadavg_initial:', d.get('loadavg_initial'))
 "
