@@ -539,6 +539,9 @@ object SparkEntry {
     // the Welford anomaly stream (flatMapGroupsWithState, order-
     // sensitive online contract) over the event-time-ordered replay
     "q280_stream_anomalies" -> (graft.streaming.EventStream.q280StreamAnomalies _),
+    // q278 with the signature relation persisted as its own table:
+    // per-trigger cost is O(batch + collisions), corpus text untouched
+    "q281_stream_ingest_indexed" -> (graft.streaming.IngestDedup.q281StreamIngestIndexed _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -833,5 +836,7 @@ object SparkEntry {
     "q279_jaccard_links_lsh" -> graft.operators.Components.q279Sql,
     // the streamed detector equals the cumulative exclusive-frame screen
     "q280_stream_anomalies" -> graft.streaming.EventStream.q280Sql,
+    // the indexed loop must be indistinguishable from the from-text loop
+    "q281_stream_ingest_indexed" -> graft.streaming.IngestDedup.q278Sql,
   )
 }

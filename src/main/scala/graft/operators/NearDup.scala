@@ -812,4 +812,107 @@ object NearDup {
       |SELECT a_id, b_id, jaro_winkler_similarity(an, bn) AS jw_sim
       |FROM pairs
       |WHERE jaro_winkler_similarity(an, bn) >= 0.88""".stripMargin
+
+  // ---- persisted signature index (the production ingest shape) -------
+
+  /** Per-document signature-index rows: (idCol, sh, sig) where `sh` is
+    * the sorted 64-bit shingle-hash set (the exact-verify tokens — a
+    * 64-bit space makes a cross-doc hash collision ~1e-14-improbable,
+    * vs the signature's own 31-bit universal-hash domain) and `sig` is
+    * the [[graft.functions.MinHashAgg]] signature computed from the
+    * SAME pmod values [[incrementalNearDup]] uses — so candidates and
+    * verdicts derived from the index are identical to the from-text
+    * path's. Docs with no shingles (< 3 tokens) carry empty arrays:
+    * they can never candidate-match, but the index row records their
+    * admission (the replay-recovery path reads it back).
+    *
+    * This is what a 100 TB ingest feed maintains as its own table:
+    * per-trigger dedup then touches the INDEX (O(docs × numHashes)
+    * metadata) and the batch, never the corpus text.
+    */
+  def signatureRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      seed: Long = 42L): DataFrame = {
+    // DDL-stable array type: the table log round-trips schemas through
+    // DDL, which cannot express element containsNull=false — a raw
+    // xxhash64-built array (containsNull=false) would append-mismatch
+    // the very schema its own seed write created
+    val ddlArray = ArrayType(LongType, containsNull = true)
+    val base = docs
+      .select(col(idCol), shingleSet(col(textCol)).as("__shs"))
+      .select(col(idCol),
+        array_sort(array_distinct(
+          transform(col("__shs"), s => xxhash64(s)))).cast(ddlArray).as("sh"))
+    val sigs = base.where(size(col("sh")) > 0)
+      .select(col(idCol), explode(col("sh")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashAgg.of(numHashes, seed)(
+        pmod(col("__h"), lit(P))).as("sig"))
+    base.join(sigs, Seq(idCol), "left")
+      .select(col(idCol), col("sh"),
+        coalesce(col("sig"), array().cast(ddlArray)).cast(ddlArray).as("sig"))
+  }
+
+  /** [[incrementalNearDup]] verdicts computed from signature-index rows
+    * instead of text: `batchSigs` / `corpusSigs` are [[signatureRows]]-
+    * shaped. Returns one row per BATCH doc (including no-shingle docs:
+    * always keep): (idCol, dup_of_corpus, dup_in_batch, keep). The
+    * banding (hash over signature slices) matches the from-text path
+    * exactly, so the candidate sets — and with them recall — are the
+    * same; verification is exact Jaccard over the 64-bit shingle-hash
+    * sets. Corpus×corpus pairs never materialize (right side of the
+    * band join is batch-only).
+    */
+  def indexedNearDupVerdicts(
+      batchSigs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String,
+      threshold: Double = 0.6,
+      bands: Int = 32): DataFrame = {
+    val numHashes = 128 // must match signatureRows' default
+    val r = numHashes / bands
+    def side(df: DataFrame, isBatch: Boolean) = df.select(
+      col(idCol).as("__id"), col("sh").as("__sh"),
+      col("sig").as("__sig"), lit(isBatch).as("__is_batch"))
+    val tagged = side(corpusSigs, isBatch = false)
+      .unionByName(side(batchSigs, isBatch = true))
+      .where(size(col("__sig")) > 0)
+    val withBands = tagged.select(
+      col("__id"), col("__is_batch"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bh")
+    val left = withBands.select(col("__id").as("id_a"),
+      col("__is_batch").as("__batch_a"), col("__band"), col("__bh"))
+    val right = withBands.where(col("__is_batch"))
+      .select(col("__id").as("id_b"), col("__band"), col("__bh"))
+    val candidates = left.join(right, Seq("__band", "__bh"))
+      .where(!col("__batch_a") || col("id_a") < col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("__batch_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = tagged.select(col("__id"), col("__sh"))
+    val verified = candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .where((size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType) /
+        (size(col("__sh_a")) + size(col("__sh_b")) -
+          size(array_intersect(col("__sh_a"), col("__sh_b"))))) >= threshold)
+      .groupBy(col("id_b"))
+      .agg(
+        max(when(!col("__batch_a"), true).otherwise(false)).as("__dup_corpus"),
+        max(when(col("__batch_a"), true).otherwise(false)).as("__dup_batch"))
+    batchSigs.select(col(idCol))
+      .join(verified.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dup_corpus"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__dup_batch"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("__dup_corpus"), lit(false)) &&
+          !coalesce(col("__dup_batch"), lit(false))).as("keep"))
+  }
 }

@@ -107,4 +107,86 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got.size < 100,
       s"expected some admissions and some rejections, kept ${got.size}/100")
   }
+
+  test("indexedNearDupVerdicts equals the from-text incrementalNearDup") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val fromText = asMap(graft.operators.NearDup
+      .incrementalNearDup(batch, corpus, "doc_id", "text", 0.6))
+    val indexed = asMap(graft.operators.NearDup.indexedNearDupVerdicts(
+      graft.operators.NearDup.signatureRows(batch, "doc_id", "text"),
+      graft.operators.NearDup.signatureRows(corpus, "doc_id", "text"),
+      "doc_id", 0.6))
+    // both paths emit one verdict row per batch doc (left join over
+    // the full batch); every triple must agree
+    assert(indexed.keySet === fromText.keySet)
+    assert(indexed === fromText)
+  }
+
+  test("indexed ingest: decisions come from the signature table, not " +
+    "corpus text — and a sig-committed/doc-missing replay recovers") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docPath = Files.createTempDirectory("ingest_idx_tbl").toString
+    val sigPath = Files.createTempDirectory("ingest_idx_sig").toString
+
+    val seed = Seq((1L, baseA)).toDF("doc_id", "text")
+    DeltaLikeTable.write(seed, docPath)
+    IngestDedup.seedSignatureIndex(seed, sigPath, "doc_id", "text")
+
+    // MANGLE the corpus text in the doc table (overwrite with garbage):
+    // if any trigger consulted corpus text, the near-copy below would
+    // sail through. The signature index is the only honest source.
+    DeltaLikeTable.write(
+      Seq((1L, "x")).toDF("doc_id", "text"), docPath, "overwrite")
+
+    IngestDedup.appendDedupedIndexed(docPath, sigPath, "idx-spec",
+      "doc_id", "text")(
+      Seq((10L, baseA + " phi"), (11L, novelB)).toDF("doc_id", "text"), 0L)
+    val t = DeltaLikeTable.forPath(spark, docPath)
+    assert(t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L), "near-copy of the seed must be blocked via the index")
+
+    // crash simulation: batch 1's SIG append committed, doc append not.
+    // The decision (keep 21, block 20 as a near-copy of doc 11's
+    // indexed signatures) is already durable in the sig table.
+    val b1 = Seq((20L, novelB + " postscript"), (21L, novelC))
+      .toDF("doc_id", "text")
+    val b1Sigs = graft.operators.NearDup
+      .signatureRows(b1, "doc_id", "text")
+      .where(col("doc_id") === 21L)
+      .withColumn("ingest_batch", lit(1L))
+    graft.tables.DeltaLikeSink.appendBatch(sigPath, "idx-spec")(b1Sigs, 1L)
+    // the replayed trigger must RECOVER the persisted decision, not
+    // recompute against a sig table that now contains doc 21 itself
+    // (recomputation would flag 21 as its own duplicate and lose it)
+    IngestDedup.appendDedupedIndexed(docPath, sigPath, "idx-spec",
+      "doc_id", "text")(b1, 1L)
+    assert(t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L, 21L))
+    // and the sig table was not double-appended for batch 1
+    val sigT = DeltaLikeTable.forPath(spark, sigPath)
+    assert(sigT.toDF.where(col("ingest_batch") === 1L).count() === 1L)
+
+    // a fully-replayed batch (both tables committed) is a no-op
+    IngestDedup.appendDedupedIndexed(docPath, sigPath, "idx-spec",
+      "doc_id", "text")(b1, 1L)
+    assert(t.toDF.count() === 3L)
+  }
+
+  test("q281 (indexed) final relation equals q278 (from-text)") {
+    val d = "/root/testdata/sf0.001"
+    val idx = IngestDedup.q281StreamIngestIndexed(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val txt = IngestDedup.q278StreamIngestDedup(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(idx === txt)
+  }
 }
