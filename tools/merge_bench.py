@@ -52,16 +52,21 @@ def main(out_path, run_paths):
         names |= set(r["queries"])
     merged = {}
     merged_min = {}
+    merged_cpu = {}
     spiky = []
     partial = []
     for n in sorted(names):
         vals = [r["queries"][n] for r in runs if n in r["queries"]]
         mins = [r.get("queries_min", {}).get(n, v)
                 for r, v in zip(runs, vals) if n in r["queries"]]
+        cpus = [r["queries_cpu"][n] for r in runs
+                if n in r.get("queries_cpu", {})]
         if len(vals) < len(runs):
             partial.append((n, len(vals)))
         merged[n] = statistics.median(vals)
         merged_min[n] = min(mins)
+        if cpus:
+            merged_cpu[n] = statistics.median(cpus)
         if merged[n] > 3.0 * min(mins) and merged[n] > 1.0:
             spiky.append((n, merged[n], min(mins)))
     errors = {}
@@ -96,6 +101,8 @@ def main(out_path, run_paths):
     obj = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": merged, "queries_min": merged_min,
+        "queries_cpu": merged_cpu,
+        "cpu_total": sum(merged_cpu.values()),
         "errors": errors, "runs": len(runs),
         "runs_submitted": len(run_paths), "run_totals": totals,
         "rejected_runs": [{"path": p, "total": t} for p, t in rejected],
