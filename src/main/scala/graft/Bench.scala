@@ -198,12 +198,15 @@ object Bench {
     // a real regression (median ≈ min, both high)
     val medians = reps.collect { case (n, ts) if ts.size == 3 => n -> ts.sorted.apply(1) }
     val mins = reps.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
-    // per-query cpu-second medians (see listener above); missing reps
-    // (errored queries) simply drop out, mirroring the wall medians
+    // per-query cpu-second medians (see listener above); require all 3
+    // reps exactly like the wall medians do, so the two series in one
+    // artifact always share provenance (a 2-sample "median" would be
+    // the upper-middle — biased high — and a 1-sample one is just a
+    // rep, not a median)
     val cpuMedians = medians.keys.flatMap { name =>
       val vals = (1 to 3).flatMap(r =>
         Option(cpuByKey.get(s"graftq:$name#$r")).map(_.get / 1e9)).sorted
-      if (vals.nonEmpty) Some(name -> vals(vals.size / 2)) else None
+      if (vals.size == 3) Some(name -> vals(1)) else None
     }.toSeq
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

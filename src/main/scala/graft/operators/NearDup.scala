@@ -871,8 +871,10 @@ object NearDup {
       corpusSigs: DataFrame,
       idCol: String,
       threshold: Double = 0.6,
-      bands: Int = 32): DataFrame = {
-    val numHashes = 128 // must match signatureRows' default
+      bands: Int = 32,
+      numHashes: Int = 128): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
     val r = numHashes / bands
     def side(df: DataFrame, isBatch: Boolean) = df.select(
       col(idCol).as("__id"), col("sh").as("__sh"),
@@ -880,6 +882,15 @@ object NearDup {
     val tagged = side(corpusSigs, isBatch = false)
       .unionByName(side(batchSigs, isBatch = true))
       .where(size(col("__sig")) > 0)
+      // fail LOUDLY if an index row was built with a different
+      // numHashes than this banding assumes: a silent mis-slice would
+      // band over a prefix of the signature (wrong candidate sets,
+      // recall loss) with no error anywhere downstream
+      .withColumn("__sig",
+        when(size(col("__sig")) === numHashes, col("__sig"))
+          .otherwise(raise_error(concat(
+            lit(s"indexedNearDupVerdicts: signature length != numHashes=$numHashes for id "),
+            col("__id").cast("string")))))
     val withBands = tagged.select(
       col("__id"), col("__is_batch"),
       posexplode(transform(

@@ -60,7 +60,8 @@ object EventStream {
     * big batch wearing a streaming hat.
     */
   private def replayDir(spark: SparkSession, d: String): String =
-    replayDirs.getOrElseUpdate((spark.sparkContext.applicationId, d), {
+    replayDirs.getOrElseUpdate((spark.sparkContext.applicationId, d),
+      graft.core.SharedRelations.timeShared(spark, "stream_replay") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_replay").toString
       graft.core.Tables.events(spark, d)
@@ -129,7 +130,8 @@ object EventStream {
     * beyond the gap — the batch twin would have split there too.
     */
   private def orderedReplayDir(spark: SparkSession, d: String): String =
-    orderedReplayDirs.getOrElseUpdate((spark.sparkContext.applicationId, d), {
+    orderedReplayDirs.getOrElseUpdate((spark.sparkContext.applicationId, d),
+      graft.core.SharedRelations.timeShared(spark, "stream_oreplay") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_stream_oreplay").toString
       val ev = graft.core.Tables.events(spark, d)

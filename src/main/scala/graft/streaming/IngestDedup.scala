@@ -90,17 +90,75 @@ object IngestDedup {
 
   private def q278ChunkDir(spark: org.apache.spark.sql.SparkSession,
       d: String): String =
-    chunkDirs.getOrElseUpdate((spark.sparkContext.applicationId, d), {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ingest_replay").toString
-      val docs = graft.core.Tables.documents(spark, d)
-        .select(col("doc_id"), col("text"))
-      ChunkBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-        EventStream.writeReplayChunk(
-          docs.where(col("doc_id") >= lo && col("doc_id") < hi), dir, i)
-      }
-      dir
-    })
+    chunkDirs.getOrElseUpdate((spark.sparkContext.applicationId, d),
+      graft.core.SharedRelations.timeShared(spark, "ingest_chunks") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ingest_replay").toString
+        val docs = graft.core.Tables.documents(spark, d)
+          .select(col("doc_id"), col("text"))
+        ChunkBounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+          EventStream.writeReplayChunk(
+            docs.where(col("doc_id") >= lo && col("doc_id") < hi), dir, i)
+        }
+        dir
+      })
+
+  // ---- one-time seed scaffolding, shared across bench reps ----------
+  //
+  // The seed corpus table (and q281's signature index) are INPUTS to
+  // the declared streaming rows, not per-trigger work: building them
+  // with a Spark write job inside every timed invocation made the
+  // blessed medians measure scaffolding, not stream execution. Build
+  // each ONCE per (application, fixture dir) as an immutable template
+  // — timed as a `shared:` bench row like every other one-time build —
+  // and give each invocation a fresh FILESYSTEM COPY (the table must
+  // still mutate per run; add-file paths in the deltalike log are
+  // table-root-relative, so a copied directory is a valid table).
+
+  private val seedTemplates =
+    scala.collection.concurrent.TrieMap[(String, String, String), String]()
+
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(target)
+      else java.nio.file.Files.copy(p, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  /** Immutable template of the doc_id < 400 seed corpus table, built
+    * once per (application, fixture dir, kind) and copied per run.
+    * `kind` distinguishes q281's variant, whose template also carries
+    * the backfilled signature index as a sibling `_sig` directory.
+    */
+  private def seedTemplate(spark: org.apache.spark.sql.SparkSession,
+      d: String, kind: String): String =
+    seedTemplates.getOrElseUpdate(
+      (spark.sparkContext.applicationId, d, kind),
+      graft.core.SharedRelations.timeShared(spark, s"ingest_seed_$kind") {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_ingest_template_$kind")
+        val seed = graft.core.Tables.documents(spark, d)
+          .select(col("doc_id"), col("text"))
+          .where(col("doc_id") < 400)
+        val tbl = dir.resolve("tbl")
+        DeltaLikeTable.write(seed, tbl.toString, "overwrite")
+        if (kind == "indexed")
+          seedSignatureIndex(seed, dir.resolve("_sig").toString,
+            "doc_id", "text")
+        dir.toString
+      })
 
   /** Declared q278: the streaming ingest-dedup loop end-to-end — the
     * doc_id < 400 corpus is seeded as a deltalike table, docs ≥ 400
@@ -122,35 +180,31 @@ object IngestDedup {
     */
   def q278StreamIngestDedup(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val docs = graft.core.Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ingest_tbl")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_ingest_ckpt")
-    DeltaLikeTable.write(docs.where(col("doc_id") < 400),
-      path.toString, "overwrite")
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType
-        .fromDDL("doc_id BIGINT, text STRING"))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(q278ChunkDir(spark, d))
-    val q = writeStream(stream.writeStream, path.toString, "q278",
-      "doc_id", "text", threshold = 0.6)
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // materialize EAGERLY so both scratch dirs can be deleted before
-    // returning (the bench reruns this 3x)
-    val out = spark.read.format("deltalike").load(path.toString)
-      .where(col("doc_id") >= 400).select(col("doc_id"))
-      .localCheckpoint()
-    import scala.jdk.CollectionConverters._
-    Seq(path, ckpt).foreach { p =>
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-    out
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_ingest_run")
+    // cleanup in finally: an exception from the stream run or the
+    // final read must not leak the scratch tree under java.io.tmpdir
+    try {
+      val path = scratch.resolve("tbl")
+      val ckpt = scratch.resolve("ckpt")
+      copyTree(java.nio.file.Paths
+        .get(seedTemplate(spark, d, "plain"), "tbl"), path)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(q278ChunkDir(spark, d))
+      val q = writeStream(stream.writeStream, path.toString, "q278",
+        "doc_id", "text", threshold = 0.6)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize EAGERLY so the scratch tree can be deleted before
+      // returning (the bench reruns this 3x)
+      spark.read.format("deltalike").load(path.toString)
+        .where(col("doc_id") >= 400).select(col("doc_id"))
+        .localCheckpoint()
+    } finally deleteTree(scratch)
   }
 
   /** Oracle: the three ingest layers replayed sequentially in SQL —
@@ -278,33 +332,29 @@ object IngestDedup {
     */
   def q281StreamIngestIndexed(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val docs = graft.core.Tables.documents(spark, d)
-      .select(col("doc_id"), col("text"))
-    val docPath = java.nio.file.Files.createTempDirectory("graft_ingest_tbl")
-    val sigPath = java.nio.file.Files.createTempDirectory("graft_ingest_sig")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt")
-    val seed = docs.where(col("doc_id") < 400)
-    DeltaLikeTable.write(seed, docPath.toString, "overwrite")
-    seedSignatureIndex(seed, sigPath.toString, "doc_id", "text")
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType
-        .fromDDL("doc_id BIGINT, text STRING"))
-      .option("maxFilesPerTrigger", 1)
-      .parquet(q278ChunkDir(spark, d))
-    val q = stream.writeStream.foreachBatch {
-      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        appendDedupedIndexed(docPath.toString, sigPath.toString, "q281",
-          "doc_id", "text", threshold = 0.6)(b.toDF(), id)
-    }.option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = spark.read.format("deltalike").load(docPath.toString)
-      .where(col("doc_id") >= 400).select(col("doc_id"))
-      .localCheckpoint()
-    import scala.jdk.CollectionConverters._
-    Seq(docPath, sigPath, ckpt).foreach { p =>
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-    out
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_ingest_run_idx")
+    try {
+      val tpl = java.nio.file.Paths.get(seedTemplate(spark, d, "indexed"))
+      val docPath = scratch.resolve("tbl")
+      val sigPath = scratch.resolve("_sig")
+      val ckpt = scratch.resolve("ckpt")
+      copyTree(tpl.resolve("tbl"), docPath)
+      copyTree(tpl.resolve("_sig"), sigPath)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(q278ChunkDir(spark, d))
+      val q = stream.writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          appendDedupedIndexed(docPath.toString, sigPath.toString, "q281",
+            "doc_id", "text", threshold = 0.6)(b.toDF(), id)
+      }.option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("deltalike").load(docPath.toString)
+        .where(col("doc_id") >= 400).select(col("doc_id"))
+        .localCheckpoint()
+    } finally deleteTree(scratch)
   }
 }

@@ -7,6 +7,7 @@ driver compare uses.
 Usage: python3 tools/duck_times.py <oracle_sql.json> <q1,q2,...>
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -35,7 +36,12 @@ def main(oracle_path, names):
         med = statistics.median(ts)
         blob["duckdb_sec"][n] = round(med, 4)
         print(f"{n}: {med:.3f}s  (runs: {', '.join(f'{t:.3f}' for t in ts)})")
-    json.dump(blob, open(out_path, "w"), indent=1, sort_keys=True)
+    # atomic replace: a crash mid-dump must not truncate the blessed
+    # table's only DuckDB baseline
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(blob, f, indent=1, sort_keys=True)
+    os.replace(tmp_path, out_path)
     print(f"merged into {out_path}")
 
 
