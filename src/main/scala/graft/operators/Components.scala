@@ -1094,10 +1094,122 @@ object Components {
     * degree probe and the wedge join read ONE materialization of the
     * graph build (the probe re-paid the whole orders⋈lineitem build in
     * the first r8 cut — measured +10 s on q154).
+    *
+    * Round 13: the wedge join runs over DISTINCT NEIGHBOR SETS, not
+    * nodes. The declared graph carries millions of jaccard-1.0 pairs —
+    * i.e. large groups of nodes with bit-identical adjacency — and the
+    * node-level self-join paid the full C(deg, 2) wedge mass for every
+    * group member (the approx path already collapsed identical MinHash
+    * signatures before its band join for exactly this reason). The
+    * collapse is EXACT, not approximate, on three provable facts about
+    * identical-adjacency groups in a simple graph:
+    *
+    *   1. two nodes with the same neighbor set are never adjacent
+    *      (a ~ b with N(a)=N(b) would put b in N(b): a self-loop), so
+    *      every within-group pair is a valid candidate with jaccard
+    *      exactly |S|/|S| = 1.0;
+    *   2. adjacency between two groups is all-or-nothing (a ~ b iff
+    *      b ∈ N(a), and N(a) is the same set for every a in the
+    *      group), so the existing-edge anti-join is exact at group
+    *      level;
+    *   3. |N(a) ∩ N(b)| depends only on the two neighbor SETS, and a
+    *      shared neighbor group C contributes all gsize(C) of its
+    *      members — so the group-graph wedge join weighted by the
+    *      center's group size computes node-level common-neighbor
+    *      counts exactly.
+    *
+    * Top-N re-expansion never re-materializes the collapsed pair mass:
+    * group pairs are ranked by (jaccard desc, lexicographically
+    * smallest member pair) and only the first `topN` are expanded —
+    * sound because every node pair of a group pair ranked below the
+    * cut is beaten by at least `topN` pairs from the group pairs above
+    * it (one per group pair: its minimum pair). Each expanded side is
+    * sliced to its topN+1 smallest members, which provably contains
+    * the group pair's own top-`topN` node pairs, so expansion is
+    * O(topN³) rows worst case — metadata scale, independent of group
+    * sizes.
+    *
+    * Whether to collapse is itself MEASURED, not assumed: the declared
+    * q154 graph has no identical-adjacency structure at all (measured
+    * sf0.1: 15,987 nodes, 15,987 distinct neighbor sets), so running
+    * the collapse there pays two array shuffles for a 1.0× wedge
+    * saving — solo-measured +30% wall over the node-level plan. The
+    * probe computes a commutative neighbor-set fingerprint per node
+    * (degree + two independent xxhash64 xors — order-free, so no sort
+    * and no arrays; the same groupBy yields the degree relation the
+    * node path needs anyway), maps each node's neighbors to their
+    * fingerprints with one edge-linear join, and compares the exact
+    * node-level wedge mass Σ_u deg(u)² against the true collapsed
+    * wedge mass Σ_{distinct group} rdeg², where rdeg = the number of
+    * DISTINCT neighbor groups (the group's degree in the rep graph —
+    * NOT Σ_group deg²: on a clone-fan graph the un-collapsible hub
+    * centers dominate both sides of that naive ratio even though
+    * their rep-graph degree shrinks by the clone factor, which is
+    * where the entire saving lives). Collapse only when it buys ≥ 2×.
+    * A fingerprint collision can only nudge the ESTIMATE (the
+    * collapsed path still groups by exact arrays), never correctness.
+    *
+    * Scale shape, collapsed: two edge-linear shuffles build the
+    * adjacency-set groups (total payload 2|E| longs — arrays per
+    * node, never pair mass), the wedge self-join pays Σ deg² on the
+    * COLLAPSED group graph, and the node-level graph is never touched
+    * again. Probe overhead on the no-collapse route: one extra tiny
+    * aggregate over #nodes rows — the groupBy it rides on IS the node
+    * path's degree computation.
     */
   private def jaccardFromCanon(canon: DataFrame, topN: Int): DataFrame = {
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // commutative fingerprint probe (see scaladoc): wedge mass before
+    // vs after identical-adjacency collapse, exactly, without arrays
+    // bit_xor, not sum: order-free like sum but cannot overflow under
+    // ANSI; neighbors are distinct per node, so xor over two
+    // independent 64-bit hashes is a sound set fingerprint
+    val fp = sym.groupBy(col("u")).agg(
+      count(lit(1)).as("deg"),
+      bit_xor(xxhash64(col("v"))).as("s1"),
+      bit_xor(xxhash64(col("v"), lit(1))).as("s2"))
+      .localCheckpoint()
+    // ops override: spark.graft.jaccard.collapse = auto|always|never
+    // ("auto" = the measured probe; the forced modes exist for A/B
+    // measurement and for pinning a plan in production)
+    val mode = canon.sparkSession.conf
+      .get("spark.graft.jaccard.collapse", "auto")
+    val collapse = mode match {
+      case "always" => true
+      case "never"  => false
+      case _ =>
+        // gid: one 64-bit group id per node from its fingerprint
+        val gids = fp.select(col("u"),
+          xxhash64(col("deg"), col("s1"), col("s2")).as("gid"))
+        // rdeg(u) = u's degree in the rep graph = distinct neighbor
+        // groups; identical-set nodes share rdeg, so the collapsed
+        // wedge mass sums rdeg² ONCE per distinct group
+        val rdeg = sym
+          .join(gids.withColumnRenamed("u", "v")
+            .withColumnRenamed("gid", "ngid"), Seq("v"))
+          .groupBy(col("u"))
+          .agg(count_distinct(col("ngid")).as("rdeg"))
+        val probe = fp.select(col("u"), col("deg"))
+          .join(gids, Seq("u")).join(rdeg, Seq("u"))
+          .groupBy(col("gid"))
+          .agg(count(lit(1)).as("g"), first(col("deg")).as("deg"),
+            first(col("rdeg")).as("rdeg"))
+          .agg(sum(col("g") * col("deg") * col("deg")).as("wedge_node"),
+            sum(col("rdeg") * col("rdeg")).as("wedge_grp"))
+          .head()
+        probe.getLong(0) >= 2 * probe.getLong(1)
+    }
+    if (collapse) jaccardCollapsed(canon, sym, topN)
+    else jaccardNodeLevel(canon, sym,
+      fp.select(col("u"), col("deg")), topN)
+  }
+
+  /** Node-level wedge plan — the right plan when the graph has little
+    * identical-adjacency structure (the declared q154 regime). `deg`
+    * arrives precomputed from [[jaccardFromCanon]]'s probe groupBy.
+    */
+  private[operators] def jaccardNodeLevel(canon: DataFrame, sym: DataFrame,
+      deg: DataFrame, topN: Int): DataFrame = {
     // Wedge generation stays a SELF-JOIN on the center column, not a
     // grouped adjacency-list explode: a grouped variant (r9, measured
     // 79 s vs 30 s solo at sf0.1) funnels each hub's C(deg, 2) pair
@@ -1122,6 +1234,114 @@ object Components {
       .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
       .limit(topN)
   }
+
+  /** Identical-adjacency collapsed wedge plan (facts 1–3 in
+    * [[jaccardFromCanon]]'s scaladoc) — the clone-fan regime.
+    */
+  private[operators] def jaccardCollapsed(canon: DataFrame, symIn: DataFrame,
+      topN: Int): DataFrame = {
+    val sym = symIn
+    // one row per node: its full sorted adjacency (Σ sizes = 2|E|) —
+    // NOT the r9 grouped-wedge variant this file rejects below: the
+    // arrays here are degree-sized and feed a groupBy, never a
+    // C(deg, 2) in-task explosion
+    val adj = sym.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    // collapse: one row per distinct neighbor set, with the sorted
+    // member list; rep = smallest member (stable, unique across groups)
+    val groups = adj.groupBy(col("nbrs"))
+      .agg(sort_array(collect_list(col("u"))).as("members"),
+        count(lit(1)).as("gsize"))
+      .select(element_at(col("members"), 1).as("rep"), col("members"),
+        col("gsize"), size(col("nbrs")).cast("long").as("deg"),
+        col("nbrs"))
+      // consumed 4× below (mapping, rep edges, per-side info, within)
+      .localCheckpoint()
+    val mapping = groups.select(explode(col("members")).as("node"),
+      col("rep").as("nbr_rep"))
+    // symmetric group-graph adjacency: the rep's own neighbor set
+    // mapped node→rep (fact 2 makes this exact and duplicate-free per
+    // (ru, rv) after distinct)
+    val repAdj = groups.select(col("rep").as("ru"),
+        explode(col("nbrs")).as("node"))
+      .join(mapping, Seq("node"))
+      .select(col("ru"), col("nbr_rep").as("rv"))
+      .distinct()
+      // consumed 3× (two wedge legs + the group-level anti-join)
+      .localCheckpoint()
+    // wedge self-join on the group graph; center weighted by its
+    // group size (fact 3). Stays a SELF-JOIN on the center column,
+    // not a grouped adjacency-list explode: a grouped variant (r9,
+    // measured 79 s vs 30 s solo at sf0.1) funnels each hub's
+    // C(deg, 2) pair mass through the single task holding that hub's
+    // row, while the join's probe side streams hub pairs across every
+    // partition that holds a probe row.
+    val gsizes = groups.select(col("rep"), col("gsize"), col("deg"))
+    val left = repAdj.select(col("ru").as("via"), col("rv").as("a"))
+      .join(gsizes.select(col("rep").as("via"), col("gsize").as("w")),
+        Seq("via"))
+    val common = left
+      .join(repAdj.select(col("ru").as("via"), col("rv").as("b")),
+        Seq("via"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("w")).as("n_common"))
+    val info = groups.select(col("rep"), col("deg"),
+      element_at(col("members"), 1).as("m1"),
+      slice(col("members"), 1, topN + 1).as("ms"))
+    // cross-group candidate pairs (anti-join = fact 2), with the group
+    // pair's lexicographically smallest member pair as tie-break key
+    val cross = common
+      .join(repAdj.select(col("ru").as("a"), col("rv").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(info.select(col("rep").as("a"), col("deg").as("deg_a"),
+        col("m1").as("m1_a"), col("ms").as("ms_a")), Seq("a"))
+      .join(info.select(col("rep").as("b"), col("deg").as("deg_b"),
+        col("m1").as("m1_b"), col("ms").as("ms_b")), Seq("b"))
+      .select(lit(false).as("within"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        least(col("m1_a"), col("m1_b")).as("mp_a"),
+        greatest(col("m1_a"), col("m1_b")).as("mp_b"),
+        col("ms_a"), col("ms_b"))
+    // within-group pairs: jaccard exactly 1.0 (fact 1)
+    val within = groups.where(col("gsize") >= 2)
+      .select(lit(true).as("within"), col("deg").as("n_common"),
+        col("deg").as("deg_a"), col("deg").as("deg_b"),
+        element_at(col("members"), 1).as("mp_a"),
+        element_at(col("members"), 2).as("mp_b"),
+        slice(col("members"), 1, topN + 1).as("ms_a"),
+        slice(col("members"), 1, topN + 1).as("ms_b"))
+    // same jaccard expression (and type promotions) as the node-level
+    // plan, so collapsed results hash-match the uncollapsed pin
+    val scored = cross.unionByName(within)
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")))
+    // topN GROUP pairs cover the topN node pairs (scaladoc proof);
+    // TakeOrderedAndProject — per-partition heaps, no global sort
+    val cand = scored
+      .orderBy(col("jaccard").desc, col("mp_a"), col("mp_b"))
+      .limit(topN)
+    // expansion: ≤ topN rows × ≤ (topN+1)² member pairs — tiny
+    val pairs = cand
+      .select(col("within"), col("n_common"), col("deg_a"), col("deg_b"),
+        col("jaccard"), explode(col("ms_a")).as("x"), col("ms_b"))
+      .select(col("within"), col("n_common"), col("deg_a"), col("deg_b"),
+        col("jaccard"), col("x"),
+        explode(when(col("within"),
+            filter(col("ms_b"), y => y > col("x")))
+          .otherwise(col("ms_b"))).as("y"))
+    pairs
+      .select(least(col("x"), col("y")).as("node_a"),
+        greatest(col("x"), col("y")).as("node_b"), col("n_common"),
+        when(col("x") <= col("y"), col("deg_a")).otherwise(col("deg_b"))
+          .as("deg_a"),
+        when(col("x") <= col("y"), col("deg_b")).otherwise(col("deg_a"))
+          .as("deg_b"),
+        col("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(topN)
+  }
+
 
   /** Degree-routed Jaccard link prediction — the production entry
     * point that picks between [[jaccardLinkPrediction]]'s exact wedge
