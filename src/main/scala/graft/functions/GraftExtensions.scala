@@ -145,6 +145,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowHash(children.head, intArg(1), intArg(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("band_hashes"),
+      new ExpressionInfo(
+        classOf[BandHashes].getName, null, "band_hashes",
+        "band_hashes(sig, bands, r) - LSH band hashes: Murmur3 chain " +
+          "(seed 42) over each r-slice of the signature, bit-identical " +
+          "to transform(sequence(0,bands-1), j -> hash(slice(sig, " +
+          "j*r+1, r)))",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3,
+          s"band_hashes expects 3 arguments, got ${children.length}")
+        def intArg(i: Int): Int = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"band_hashes arg ${i + 1} must be an int literal, got $other")
+        }
+        BandHashes(children.head, intArg(1), intArg(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(
         classOf[CdcChunks].getName, null, "cdc_chunks",

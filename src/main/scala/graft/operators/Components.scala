@@ -1802,9 +1802,7 @@ object Components {
       .agg(first(col("__sig")).as("__sig"))
     val withBands = distinctSigs.select(
       col("__sk"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      posexplode(expr(s"band_hashes(__sig, $bands, $r)")))
       .select(col("__sk"), col("pos").as("__band"), col("col").as("__bh"))
     val skPairs = withBands
       .join(withBands.select(col("__sk").as("__sk2"),

@@ -86,9 +86,7 @@ object NearDup {
     // the bucket join's shuffle grows by that factor but stays linear.
     val withBands = sigs.select(
       col("__id"), col("__sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      posexplode(expr(s"band_hashes(__sig, $bands, $r)")))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bh")
 
@@ -210,9 +208,7 @@ object NearDup {
       .agg(graft.functions.MinHashAgg.of(numHashes, seed)(col("__x")).as("__sig"))
     val withBands = sigs.select(
       col("__id"), col("__is_batch"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      posexplode(expr(s"band_hashes(__sig, $bands, $r)")))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bh")
 
@@ -893,9 +889,7 @@ object NearDup {
             col("__id").cast("string")))))
     val withBands = tagged.select(
       col("__id"), col("__is_batch"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        j => hash(slice(col("__sig"), j * r + 1, lit(r))))))
+      posexplode(expr(s"band_hashes(__sig, $bands, $r)")))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bh")
     val left = withBands.select(col("__id").as("id_a"),

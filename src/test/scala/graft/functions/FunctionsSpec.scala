@@ -455,4 +455,31 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.lang.Long.bitCount(mask) === r.getAs[Int]("n_hits"))
     }
   }
+
+  test("band_hashes is bit-identical to the hash(slice(...)) HOF formulation") {
+    // random signatures of several lengths, including SHORT arrays
+    // whose tail slices truncate (empty slice must hash to the bare
+    // seed, matching hash(slice(...)) of an empty array)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val n = Seq(128, 128, 128, 7, 0, 3)(i % 6)
+      (i.toLong, Seq.fill(n)(rnd.nextLong()))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "sig")
+    for ((bands, r) <- Seq((32, 4), (16, 8), (8, 1))) {
+      val both = df.select(
+        expr(s"band_hashes(sig, $bands, $r)").as("native"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          j => hash(slice(col("sig"), j * r + 1, lit(r)))).as("hof"))
+      both.collect().foreach { row =>
+        assert(row.getSeq[Int](0) === row.getSeq[Int](1),
+          s"mismatch at bands=$bands r=$r")
+      }
+    }
+    // null signature stays null
+    val nul = spark.sql(
+      "SELECT band_hashes(CAST(NULL AS ARRAY<BIGINT>), 4, 2) AS h")
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
 }
