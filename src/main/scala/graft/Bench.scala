@@ -237,6 +237,12 @@ object Bench {
         s""""cpu_total":${f"$cpuTotal%.3f"},"errors":$errJson,$meta}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    // the DRIVER-FACING artifact: two rounds of BENCH_rN.json carried
+    // parsed:null because the driver scrapes sbt-prefixed stdout. The
+    // full summary (per-query medians/mins/cpu) is also written to a
+    // fixed repo-root path the driver's end-of-round commit picks up —
+    // log parsing is no longer load-bearing.
+    Files.writeString(Paths.get("BENCH_SUMMARY.json"), full + "\n")
     // stdout stays COMPACT so the driver's tail capture can't truncate
     // mid-object (BENCH_r05 recorded parsed:null from the full map);
     // the per-query medians/mins live in target/bench.json

@@ -24,9 +24,13 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * Semantics are pinned BIT-FOR-BIT to the HOF formulation so the
   * candidate sets (and thus every declared relation) are unchanged:
   * Spark's `hash()` over an ArrayType(Long) column is a Murmur3_x86_32
-  * chain seeded 42 folding each element via `hashLong`, and `slice`
+  * chain seeded 42 folding each element via `hashLong`, `slice`
   * truncates at the array end (an empty tail slice hashes to the bare
-  * seed) — both reproduced exactly here.
+  * seed), and `hash()` SKIPS null array elements (the chain value
+  * passes through unchanged) — all three reproduced exactly here. The
+  * signature pipelines never produce null elements, but the function
+  * is registered session-wide for SQL, so the null case must match
+  * `Murmur3Hash` rather than fold garbage.
   *
   * Row-level `CodegenFallback` is deliberate (the [[WinnowHash]]
   * lesson): the work is one native loop per ROW; what this removes is
@@ -57,7 +61,7 @@ case class BandHashes(child: Expression, bands: Int, r: Int)
       var t = j * r
       val end = math.min(t + r, n)
       while (t < end) {
-        h = Murmur3_x86_32.hashLong(sig.getLong(t), h)
+        if (!sig.isNullAt(t)) h = Murmur3_x86_32.hashLong(sig.getLong(t), h)
         t += 1
       }
       out(j) = h

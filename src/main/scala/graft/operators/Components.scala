@@ -1153,12 +1153,30 @@ object Components {
     * adjacency-set groups (total payload 2|E| longs — arrays per
     * node, never pair mass), the wedge self-join pays Σ deg² on the
     * COLLAPSED group graph, and the node-level graph is never touched
-    * again. Probe overhead on the no-collapse route: one extra tiny
-    * aggregate over #nodes rows — the groupBy it rides on IS the node
-    * path's degree computation.
+    * again. Probe overhead on the no-collapse route: the fingerprint
+    * groupBy IS the node path's degree computation, plus one 1-row
+    * duplicate-fingerprint count over #nodes rows; the heavier rdeg
+    * probe (an EDGE-linear join of the 2|E|-row sym relation against
+    * the fingerprints, then a per-node distinct-count) runs ONLY when
+    * duplicate fingerprints exist at all — a graph with all-distinct
+    * neighbor sets (the declared q154 regime) never pays it. Forced
+    * modes skip whatever they don't need: "always" builds no
+    * fingerprints, "never" computes degrees only.
     */
   private def jaccardFromCanon(canon: DataFrame, topN: Int): DataFrame = {
     val sym = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    // ops override: spark.graft.jaccard.collapse = auto|always|never
+    // ("auto" = the measured probe; the forced modes exist for A/B
+    // measurement and for pinning a plan in production)
+    val mode = canon.sparkSession.conf
+      .get("spark.graft.jaccard.collapse", "auto")
+    if (mode == "always") return jaccardCollapsed(canon, sym, topN)
+    if (mode == "never") {
+      // node path needs degrees only — no fingerprint hashes
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      return jaccardNodeLevel(canon, sym, deg, topN)
+    }
     // commutative fingerprint probe (see scaladoc): wedge mass before
     // vs after identical-adjacency collapse, exactly, without arrays
     // bit_xor, not sum: order-free like sum but cannot overflow under
@@ -1169,34 +1187,36 @@ object Components {
       bit_xor(xxhash64(col("v"))).as("s1"),
       bit_xor(xxhash64(col("v"), lit(1))).as("s2"))
       .localCheckpoint()
-    // ops override: spark.graft.jaccard.collapse = auto|always|never
-    // ("auto" = the measured probe; the forced modes exist for A/B
-    // measurement and for pinning a plan in production)
-    val mode = canon.sparkSession.conf
-      .get("spark.graft.jaccard.collapse", "auto")
-    val collapse = mode match {
-      case "always" => true
-      case "never"  => false
-      case _ =>
-        // gid: one 64-bit group id per node from its fingerprint
-        val gids = fp.select(col("u"),
-          xxhash64(col("deg"), col("s1"), col("s2")).as("gid"))
-        // rdeg(u) = u's degree in the rep graph = distinct neighbor
-        // groups; identical-set nodes share rdeg, so the collapsed
-        // wedge mass sums rdeg² ONCE per distinct group
-        val rdeg = sym
-          .join(gids.withColumnRenamed("u", "v")
-            .withColumnRenamed("gid", "ngid"), Seq("v"))
-          .groupBy(col("u"))
-          .agg(count_distinct(col("ngid")).as("rdeg"))
-        val probe = fp.select(col("u"), col("deg"))
-          .join(gids, Seq("u")).join(rdeg, Seq("u"))
-          .groupBy(col("gid"))
-          .agg(count(lit(1)).as("g"), first(col("deg")).as("deg"),
-            first(col("rdeg")).as("rdeg"))
-          .agg(sum(col("g") * col("deg") * col("deg")).as("wedge_node"),
-            sum(col("rdeg") * col("rdeg")).as("wedge_grp"))
-          .head()
+    // cheap gate first: with zero duplicate fingerprints no collapse
+    // is possible, so the edge-linear rdeg probe below never runs on
+    // all-distinct graphs. count() also covers the empty-graph case
+    // (0 nodes = 0 distinct → node-level, which returns empty) that
+    // would otherwise surface as NULL sums in the wedge-mass probe.
+    val gate = fp.agg(count(lit(1)).as("n"),
+      count_distinct(col("deg"), col("s1"), col("s2")).as("nd")).head()
+    val collapse = gate.getLong(0) != gate.getLong(1) && {
+      // gid: one 64-bit group id per node from its fingerprint
+      val gids = fp.select(col("u"),
+        xxhash64(col("deg"), col("s1"), col("s2")).as("gid"))
+      // rdeg(u) = u's degree in the rep graph = distinct neighbor
+      // groups; identical-set nodes share rdeg, so the collapsed
+      // wedge mass sums rdeg² ONCE per distinct group
+      val rdeg = sym
+        .join(gids.withColumnRenamed("u", "v")
+          .withColumnRenamed("gid", "ngid"), Seq("v"))
+        .groupBy(col("u"))
+        .agg(count_distinct(col("ngid")).as("rdeg"))
+      val probe = fp.select(col("u"), col("deg"))
+        .join(gids, Seq("u")).join(rdeg, Seq("u"))
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("g"), first(col("deg")).as("deg"),
+          first(col("rdeg")).as("rdeg"))
+        .agg(sum(col("g") * col("deg") * col("deg")).as("wedge_node"),
+          sum(col("rdeg") * col("rdeg")).as("wedge_grp"))
+        .head()
+      // belt-and-braces: the gate guarantees fp is non-empty here, so
+      // the sums cannot be NULL; treat it as no-collapse if they ever are
+      !probe.isNullAt(0) && !probe.isNullAt(1) &&
         probe.getLong(0) >= 2 * probe.getLong(1)
     }
     if (collapse) jaccardCollapsed(canon, sym, topN)
@@ -1500,6 +1520,32 @@ object Components {
       |FROM cand
       |ORDER BY jaccard DESC, node_a, node_b
       |LIMIT 50""".stripMargin
+
+  /** Declared q282: q154's graph FORCED through the identical-adjacency
+    * COLLAPSED exact path (`spark.graft.jaccard.collapse=always`) — the
+    * row that makes the router's third regime driver-visible. The
+    * collapse is EXACT (facts 1–3 in [[jaccardFromCanon]]'s scaladoc),
+    * so the oracle is q154's own exact SQL unchanged: a hash match here
+    * pins collapsed ≡ node-level on a driver-checked relation, not just
+    * in the spec suite. On this graph every neighbor set is distinct
+    * (groups are all singletons), so the row also exercises the
+    * degenerate all-singleton shape of the group plan — the regime the
+    * auto-probe routes AWAY from for performance, which is exactly why
+    * a forced row is the only way to driver-check it.
+    */
+  def q282JaccardLinksCollapsed(spark: SparkSession, d: String): DataFrame = {
+    val key = "spark.graft.jaccard.collapse"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "always")
+    // the route is chosen EAGERLY inside jaccardFromCanon (the probe
+    // collects), so restoring the conf after the builder returns
+    // cannot flip the returned plan
+    try jaccardLinksAuto(q154Edges(spark, d), "src", "dst", topN = 50)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Degree assortativity of an undirected graph — the Pearson
     * correlation of endpoint degrees over the symmetric edge list

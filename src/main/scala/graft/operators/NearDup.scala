@@ -920,4 +920,121 @@ object NearDup {
         (!coalesce(col("__dup_corpus"), lit(false)) &&
           !coalesce(col("__dup_batch"), lit(false))).as("keep"))
   }
+
+  /** [[indexedNearDupVerdicts]] semantics over a BAND-BUCKETED
+    * persisted index — the truly corpus-free per-trigger shape. The
+    * flat (id, sig) index still made every trigger scan the whole
+    * signature relation (read every sig array, compute every band
+    * hash): corpus-linear with a small constant, measured 1.6× wall /
+    * 2.0× cpu per trigger at 10× corpus (round-13 IngestLadder). Here
+    * the corpus side arrives through two PRUNED point-lookup reads the
+    * caller supplies (file-skipping via [[graft.tables.DeltaLikeTable.
+    * readPruned]] on the persisted band/signature tables):
+    *
+    *   - `corpusBandsFor(bhs)`: (idCol, band, bh) rows from files whose
+    *     bh stat-range covers a batch band hash — candidate generation
+    *     touches ≤ |batch|·bands files' worth of index rows, not the
+    *     corpus;
+    *   - `corpusShFor(Some(ids))`: (idCol, sh) rows from files whose id
+    *     range covers a candidate — exact verification touches the
+    *     collision set's files only. `corpusShFor(None)` must return
+    *     the full relation: the guard for a degenerate batch whose
+    *     collision set exceeds `maxPrunedLookup` (the driver-side id
+    *     collect must stay metadata-bounded, so past the cap the
+    *     verify joins against the full scan instead — the flat-index
+    *     behavior, correctness unchanged).
+    *
+    * Candidate SEMANTICS are pinned to [[indexedNearDupVerdicts]]:
+    * same band_hashes banding, same id_a < id_b in-batch rule, same
+    * exact-Jaccard verify over 64-bit shingle sets, same output shape —
+    * the q283 oracle being q278's SQL is what driver-checks that pin.
+    *
+    * Both returned probe relations are SUPERSETS (file granularity);
+    * the equi-joins here re-apply the exact predicate, so pruning can
+    * never change a verdict, only the bytes touched.
+    */
+  def bandedNearDupVerdicts(
+      batchSigs: DataFrame,
+      corpusBandsFor: Seq[Int] => DataFrame,
+      corpusShFor: Option[Seq[Any]] => DataFrame,
+      idCol: String,
+      threshold: Double = 0.6,
+      bands: Int = 32,
+      numHashes: Int = 128,
+      maxPrunedLookup: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
+    val r = numHashes / bands
+    val batch = batchSigs
+      .select(col(idCol).as("__id"), col("sh").as("__sh"), col("sig").as("__sig"))
+      .where(size(col("__sig")) > 0)
+      // same loud length guard as the flat path — a mis-built index
+      // row must never silently band over a signature prefix
+      .withColumn("__sig",
+        when(size(col("__sig")) === numHashes, col("__sig"))
+          .otherwise(raise_error(concat(
+            lit(s"bandedNearDupVerdicts: signature length != numHashes=$numHashes for id "),
+            col("__id").cast("string")))))
+    val batchBands = batch.select(col("__id"),
+      posexplode(expr(s"band_hashes(__sig, $bands, $r)")))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bh")
+      // consumed thrice (probe collect + corpus join + in-batch join);
+      // batch-sized
+      .localCheckpoint()
+    // probe set: ≤ |batch|·bands ints by construction — driver-safe
+    val bhVals = batchBands.select(col("__bh")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpusCand = corpusBandsFor(bhVals)
+      .select(col(idCol).as("id_a"), col("band").as("__band"),
+        col("bh").as("__bh"))
+      // batch side broadcast: the corpus index is probed map-side,
+      // never shuffled
+      .join(broadcast(batchBands.select(col("__id").as("id_b"),
+        col("__band"), col("__bh"))), Seq("__band", "__bh"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), lit(false).as("__batch_a"), col("id_b"))
+    val inBatchCand = batchBands
+      .select(col("__id").as("id_a"), col("__band"), col("__bh"))
+      .join(batchBands.select(col("__id").as("id_b"), col("__band"),
+        col("__bh")), Seq("__band", "__bh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), lit(true).as("__batch_a"), col("id_b"))
+    val candidates = corpusCand.unionByName(inBatchCand)
+      .dropDuplicates("id_a", "id_b")
+      // consumed twice (corpus-id probe + verify); collision-set-sized
+      .localCheckpoint()
+    val corpusIds = candidates.where(!col("__batch_a"))
+      .select(col("id_a")).distinct()
+    val nCorpusIds = corpusIds.count()
+    val corpusSh = {
+      val base =
+        if (nCorpusIds <= maxPrunedLookup)
+          corpusShFor(Some(corpusIds.collect().map(_.get(0)).toSeq))
+        else corpusShFor(None)
+      // re-apply the exact id predicate over the file-granularity
+      // superset
+      base.select(col(idCol).as("__id"), col("sh").as("__sh"))
+        .join(broadcast(corpusIds.withColumnRenamed("id_a", "__id")),
+          Seq("__id"), "left_semi")
+    }
+    val sets = batch.select(col("__id"), col("__sh")).unionByName(corpusSh)
+    val verified = candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .where((size(array_intersect(col("__sh_a"), col("__sh_b"))).cast(DoubleType) /
+        (size(col("__sh_a")) + size(col("__sh_b")) -
+          size(array_intersect(col("__sh_a"), col("__sh_b"))))) >= threshold)
+      .groupBy(col("id_b"))
+      .agg(
+        max(when(!col("__batch_a"), true).otherwise(false)).as("__dup_corpus"),
+        max(when(col("__batch_a"), true).otherwise(false)).as("__dup_batch"))
+    batchSigs.select(col(idCol))
+      .join(verified.withColumnRenamed("id_b", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dup_corpus"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__dup_batch"), lit(false)).as("dup_in_batch"),
+        (!coalesce(col("__dup_corpus"), lit(false)) &&
+          !coalesce(col("__dup_batch"), lit(false))).as("keep"))
+  }
 }

@@ -157,6 +157,9 @@ object IngestDedup {
         if (kind == "indexed")
           seedSignatureIndex(seed, dir.resolve("_sig").toString,
             "doc_id", "text")
+        if (kind == "banded")
+          seedBandedIndex(seed, dir.resolve("_idx").toString,
+            "doc_id", "text")
         dir.toString
       })
 
@@ -321,6 +324,206 @@ object IngestDedup {
       NearDup.signatureRows(corpus, idCol, textCol)
         .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L)),
       sigPath, "overwrite")
+
+  // ---- band-bucketed variant: per-trigger corpus touch is PRUNED -----
+
+  /** Sig-table files hold ~this many docs so a candidate-id point
+    * lookup keeps ~|collision set| files, independent of corpus size.
+    */
+  private val SigDocsPerFile = 512L
+
+  /** Band-table files hold ~this many (band, bh, id) int rows; the
+    * per-trigger bh probe prunes against their bh stat ranges.
+    */
+  private val BandRowsPerFile = 131072L
+
+  /** Build the band-bucketed index for an existing corpus: TWO tables
+    * under `indexPath` —
+    *
+    *   - `sig`: [[NearDup.signatureRows]] + `ingest_batch`, files
+    *     RANGE-PARTITIONED by id (~[[SigDocsPerFile]] docs each) so a
+    *     candidate-id lookup is file-pruned to the collision set;
+    *   - `band`: one (band, bh, id) row per (doc, band), files
+    *     range-partitioned by bh (~[[BandRowsPerFile]] rows each) so a
+    *     trigger's band-hash probe is file-pruned to the buckets it
+    *     hits.
+    *
+    * This is the layout the round-13 ladder named as the corpus-free
+    * follow-on: the flat (id, sig) index still paid a corpus-linear
+    * sig-array scan + band-hash recompute per trigger; here both
+    * per-trigger corpus touches go through
+    * [[graft.tables.DeltaLikeTable.readPruned]] point lookups. The
+    * heavy payloads (sh shingle sets, sig arrays) live ONLY in the
+    * id-ranged sig table, so the residual corpus-linear touch is the
+    * int-triple band relation — ~2% of the index bytes.
+    *
+    * File-count shape at 100 TB: file SIZE is fixed, so file count
+    * grows with the corpus while a trigger's kept-file count stays
+    * bounded by its probe set (≤ |batch|·bands band files + |collision
+    * set| sig files) — per-trigger IO is flat in corpus size. The
+    * linear driver-side stat sweep in [[graft.tables.DataSkipping]] is
+    * the piece a multi-million-file deployment would replace with a
+    * sorted-run binary search over file ranges; it is O(files) metadata
+    * with no data IO.
+    */
+  def seedBandedIndex(
+      corpus: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
+    val spark = corpus.sparkSession
+    val sigRows = NearDup.signatureRows(corpus, idCol, textCol, numHashes)
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(-1L))
+    val n = math.max(1L, corpus.count())
+    val fs = ((n + SigDocsPerFile - 1) / SigDocsPerFile).toInt
+    DeltaLikeTable.write(
+      sigRows.repartitionByRange(fs, col(idCol)),
+      s"$indexPath/sig", "overwrite")
+    // band rows derive from the COMMITTED sig table — one cheap read
+    // back instead of recomputing shingles + minhash
+    val fb = ((n * bands + BandRowsPerFile - 1) / BandRowsPerFile).toInt
+    DeltaLikeTable.write(
+      bandRowsOf(DeltaLikeTable.forPath(spark, sigPathOf(indexPath)).toDF,
+        idCol, numHashes, bands)
+        .repartitionByRange(fb, col("bh")),
+      s"$indexPath/band", "overwrite")
+  }
+
+  private def sigPathOf(indexPath: String) = s"$indexPath/sig"
+  private def bandPathOf(indexPath: String) = s"$indexPath/band"
+
+  /** (band, bh, id) rows of sig-shaped `rows` — the banding relation,
+    * bit-identical to the hashes [[NearDup.bandedNearDupVerdicts]]
+    * probes with (same `band_hashes` expression, same slicing).
+    */
+  private def bandRowsOf(rows: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    rows.where(org.apache.spark.sql.functions.size(col("sig")) > 0)
+      .select(col(idCol), org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.expr(s"band_hashes(sig, $bands, $r)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+      .select(col("band"), col("bh"), col(idCol))
+  }
+
+  /** The band-bucketed foreachBatch: [[appendDedupedIndexed]]'s
+    * exactly-once contract (decision commits with the sig append,
+    * replay recovers by READING, never recomputing) with per-trigger
+    * corpus touch PRUNED to the batch's probe sets — candidate
+    * generation reads the band files its band hashes hit, exact verify
+    * reads the sig files its collision set lands in, and the corpus is
+    * never scanned end-to-end after the one-time seed, at any corpus
+    * size.
+    *
+    * Three-table commit order per batch: sig (the durable keep
+    * decision) → band (derived; rebuilt from the sig table's own
+    * batch-pruned files on replay) → docs. Every inter-commit crash
+    * window recovers by reading the tables already committed.
+    */
+  def appendDedupedBanded(
+      docPath: String,
+      indexPath: String,
+      queryId: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.6,
+      numHashes: Int = 128,
+      bands: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sigPath = sigPathOf(indexPath)
+    val bandPath = bandPathOf(indexPath)
+    if (batchId <= DeltaLikeSink.lastCommittedBatchIn(docPath, queryId)) return
+    val sigCommitted =
+      batchId <= DeltaLikeSink.lastCommittedBatchIn(sigPath, queryId)
+    val keepIds =
+      if (sigCommitted) {
+        // decision durable from a prior attempt: recover it from the
+        // batch's own appended files (their ingest_batch stats are
+        // exact, so the read is file-pruned to this batch)
+        DeltaLikeTable.readPruned(spark, sigPath,
+          Seq(org.apache.spark.sql.sources.EqualTo("ingest_batch", batchId)))
+          .where(col("ingest_batch") === batchId)
+          .select(col(idCol))
+      } else {
+        val batchSigs = NearDup
+          .signatureRows(batch.select(col(idCol), col(textCol)), idCol,
+            textCol, numHashes)
+          .localCheckpoint() // consumers: verdicts + the sig append
+        val keep = NearDup.bandedNearDupVerdicts(
+          batchSigs,
+          bhs =>
+            if (bhs.isEmpty)
+              DeltaLikeTable.forPath(spark, bandPath).toDF.limit(0)
+            else DeltaLikeTable.readPruned(spark, bandPath,
+              Seq(org.apache.spark.sql.sources.In("bh",
+                bhs.map(v => v: Any).toArray))),
+          ids => DeltaLikeTable.readPruned(spark, sigPath,
+            ids.map(l => Seq[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In(idCol, l.toArray)))
+              .getOrElse(Seq.empty)),
+          idCol, threshold, bands, numHashes)
+          .where(col("keep"))
+          .select(col(idCol))
+        DeltaLikeSink.appendBatch(sigPath, queryId)(
+          batchSigs.join(keep, Seq(idCol))
+            .withColumn("ingest_batch",
+              org.apache.spark.sql.functions.lit(batchId)),
+          batchId)
+        keep
+      }
+    if (batchId > DeltaLikeSink.lastCommittedBatchIn(bandPath, queryId)) {
+      // derived relation: rebuild from the sig table's batch files —
+      // pruned, and correct on both the normal and the replay path
+      val keptSigs = DeltaLikeTable.readPruned(spark, sigPath,
+        Seq(org.apache.spark.sql.sources.EqualTo("ingest_batch", batchId)))
+        .where(col("ingest_batch") === batchId)
+      DeltaLikeSink.appendBatch(bandPath, queryId)(
+        bandRowsOf(keptSigs, idCol, numHashes, bands), batchId)
+    }
+    DeltaLikeSink.appendBatch(docPath, queryId)(
+      batch.join(keepIds, Seq(idCol)), batchId)
+  }
+
+  /** Declared q283: q278's ingest loop over the BAND-BUCKETED persisted
+    * index — same seed corpus, same three ascending-id micro-batches,
+    * same keep semantics (the oracle IS q278's SQL), but each trigger's
+    * corpus touch is two file-pruned point lookups instead of a full
+    * index scan. Sharing q278's oracle driver-checks that pruning never
+    * changes a verdict; the per-trigger cost claim is measured by
+    * `IngestLadder` in banded mode (BASELINE.md).
+    */
+  def q283StreamIngestBanded(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_ingest_run_band")
+    try {
+      val tpl = java.nio.file.Paths.get(seedTemplate(spark, d, "banded"))
+      val docPath = scratch.resolve("tbl")
+      val idxPath = scratch.resolve("_idx")
+      val ckpt = scratch.resolve("ckpt")
+      copyTree(tpl.resolve("tbl"), docPath)
+      copyTree(tpl.resolve("_idx"), idxPath)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType
+          .fromDDL("doc_id BIGINT, text STRING"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(q278ChunkDir(spark, d))
+      val q = stream.writeStream.foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          appendDedupedBanded(docPath.toString, idxPath.toString, "q283",
+            "doc_id", "text", threshold = 0.6)(b.toDF(), id)
+      }.option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("deltalike").load(docPath.toString)
+        .where(col("doc_id") >= 400).select(col("doc_id"))
+        .localCheckpoint()
+    } finally deleteTree(scratch)
+  }
 
   /** Declared q281: q278's ingest loop with the PERSISTED signature
     * index — same seed corpus, same three ascending-id micro-batches,

@@ -35,7 +35,7 @@ object DataSkipping {
       case LessThanOrEqual(a, v) =>
         cmpStat(schema, file, a, v).forall { case (lo, _) => lo <= 0 }
       case In(a, vs) =>
-        vs.isEmpty || vs.exists(v => mayMatch(schema, file, EqualTo(a, v)))
+        vs.isEmpty || inMayMatch(schema, file, a, vs)
       case IsNull(a) =>
         file.nullCounts.get(a).forall(_ > 0)
       case IsNotNull(a) =>
@@ -44,6 +44,42 @@ object DataSkipping {
       case Or(l, r)  => mayMatch(schema, file, l) || mayMatch(schema, file, r)
       case _         => true // Not / string matches / unknown: keep
     }
+
+  /** `In`-specific fast path. A point-lookup probe set (the banded
+    * signature index reads thousands of band-hash / doc-id values per
+    * trigger) routed through the per-value EqualTo path re-parses the
+    * same two file stats once per VALUE — O(|vs|) BigDecimal builds per
+    * file. For integral columns, parse the file's [min, max] ONCE and
+    * range-check each probe as a primitive long. Same conservative
+    * contract: any parse failure or non-integral shape falls back to
+    * the per-value path (which itself keeps on anything it can't order).
+    */
+  private def inMayMatch(
+      schema: StructType,
+      file: AddFile,
+      a: String,
+      vs: Array[Any]): Boolean = {
+    val integral = schema.fields.find(_.name == a).map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) => true
+      case _                                                   => false
+    }
+    if (integral && vs.forall(_.isInstanceOf[java.lang.Number])) {
+      (file.minValues.get(a), file.maxValues.get(a)) match {
+        case (Some(mi), Some(ma)) =>
+          try {
+            val lo = mi.toLong
+            val hi = ma.toLong
+            // longValue truncation on a fractional probe can only
+            // over-keep (an int column never equals 2.5 anyway)
+            vs.exists { v =>
+              val x = v.asInstanceOf[java.lang.Number].longValue
+              x >= lo && x <= hi
+            }
+          } catch { case scala.util.control.NonFatal(_) => true }
+        case _ => true
+      }
+    } else vs.exists(v => mayMatch(schema, file, EqualTo(a, v)))
+  }
 
   /** (sign of min-v, sign of max-v) for attribute `a` vs literal `v`,
     * None when stats or ordering are unavailable (→ keep the file).

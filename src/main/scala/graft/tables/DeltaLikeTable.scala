@@ -1399,6 +1399,30 @@ object DeltaLikeTable {
   private[tables] def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame =
     readSnapshotWithMeta(spark, snap, None, None)
 
+  /** Latest-snapshot scan restricted to the files that MAY contain rows
+    * matching `filters`, via the same per-file min/max stats the
+    * `deltalike` DataSource read path uses ([[DataSkipping.prune]]) —
+    * but on the stock vectorized parquet reader instead of the V1
+    * row-based `PrunedFilteredScan`. This is the point-lookup read the
+    * banded signature index runs per streaming trigger: an `In` over
+    * thousands of band hashes / candidate doc-ids keeps only the files
+    * whose stat range covers a probe, so a trigger's corpus touch is
+    * bounded by the probe set, not the table.
+    *
+    * Returns a SUPERSET of the matching rows (every row of every kept
+    * file) — callers re-apply the predicate, typically as a join
+    * against the probe relation. Inline deletion vectors are applied
+    * as on any snapshot read ([[readSnapshotWithMeta]]).
+    */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
+    val snap = DeltaLog.forPath(path).snapshot()
+    val kept = DataSkipping.prune(snap, filters)
+    readSnapshot(spark, snap.copy(files = kept))
+  }
+
   /** Snapshot scan with inline deletion vectors applied. `fileCol` /
     * `rowIdxCol` attach `_metadata.file_path` / `_metadata.row_index` as
     * ordinary columns — they must be bound HERE, on the file-source

@@ -482,4 +482,25 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head
     assert(nul.isNullAt(0))
   }
+
+  test("band_hashes skips null ELEMENTS exactly like hash(slice(...))") {
+    // Murmur3Hash passes the chain value through unchanged on a null
+    // array element; the signature pipelines never produce one, but the
+    // function is registered session-wide for SQL, so the semantics
+    // must match (the r13 advice item: folding garbage instead of
+    // skipping would silently break the bit-equality contract)
+    val both = spark.sql(
+      """SELECT array(1L, CAST(NULL AS BIGINT), NULL, NULL, 5L, 6L) AS sig""")
+      .select(
+        expr("band_hashes(sig, 3, 2)").as("native"),
+        transform(sequence(lit(0), lit(2)),
+          j => hash(slice(col("sig"), j * 2 + 1, lit(2)))).as("hof"))
+      .collect().head
+    assert(both.getSeq[Int](0) === both.getSeq[Int](1))
+    // an all-null band must equal hash(array(NULL, NULL)) = bare seed
+    val bare = spark.sql(
+      "SELECT hash(array(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))) AS h")
+      .collect().head.getInt(0)
+    assert(both.getSeq[Int](0)(1) === bare)
+  }
 }

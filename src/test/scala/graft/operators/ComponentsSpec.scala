@@ -704,4 +704,19 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(routed === pinned, s"router mismatch at topN=$topN")
     }
   }
+
+  test("jaccard auto probe: degenerate edge sets return empty, no crash") {
+    val sp = spark; import sp.implicits._
+    // all edges self-loops → canonical edge set is EMPTY; the r13 auto
+    // probe aggregated it to one row of NULL sums and threw NPE. The
+    // duplicate-fingerprint gate now routes node-level (0 distinct =
+    // 0 nodes), which returns an empty relation like every other path.
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("u", "v")
+    assert(Components.jaccardLinkPrediction(loops, "u", "v", 10)
+      .count() === 0L)
+    // a genuinely empty edge relation behaves the same
+    val empty = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(Components.jaccardLinkPrediction(empty, "u", "v", 10)
+      .count() === 0L)
+  }
 }

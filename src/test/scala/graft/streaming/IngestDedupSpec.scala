@@ -189,4 +189,113 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(idx === txt)
   }
+
+  test("bandedNearDupVerdicts equals indexedNearDupVerdicts, " +
+    "including the past-cap full-scan fallback") {
+    import org.apache.spark.sql.functions.{col, expr, posexplode, size}
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val batchSigs = graft.operators.NearDup
+      .signatureRows(batch, "doc_id", "text").localCheckpoint()
+    val corpusSigs = graft.operators.NearDup
+      .signatureRows(corpus, "doc_id", "text").localCheckpoint()
+    val indexed = asMap(graft.operators.NearDup.indexedNearDupVerdicts(
+      batchSigs, corpusSigs, "doc_id", 0.6))
+    // full-scan closures: the verdicts must be pruning-INDEPENDENT (a
+    // pruned read only ever returns a superset the joins re-filter)
+    val bandRows = corpusSigs.where(size(col("sig")) > 0)
+      .select(col("doc_id"), posexplode(expr("band_hashes(sig, 32, 4)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    def banded(cap: Int) =
+      asMap(graft.operators.NearDup.bandedNearDupVerdicts(
+        batchSigs, _ => bandRows,
+        _ => corpusSigs.select(col("doc_id"), col("sh")),
+        "doc_id", 0.6, maxPrunedLookup = cap))
+    assert(banded(100000) === indexed)
+    // cap 0 forces the corpusShFor(None) fallback branch
+    assert(banded(0) === indexed)
+  }
+
+  test("banded ingest: decisions from the pruned index, derived band " +
+    "table, and crash replays recover at every commit boundary") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docPath = Files.createTempDirectory("ingest_band_tbl").toString
+    val idxPath = Files.createTempDirectory("ingest_band_idx").toString
+
+    val seed = Seq((1L, baseA)).toDF("doc_id", "text")
+    DeltaLikeTable.write(seed, docPath)
+    IngestDedup.seedBandedIndex(seed, idxPath, "doc_id", "text")
+    // mangle the doc-table text: any trigger consulting corpus text
+    // would admit the near-copy below; the banded index is the only
+    // honest source
+    DeltaLikeTable.write(
+      Seq((1L, "x")).toDF("doc_id", "text"), docPath, "overwrite")
+
+    IngestDedup.appendDedupedBanded(docPath, idxPath, "band-spec",
+      "doc_id", "text")(
+      Seq((10L, baseA + " phi"), (11L, novelB)).toDF("doc_id", "text"), 0L)
+    val t = DeltaLikeTable.forPath(spark, docPath)
+    assert(t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L), "near-copy of the seed must be blocked via the index")
+    // the derived band table carries the admitted doc's 32 band rows
+    val bandT = DeltaLikeTable.forPath(spark, s"$idxPath/band")
+    assert(bandT.toDF.where(col("doc_id") === 11L).count() === 32L)
+    assert(bandT.toDF.where(col("doc_id") === 10L).count() === 0L)
+
+    // crash window 1: batch 1's SIG append committed, band + doc not.
+    val b1 = Seq((20L, novelB + " postscript"), (21L, novelC))
+      .toDF("doc_id", "text")
+    val b1Sigs = graft.operators.NearDup
+      .signatureRows(b1, "doc_id", "text")
+      .where(col("doc_id") === 21L)
+      .withColumn("ingest_batch", lit(1L))
+    graft.tables.DeltaLikeSink.appendBatch(s"$idxPath/sig", "band-spec")(
+      b1Sigs, 1L)
+    // replay must RECOVER the durable decision (keep 21, drop 20) and
+    // rebuild the band rows from the sig table's batch files
+    IngestDedup.appendDedupedBanded(docPath, idxPath, "band-spec",
+      "doc_id", "text")(b1, 1L)
+    assert(t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L, 21L))
+    val sigT = DeltaLikeTable.forPath(spark, s"$idxPath/sig")
+    assert(sigT.toDF.where(col("ingest_batch") === 1L).count() === 1L)
+    assert(bandT.toDF.where(col("doc_id") === 21L).count() === 32L)
+
+    // crash window 2: sig + band committed, doc append missing — the
+    // replay must finish the doc append without re-appending either
+    val b2 = Seq((30L, novelC + " afterword")).toDF("doc_id", "text")
+    val b2Sigs = graft.operators.NearDup
+      .signatureRows(b2, "doc_id", "text")
+      .withColumn("ingest_batch", lit(2L))
+    graft.tables.DeltaLikeSink.appendBatch(s"$idxPath/sig", "band-spec")(
+      b2Sigs, 2L)
+    graft.tables.DeltaLikeSink.appendBatch(s"$idxPath/band", "band-spec")(
+      bandT.toDF.limit(0), 2L) // an (empty) band commit for batch 2
+    IngestDedup.appendDedupedBanded(docPath, idxPath, "band-spec",
+      "doc_id", "text")(b2, 2L)
+    assert(t.toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L, 21L, 30L))
+    assert(sigT.toDF.where(col("ingest_batch") === 2L).count() === 1L)
+
+    // a fully-replayed batch (all three tables committed) is a no-op
+    IngestDedup.appendDedupedBanded(docPath, idxPath, "band-spec",
+      "doc_id", "text")(b2, 2L)
+    assert(t.toDF.count() === 4L)
+  }
+
+  test("q283 (banded) final relation equals q278 (from-text)") {
+    val d = "/root/testdata/sf0.001"
+    val band = IngestDedup.q283StreamIngestBanded(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val txt = IngestDedup.q278StreamIngestDedup(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(band === txt)
+  }
 }

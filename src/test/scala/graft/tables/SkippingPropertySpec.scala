@@ -74,6 +74,40 @@ class SkippingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("integral In fast path: large probe sets prune correctly and tightly") {
+    val sp = spark; import sp.implicits._
+    val path = Files.createTempDirectory("skip_in").toString
+    (1 to 4000).map(i => (i.toLong, i % 7))
+      .toDF("id", "g")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("id"))
+      .write.format("deltalike").mode("overwrite").save(path)
+    val snap = DeltaLog.forPath(path).snapshot()
+    assert(snap.files.size === 8)
+    def rowsOf(files: Seq[AddFile], f: Filter): Set[Long] =
+      DeltaLikeTable.readSnapshot(spark, snap.copy(files = files))
+        .where(filterToColumn(f)).collect().map(_.getLong(0)).toSet
+    val rnd = new scala.util.Random(41)
+    // random probe sets of the size the banded index actually sends
+    // (thousands of values) — pruned scan must equal the full scan
+    (1 to 3).foreach { round =>
+      val f = In("id", Array.fill(500)(rnd.nextLong(5000).asInstanceOf[Any]))
+      val pruned = DataSkipping.prune(snap, Seq(f))
+      assert(rowsOf(pruned, f) === rowsOf(snap.files, f), s"round $round")
+    }
+    // a CLUSTERED probe set must actually drop files (the point of the
+    // banded layout: range-partitioned files + point probes = skips)
+    val clustered = In("id", (1L to 400L).map(_.asInstanceOf[Any]).toArray)
+    val kept = DataSkipping.prune(snap, Seq(clustered))
+    assert(kept.size < snap.files.size,
+      s"clustered probe kept ${kept.size}/${snap.files.size} files")
+    assert(rowsOf(kept, clustered) === rowsOf(snap.files, clustered))
+    // fractional probes over an integral column: truncation may only
+    // OVER-keep, never lose a row (and 2.5 matches nothing anyway)
+    val frac = In("id", Array[Any](2.5d, 100L))
+    assert(rowsOf(DataSkipping.prune(snap, Seq(frac)), frac)
+      === rowsOf(snap.files, frac))
+  }
+
   /** Mirror of the source's filter→Column mapping, for driving the scan. */
   private def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}

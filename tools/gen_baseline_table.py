@@ -22,16 +22,44 @@ import sys
 # fixed-cost floor probe of tools/bench_r10_merged.json, the campaign
 # the original fixed 2 s threshold was calibrated against
 FLOOR_REF = 0.2287
+# cpu-second floor of the same 50-smallest-row probe, from the r12
+# campaign (the first with a full queries_cpu series). The wall floor
+# compensates for HOST drift; this cross-check catches the failure mode
+# the r13 advice named — a code regression that slows the cheapest
+# queries raises the wall floor and could mask genuinely weak rows. CPU
+# seconds are steal-robust: flat cpu + higher wall = host; both up =
+# engine (flagged below, calibration suspect).
+CPU_FLOOR_REF = 0.0924
+CPU_DRIFT_TOL = 0.30
 
 
 def main(bench_path, weak_only=False):
     duck = json.load(open("tools/duckdb_times_sf01.json"))["duckdb_sec"]
-    bench = json.load(open(bench_path))["queries"]
-    floor = statistics.median(sorted(
-        v for n, v in bench.items() if not n.startswith("shared:"))[:50])
+    artifact = json.load(open(bench_path))
+    bench = artifact["queries"]
+    floor_names = sorted(
+        (n for n in bench if not n.startswith("shared:")),
+        key=bench.get)[:50]
+    floor = statistics.median(bench[n] for n in floor_names)
+    cpu_series = artifact.get("queries_cpu", {})
+    cpu_vals = [cpu_series[n] for n in floor_names if n in cpu_series]
     thresh = 2.0 * floor / FLOOR_REF
     print(f"<!-- weak rule: engine > {thresh:.2f} s (= 2.0 s x floor probe "
           f"{floor:.4f} / {FLOOR_REF}) AND engine > 2x duckdb -->")
+    if len(cpu_vals) >= 25:
+        cpu_floor = statistics.median(cpu_vals)
+        drift = cpu_floor / CPU_FLOOR_REF - 1.0
+        verdict = ("OK: wall-floor moves are host drift"
+                   if abs(drift) <= CPU_DRIFT_TOL else
+                   "SUSPECT: cpu floor moved too — engine drift in the "
+                   "cheapest rows; the calibrated threshold may be "
+                   "masking regressions, audit before blessing")
+        print(f"<!-- floor cross-check: cpu floor {cpu_floor:.4f} vs ref "
+              f"{CPU_FLOOR_REF} ({drift:+.0%}, tol ±{CPU_DRIFT_TOL:.0%}) — "
+              f"{verdict} -->")
+    else:
+        print("<!-- floor cross-check: no cpu series in this artifact — "
+              "cannot separate host drift from engine drift -->")
     # one-time suite-shared builds (SharedRelations) have no DuckDB
     # denominator — the oracle pays the full pipeline per query instead.
     # They are listed and folded into the engine total so amortization
