@@ -48,6 +48,10 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming sort aggregates where the operator pre-sorts its input
+      // on the grouping key (the jaccard wedge kernels): a no-op unless
+      // a child's ordering already satisfies the grouping
+      .config("spark.sql.execution.replaceHashWithSortAgg", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // liveness slack: host steal + 32 g-heap
@@ -243,13 +247,12 @@ object Bench {
     // fixed repo-root path the driver's end-of-round commit picks up —
     // log parsing is no longer load-bearing.
     Files.writeString(Paths.get("BENCH_SUMMARY.json"), full + "\n")
-    // stdout stays COMPACT so the driver's tail capture can't truncate
-    // mid-object (BENCH_r05 recorded parsed:null from the full map);
-    // the per-query medians/mins live in target/bench.json
-    val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${medians.size},""" +
-        s""""cpu_total":${f"$cpuTotal%.3f"},"errors":$errJson,$meta,"queries_file":"target/bench.json"}"""
-    println(line)
+    // stdout carries the FULL summary line — the driver contract names
+    // a "queries" map on stdout, and two rounds of compact-line output
+    // still parsed null driver-side. Truncation of a long line is no
+    // longer fatal: BENCH_SUMMARY.json and target/bench.json hold the
+    // same object at fixed paths.
+    println(full)
     System.out.flush()
     spark.stop()
     if (errors.nonEmpty) {

@@ -12,6 +12,10 @@ object Verify {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming sort aggregates where the operator pre-sorts its input
+      // on the grouping key (the jaccard wedge kernels): a no-op unless
+      // a child's ordering already satisfies the grouping
+      .config("spark.sql.execution.replaceHashWithSortAgg", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // liveness slack (see Bench): steal + GC pauses have killed the

@@ -66,6 +66,10 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // streaming sort aggregates where the operator pre-sorts its input
+      // on the grouping key (the jaccard wedge kernels): a no-op unless
+      // a child's ordering already satisfies the grouping
+      .config("spark.sql.execution.replaceHashWithSortAgg", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }

@@ -999,9 +999,19 @@ object Components {
     var done = alive == 0
     var it = 0
     while (!done && it < maxIterations) {
+      // Round 14: the survivor relation is node-sized and its count is
+      // ALREADY measured every round (`alive`, the fixpoint test) —
+      // broadcast it under the counted bound (the q81/q163 strategy-
+      // select discipline). Without the hint both semi-joins planned
+      // SMJ (checkpoint scans carry no stats), exchanging + sorting
+      // the edge-sized sym relation twice per peel round; with it the
+      // edge relation never shuffles inside the loop. Past the bound
+      // the shuffle plan returns — the 100 TB shape.
+      def hintK(df: DataFrame): DataFrame =
+        if (alive <= 4000000L) broadcast(df) else df
       val next = sym
-        .join(keep.select(col("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(hintK(keep.select(col("u"))), Seq("u"), "left_semi")
+        .join(hintK(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint()
       val nextKeep = next.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
@@ -1227,9 +1237,68 @@ object Components {
   /** Node-level wedge plan — the right plan when the graph has little
     * identical-adjacency structure (the declared q154 regime). `deg`
     * arrives precomputed from [[jaccardFromCanon]]'s probe groupBy.
+    *
+    * Round 14 (guide §2.3/§2.4, measured from the r13 plan): the old
+    * shape shuffled AND sorted the pair relation (56.3 M rows at sf0.1
+    * — bigger than the graph by 136×) three more times AFTER the wedge
+    * aggregate: a sort for the SMJ anti-join against the edge list and
+    * an exchange+sort each for the two degree joins (every join was
+    * SMJ because localCheckpoint scans carry no stats). The pair
+    * relation is the heavy proxy here, so those passes dominated:
+    * 416 cpu-s suite-measured, of which the wedge join + aggregate are
+    * only a fraction. Two fixes, both runtime-gated:
+    *
+    *   - PACKED LEGS: when every node id fits [0, 2³¹) (measured — one
+    *     aggregate over the node-sized deg relation), each wedge leg
+    *     carries (node << 32 | deg) as ONE long. deg ≤ #nodes < 2³¹ by
+    *     the same gate, ids are distinct per leg so packed comparisons
+    *     order exactly like node ids, and the wedge aggregate's keys
+    *     stay two primitive longs (same shuffle bytes as before) —
+    *     but the post-aggregate degree joins VANISH: degrees decode
+    *     out of the key with two bit ops per surviving row.
+    *   - MEASURED BROADCAST: the wedge join's build side, the packed
+    *     edge anti-join side and the leg degree-attach are broadcast
+    *     when the measured edge count is under `BcastSymRows/2` (the
+    *     hits/q81 strategy-select discipline — counts, not stats
+    *     guesses). Past the bound every join falls back to the shuffle
+    *     plan, which is the 100 TB shape.
+    *
+    * Net plan at sf0.1: pair relation touched by exactly ONE exchange
+    * (the wedge aggregate's own) and then consumed in a single stage —
+    * broadcast anti-join probe, decode projection, TakeOrdered heap —
+    * instead of 3 exchanges + 4 sorts (see plans/r14/
+    * q154_jaccard_links_{before,after}.txt). Ids past 2³¹ or edge
+    * counts past the bound take the legacy plan unchanged.
     */
   private[operators] def jaccardNodeLevel(canon: DataFrame, sym: DataFrame,
       deg: DataFrame, topN: Int): DataFrame = {
+    val bounds = deg.agg(min(col("u")), max(col("u"))).head()
+    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
+      bounds.getLong(1) < (1L << 31)
+    if (!packable)
+      return jaccardNodeLevelWide(canon, sym, deg, topN)
+    val nEdges = canon.count()
+    val bcast = 2 * nEdges <= BcastSymRows
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // leg degree-attach: deg is node-sized (≤ 2|E| rows), broadcast
+    // under the same measured bound
+    val packedLeg = sym
+      .join(hint(deg.select(col("u").as("v"), col("deg"))), Seq("v"))
+      .select(col("u").as("via"),
+        shiftleft(col("v"), 32).bitwiseOR(col("deg")).as("p"))
+    // Probe-leg spread: on the broadcast path the whole wedge pipeline
+    // (emit → anti-probe → partial aggregate) runs in the probe leg's
+    // stage, and that leg inherits the localCheckpoint's AQE-coalesced
+    // partitioning — ~4 partitions for a 13 MB graph carrying a 92 M-row
+    // wedge mass (first cut of this plan measured 54 s wall / 3.4×
+    // parallelism at local[32]; the legacy SMJ's exchange was what
+    // spread it). One cheap keyed exchange of the EDGE-sized leg pins
+    // the heavy stage at the session's shuffle parallelism; hot centers
+    // spread by hash(via) over ~1000 suppliers stay balanced.
+    val nPart = sym.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val probeLeg =
+      if (bcast) packedLeg.repartition(nPart, col("via")) else packedLeg
     // Wedge generation stays a SELF-JOIN on the center column, not a
     // grouped adjacency-list explode: a grouped variant (r9, measured
     // 79 s vs 30 s solo at sf0.1) funnels each hub's C(deg, 2) pair
@@ -1237,6 +1306,67 @@ object Components {
     // supplier's 4.5M-element combination array materializes in one
     // JVM — while the join's probe side streams hub pairs across
     // every partition that holds a probe row.
+    val wedges = probeLeg.select(col("via"), col("p").as("pa"))
+      .join(hint(packedLeg.select(col("via"), col("p").as("pb"))),
+        Seq("via"))
+      .where(col("pa") < col("pb"))
+    // The pair COUNT is the irreducible kernel (56.3 M distinct keys at
+    // sf0.1) and a hash aggregate pays a random-access probe per wedge
+    // row into a map far larger than cache, twice (partial + final) —
+    // the r14 JFR profile put >60 % of q154's cpu in
+    // UnsafeFixedWidthAggregationMap/BytesToBytesMap probes, with the
+    // partial step deduplicating almost nothing (92 M rows → 56 M
+    // groups spread over every partition). So count by SORTING instead:
+    // one explicit exchange on a SINGLE packed long pair key
+    // (a << 32 | b) — radix-sortable, which a (pa, pb) two-column sort
+    // is not — then a streaming sort aggregate (sequential compares, no
+    // map; `replaceHashWithSortAgg` in the engine's sessions turns the
+    // planned hash aggregate into it because the child is sorted). The
+    // degrees ride as a first() over the packed (deg_a << 32 | deg_b)
+    // payload — constant within a group, and an order-SENSITIVE
+    // aggregate, which also pins the sort against EliminateSorts.
+    val m32 = lit((1L << 32) - 1)
+    val common = wedges
+      .select(
+        shiftleft(shiftright(col("pa"), 32), 32)
+          .bitwiseOR(shiftright(col("pb"), 32)).as("pk"),
+        shiftleft(col("pa").bitwiseAND(m32), 32)
+          .bitwiseOR(col("pb").bitwiseAND(m32)).as("dd"))
+      .repartition(nPart, col("pk"))
+      .sortWithinPartitions(col("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_common"), first(col("dd")).as("dd"))
+    // packed edge list for the anti-join: u < v ⇒ same key orientation
+    // as the wedge pairs, and a single-long join key gets the
+    // LongHashedRelation fast path when broadcast
+    val canonPk = canon
+      .select(shiftleft(col("u"), 32).bitwiseOR(col("v")).as("pk"))
+    common
+      .join(hint(canonPk), Seq("pk"), "left_anti")
+      .select(shiftright(col("pk"), 32).as("node_a"),
+        col("pk").bitwiseAND(m32).as("node_b"), col("n_common"),
+        shiftright(col("dd"), 32).as("deg_a"),
+        col("dd").bitwiseAND(m32).as("deg_b"))
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(topN)
+  }
+
+  /** Measured-broadcast bound for the jaccard kernels' node/edge-sized
+    * relations (≈ 64 MB of packed sym legs) — the q163/q81 discipline:
+    * a counted gate, not a stats guess, because localCheckpoint scans
+    * carry no statistics and would otherwise force SMJ everywhere.
+    */
+  private val BcastSymRows = 4000000L
+
+  /** Legacy unpacked node-level plan — the fallback when node ids
+    * exceed 2³¹ (packing unavailable). Kept verbatim from round 13.
+    */
+  private def jaccardNodeLevelWide(canon: DataFrame, sym: DataFrame,
+      deg: DataFrame, topN: Int): DataFrame = {
     val wedges = sym.select(col("u").as("via"), col("v").as("a"))
       .join(sym.select(col("u").as("via"), col("v").as("b")), Seq("via"))
       .where(col("a") < col("b"))
@@ -1297,40 +1427,104 @@ object Components {
     // row, while the join's probe side streams hub pairs across every
     // partition that holds a probe row.
     val gsizes = groups.select(col("rep"), col("gsize"), col("deg"))
-    val left = repAdj.select(col("ru").as("via"), col("rv").as("a"))
-      .join(gsizes.select(col("rep").as("via"), col("gsize").as("w")),
-        Seq("via"))
-    val common = left
-      .join(repAdj.select(col("ru").as("via"), col("rv").as("b")),
-        Seq("via"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(sum(col("w")).as("n_common"))
-    val info = groups.select(col("rep"), col("deg"),
-      element_at(col("members"), 1).as("m1"),
-      slice(col("members"), 1, topN + 1).as("ms"))
-    // cross-group candidate pairs (anti-join = fact 2), with the group
-    // pair's lexicographically smallest member pair as tie-break key
-    val cross = common
-      .join(repAdj.select(col("ru").as("a"), col("rv").as("b")),
-        Seq("a", "b"), "left_anti")
-      .join(info.select(col("rep").as("a"), col("deg").as("deg_a"),
-        col("m1").as("m1_a"), col("ms").as("ms_a")), Seq("a"))
-      .join(info.select(col("rep").as("b"), col("deg").as("deg_b"),
-        col("m1").as("m1_b"), col("ms").as("ms_b")), Seq("b"))
-      .select(lit(false).as("within"), col("n_common"),
-        col("deg_a"), col("deg_b"),
-        least(col("m1_a"), col("m1_b")).as("mp_a"),
-        greatest(col("m1_a"), col("m1_b")).as("mp_b"),
-        col("ms_a"), col("ms_b"))
+    // Round 14 (same measurement as [[jaccardNodeLevel]]): the group-
+    // pair relation is node-pair-sized in the all-singleton regime
+    // (56.3 M rows on q282's graph at sf0.1), and the old shape not
+    // only paid the three post-aggregate SMJ passes the node plan paid
+    // — it attached BOTH (topN+1)-member slice arrays (~400 B each)
+    // to every group pair before the top-N cut. Three fixes:
+    //
+    //   - NARROW FIRST: rep = members[1] = m1 by construction and the
+    //     wedge pairs already satisfy a < b, so the cross tie-break key
+    //     (mp_a, mp_b) = (least(m1_a, m1_b), greatest(..)) is just
+    //     (a, b) — no member data is needed before the cut at all. The
+    //     ms slices join onto the ≤ topN winners AFTER the limit.
+    //   - PACKED LEGS when rep ids fit [0, 2³¹) (measured): wedge legs
+    //     carry (rep << 32 | deg), the aggregate keys stay two longs,
+    //     and the post-aggregate degree joins decode out of the key.
+    //   - MEASURED BROADCAST of the group-sized relations under the
+    //     counted [[BcastSymRows]] bound, matching the node plan.
+    val bounds2 = groups.agg(min(col("rep")), max(col("rep"))).head()
+    val packable2 = !bounds2.isNullAt(0) && bounds2.getLong(0) >= 0L &&
+      bounds2.getLong(1) < (1L << 31)
+    val nRepEdges = repAdj.count()
+    val bcast2 = nRepEdges <= BcastSymRows
+    def hint2(df: DataFrame): DataFrame = if (bcast2) broadcast(df) else df
+    val cross =
+      if (packable2) {
+        val pmap = groups
+          .select(col("rep"), shiftleft(col("rep"), 32)
+            .bitwiseOR(col("deg")).as("p"))
+        // probe-leg spread: same rationale as the node plan — the
+        // broadcast wedge pipeline runs in this leg's stage, which
+        // otherwise inherits the checkpoint's coalesced partitioning
+        val nPart2 = repAdj.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        val left = repAdj.select(col("ru").as("via"), col("rv").as("rep"))
+          .join(hint2(pmap), Seq("rep"))
+          .join(hint2(gsizes.select(col("rep").as("via"),
+            col("gsize").as("w"))), Seq("via"))
+          .select(col("via"), col("p").as("pa"), col("w"))
+          .repartition(nPart2, col("via"))
+        val right = repAdj.select(col("ru").as("via"), col("rv").as("rep"))
+          .join(hint2(pmap), Seq("rep"))
+          .select(col("via"), col("p").as("pb"))
+        // same sorted-count kernel as the node plan: single packed long
+        // pair key (radix sort + streaming sort aggregate), degrees as
+        // a first() payload, long-key broadcast anti-join
+        val m32 = lit((1L << 32) - 1)
+        val common = left.join(hint2(right), Seq("via"))
+          .where(col("pa") < col("pb"))
+          .select(
+            shiftleft(shiftright(col("pa"), 32), 32)
+              .bitwiseOR(shiftright(col("pb"), 32)).as("pk"),
+            shiftleft(col("pa").bitwiseAND(m32), 32)
+              .bitwiseOR(col("pb").bitwiseAND(m32)).as("dd"),
+            col("w"))
+          .repartition(nPart2, col("pk"))
+          .sortWithinPartitions(col("pk"))
+          .groupBy(col("pk"))
+          .agg(sum(col("w")).as("n_common"), first(col("dd")).as("dd"))
+        val repAdjPk = repAdj
+          .select(shiftleft(col("ru"), 32).bitwiseOR(col("rv")).as("pk"))
+        common.join(hint2(repAdjPk), Seq("pk"), "left_anti")
+          .select(lit(false).as("within"), col("n_common"),
+            shiftright(col("dd"), 32).as("deg_a"),
+            col("dd").bitwiseAND(m32).as("deg_b"),
+            shiftright(col("pk"), 32).as("mp_a"),
+            col("pk").bitwiseAND(m32).as("mp_b"),
+            shiftright(col("pk"), 32).as("rep_a"),
+            col("pk").bitwiseAND(m32).as("rep_b"))
+      } else {
+        val info0 = groups.select(col("rep"), col("deg"))
+        val left = repAdj.select(col("ru").as("via"), col("rv").as("a"))
+          .join(gsizes.select(col("rep").as("via"), col("gsize").as("w")),
+            Seq("via"))
+        val common = left
+          .join(repAdj.select(col("ru").as("via"), col("rv").as("b")),
+            Seq("via"))
+          .where(col("a") < col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("w")).as("n_common"))
+        common
+          .join(repAdj.select(col("ru").as("a"), col("rv").as("b")),
+            Seq("a", "b"), "left_anti")
+          .join(info0.select(col("rep").as("a"), col("deg").as("deg_a")),
+            Seq("a"))
+          .join(info0.select(col("rep").as("b"), col("deg").as("deg_b")),
+            Seq("b"))
+          .select(lit(false).as("within"), col("n_common"),
+            col("deg_a"), col("deg_b"),
+            col("a").as("mp_a"), col("b").as("mp_b"),
+            col("a").as("rep_a"), col("b").as("rep_b"))
+      }
     // within-group pairs: jaccard exactly 1.0 (fact 1)
     val within = groups.where(col("gsize") >= 2)
       .select(lit(true).as("within"), col("deg").as("n_common"),
         col("deg").as("deg_a"), col("deg").as("deg_b"),
         element_at(col("members"), 1).as("mp_a"),
         element_at(col("members"), 2).as("mp_b"),
-        slice(col("members"), 1, topN + 1).as("ms_a"),
-        slice(col("members"), 1, topN + 1).as("ms_b"))
+        col("rep").as("rep_a"), col("rep").as("rep_b"))
     // same jaccard expression (and type promotions) as the node-level
     // plan, so collapsed results hash-match the uncollapsed pin
     val scored = cross.unionByName(within)
@@ -1338,9 +1532,19 @@ object Components {
         (col("deg_a") + col("deg_b") - col("n_common")))
     // topN GROUP pairs cover the topN node pairs (scaladoc proof);
     // TakeOrderedAndProject — per-partition heaps, no global sort
-    val cand = scored
+    val candNarrow = scored
       .orderBy(col("jaccard").desc, col("mp_a"), col("mp_b"))
       .limit(topN)
+    // member slices attach to the ≤ topN winners only — the ~400 B
+    // arrays never ride through the group-pair mass (round-14 narrow-
+    // first restructure; the 50-row side broadcasts)
+    val msInfo = groups.select(col("rep"),
+      slice(col("members"), 1, topN + 1).as("ms"))
+    val cand = broadcast(candNarrow)
+      .join(msInfo.withColumnRenamed("rep", "rep_a")
+        .withColumnRenamed("ms", "ms_a"), Seq("rep_a"))
+      .join(msInfo.withColumnRenamed("rep", "rep_b")
+        .withColumnRenamed("ms", "ms_b"), Seq("rep_b"))
     // expansion: ≤ topN rows × ≤ (topN+1)² member pairs — tiny
     val pairs = cand
       .select(col("within"), col("n_common"), col("deg_a"), col("deg_b"),

@@ -89,7 +89,16 @@ object Linkage {
     // kernel (jaroWinklerGte) measured WORSE here (9.4 s): same-block
     // names share most letters, so the admission bound almost never
     // rejects and its histograms are pure overhead.
-    val pairs0 = a.join(b, Seq("block"))
+    // probe leg repartitioned on the block key (explicit count = the
+    // session's shuffle-partition knob): with a broadcastable `b` the
+    // pair scoring otherwise runs at the SCAN's split count — one small
+    // parquet file = one task = the whole JW/weight kernel mass on one
+    // core (measured cpu ≈ wall on q140/q218 at local[32]). Same
+    // rationale as NearDup.jaroWinklerJoin; no second exchange on the
+    // shuffle-join path at scale because the count matches the join's
+    // required distribution.
+    val nPart = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs0 = a.repartition(nPart, col("block")).join(b, Seq("block"))
       .where(col("a_id") < col("b_id"))
     val pairs =
       if (!informativeOnly) pairs0

@@ -527,15 +527,28 @@ object NearDup {
             col("name").substr(col("pos") + 1,
               length(col("name")) - col("pos"))))
           .as("variant"))
+    // Probe leg repartitioned on the variant key (explicit count = the
+    // session's shuffle-partition knob): with a broadcastable build
+    // side the candidate generation + levenshtein verify otherwise run
+    // at the upstream stage's AQE-coalesced partition count — tiny
+    // bytes, heavy per-row compute, the case AQE's byte advisory
+    // cannot see (measured cpu ≈ wall on q99 at local[32]).
+    // The verify filter runs BEFORE the pair dedup: dist is a pure
+    // function of the pair, so filtering first is result-identical,
+    // keeps the kernel inside the wide probe stage, and shrinks the
+    // dedup exchange to the (few) true edit-distance-≤1 pairs.
+    val nPart = keyed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val namePairs = keyed
       .select(col("name").as("a_name"), col("variant"))
+      .repartition(nPart, col("variant"))
       .join(keyed.select(col("name").as("b_name"), col("variant")),
         Seq("variant"))
       .where(col("a_name") <= col("b_name"))
-      .dropDuplicates("a_name", "b_name")
       .select(col("a_name"), col("b_name"),
         levenshtein(col("a_name"), col("b_name")).as("dist"))
       .where(col("dist") <= 1)
+      .dropDuplicates("a_name", "b_name")
     // expand name pairs to id pairs; a same-name pair carries its whole
     // id cluster (kept once via a_id < b_id), cross-name pairs are
     // normalized to (least, greatest) — disjoint id sets, no dedup needed
@@ -622,8 +635,20 @@ object NearDup {
       else lit(true)
     // jaro_winkler_gte runs the histogram admission bound per pair and
     // the exact kernel only on survivors; the final projection then
-    // recomputes jw for the (few) emitted rows
-    a.join(b, Seq("block"))
+    // recomputes jw for the (few) emitted rows.
+    // The probe leg is hash-repartitioned on the block key to the
+    // session's shuffle-partition count BEFORE the join: when the
+    // relation is small enough to broadcast, the probe stage otherwise
+    // inherits the SCAN's split count (one small parquet file = one
+    // task), serializing the whole JW kernel mass on a single core —
+    // measured cpu ≈ wall at local[32] on q110/q125/q218. The explicit
+    // partition count pins the exchange against AQE coalescing (bytes
+    // are tiny, compute is not — the one case AQE's byte-sized
+    // advisory cannot see), matches the join's required distribution
+    // on the shuffle path (no second exchange at scale), and tracks
+    // the session's scale knob rather than a local constant.
+    val nPart = a.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    a.repartition(nPart, col("block")).join(b, Seq("block"))
       .where(col("a_id") < col("b_id") && lenGate &&
         graft.functions.GraftFunctions.jaroWinklerGte(
           col("a_str"), col("b_str"), threshold))

@@ -118,6 +118,14 @@ object IngestDedup {
   private val seedTemplates =
     scala.collection.concurrent.TrieMap[(String, String, String), String]()
 
+  /** Per-run "copy" of an immutable template tree. Delta-like table
+    * files are never modified in place (appends add NEW data files and
+    * NEW log entries), so the run tree can share the template's file
+    * CONTENT via hard links — per-rep scaffolding cost becomes inode
+    * metadata instead of data IO (guide §6: don't move bytes you don't
+    * have to). Cross-filesystem or unsupported targets fall back to a
+    * real copy per file.
+    */
   private def copyTree(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
@@ -125,8 +133,13 @@ object IngestDedup {
       val target = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(target)
-      else java.nio.file.Files.copy(p, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else
+        try java.nio.file.Files.createLink(target, p)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(p, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
     }
   }
 
