@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes `sbt "runMain graft.Bench"` stdout for a line-leading
+// JSON object. sbt's default LoggedOutput strategy prefixes every forked
+// stdout line with "[info] " — which is why all 14 rounds of BENCH_rN.json
+// carry parsed:null (the r13 tail shows the intact summary as
+// "[info] {...}"). StdoutOutput pipes the forked process's stdout/stderr
+// straight through, unprefixed, so the bench summary line starts with '{'.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

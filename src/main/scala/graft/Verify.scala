@@ -22,6 +22,13 @@ object Verify {
       // in-JVM local executor via missed heartbeats mid-artifact
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      // Bound the in-memory status store (see Bench/GraftSession): the
+      // engine-wide default that stops plan-graph/task-wrapper history
+      // from accumulating as old-gen residue over long sessions.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "300")
+      .config("spark.ui.retainedStages", "300")
+      .config("spark.ui.retainedTasks", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.GraftSession.quietNoisyLoggers()

@@ -72,6 +72,17 @@ object GraftSession {
       .config("spark.sql.execution.replaceHashWithSortAgg", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Bound the in-memory status store (kept even with the UI off):
+      // defaults retain 1000 SQLExecutionUIData plan graphs + 100k task
+      // wrappers, and a long-lived session running hundreds of distinct
+      // plans accumulates them as old-gen residue — the suite-tail GC
+      // inflation BASELINE.md tracks on the heavy wedge rows. These
+      // processes never serve a UI; keep enough history for post-mortem
+      // probes only. Mirrored in Bench/Verify/QueryTimer.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "300")
+      .config("spark.ui.retainedStages", "300")
+      .config("spark.ui.retainedTasks", "20000")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -998,6 +998,12 @@ object Components {
     var alive = keep.count()
     var done = alive == 0
     var it = 0
+    // ops/measurement toggle (the jaccard.collapse precedent):
+    // spark.graft.kcore.broadcast = auto|off — "off" pins the round-13
+    // SMJ loop for A/B runs; "auto" (default) broadcasts the survivor
+    // set under the counted bound.
+    val bcastMode = edges.sparkSession.conf
+      .get("spark.graft.kcore.broadcast", "auto")
     while (!done && it < maxIterations) {
       // Round 14: the survivor relation is node-sized and its count is
       // ALREADY measured every round (`alive`, the fixpoint test) —
@@ -1008,7 +1014,8 @@ object Components {
       // edge relation never shuffles inside the loop. Past the bound
       // the shuffle plan returns — the 100 TB shape.
       def hintK(df: DataFrame): DataFrame =
-        if (alive <= 4000000L) broadcast(df) else df
+        if (bcastMode != "off" && alive <= BcastSymRows) broadcast(df)
+        else df
       val next = sym
         .join(hintK(keep.select(col("u"))), Seq("u"), "left_semi")
         .join(hintK(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
@@ -1272,9 +1279,16 @@ object Components {
     */
   private[operators] def jaccardNodeLevel(canon: DataFrame, sym: DataFrame,
       deg: DataFrame, topN: Int): DataFrame = {
-    val bounds = deg.agg(min(col("u")), max(col("u"))).head()
-    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
-      bounds.getLong(1) < (1L << 31)
+    // Packable needs LongType ids, checked BEFORE the min/max probe:
+    // Row.getLong throws on IntegerType and shiftleft on a 32-bit
+    // column masks the shift distance (a silent key collapse). Narrower
+    // integral ids take the wide fallback — correct, just unpacked.
+    val packable = deg.schema("u").dataType ==
+      org.apache.spark.sql.types.LongType && {
+      val bounds = deg.agg(min(col("u")), max(col("u"))).head()
+      !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
+        bounds.getLong(1) < (1L << 31)
+    }
     if (!packable)
       return jaccardNodeLevelWide(canon, sym, deg, topN)
     val nEdges = canon.count()
@@ -1444,9 +1458,26 @@ object Components {
     //     and the post-aggregate degree joins decode out of the key.
     //   - MEASURED BROADCAST of the group-sized relations under the
     //     counted [[BcastSymRows]] bound, matching the node plan.
-    val bounds2 = groups.agg(min(col("rep")), max(col("rep"))).head()
-    val packable2 = !bounds2.isNullAt(0) && bounds2.getLong(0) >= 0L &&
-      bounds2.getLong(1) < (1L << 31)
+    // same LongType pre-gate as the node plan: getLong/shiftleft are
+    // only sound on 64-bit ids; anything narrower routes to the
+    // unpacked branch below. The probe also measures max(gsize): in the
+    // ALL-SINGLETON regime (forced collapse on a graph with no
+    // duplicate adjacency — the declared q282 case) every center weight
+    // is 1, so the wedge count needs no gsize payload at all — the
+    // pair-mass shuffle drops its weight column (8 of 24 bytes/row,
+    // ~340 MB at sf0.1) and the per-leg gsize attach join disappears
+    // (guide §2.3: shuffle fewer bytes).
+    val repIsLong = groups.schema("rep").dataType ==
+      org.apache.spark.sql.types.LongType
+    val probe2 =
+      if (repIsLong)
+        groups.agg(min(col("rep")), max(col("rep")),
+          max(col("gsize"))).head()
+      else groups.agg(lit(null).cast("long"), lit(null).cast("long"),
+        max(col("gsize"))).head()
+    val packable2 = repIsLong && !probe2.isNullAt(0) &&
+      probe2.getLong(0) >= 0L && probe2.getLong(1) < (1L << 31)
+    val allSingleton = !probe2.isNullAt(2) && probe2.getLong(2) <= 1L
     val nRepEdges = repAdj.count()
     val bcast2 = nRepEdges <= BcastSymRows
     def hint2(df: DataFrame): DataFrame = if (bcast2) broadcast(df) else df
@@ -1460,12 +1491,15 @@ object Components {
         // otherwise inherits the checkpoint's coalesced partitioning
         val nPart2 = repAdj.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
-        val left = repAdj.select(col("ru").as("via"), col("rv").as("rep"))
+        val leftBase = repAdj.select(col("ru").as("via"), col("rv").as("rep"))
           .join(hint2(pmap), Seq("rep"))
-          .join(hint2(gsizes.select(col("rep").as("via"),
-            col("gsize").as("w"))), Seq("via"))
-          .select(col("via"), col("p").as("pa"), col("w"))
-          .repartition(nPart2, col("via"))
+        val left =
+          (if (allSingleton) leftBase.select(col("via"), col("p").as("pa"))
+           else leftBase
+             .join(hint2(gsizes.select(col("rep").as("via"),
+               col("gsize").as("w"))), Seq("via"))
+             .select(col("via"), col("p").as("pa"), col("w")))
+            .repartition(nPart2, col("via"))
         val right = repAdj.select(col("ru").as("via"), col("rv").as("rep"))
           .join(hint2(pmap), Seq("rep"))
           .select(col("via"), col("p").as("pb"))
@@ -1473,18 +1507,22 @@ object Components {
         // pair key (radix sort + streaming sort aggregate), degrees as
         // a first() payload, long-key broadcast anti-join
         val m32 = lit((1L << 32) - 1)
+        val pairCols = Seq(
+          shiftleft(shiftright(col("pa"), 32), 32)
+            .bitwiseOR(shiftright(col("pb"), 32)).as("pk"),
+          shiftleft(col("pa").bitwiseAND(m32), 32)
+            .bitwiseOR(col("pb").bitwiseAND(m32)).as("dd")) ++
+          (if (allSingleton) Nil else Seq(col("w")))
         val common = left.join(hint2(right), Seq("via"))
           .where(col("pa") < col("pb"))
-          .select(
-            shiftleft(shiftright(col("pa"), 32), 32)
-              .bitwiseOR(shiftright(col("pb"), 32)).as("pk"),
-            shiftleft(col("pa").bitwiseAND(m32), 32)
-              .bitwiseOR(col("pb").bitwiseAND(m32)).as("dd"),
-            col("w"))
+          .select(pairCols: _*)
           .repartition(nPart2, col("pk"))
           .sortWithinPartitions(col("pk"))
           .groupBy(col("pk"))
-          .agg(sum(col("w")).as("n_common"), first(col("dd")).as("dd"))
+          .agg(
+            (if (allSingleton) count(lit(1)) else sum(col("w")))
+              .as("n_common"),
+            first(col("dd")).as("dd"))
         val repAdjPk = repAdj
           .select(shiftleft(col("ru"), 32).bitwiseOR(col("rv")).as("pk"))
         common.join(hint2(repAdjPk), Seq("pk"), "left_anti")
@@ -2425,10 +2463,24 @@ object Components {
     * has a deterministic stage count; COVERAGE.md records the
     * fixed-rounds semantics.
     *
-    * Scale shape per round: one [[triangleList]] pass (degree-ordered
-    * wedges, O(m^1.5) bound), a 3×-triangles explode into an
-    * edge-keyed hash aggregate, one filter. Each round's survivor set
-    * is localCheckpoint'd so round r+1's plan does not replay round r.
+    * Scale shape (round 15): ONE [[triangleList]] pass total, not one
+    * per round. Round r+1's graph is an edge-subset of round r's, and a
+    * triangle exists in a subgraph iff all three of its edges do — so
+    * the triangles of every later round are exactly the ROUND-1
+    * triangles whose three edges survived the latest prune. The O(m^1.5)
+    * wedge enumeration (49 M wedge rows at sf0.1, ~20× the edge count)
+    * therefore runs once; each later round is three edge semi-joins over
+    * the materialized triangle list (guide §1.2 step 1: remove a whole
+    * pass; measured 8.1 s → see OPTIMIZATION_r15.md). The survivor set's
+    * count is already on hand from the checkpointed relation, so the
+    * semi-joins broadcast under the counted [[BcastSymRows]] bound (the
+    * q81/q163 discipline) and fall back to shuffle joins past it — a
+    * 100 TB graph pays three edge-keyed shuffles of the triangle list
+    * per round, still an order below re-enumerating wedges.
+    *
+    * The round-1 triangle list is localCheckpoint'd only when a later
+    * round will consume it; each round's survivor set is checkpointed so
+    * round r+1's plan does not replay round r.
     *
     * @return surviving edges after `rounds` prunes with the support
     *         that qualified them in the final round: (u, v, support)
@@ -2445,9 +2497,38 @@ object Components {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // ops/measurement toggle (the kcore.broadcast precedent):
+    // spark.graft.ktruss.reuse = auto|off — "off" pins the round-13
+    // shape (a fresh census per round) for A/B runs.
+    val reuse = rounds > 1 && edges.sparkSession.conf
+      .get("spark.graft.ktruss.reuse", "auto") != "off"
+    // the ONLY wedge enumeration (when reusing); (b, c) is id-canonical
+    // (b < c) on both orientation branches, a is the orientation
+    // minimum (arbitrary id position on the degree-ordered branch —
+    // hence least/greatest on the a-edges below)
+    var tri = triangleList(canon, "u", "v", assumeCanonical = true)
+    if (reuse) tri = tri.localCheckpoint()
     var sup: DataFrame = null
-    for (_ <- 1 to rounds) {
-      val tri = triangleList(canon, "u", "v", assumeCanonical = true)
+    for (r <- 1 to rounds) {
+      if (r > 1 && reuse) {
+        // triangles of the pruned graph = round-1 triangles whose three
+        // edges all survived the previous round's support filter
+        val nSurv = canon.count()
+        def hintT(df: DataFrame): DataFrame =
+          if (nSurv <= BcastSymRows) broadcast(df) else df
+        tri = tri
+          .join(hintT(canon.select(col("u").as("b"), col("v").as("c"))),
+            Seq("b", "c"), "left_semi")
+          .join(hintT(canon.select(col("u").as("su"), col("v").as("sv"))),
+            least(col("a"), col("b")) === col("su") &&
+              greatest(col("a"), col("b")) === col("sv"), "left_semi")
+          .join(hintT(canon.select(col("u").as("tu"), col("v").as("tv"))),
+            least(col("a"), col("c")) === col("tu") &&
+              greatest(col("a"), col("c")) === col("tv"), "left_semi")
+        if (r < rounds) tri = tri.localCheckpoint()
+      } else if (r > 1) {
+        tri = triangleList(canon, "u", "v", assumeCanonical = true)
+      }
       sup = tri
         .select(explode(array(pair(col("a"), col("b")),
           pair(col("a"), col("c")), pair(col("b"), col("c")))).as("e"))
@@ -2455,7 +2536,15 @@ object Components {
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= k - 2)
-      canon = sup.select(col("u"), col("v")).localCheckpoint()
+      // intermediate rounds checkpoint the survivor EDGES (consumed by
+      // the next round); the FINAL round checkpoints the result itself —
+      // the old shape checkpointed canon here too, so the final round's
+      // whole census+aggregate ran twice: once inside the eager canon
+      // checkpoint and again when the caller consumed the returned sup
+      // (kCore always returned its checkpointed relation; ktruss was
+      // the outlier — measured 1/3 of q209's cpu).
+      if (r < rounds) canon = sup.select(col("u"), col("v")).localCheckpoint()
+      else sup = sup.localCheckpoint()
     }
     sup
   }

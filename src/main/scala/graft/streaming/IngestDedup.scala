@@ -125,6 +125,17 @@ object IngestDedup {
     * metadata instead of data IO (guide §6: don't move bytes you don't
     * have to). Cross-filesystem or unsupported targets fall back to a
     * real copy per file.
+    *
+    * INVARIANT this sharing depends on: every table writer creates new
+    * files exclusively (`TableIO.writeExclusive` for log entries /
+    * checkpoints, fresh UUID-named data files for appends) and nothing
+    * ever rewrites a table file in place. A future in-place rewrite
+    * (compaction reusing a name, manifest regeneration inside a
+    * template, `writeString` onto an existing path) would silently
+    * corrupt the shared template for all later reps — so every linked
+    * file is also marked READ-ONLY here: the write then fails loudly
+    * (AccessDenied) instead. Deletion still works (POSIX delete needs
+    * directory write permission, not file write permission).
     */
   private def copyTree(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
@@ -134,8 +145,10 @@ object IngestDedup {
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(target)
       else
-        try java.nio.file.Files.createLink(target, p)
-        catch {
+        try {
+          java.nio.file.Files.createLink(target, p)
+          target.toFile.setWritable(false, false)
+        } catch {
           case _: UnsupportedOperationException | _: java.io.IOException =>
             java.nio.file.Files.copy(p, target,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)

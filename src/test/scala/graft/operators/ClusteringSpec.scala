@@ -256,4 +256,40 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Clustering.cTfIdfKeywords(wide, "label", "text", k = 5)
       .count() === 5L)
   }
+
+  test("fused ivfPqTrain PQ blocks replay productQuantize exactly (the shared-codebook pin)") {
+    val sp = spark; import sp.implicits._
+    // the q268/q270/q274 sharing argument: blocks train independently,
+    // so the fused (PQ + coarse) trainer's blocks 0..m-1 must yield the
+    // same codebooks — and an encode against them the same codes/qerr —
+    // as the standalone q268-config trainer. Fixture deliberately NOT
+    // block-constant (wobble) so centroids are non-trivial.
+    val rnd = new scala.util.Random(274)
+    val pa = Seq(1f, 2f, 3f, 4f); val pb = Seq(9f, 8f, 7f, 6f)
+    val pts = (0L until 18L).map { i =>
+      val base = (if (i % 2 == 0) pa else pb) ++ (if (i % 3 == 0) pa else pb)
+      (i, base.map(_ + rnd.nextFloat() * 0.3f))
+    }.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val direct = Clustering.productQuantize(pts, "vec_id", "embedding",
+      m = 2, subDim = 4, ks = 2, iterations = 2).collect().map(key).sorted
+    val cb = Clustering.ivfPqTrain(pts, "vec_id", "embedding",
+      nlist = 3, m = 2, subDim = 4, ks = 2, iterations = 2)
+    val viaFused = Clustering.pqCodesFrom(pts, "vec_id", "embedding",
+      m = 2, subDim = 4,
+      cb.where(org.apache.spark.sql.functions.col("__block") < 2))
+      .collect().map(key).sorted
+    assert(viaFused === direct)
+    // and the split search half must replay the one-shot ivfPqTopK
+    val viaSplit = Clustering.ivfPqSearch(pts, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") < 2,
+      nprobe = 1, m = 2, subDim = 4, topK = 3, cb)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val oneShot = Clustering.ivfPqTopK(pts, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("vec_id") < 2,
+      nlist = 3, nprobe = 1, m = 2, subDim = 4, ks = 2, iterations = 2,
+      topK = 3).collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaSplit === oneShot)
+  }
 }

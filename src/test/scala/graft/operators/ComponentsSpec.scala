@@ -597,6 +597,46 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r1 = Components.ktruss(broken.toDF("a", "b"), "a", "b",
       k = 4, rounds = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(r1.toSeq === Seq((1L, 2L)))
+    // rounds=3 exercises the triangle-reuse path twice (round-2 filter
+    // re-checkpointed, round-3 filter over it): K4 is a fixpoint, so the
+    // extra rounds must be no-ops
+    val out3 = Components.ktruss(k4.toDF("a", "b"), "a", "b",
+      k = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support"))
+      .toMap
+    assert(out3 === out)
+    // and a cascade under rounds=3: two K4s sharing edge (1,2), with k=4
+    // — round 1 keeps each K4's edges (support ≥ 2: shared edge has 4),
+    // fixpoint thereafter
+    val twoK4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      (for (a <- Seq(1L, 2L, 5L, 6L); b <- Seq(1L, 2L, 5L, 6L) if a < b)
+        yield (a, b))
+    val t3 = Components.ktruss(twoK4.distinct.toDF("a", "b"), "a", "b",
+      k = 4, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 === twoK4.distinct.toSet)
+  }
+
+  test("jaccard link prediction: IntegerType ids take the unpacked plans, same results") {
+    val sp = spark; import sp.implicits._
+    // regression (round-15, ADVICE): the packed-key gates called
+    // Row.getLong on the id bounds, so int-id graphs crashed instead of
+    // routing to the wide fallbacks. 4-cycle again: diagonals score 1.
+    val edges = Seq((1, 2), (2, 3), (3, 4), (4, 1)).toDF("u", "v")
+    for (mode <- Seq("auto", "always", "never")) {
+      spark.conf.set("spark.graft.jaccard.collapse", mode)
+      try {
+        val out = Components.jaccardLinkPrediction(edges, "u", "v",
+          topN = 10).collect()
+        val byPair = out.map(r =>
+          (r.getInt(out.head.fieldIndex("node_a")),
+            r.getInt(out.head.fieldIndex("node_b"))) ->
+            (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+        assert(byPair.keySet === Set((1, 3), (2, 4)), s"mode=$mode")
+        assert(byPair((1, 3)) === ((2L, 1.0)), s"mode=$mode")
+        assert(byPair((2, 4)) === ((2L, 1.0)), s"mode=$mode")
+      } finally spark.conf.unset("spark.graft.jaccard.collapse")
+    }
   }
 
   test("landmarkHarmonicCloseness: path graph distances by hand; landmarks score each other") {
