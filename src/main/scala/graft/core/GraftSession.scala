@@ -83,6 +83,17 @@ object GraftSession {
       .config("spark.ui.retainedJobs", "300")
       .config("spark.ui.retainedStages", "300")
       .config("spark.ui.retainedTasks", "20000")
+      // Tungsten execution memory OFF-HEAP (round 15): the 8-cpu q282
+      // probe caught a full-GC cascade — 362 task-GC-seconds on one rep
+      // of the pair-shuffle sort stage vs 5.8 on its identical neighbor
+      // — because promoted sort/aggregation pages churn the old gen.
+      // Off-heap pages are invisible to the collector: the same stage
+      // ran GC-quiet and q282@8cpus went 29-88 s (run-dependent) ->
+      // 17.9 s stable, cpu 135 -> 90 s. Standard practice for
+      // shuffle-heavy clusters; sized ~1/3 of heap here, per-executor
+      // on a real deployment.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "12g")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

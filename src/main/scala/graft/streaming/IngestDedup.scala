@@ -466,6 +466,10 @@ object IngestDedup {
     if (batchId <= DeltaLikeSink.lastCommittedBatchIn(docPath, queryId)) return
     val sigCommitted =
       batchId <= DeltaLikeSink.lastCommittedBatchIn(sigPath, queryId)
+    // on the normal path the batch's kept sig rows stay in memory and
+    // feed the band append directly (round 15: one fewer read-back job
+    // chain per trigger); only a replay re-reads them from the table
+    var keptSigsInMem: DataFrame = null
     val keepIds =
       if (sigCommitted) {
         // decision durable from a prior attempt: recover it from the
@@ -495,19 +499,25 @@ object IngestDedup {
           idCol, threshold, bands, numHashes)
           .where(col("keep"))
           .select(col(idCol))
-        DeltaLikeSink.appendBatch(sigPath, queryId)(
-          batchSigs.join(keep, Seq(idCol))
-            .withColumn("ingest_batch",
-              org.apache.spark.sql.functions.lit(batchId)),
-          batchId)
+        val keptSigs = batchSigs.join(keep, Seq(idCol))
+          .withColumn("ingest_batch",
+            org.apache.spark.sql.functions.lit(batchId))
+        DeltaLikeSink.appendBatch(sigPath, queryId)(keptSigs, batchId)
+        keptSigsInMem = keptSigs
         keep
       }
     if (batchId > DeltaLikeSink.lastCommittedBatchIn(bandPath, queryId)) {
-      // derived relation: rebuild from the sig table's batch files —
-      // pruned, and correct on both the normal and the replay path
-      val keptSigs = DeltaLikeTable.readPruned(spark, sigPath,
-        Seq(org.apache.spark.sql.sources.EqualTo("ingest_batch", batchId)))
-        .where(col("ingest_batch") === batchId)
+      // derived relation: on the normal path the rows just appended to
+      // the sig table are still in memory (checkpointed batchSigs ⋈
+      // keep) — the SAME row set the prior read-back produced, since
+      // the append wrote exactly these rows; a replay (keptSigsInMem
+      // null) rebuilds from the sig table's batch-pruned files. Commit
+      // order (sig → band → docs) and crash recovery are unchanged.
+      val keptSigs =
+        if (keptSigsInMem != null) keptSigsInMem
+        else DeltaLikeTable.readPruned(spark, sigPath,
+          Seq(org.apache.spark.sql.sources.EqualTo("ingest_batch", batchId)))
+          .where(col("ingest_batch") === batchId)
       DeltaLikeSink.appendBatch(bandPath, queryId)(
         bandRowsOf(keptSigs, idCol, numHashes, bands), batchId)
     }
